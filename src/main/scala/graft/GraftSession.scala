@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with confs tuned for the target: many-executor clusters
+  * reading ~100 TB of parquet. Locally we run `local[N]`; every setting below
+  * is one that carries to cluster mode unchanged (AQE, shuffle sizing,
+  * broadcast threshold), not a local-only hack.
+  */
+object GraftSession {
+
+  /** Sensible defaults for both local[N] dev and cluster submission. */
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      // Shuffle width: locally = cores; on a cluster this is overridden by
+      // submit conf, and AQE coalesces down from it at runtime anyway.
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime re-planning (skew-join splitting, partition coalescing,
+      // broadcast conversion) — essential at 100 TB where static stats lie.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

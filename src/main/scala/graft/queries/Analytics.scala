@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics / bench-head queries (SURVEY §2 №33-35).
+  *
+  * Cross-engine determinism rules (see SURVEY §5): every monetary aggregate is
+  * rounded to its exact decimal grid per-row and summed as DECIMAL (exact,
+  * associative — safe under any partial-aggregation order), then cast to
+  * DOUBLE for output. Averages divide exact sums by counts in double and are
+  * rounded. Output never contains raw timestamps — only formatted strings.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary. Single hash aggregation, partial
+    * (map-side) combine, grouping cardinality 6 — at 100 TB this is a scan
+    * bound job: filter + projection push to parquet, one narrow shuffle of
+    * 6xN_partitions pre-aggregated rows.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(20,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(20,2)")).cast("double").as("sum_base_price"),
+        sum(round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
+        sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).cast("decimal(28,6)")).cast("double").as("sum_charge"),
+        round(sum($"l_quantity".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum($"l_extendedprice".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum($"l_discount".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax),6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority. The dimension (filtered customer) is
+    * tiny relative to the facts — explicitly broadcast so the big sides never
+    * shuffle for it; orders⋈lineitem shuffles on orderkey once. Top-N via
+    * exact-decimal revenue with orderkey tiebreak (fully deterministic).
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = t.orders.filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = t.lineitem.filter($"l_shipdate" > lit("1999-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val custOrders = ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate")
+    li.join(custOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("decimal(24,4)")).as("rev"))
+      .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"rev".cast("double").as("revenue"))
+      .orderBy($"rev".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over `documents` (SURVEY §2 №21,24,28-31).
+  *
+  * Single source of truth for tokenization/markers lives here as constants so
+  * the Spark plan and the DuckDB oracle can't drift. md5() is the only
+  * cross-engine hash primitive (identical hex output both engines).
+  *
+  * Scale notes: everything below is a scan + narrow per-row transform except
+  * the dedup joins, which shuffle on high-cardinality keys (md5 / n-gram) —
+  * even distribution, no skew, no O(n^2) all-pairs anywhere.
+  */
+object TextQueries {
+
+  /** Normalized word array: lowercase, non-alphanumerics → space, split. */
+  def words(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), " ")
+  /** Same normalization as a DuckDB SQL fragment. */
+  def wordsSql(c: String): String =
+    s"string_split(trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+  // Language marker words (tiny deterministic language-ID heuristic).
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "es" -> Seq("el", "los", "y", "que", "se", "por", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Seq("de0", "shi4", "zai4", "le0", "he2", "you3", "wo3"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** BPE-ish token regex: letter runs, single digits, single punctuation. */
+  val bpeRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  // ---------------------------------------------------------------- №30 token_count
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      $"doc_id",
+      size(words($"text")).as("ws_tokens"),
+      size(regexp_extract_all(lower($"text"), lit(bpeRegex), lit(0))).as("bpe_tokens"),
+      length($"text").as("chars"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(${wordsSql("text")}) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_tokens,
+       |  length(text) AS chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №28 lang_id
+  /** Marker-word scoring; deterministic argmax with fixed priority order
+    * (the declaration order of `langs`), 'und' when all scores are zero.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .select($"doc_id" +: $"lang".as("actual_lang") +:
+        langs.map { case (l, ms) =>
+          size(filter(col("ws"), w => w.isin(ms.map(lit(_)): _*))).as(s"s_$l")
+        }: _*)
+    val pred = langs.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      // priority order: first lang whose score is >= all others and > 0
+      when(col(s"s_$l") > 0 && langs.map { case (o, _) => col(s"s_$l") >= col(s"s_$o") }.reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred).orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scoreCols = langs.map { case (l, ms) =>
+      s"len(list_filter(${wordsSql("text")}, w -> w IN (${inList(ms)}))) AS s_$l"
+    }.mkString(",\n  ")
+    val pred = langs.foldRight("'und'") { case ((l, _), acc) =>
+      val ge = langs.map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
+      s"CASE WHEN s_$l > 0 AND $ge THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, actual_lang, ${langs.map { case (l, _) => s"s_$l" }.mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №29 quality_score
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .withColumn("n_tok", size($"ws"))
+      .withColumn("n_uniq", size(array_distinct($"ws")))
+      .withColumn("n_punct", length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")))
+      .withColumn("n_stop", size(filter($"ws", w => w.isin(stopwords.map(lit(_)): _*))))
+      .select($"doc_id", $"n_tok", $"n_uniq", $"n_punct", $"n_stop",
+        round($"n_stop".cast("double") / $"n_tok", 6).as("stop_ratio"),
+        round($"n_uniq".cast("double") / $"n_tok", 6).as("uniq_ratio"),
+        round(
+          least(lit(1.0), length($"text").cast("double") / 500.0) * 0.25
+            + (lit(1.0) - least(lit(1.0), $"n_punct".cast("double") / greatest($"n_tok", lit(1)))) * 0.25
+            + least(lit(1.0), $"n_stop".cast("double") * 4.0 / $"n_tok") * 0.25
+            + ($"n_uniq".cast("double") / $"n_tok") * 0.25, 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, ${wordsSql("text")} AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(ws, w -> w IN (${inList(stopwords)}))) AS n_stop
+       |  FROM d)
+       |SELECT doc_id, n_tok, n_uniq, n_punct, n_stop,
+       |  round(CAST(n_stop AS DOUBLE)/n_tok, 6) AS stop_ratio,
+       |  round(CAST(n_uniq AS DOUBLE)/n_tok, 6) AS uniq_ratio,
+       |  round(least(1.0, CAST(length(text) AS DOUBLE)/500.0)*0.25
+       |    + (1.0 - least(1.0, CAST(n_punct AS DOUBLE)/greatest(n_tok,1)))*0.25
+       |    + least(1.0, CAST(n_stop AS DOUBLE)*4.0/n_tok)*0.25
+       |    + (CAST(n_uniq AS DOUBLE)/n_tok)*0.25, 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №31 doc_fingerprint
+  /** Winnowing-lite: min-of-3-word-shingle-md5 fingerprint + shingle count.
+    * Spark SQL arrays are 0-indexed, DuckDB's 1-indexed — both fragments
+    * below address the same shingles.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .withColumn("sh", expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      .select($"doc_id",
+        array_min(transform($"sh", s => md5(s))).as("fingerprint"),
+        size(array_distinct($"sh")).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+       |  FROM d)
+       |SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint,
+       |  len(list_distinct(sh)) AS n_shingles
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dup-injected corpus
+  /** documents ∪ noisy copies of every 10th doc (id+1000000, one appended
+    * token) — a corpus with KNOWN near/exact dups, constructed identically by
+    * both engines, so dedup operators return non-trivial results.
+    */
+  def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir).documents.select($"doc_id", $"text")
+    val copies = d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz9")).as("text"))
+    val exact = d.filter($"doc_id" % 10 === 5)
+      .select(($"doc_id" + 2000000).as("doc_id"), $"text")
+    d.unionAll(copies).unionAll(exact)
+  }
+
+  val dupCorpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz9' FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5)""".stripMargin
+
+  // ---------------------------------------------------------------- №21 dedup_exact
+  /** Exact dedup: hash-groupBy on md5(text). Single shuffle on a uniform
+    * 128-bit key; keeper = min id. At 100 TB: partial agg does most of the
+    * work map-side only for the count — min(id) keeps it one pass.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dupCorpus(spark, dir)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+      .orderBy($"text_hash")
+  }
+
+  val dedupExactSql: String =
+    s"""WITH $dupCorpusSql
+       |SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+       |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""".stripMargin
+
+  // ---------------------------------------------------------------- №24 dedup_ngram_jaccard
+  /** n-gram Jaccard near-dup with PREFIX FILTERING (PPJoin-style): for
+    * Jaccard >= τ=3/5, two sets must share a gram within their first
+    * ⌊(1−τ)n⌋+1 grams under a global total order (lexicographic). Candidates
+    * come from a self-join on prefix grams only — orders of magnitude fewer
+    * pairs than a full inverted-index join on a low-cardinality vocabulary —
+    * then verified EXACTLY via array_intersect, with the threshold as
+    * integer cross-multiplication (no FP ambiguity): J >= 3/5 ⇔ 5c >= 3(u).
+    * The DuckDB oracle deliberately uses the naive inverted-index
+    * formulation — two independent constructions must agree.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Persisted: this frame is consumed three times (prefix explode + two
+    // join-backs). Without persist, CollapseProject inlines the whole
+    // shingling chain into every consumer and the regex/sort/distinct work
+    // runs ~10x per row. At cluster scale this is the classic
+    // "cache the normalized corpus before a multi-consumer DAG" pattern.
+    val c = dupCorpus(spark, dir)
+      .withColumn("ws", words($"text"))
+      // guard size(ws)>=5: Spark's sequence(0, n) with n<0 DESCENDS — short
+      // docs must yield an empty shingle set (as DuckDB's range() does).
+      .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN array_sort(array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) ELSE array() END"))
+      .withColumn("n_sh", size($"sh"))
+      // prefix length for τ=3/5: n − ⌈3n/5⌉ + 1  (= ⌊2n/5⌋+1)
+      .withColumn("pfx", expr("slice(sh, 1, greatest(n_sh - CAST((3*n_sh + 4) DIV 5 AS INT) + 1, 0))"))
+      .select($"doc_id", $"sh", $"n_sh", $"pfx")
+      .persist()
+    val prefixGrams = c.select($"doc_id", explode($"pfx").as("gram"))
+    val candidates = prefixGrams.as("a").join(prefixGrams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(c.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(c.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"n_sh".as("n_b")), "doc_b")
+      .withColumn("common", size(array_intersect($"sh_a", $"sh_b")))
+      .filter($"common" * 5 >= ($"n_a" + $"n_b" - $"common") * 3)
+      .select($"doc_a", $"doc_b", $"common", $"n_a", $"n_b",
+        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common"), 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM d),
+       |g AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, common, n_a, n_b,
+       |  round(CAST(common AS DOUBLE)/(n_a + n_b - common), 6) AS jaccard
+       |FROM p WHERE common * 5 >= (n_a + n_b - common) * 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+}
