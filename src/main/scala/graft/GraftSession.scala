@@ -27,6 +27,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the corpus writes ns-precision timestamps; Spark reads them as longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -11,9 +11,30 @@ object SparkEntry {
 
   /** Flagship: full export pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+    ExportQueries.exportRecords(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Export core (№1-20)
+    "kv_scan" -> (ExportQueries.kvScan _),
+    "keyspace_partition" -> (ExportQueries.keyspacePartition _),
+    "time_range_scan" -> (ExportQueries.timeRangeScan _),
+    "latest_cell" -> (ExportQueries.latestCell _),
+    "envelope_extract" -> (ExportQueries.envelopeExtract _),
+    "topic_table_map" -> (ExportQueries.topicTableMap _),
+    "blocked_topics" -> (ExportQueries.blockedTopics _),
+    "validate_mandatory" -> (ExportQueries.validateMandatory _),
+    "aes_roundtrip" -> (ExportQueries.aesRoundtrip _),
+    "business_audit" -> (ExportQueries.businessAudit _),
+    "id_normalize" -> (ExportQueries.idNormalize _),
+    "date_wrap" -> (ExportQueries.dateWrap _),
+    "sanitise" -> (ExportQueries.sanitiseQ _),
+    "equality_wrap" -> (ExportQueries.equalityWrapQ _),
+    "manifest_gen" -> (ExportQueries.manifestGen _),
+    "chunk_batch" -> (ExportQueries.chunkBatch _),
+    "snapshot_name" -> (ExportQueries.snapshotNameQ _),
+    "export_status" -> (ExportQueries.exportStatus _),
+    "printable_key" -> (ExportQueries.printableKeyQ _),
+    "export_records" -> (ExportQueries.exportRecords _),
     // Analytics heads (№33-35)
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -27,6 +48,26 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "kv_scan" -> ExportQueries.kvScanSql,
+    "keyspace_partition" -> ExportQueries.keyspacePartitionSql,
+    "time_range_scan" -> ExportQueries.timeRangeScanSql,
+    "latest_cell" -> ExportQueries.latestCellSql,
+    "envelope_extract" -> ExportQueries.envelopeExtractSql,
+    "topic_table_map" -> ExportQueries.topicTableMapSql,
+    "blocked_topics" -> ExportQueries.blockedTopicsSql,
+    "validate_mandatory" -> ExportQueries.validateMandatorySql,
+    "aes_roundtrip" -> ExportQueries.aesRoundtripSql,
+    "business_audit" -> ExportQueries.businessAuditSql,
+    "id_normalize" -> ExportQueries.idNormalizeSql,
+    "date_wrap" -> ExportQueries.dateWrapSql,
+    "sanitise" -> ExportQueries.sanitiseSql,
+    "equality_wrap" -> ExportQueries.equalityWrapSql,
+    "manifest_gen" -> ExportQueries.manifestGenSql,
+    "chunk_batch" -> ExportQueries.chunkBatchSql,
+    "snapshot_name" -> ExportQueries.snapshotNameSql,
+    "export_status" -> ExportQueries.exportStatusSql,
+    "printable_key" -> ExportQueries.printableKeySql,
+    "export_records" -> ExportQueries.exportRecordsSql,
     "q1_agg" -> Analytics.q1Sql,
     "q3_join" -> Analytics.q3Sql,
     "token_count" -> TextQueries.tokenCountSql,

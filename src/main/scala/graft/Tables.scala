@@ -18,7 +18,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark only reads as
+    * a long (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    * GraftSession/Verify/Bench). Normalized here: `ts` stays raw nanos,
+    * `ts_ms` is epoch millis, `ts_utc` a microsecond TimestampType.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    t("events")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

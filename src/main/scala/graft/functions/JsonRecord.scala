@@ -1,0 +1,211 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.util.regex.Pattern
+import scala.jdk.CollectionConverters._
+
+/** Validate/normalize a decrypted record — the reference's whole validator
+  * stage as ONE native expression (single JSON parse per record):
+  *
+  *  - `_lastModifiedDateTime` resolution with `_removedDateTime` /
+  *    `createdDateTime` / epoch fallback, re-emitted as `{"$date": ...Z}` at
+  *    the END of the object (reference: app/batch/Validator.kt:33-147 does
+  *    remove+add on a linked map — same move-to-end effect).
+  *  - Recursive date wrapping: every date-shaped string (`...+HHMM` or
+  *    `...Z`), anywhere in the tree, becomes `{"$date":"...Z"}` in place;
+  *    existing single-key `$date` objects are reformatted
+  *    (reference: app/utils/DateWrapper.kt).
+  *  - Drop `_archivedDateTime` when `_removedDateTime` is also present.
+  *  - Scalar `_id` → `{"$oid": id}` moved to the end; manifest id / original
+  *    id derivation incl. row-key reverse-engineering when `_id` is absent
+  *    (reference: app/utils/IdUtility.kt:6-17, app/utils/JsonUtils.kt:7-14).
+  *
+  * Returns struct(record, manifest_id, original_id). Codegen emits a static
+  * call — the expression stays inside the whole-stage-codegen span.
+  */
+case class ValidateRecord(payload: Expression, rowKeyId: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = payload
+  override def right: Expression = rowKeyId
+  override def dataType: DataType = ValidateRecord.schema
+  override def prettyName: String = "validate_record"
+
+  override protected def nullSafeEval(p: Any, k: Any): Any =
+    JsonRecordOps.validate(p.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, k) =>
+      s"${ev.value} = graft.functions.JsonRecordOps.validate($p, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(payload = newLeft, rowKeyId = newRight)
+}
+
+object ValidateRecord {
+  val schema: StructType = StructType(Seq(
+    StructField("record", StringType, nullable = false),
+    StructField("manifest_id", StringType, nullable = false),
+    StructField("original_id", StringType, nullable = false)))
+
+  def validateRecord(payload: Column, rowKeyId: Column): Column =
+    ColumnBridge.toCol(ValidateRecord(
+      ColumnBridge.toExpr(payload), ColumnBridge.toExpr(rowKeyId)))
+}
+
+object JsonRecordOps {
+  private val mapper = new ObjectMapper()
+
+  private val LastModified = "_lastModifiedDateTime"
+  private val Created = "createdDateTime"
+  private val Removed = "_removedDateTime"
+  private val Archived = "_archivedDateTime"
+  private val DateKey = "$date"
+  private val Epoch = "1980-01-01T00:00:00.000Z"
+
+  // reference: app/utils/DateWrapper.kt:104-105 — full-match regexes.
+  private val incomingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+\d{4}""")
+  private val outgoingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z""")
+  private val incomingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxx")
+  private val outgoingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  /** Reformat a date-shaped string to the outgoing UTC 'Z' form; null if not date-shaped. */
+  private def reformatted(s: String): String =
+    if (incomingRe.matcher(s).matches())
+      outgoingFmt.format(OffsetDateTime.parse(s, incomingFmt).withOffsetSameInstant(ZoneOffset.UTC))
+    else if (outgoingRe.matcher(s).matches()) s
+    else null
+
+  private def dateObject(formatted: String): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put(DateKey, formatted)
+    o
+  }
+
+  private def isMongoDateObject(n: JsonNode): Boolean =
+    n != null && n.isObject && n.size() == 1 && n.get(DateKey) != null && n.get(DateKey).isValueNode
+
+  /** reference: app/utils/DateWrapper.kt — in-place recursive wrap. */
+  private def wrapTree(obj: ObjectNode, skipLastModified: Boolean): Unit = {
+    val keys = obj.fieldNames().asScala.toList
+    keys.foreach { key =>
+      if (!skipLastModified || key != LastModified) {
+        obj.get(key) match {
+          case n if isMongoDateObject(n) =>
+            val v = n.get(DateKey).asText()
+            val out = reformatted(v)
+            if (out != null) n.asInstanceOf[ObjectNode].put(DateKey, out)
+          case n: ObjectNode => wrapTree(n, skipLastModified = false)
+          case n: ArrayNode => wrapArray(n)
+          case n: TextNode =>
+            val out = reformatted(n.asText())
+            if (out != null) obj.set[JsonNode](key, dateObject(out)) // in-place (Jackson keeps position on replace)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private def wrapArray(arr: ArrayNode): Unit = {
+    var i = 0
+    while (i < arr.size()) {
+      arr.get(i) match {
+        case n: ObjectNode => wrapTree(n, skipLastModified = false)
+        case n: ArrayNode => wrapArray(n)
+        case n: TextNode =>
+          val out = reformatted(n.asText())
+          if (out != null) arr.set(i, dateObject(out))
+        case _ => ()
+      }
+      i += 1
+    }
+  }
+
+  /** reference: app/batch/Validator.kt:150-176 — lm | removed | created | epoch,
+    * each readable as a plain string or an existing {"$date": ...} object. */
+  private def dateTimeElement(obj: ObjectNode, key: String): String = {
+    val n = obj.get(key)
+    if (n == null || n.isNull) ""
+    else if (n.isObject) {
+      val sub = n.get(DateKey)
+      if (sub != null && !sub.isNull) sub.asText() else ""
+    } else n.asText()
+  }
+
+  /** Top-level key sort (reference: app/utils/JsonUtils.kt:7-14). */
+  def sortJsonKeys(json: String): String = {
+    val node = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val sorted = mapper.createObjectNode()
+    node.fieldNames().asScala.toList.sorted.foreach(k => sorted.set[JsonNode](k, node.get(k)))
+    mapper.writeValueAsString(sorted)
+  }
+
+  private def elementAsString(n: JsonNode): String =
+    if (n.isObject) sortJsonKeys(mapper.writeValueAsString(n)) else n.asText()
+
+  /** The full validator stage. Returns struct(record, manifest_id, original_id). */
+  def validate(payloadU: UTF8String, rowKeyIdU: UTF8String): InternalRow = {
+    val obj = mapper.readTree(payloadU.toString).asInstanceOf[ObjectNode]
+
+    // 1. resolve + format lastModified, remove it, wrap the rest, re-append.
+    val lmRaw = {
+      val lm = dateTimeElement(obj, LastModified)
+      if (lm.nonEmpty) lm
+      else {
+        val rm = dateTimeElement(obj, Removed)
+        if (rm.nonEmpty) rm
+        else {
+          val cd = dateTimeElement(obj, Created)
+          if (cd.nonEmpty) cd else Epoch
+        }
+      }
+    }
+    val lmOut = reformatted(lmRaw)
+    obj.remove(LastModified)
+    wrapTree(obj, skipLastModified = true)
+    obj.set[JsonNode](LastModified, dateObject(if (lmOut != null) lmOut else lmRaw))
+
+    // 2. drop archived when removed also present.
+    if (obj.has(Archived) && obj.has(Removed)) obj.remove(Archived)
+
+    // 3. id normalization + manifest ids.
+    val idElement = obj.get("_id")
+    val (manifestId, originalId) =
+      if (idElement != null) {
+        if (idElement.isValueNode) {
+          obj.remove("_id")
+          obj.set[JsonNode]("_id", {
+            val oid = mapper.createObjectNode(); oid.put("$oid", idElement.asText()); oid
+          })
+        }
+        (elementAsString(obj.get("_id")), elementAsString(idElement))
+      } else {
+        // reference: app/utils/IdUtility.kt:6-17 — reverse-engineer from row key.
+        val keyObj = mapper.readTree(rowKeyIdU.toString)
+        if (keyObj.isObject && keyObj.size() == 1 && keyObj.has("id")) {
+          val raw = keyObj.get("id").asText()
+          (sortJsonKeys(s"""{"$$oid":"$raw"}"""), raw)
+        } else {
+          val sorted = sortJsonKeys(mapper.writeValueAsString(keyObj))
+          (sorted, sorted)
+        }
+      }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(mapper.writeValueAsString(obj)),
+      UTF8String.fromString(manifestId),
+      UTF8String.fromString(originalId)))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.functions.{AesCtrCrypt, ValidateRecord}
+import graft.kv.KvModel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The export pipeline stages as reusable Spark-first building blocks.
+  * A reference user maps their stages 1:1 onto these:
+  *
+  *   scan → extractEnvelope → decrypt → auditPromote? → validate →
+  *   sanitise → equalityWrap? → manifest/chunk/snapshot-name
+  *
+  * Everything below is a per-row projection (no shuffle) except where noted;
+  * heavy JSON/crypto steps are native expressions that stay inside
+  * whole-stage codegen.
+  */
+object ExportOps {
+
+  /** Envelope schema for a single-pass from_json parse
+    * (reference: app/batch/HBaseResultProcessor.kt:22-76). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("traceId", StringType),
+    StructField("@type", StringType),
+    StructField("message", StructType(Seq(
+      StructField("@type", StringType),
+      StructField("db", StringType),
+      StructField("collection", StringType),
+      StructField("_lastModifiedDateTime", StringType),
+      StructField("encryption", StructType(Seq(
+        StructField("encryptedEncryptionKey", StringType),
+        StructField("keyEncryptionKeyId", StringType),
+        StructField("initialisationVector", StringType)))),
+      StructField("dbObject", StringType)))),
+    StructField("timestamp", StringType)))
+
+  private val topicRegex = """^(?:\w+\.)?([-\w]+)\.([-\w]+)$"""
+
+  /** Parse the envelope and derive the processor's view of the record:
+    * types (blank → TYPE_NOT_SET), db/collection with topic-name fallback,
+    * encryption block, ciphertext, raw `_id` JSON. One from_json for the
+    * fixed fields + one get_json_object for the free-form `_id`.
+    */
+  def extractEnvelope(df: DataFrame, env: Column, topic: Column): DataFrame = {
+    df.withColumn("x", from_json(env, envelopeSchema))
+      .withColumn("x_id", get_json_object(env, "$.message._id"))
+      .withColumn("x_outer", when(col("x.@type").isNull || col("x.@type") === "", "TYPE_NOT_SET").otherwise(col("x.@type")))
+      .withColumn("x_inner", when(col("x.message.@type").isNull || col("x.message.@type") === "", "TYPE_NOT_SET").otherwise(col("x.message.@type")))
+      .withColumn("r_db", when(col("x.message.db").isNull || col("x.message.db") === "",
+        regexp_extract(topic, topicRegex, 1)).otherwise(col("x.message.db")))
+      .withColumn("r_coll", when(col("x.message.collection").isNull || col("x.message.collection") === "",
+        regexp_extract(topic, topicRegex, 2)).otherwise(col("x.message.collection")))
+      .withColumn("x_lm", coalesce(col("x.message._lastModifiedDateTime"), lit("")))
+      .withColumn("x_eek", coalesce(col("x.message.encryption.encryptedEncryptionKey"), lit("")))
+      .withColumn("x_kek", coalesce(col("x.message.encryption.keyEncryptionKeyId"), lit("")))
+      .withColumn("x_iv", coalesce(col("x.message.encryption.initialisationVector"), lit("")))
+      .withColumn("x_ct", coalesce(col("x.message.dbObject"), lit("")))
+  }
+
+  /** Mandatory-field validation (reference: HBaseResultProcessor
+    * validateMandatoryField — a missing field skips the record). */
+  val mandatoryOk: Column =
+    col("x_ct") =!= "" && col("x_kek") =!= "" && col("x_iv") =!= "" &&
+      col("x_eek") =!= "" && col("r_db") =!= "" && col("r_coll") =!= ""
+
+  /** DKS-stubbed decrypt: data key = base64(eek) decode, AES/CTR payload.
+    * (reference: DecryptionProcessor + AESCipherService; the DKS round-trip
+    * is environment plumbing — SURVEY §6 — modeled as deterministic key
+    * material.) */
+  val decrypted: Column =
+    decode(AesCtrCrypt.aesCtr(unbase64(col("x_ct")), unbase64(col("x_eek")), unbase64(col("x_iv"))), "UTF-8")
+
+  /** Business-audit context promotion
+    * (reference: app/batch/DecryptionProcessor.kt:60-74): pull `context` up,
+    * add AUDIT_EVENT / TIME_STAMP / TIME_STAMP_ORIG. Pure string surgery on
+    * the context object (always a non-empty object in this corpus; the
+    * generic tree-walk lives in the validator expression).
+    */
+  def auditPromote(payload: Column, lm: Column): Column = {
+    val ctx = get_json_object(payload, "$.context")
+    val auditType = get_json_object(payload, "$.auditType")
+    concat(
+      ctx.substr(lit(1), length(ctx) - 1),
+      lit(",\"AUDIT_EVENT\":\""), auditType,
+      lit("\",\"TIME_STAMP\":\""), lm,
+      lit("\",\"TIME_STAMP_ORIG\":\""), lm, lit("\"}"))
+  }
+
+  val isBusinessAudit: Column = col("r_db") === "data" && col("r_coll") === "businessAudit"
+
+  /** Validator stage (native expression, see [[ValidateRecord]]):
+    * struct(record, manifest_id, original_id). */
+  def validate(payload: Column, rowKeyId: Column): Column =
+    ValidateRecord.validateRecord(payload, rowKeyId)
+
+  /** Sanitisation (reference: app/batch/SanitisationProcessor.kt:16-47):
+    * collection-specific `\r`/`\n` escape removal, then the global renames.
+    * Chained codegen'd regexp/replace — order matters and matches the
+    * reference exactly.
+    */
+  def sanitise(record: Column, db: Column, coll: Column): Column = {
+    val collectionSpecific =
+      (db === "penalties-and-deductions" && coll === "sanction") ||
+        (db === "core" && coll === "healthAndDisabilityDeclaration") ||
+        (db === "accepted-data" && coll === "healthAndDisabilityCircumstances")
+    val step0 = when(collectionSpecific, regexp_replace(record, """(?<!\\)\\[r|n]""", "")).otherwise(record)
+    val step1 = regexp_replace(step0, """\$""", "d_")
+    val step2 = regexp_replace(step1, """\\u0000""", "")
+    val step3 = regexp_replace(step2, "_archivedDateTime", "_removedDateTime")
+    regexp_replace(step3, "_archived", "_removed")
+  }
+
+  /** Equality-topic wrap (reference: app/batch/TransformationProcessor.kt:21-40):
+    * {"message": {record..., "@type": innerType}}. */
+  def equalityWrap(record: Column, innerType: Column): Column =
+    concat(lit("{\"message\":"), record.substr(lit(1), length(record) - 1),
+      lit(",\"@type\":\""), innerType, lit("\"}}"))
+
+  /** commons-text escapeCsv: quote iff the value contains , " CR LF. */
+  def csvEscape(c: Column): Column =
+    when(c.rlike("[\",\n\r]"), concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))).otherwise(c)
+
+  /** Pipe-separated manifest line (reference: app/domain/DomainClasses.kt:95-103;
+    * column order swaps originalId before innerType). */
+  def manifestLine(manifestId: Column, ts: Column, db: Column, coll: Column,
+                   outer: Column, originalId: Column, inner: Column): Column =
+    concat_ws("|",
+      csvEscape(manifestId), csvEscape(ts.cast("string")), csvEscape(db), csvEscape(coll),
+      lit("EXPORT"), csvEscape(outer), csvEscape(originalId), csvEscape(inner))
+
+  // ---------------------------------------------------------------- keyspace partitioning
+
+  /** Unsigned-normalized partition bounds for a leading key byte
+    * (reference: app/batch/HBasePartitioner.kt — signed-byte loops; graft
+    * normalizes to unsigned [0,256) ranges: the reference's negative ranges
+    * [-128,0) appear as [128,256), and its `p96--128` edge label becomes the
+    * sane `p96-128`).
+    */
+  def partitionStart(keyByte: Column): Column = {
+    val w = KvModel.ScanWidth
+    // operands are non-negative ints, so double-divide + int-cast == floordiv
+    when(keyByte >= 128, ((keyByte - 128) / w).cast("int") * w + 128)
+      .otherwise((keyByte / w).cast("int") * w)
+  }
+
+  def partitionStop(keyByte: Column): Column = {
+    val w = KvModel.ScanWidth
+    when(keyByte >= 128, least(partitionStart(keyByte) + w, lit(256)))
+      .otherwise(least(partitionStart(keyByte) + w, lit(128)))
+  }
+
+  def partitionLabel(keyByte: Column): Column =
+    concat(lit("p"), partitionStart(keyByte).cast("string"), lit("-"), partitionStop(keyByte).cast("string"))
+
+  /** Snapshot object key (reference: S3StreamingWriter.filePrefix/objectKey). */
+  def snapshotName(prefix: String, topic: Column, pstart: Column, pstop: Column, batch: Column): Column =
+    format_string(s"$prefix/%s-%03d-%03d-%06d.txt.gz.enc", topic, pstart, pstop, batch)
+
+  /** printableKey rendering (reference: HBaseResultProcessor.printableKey:
+    * `\xNN` for each of the 4 hash bytes + raw remainder). */
+  def printableKey(keyHash: Column, idJson: Column): Column =
+    concat(
+      lit("\\x"), substring(keyHash, 1, 2), lit("\\x"), substring(keyHash, 3, 2),
+      lit("\\x"), substring(keyHash, 5, 2), lit("\\x"), substring(keyHash, 7, 2), idJson)
+}

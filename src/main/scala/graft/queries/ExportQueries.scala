@@ -1,0 +1,361 @@
+package graft.queries
+
+import graft.kv.{KvModel, KvSql}
+import graft.operators.ExportOps
+import graft.operators.ExportOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Export-core operators (SURVEY §2 №1-20) as verified queries.
+  *
+  * Pattern (SURVEY §3): the Spark side CONSTRUCTS the HBase-shaped input
+  * (KvModel: envelope + AES ciphertext) and runs the GENERIC operators on
+  * it; the DuckDB oracle constructs the same input fields and the EXPECTED
+  * stage outputs directly. Agreement proves the operators.
+  */
+object ExportQueries {
+
+  // Time-range constants (events span 2024-01-01..01-30).
+  val T1 = 1704672000000L // 2024-01-08
+  val T2 = 1705881600000L // 2024-01-22
+
+  /** kv + envelope, parsed + resolved — the common pipeline prefix. */
+  private def parsed(spark: SparkSession, dir: String): DataFrame = {
+    val base = KvModel.withEnvelope(KvModel.kv(spark, dir))
+    extractEnvelope(base, col("envelope"), col("topic"))
+  }
+
+  /** Pipeline through decrypt + validate + sanitise + wrap → final records. */
+  private def records(spark: SparkSession, dir: String): DataFrame = {
+    parsed(spark, dir)
+      .filter(mandatoryOk)
+      .withColumn("payload_dec", decrypted)
+      .withColumn("payload2", when(isBusinessAudit, auditPromote(col("payload_dec"), col("x_lm"))).otherwise(col("payload_dec")))
+      .withColumn("v", validate(col("payload2"), col("x_id")))
+      .withColumn("sanitised", sanitise(col("v.record"), col("r_db"), col("r_coll")))
+      .withColumn("record", when(col("topic") === KvModel.EqualityTopic,
+        equalityWrap(col("sanitised"), col("x_inner"))).otherwise(col("sanitised")))
+      .withColumn("manifest_line", manifestLine(col("v.manifest_id"), col("ms"),
+        col("r_db"), col("r_coll"), col("x_outer"), col("v.original_id"), col("x_inner")))
+  }
+
+  private val recordsCte: String =
+    s"""records AS (
+       |  SELECT kv.*, ${KvSql.expectedRecordSql} AS record,
+       |    ${KvSql.manifestLineSql} AS manifest_line
+       |  FROM kv WHERE valid)""".stripMargin
+
+  // -------------------------------------------------------------- №1 kv_scan
+  def kvScan(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .filter(col("key_byte") >= 32 && col("key_byte") < 96 && col("ms") >= T1 && col("ms") < T2)
+      .select(col("eid"), col("key_hash"), col("ms"), col("topic"))
+      .orderBy(col("eid"))
+
+  val kvScanSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, key_hash, ms, topic FROM kv
+       |WHERE key_byte >= 32 AND key_byte < 96 AND ms >= $T1 AND ms < $T2
+       |ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №2 keyspace_partition
+  def keyspacePartition(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .groupBy(partitionLabel(col("key_byte")).as("partition"))
+      .agg(count(lit(1)).as("n"), min("key_byte").as("min_kb"), max("key_byte").as("max_kb"))
+      .orderBy(col("min_kb"))
+
+  val keyspacePartitionSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT ${KvSql.partitionLabelSql("key_byte")} AS partition,
+       |  count(*) AS n, min(key_byte) AS min_kb, max(key_byte) AS max_kb
+       |FROM kv GROUP BY 1 ORDER BY min_kb""".stripMargin
+
+  // -------------------------------------------------------------- №3 time_range_scan
+  def timeRangeScan(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .filter(col("ms") >= T1 && col("ms") < T2)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"), min("ms").as("min_ms"), max("ms").as("max_ms"))
+      .orderBy(col("topic"))
+
+  val timeRangeScanSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT topic, count(*) AS n, min(ms) AS min_ms, max(ms) AS max_ms
+       |FROM kv WHERE ms >= $T1 AND ms < $T2 GROUP BY topic ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------------------- №4 latest_cell
+  /** Latest version per key via max_by aggregation — ONE hash shuffle with
+    * map-side partial aggregation; no sort, no window (SURVEY §4). Key here
+    * is the per-user row key (users have many event versions).
+    */
+  def latestCell(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .groupBy(col("uid"))
+      .agg(
+        max_by(col("eid"), struct(col("ms"), col("eid"))).as("latest_eid"),
+        max(struct(col("ms"), col("eid"))).getField("ms").as("latest_ms"),
+        count(lit(1)).as("n_versions"))
+      .orderBy(col("uid"))
+
+  val latestCellSql: String =
+    s"""WITH ${KvSql.cte},
+       |ranked AS (
+       |  SELECT uid, eid, ms, count(*) OVER (PARTITION BY uid) AS n_versions,
+       |    row_number() OVER (PARTITION BY uid ORDER BY ms DESC, eid DESC) AS rn
+       |  FROM kv)
+       |SELECT uid, eid AS latest_eid, ms AS latest_ms, n_versions
+       |FROM ranked WHERE rn = 1 ORDER BY uid""".stripMargin
+
+  // -------------------------------------------------------------- №5 envelope_extract
+  def envelopeExtract(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .filter(mandatoryOk)
+      .select(col("eid"), col("x_outer").as("outer_type"), col("x_inner").as("inner_type"),
+        col("r_db"), col("r_coll"), col("x_lm").as("lm"), col("x_kek").as("kek"),
+        col("x_iv").as("iv_b64"), col("x_eek").as("eek_b64"), col("x_id").as("id_json"))
+      .orderBy(col("eid"))
+
+  val envelopeExtractSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, outer_type, inner_type,
+       |  ${KvSql.dbResolvedSql} AS r_db, ${KvSql.collResolvedSql} AS r_coll,
+       |  lm_str AS lm, '${KvModel.Kek}' AS kek, iv_b64, eek_b64, id_json
+       |FROM kv WHERE valid ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №6 topic_table_map
+  def topicTableMap(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .select(col("topic"),
+        regexp_extract(col("topic"), """^(?:\w+\.)?([-\w]+)\.([-\w]+)$""", 1).as("t_db"),
+        regexp_extract(col("topic"), """^(?:\w+\.)?([-\w]+)\.([-\w]+)$""", 2).as("t_coll"))
+      .distinct()
+      .orderBy(col("topic"))
+
+  val topicTableMapSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT DISTINCT topic,
+       |  regexp_extract(topic, '^(?:\\w+\\.)?([-\\w]+)\\.([-\\w]+)$$', 1) AS t_db,
+       |  regexp_extract(topic, '^(?:\\w+\\.)?([-\\w]+)\\.([-\\w]+)$$', 2) AS t_coll
+       |FROM kv ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------------------- №7 blocked_topics
+  def blockedTopics(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .filter(!col("topic").isin(KvModel.BlockedTopics: _*))
+      .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+      .orderBy(col("topic"))
+
+  val blockedTopicsSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT topic, count(*) AS n FROM kv
+       |WHERE topic NOT IN (${KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY topic ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------------------- №8 validate_mandatory
+  def validateMandatory(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .groupBy(col("topic"))
+      .agg(sum(when(mandatoryOk, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(mandatoryOk, 0L).otherwise(1L)).as("n_skipped"))
+      .orderBy(col("topic"))
+
+  val validateMandatorySql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT topic, CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       |  CAST(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+       |FROM kv GROUP BY topic ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------------------- №9 aes_roundtrip
+  def aesRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .filter(mandatoryOk)
+      .withColumn("payload_dec", decrypted)
+      .select(col("eid"), md5(col("payload_dec")).as("payload_md5"),
+        length(col("payload_dec")).as("payload_len"))
+      .orderBy(col("eid"))
+
+  val aesRoundtripSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, md5(payload) AS payload_md5, length(payload) AS payload_len
+       |FROM kv WHERE valid ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №10 business_audit
+  def businessAudit(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .filter(mandatoryOk && isBusinessAudit)
+      .withColumn("payload_dec", decrypted)
+      .select(col("eid"), auditPromote(col("payload_dec"), col("x_lm")).as("audit_json"))
+      .orderBy(col("eid"))
+
+  val businessAuditSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid,
+       |  '{"user":"user' || CAST(uid AS VARCHAR) || '","AUDIT_EVENT":"errorEvent","TIME_STAMP":"'
+       |    || lm_str || '","TIME_STAMP_ORIG":"' || lm_str || '"}' AS audit_json
+       |FROM kv WHERE valid AND etype = 'error' ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №11 id_normalize
+  def idNormalize(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .select(col("eid"), col("v.manifest_id").as("manifest_id"), col("v.original_id").as("original_id"))
+      .orderBy(col("eid"))
+
+  val idNormalizeSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, ${KvSql.manifestIdSql} AS manifest_id, ${KvSql.originalIdSql} AS original_id
+       |FROM kv WHERE valid ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №12 date_wrap
+  def dateWrap(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .filter(col("etype").isin("click", "view"))
+      .select(col("eid"), col("v.record").as("record"))
+      .orderBy(col("eid"))
+
+  val dateWrapSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, ${KvSql.validatedRecordSql} AS record
+       |FROM kv WHERE valid AND etype IN ('click','view') ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №13 sanitise
+  def sanitiseQ(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .filter(col("etype") === "purchase")
+      .select(col("eid"), col("record"))
+      .orderBy(col("eid"))
+
+  val sanitiseSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, ${KvSql.expectedRecordSql} AS record
+       |FROM kv WHERE valid AND etype = 'purchase' ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №14 equality_wrap
+  def equalityWrapQ(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .filter(col("etype") === "signup")
+      .select(col("eid"), col("record"))
+      .orderBy(col("eid"))
+
+  val equalityWrapSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, ${KvSql.expectedRecordSql} AS record
+       |FROM kv WHERE valid AND etype = 'signup' ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №15 manifest_gen
+  def manifestGen(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .select(col("eid"), col("manifest_line"))
+      .orderBy(col("eid"))
+
+  val manifestGenSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, ${KvSql.manifestLineSql} AS manifest_line
+       |FROM kv WHERE valid ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №16 chunk_batch
+  /** Byte-bounded chunk ids per keyspace partition: window cumsum WITHIN the
+    * partition only — never a global sort (SURVEY §4; the reference chunks
+    * per scan partition too). Chunk id = floor(exclusive-prefix-bytes / max).
+    */
+  def chunkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("plabel")).orderBy(col("key_hash"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    records(spark, dir)
+      .withColumn("plabel", partitionLabel(col("key_byte")))
+      .withColumn("bytes", length(col("record")) + 1)
+      .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / KvModel.ChunkMaxBytes).cast("long"))
+      .groupBy(col("plabel"), col("batch"))
+      .agg(count(lit(1)).as("n_records"), sum(col("bytes")).as("batch_bytes"))
+      .orderBy(col("plabel"), col("batch"))
+  }
+
+  val chunkBatchSql: String =
+    s"""WITH ${KvSql.cte},
+       |$recordsCte,
+       |sized AS (
+       |  SELECT ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    key_hash, eid, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT plabel, bytes,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized)
+       |SELECT plabel, batch, count(*) AS n_records, CAST(sum(bytes) AS BIGINT) AS batch_bytes
+       |FROM batched GROUP BY plabel, batch ORDER BY plabel, batch""".stripMargin
+
+  // -------------------------------------------------------------- №17 snapshot_name
+  def snapshotNameQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("plabel")).orderBy(col("key_hash"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    records(spark, dir)
+      .withColumn("plabel", partitionLabel(col("key_byte")))
+      .withColumn("pstart", partitionStart(col("key_byte")))
+      .withColumn("pstop", partitionStop(col("key_byte")))
+      .withColumn("bytes", length(col("record")) + 1)
+      .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / KvModel.ChunkMaxBytes).cast("long"))
+      .groupBy(col("topic"), col("pstart"), col("pstop"), col("batch"))
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("object_key", snapshotName("exports", col("topic"), col("pstart"), col("pstop"), col("batch")))
+      .select(col("object_key"), col("n_records"))
+      .orderBy(col("object_key"))
+  }
+
+  val snapshotNameSql: String =
+    s"""WITH ${KvSql.cte},
+       |$recordsCte,
+       |sized AS (
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    CASE WHEN key_byte >= 128 THEN ((key_byte - 128) // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + 128
+       |         ELSE (key_byte // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} END AS pstart,
+       |    CASE WHEN key_byte >= 128 THEN least(((key_byte - 128) // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + 128 + ${KvModel.ScanWidth}, 256)
+       |         ELSE least((key_byte // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + ${KvModel.ScanWidth}, 128) END AS pstop,
+       |    key_hash, eid, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT topic, pstart, pstop, bytes,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized)
+       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key,
+       |  count(*) AS n_records
+       |FROM batched GROUP BY topic, pstart, pstop, batch ORDER BY object_key""".stripMargin
+
+  // -------------------------------------------------------------- №19 export_status
+  def exportStatus(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_records"), sum(length(col("record")) + 1).as("total_bytes"))
+      .orderBy(col("topic"))
+
+  val exportStatusSql: String =
+    s"""WITH ${KvSql.cte},
+       |$recordsCte
+       |SELECT topic, count(*) AS n_records, CAST(sum(length(record) + 1) AS BIGINT) AS total_bytes
+       |FROM records GROUP BY topic ORDER BY topic""".stripMargin
+
+  // -------------------------------------------------------------- №20 printable_key
+  def printableKeyQ(spark: SparkSession, dir: String): DataFrame =
+    KvModel.kv(spark, dir)
+      .select(col("eid"), ExportOps.printableKey(col("key_hash"), col("id_json")).as("printable"))
+      .orderBy(col("eid"))
+
+  val printableKeySql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT eid, '\\x' || substr(key_hash,1,2) || '\\x' || substr(key_hash,3,2)
+       |  || '\\x' || substr(key_hash,5,2) || '\\x' || substr(key_hash,7,2) || id_json AS printable
+       |FROM kv ORDER BY eid""".stripMargin
+
+  /** Flagship: the whole export pipeline end-to-end (records + manifest). */
+  def exportRecords(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
+      .select(col("eid"), col("topic"), col("record"), col("manifest_line"))
+      .orderBy(col("eid"))
+
+  val exportRecordsSql: String =
+    s"""WITH ${KvSql.cte},
+       |$recordsCte
+       |SELECT eid, topic, record, manifest_line FROM records ORDER BY eid""".stripMargin
+}
