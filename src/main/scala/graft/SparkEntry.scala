@@ -38,6 +38,19 @@ object SparkEntry {
     // Analytics heads (№33-35)
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
+    "sessionize" -> (Analytics.sessionize _),
+    // Similarity / vectors (№25-27)
+    "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
+    "knn_brute" -> (VectorQueries.knnBrute _),
+    "knn_ivf" -> (VectorQueries.knnIvf _),
+    // Hash dedup (№22-23)
+    "dedup_minhash" -> (HashDedup.dedupMinhash _),
+    "dedup_simhash" -> (HashDedup.dedupSimhash _),
+    // Multimodal (№32)
+    "multimodal_ingest" -> (MultimodalQueries.multimodalIngest _),
+    // Sinks / streaming (№18, №36)
+    "jsonl_snapshot" -> (graft.sources.JsonlSnapshotSink.snapshotQuery _),
+    "stream_export" -> (graft.streaming.StreamExport.streamExport _),
     // Text / dedup (№21,24,28-31)
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langId _),
@@ -70,6 +83,15 @@ object SparkEntry {
     "export_records" -> ExportQueries.exportRecordsSql,
     "q1_agg" -> Analytics.q1Sql,
     "q3_join" -> Analytics.q3Sql,
+    "sessionize" -> Analytics.sessionizeSql,
+    "dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
+    "knn_brute" -> VectorQueries.knnBruteSql,
+    "knn_ivf" -> VectorQueries.knnIvfSql,
+    "dedup_minhash" -> HashDedup.dedupMinhashSql,
+    "dedup_simhash" -> HashDedup.dedupSimhashSql,
+    "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,
+    "stream_export" -> graft.streaming.StreamExport.streamExportSql,
+    // jsonl_snapshot: sink — rows-only check (write path verified by spec)
     "token_count" -> TextQueries.tokenCountSql,
     "lang_id" -> TextQueries.langIdSql,
     "quality_score" -> TextQueries.qualityScoreSql,

@@ -75,6 +75,42 @@ object Analytics {
       .limit(10)
   }
 
+  /** Event sessionization (SURVEY §2 №35, batch form): 30-min-gap sessions
+    * via lag + running sum, ONE window pass partitioned by user (shuffle on
+    * user_id only; per-user ordering by (ts, event_id) is fully
+    * deterministic under timestamp ties).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 1800000L
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    Tables(spark, dir).events
+      .withColumn("prev_ms", lag($"ts_ms", 1).over(wOrd))
+      .withColumn("new_sess", when($"prev_ms".isNull || $"ts_ms" - $"prev_ms" > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"))
+      .withColumn("duration_ms", $"end_ms" - $"start_ms")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_ms,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_ms,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+      |  max(ts_ms) - min(ts_ms) AS duration_ms
+      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   val q3Sql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS revenue

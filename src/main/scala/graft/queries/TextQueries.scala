@@ -253,3 +253,127 @@ object TextQueries {
        |FROM p WHERE common * 5 >= (n_a + n_b - common) * 3
        |ORDER BY doc_a, doc_b""".stripMargin
 }
+
+/** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own
+  * object: heavier machinery, same single-source-of-truth constants.
+  */
+object HashDedup {
+  import TextQueries.{words, wordsSql, dupCorpus, dupCorpusSql}
+  import org.apache.spark.sql.functions._
+
+  val NumHashes = 12 // K minhash functions: md5 with salt k
+  val Bands = 4      // LSH bands of R = K/Bands rows
+  val R: Int = NumHashes / Bands
+  val HammingMax = 3 // simhash near-dup threshold
+  val SimBits = 60   // 15 hex chars → 60-bit fingerprints (sign-safe in BIGINT)
+
+  // ---------------------------------------------------------------- №22 dedup_minhash
+  /** Word-3-shingles → K salted-md5 minhashes (single aggregation pass: K
+    * min() aggregates over the exploded shingles — ONE shuffle on doc_id,
+    * partial min map-side) → LSH band keys (md5 of R concatenated
+    * minhashes) → per-band self-join on band key → distinct candidate
+    * pairs. Band keys are high-cardinality md5s → even shuffle
+    * distribution (SURVEY §4).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = dupCorpus(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
+    val minAggs = (0 until NumHashes).map(k => min(md5(concat(lit(s"$k|"), col("sh")))).as(s"m$k"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bands = (0 until Bands).map { b =>
+      val key = md5(concat((b * R until (b + 1) * R).map(k => col(s"m$k")): _*))
+      sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ unionAll _)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    pairs.orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashSql: String = {
+    val minCols = (0 until NumHashes).map(k => s"min(md5('$k|' || sh)) AS m$k").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val key = "md5(" + (b * R until (b + 1) * R).map(k => s"m$k").mkString(" || ") + ")"
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM d WHERE len(ws) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №23 dedup_simhash
+  /** 60-bit SimHash: per distinct token, h = first 15 md5 hex chars as a
+    * long; bit b of the fingerprint is the sign of Σ count·(±1) over
+    * tokens. Spark finds close pairs via 4×15-bit band LSH (hamming ≤ 3 ⇒
+    * at least one band equal — pigeonhole), then verifies bit_count(xor).
+    * The oracle does the O(n²) scan — an independent formulation.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = dupCorpus(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bits = toks
+      .join(spark.range(SimBits).select(col("id").cast("int").as("b")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(h >> b) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("fp"))
+      .persist()
+    val bands = (0 until 4).map { i =>
+      fp.select(col("doc_id"), lit(i).as("band"), expr(s"(fp >> ${15 * i}) & 32767").as("band_key"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cand.join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashSql: String = {
+    // 15-hex-char parse → BIGINT via per-nibble shifts
+    val hexParse = "CAST(list_sum(list_transform(range(1, 16), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT)"
+    s"""WITH $dupCorpusSql,
+       |toks AS (
+       |  SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM corpus),
+       |tc AS (
+       |  SELECT doc_id, tok, count(*) AS cnt, $hexParse AS h
+       |  FROM toks GROUP BY doc_id, tok),
+       |bits AS (
+       |  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM tc, (SELECT unnest(range(0, $SimBits)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |fp AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.fp, b.fp)) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity-search + embedding-dedup operators (SURVEY §2 №25-27).
+  *
+  * Oracle mirror fragments live inline; DuckDB computes the same
+  * double-cast sequential dot products (list_transform over an index range)
+  * and the same 6dp rounding, so thresholds/ranks agree exactly.
+  */
+object VectorQueries {
+
+  /** DuckDB dot product over DOUBLE-cast elements, sequential list_sum. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cos6Sql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val NearDupTau = 0.99
+  val K = 5          // top-k neighbours
+  val NQueries = 10  // query vectors: vec_id < 10
+  val Probe = 2      // IVF cells probed
+
+  // ---------------------------------------------------------------- №25 dedup_embedding
+  /** Corpus with injected near-dups: every 20th vector re-inserted
+    * (id+1000000) with dim-61 perturbed by +0.01. Dims 1..8 are the LSH
+    * sign-bucket bits, so injected copies always share their original's
+    * bucket — the bucketed candidate join has full recall at τ=0.99 (no
+    * natural pair comes near it; verified max natural cosine ≈ 0.51).
+    * The oracle deliberately verifies with a NAIVE all-pairs scan.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val copies = v.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(slice(col("emb"), 1, 59),
+          array(element_at(col("emb"), 60) + lit(0.01f)),
+          slice(col("emb"), 61, 4)).as("emb"))
+    val corpus = v.unionAll(copies)
+      .withColumn("bucket", signBucket(col("emb"), 8))
+      .persist()
+    corpus.as("a").join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine6(col("a.emb"), col("b.emb")).as("cos"))
+      .filter(col("cos") >= NearDupTau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingSql: String = {
+    val perturbed = "emb[1:59] || [CAST(emb[60] AS FLOAT) + CAST(0.01 AS FLOAT)] || emb[61:64]"
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM v
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, $perturbed FROM v WHERE vec_id % 20 = 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cos6Sql("a.emb", "b.emb")} AS cos
+       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       |WHERE ${cos6Sql("a.emb", "b.emb")} >= $NearDupTau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №26 knn_brute
+  /** Brute-force top-k cosine: queries (tiny) are broadcast; the corpus is
+    * scanned ONCE; per-query rank via window over the query id. At cluster
+    * scale the corpus side stays partition-parallel and only k rows per
+    * (query, partition) would survive a partial top-k — the broadcast join
+    * shape is already the right one.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cos6Sql("emb", "q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${cos6Sql("emb", "q_emb")} DESC, vec_id) AS rank
+       |  FROM c, q)
+       |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №27 knn_ivf
+  /** IVF: deterministic centroids (every 100th corpus vector), cells =
+    * nearest centroid per corpus vector, probe = top-P cells per query,
+    * search only probed cells. Scale path: the cell assignment is one
+    * broadcast-join pass; probing prunes the search to ~P/C of the corpus.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val centroids = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+
+    // cell assignment: nearest centroid (rounded cosine, centroid id tiebreak)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val cells = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id").as("cell"))
+
+    // probe: top-P centroids per query
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= Probe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c WHERE vec_id % 100 = 0),
+       |cells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT c.vec_id, c.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |scored AS (
+       |  SELECT p.q_id, cells.vec_id, ${cos6Sql("cells.emb", "p.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql("cells.emb", "p.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes p USING (cell))
+       |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+}

