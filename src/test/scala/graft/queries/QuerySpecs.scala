@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior specs over the sf0.001 corpus (cross-engine
+  * value equality is covered by the DuckDB oracle in Verify; these pin the
+  * SEMANTIC contracts). */
+class TextQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact finds exactly the injected exact copies") {
+    val out = TextQueries.dedupExact(spark, sf).collect()
+    assert(out.length == 50) // 500 docs, every 10th (%10=5) re-inserted
+    assert(out.forall(_.getLong(2) == 2L))
+  }
+
+  test("dedup_ngram_jaccard: every injected noisy copy is found") {
+    val pairs = TextQueries.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // originals %10=0 with +1000000 noisy copies must all be candidates
+    val expected = (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("dedup_ngram_jaccard survives docs shorter than the shingle width") {
+    val short = Seq((1L, "one two"), (2L, "one two"), (3L, "a b c d e f g h i j a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    // reuse the words/shingle pipeline shape via a direct call on a tiny frame:
+    val ws = short.withColumn("ws", TextQueries.words($"text"))
+      .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN transform(sequence(0, size(ws)-5), i -> ws[i]) ELSE array() END"))
+    val sizes = ws.select(size($"sh")).as[Int].collect()
+    assert(sizes(0) == 0 && sizes(1) == 0 && sizes(2) == 16)
+  }
+
+  test("lang_id predicts a language for every doc, priority-deterministic") {
+    val out = TextQueries.langId(spark, sf).select("pred_lang").as[String].collect()
+    assert(out.forall(l => Set("en", "de", "es", "fr", "zh", "und").contains(l)))
+  }
+
+  test("minhash: identical docs share all bands, noisy copies most") {
+    val pairs = HashDedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b", "n_bands").as[(Long, Long, Long)].collect()
+    val exact = pairs.filter(p => p._2 - p._1 == 2000000L)
+    assert(exact.length == 50 && exact.forall(_._3 == HashDedup.Bands))
+    val noisy = pairs.filter(p => p._2 - p._1 == 1000000L)
+    assert(noisy.length >= 40) // one appended token may break a band occasionally
+  }
+
+  test("simhash: exact copies at hamming 0; pairs symmetric-free (a<b)") {
+    val out = HashDedup.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val exact = out.filter(p => p._2 - p._1 == 2000000L)
+    assert(exact.length == 50 && exact.forall(_._3 == 0))
+    assert(out.forall(p => p._1 < p._2))
+  }
+}
+
+class VectorQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine6 is exact on hand-computable vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 1f, 0f)),
+      (Array(3f, 4f, 0f), Array(4f, 3f, 0f))).toDF("a", "b")
+      .select(VectorOps.cosine6($"a", $"b").as("c"))
+    val out = df.as[Double].collect()
+    assert(out(0) == 0.0 && out(1) == 1.0 && out(2) == 0.96)
+  }
+
+  test("dedup_embedding finds exactly the injected near-dup pairs") {
+    val out = VectorQueries.dedupEmbedding(spark, sf)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.length == 25) // 500 vecs, every 20th injected
+    assert(out.forall(p => p._2 == p._1 + 1000000L && p._3 >= VectorQueries.NearDupTau))
+  }
+
+  test("knn_brute returns k ranked neighbours per query, scores descending") {
+    val out = VectorQueries.knnBrute(spark, sf)
+      .select("q_id", "rank", "cos").as[(Long, Int, Double)].collect()
+    assert(out.length == VectorQueries.NQueries * VectorQueries.K)
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("knn_ivf results are a subset-quality approximation of brute force") {
+    val brute = VectorQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorQueries.knnIvf(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    // probing 2 of ~4 cells: expect meaningful (not perfect) recall
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall > 0.2, s"IVF recall unexpectedly low: $recall")
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk ids: batch bytes stay near the target, ids contiguous from 0") {
+    val out = ExportQueries.chunkBatch(spark, sf)
+      .select("plabel", "batch", "batch_bytes").as[(String, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, batches) =>
+      val ids = batches.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1) // contiguous
+      // all but the final batch of a partition hold ≥ the byte target
+      batches.sortBy(_._2).dropRight(1).foreach(b =>
+        assert(b._3 >= graft.kv.KvModel.ChunkMaxBytes - 2000))
+    }
+  }
+
+  test("export pipeline: every valid row yields a record and manifest line") {
+    val recs = ExportQueries.exportRecords(spark, sf).collect()
+    assert(recs.length == 989) // 1000 events - 11 mandatory-failures (eid%97)
+    recs.foreach { r =>
+      val line = r.getAs[String]("manifest_line")
+      assert(line.split("\\|", -1).length >= 8)
+      assert(r.getAs[String]("record").startsWith("{"))
+    }
+  }
+
+  test("jsonl snapshot sink: write + read-back roundtrip counts") {
+    val summary = graft.sources.JsonlSnapshotSink.snapshotQuery(spark, sf).head
+    assert(summary.getLong(0) == 989L && summary.getLong(1) == 989L)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StatefulSessionize.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  test("stream_export windowed counts equal the batch equivalent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val streamed = StreamExport.streamExport(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.kv.KvModel.kv(spark, sf)
+      .filter(col("valid"))
+      .groupBy(col("topic"), (col("ms").divide(600000)).cast("long").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("topic"), (col("w") * 600000).as("window_start_ms"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StatefulSessionize.sessionize(input.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // trigger 1: user 1 has two bursts separated by > gap → first closes
+    input.addData(Ev(1, 100), Ev(1, 200), Ev(1, 5000), Ev(2, 50))
+    query.processAllAvailable()
+    // trigger 2: user 1's open burst continues, user 2 jumps far → closes
+    input.addData(Ev(1, 5500), Ev(2, 99999))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_out").as[Session].collect().toSet
+    query.stop()
+    assert(out.contains(Session(1, 100, 200, 2)))   // closed by the 5000 event
+    assert(out.contains(Session(2, 50, 50, 1)))     // closed by the 99999 event
+    // user 1's (5000,5500) session is still open → not emitted
+    assert(!out.exists(s => s.user_id == 1 && s.start_ms == 5000))
+  }
+}
