@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.{AesCtrCrypt, SimHash60, ValidateRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-facing registration of graft's native expressions, so `spark.sql`
+  * users get the same operators as the Column API:
+  *
+  *   spark.sql("SELECT aes_ctr(data, key, iv) ...")
+  *   spark.sql("SELECT validate_record(payload, row_key).record ...")
+  *   spark.sql("SELECT simhash60(tokens) ...")
+  *
+  * Two entry points: `withExtensions` for session construction
+  * (`.config("spark.sql.extensions", "graft.GraftExtensions")` works too),
+  * and `register` for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("aes_ctr", info("aes_ctr", "aes_ctr(data, key, iv) - AES/CTR/NoPadding (symmetric)"),
+      (args: Seq[Expression]) => AesCtrCrypt(args(0), args(1), args(2))),
+    ("validate_record", info("validate_record", "validate_record(payload, row_key_id) - struct(record, manifest_id, original_id)"),
+      (args: Seq[Expression]) => ValidateRecord(args(0), args(1))),
+    ("simhash60", info("simhash60", "simhash60(tokens) - 60-bit SimHash fingerprint of a token array"),
+      (args: Seq[Expression]) => SimHash60(args(0))))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

@@ -61,7 +61,7 @@ object KvModel {
   }
 
   def kv(spark: SparkSession, dir: String): DataFrame = {
-    val e = spread(Tables(spark, dir).events)
+    val e = Tables(spark, dir).events
     val eid = col("event_id")
     val uid = col("user_id")
     val etype = col("event_type")
@@ -135,7 +135,10 @@ object KvModel {
     */
   def withEnvelope(kvDf: DataFrame): DataFrame = {
     val eid = col("eid")
-    val df = kvDf
+    // spread() here, not in kv(): only the crypto/JSON-heavy envelope
+    // pipeline needs the parallelism normalization; plain KV scans keep
+    // their narrow no-shuffle plans.
+    val df = spread(kvDf)
       .withColumn("dkey", unhex(md5(concat(lit("dk|"), s(eid)))))
       .withColumn("ivb", unhex(md5(concat(lit("iv|"), s(eid)))))
       .withColumn("eek_b64", when(col("valid"), b64(col("dkey"))).otherwise(lit("")))

@@ -327,17 +327,11 @@ object HashDedup {
     * The oracle does the O(n²) scan — an independent formulation.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = dupCorpus(spark, dir)
-      .withColumn("ws", words(col("text")))
-      .select(col("doc_id"), explode(col("ws")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bits = toks
-      .join(spark.range(SimBits).select(col("id").cast("int").as("b")))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(h >> b) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as("s"))
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("fp"))
+    // Fingerprint = ONE narrow projection via the native SimHash60
+    // expression (vs. the oracle's explode + 60-way bit join — an
+    // independent relational formulation of the same function).
+    val fp = dupCorpus(spark, dir)
+      .select(col("doc_id"), graft.functions.SimHash60.simhash60(words(col("text"))).as("fp"))
       .persist()
     val bands = (0 until 4).map { i =>
       fp.select(col("doc_id"), lit(i).as("band"), expr(s"(fp >> ${15 * i}) & 32767").as("band_key"))

@@ -25,21 +25,23 @@ object JsonlSnapshotSink {
 
   def write(records: DataFrame, root: String): DataFrame = {
     val spark = records.sparkSession
-    records.select(col("topic"), col("record"))
+    // persist: the pipeline runs ONCE, feeding both writes and the summary
+    val cached = records.select(col("topic"), col("record"), col("manifest_line")).persist()
+    cached.select(col("topic"), col("record"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("topic")
       .option("compression", "gzip")
       .text(s"$root/data")
-    records.select(col("topic"), col("manifest_line"))
+    cached.select(col("topic"), col("manifest_line"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("topic")
       .text(s"$root/manifests")
 
-    // read-back summary: proves the round trip
+    // read-back of the DATA side proves the round trip; manifests counted
+    // from the cache (same frame that was written).
     val written = spark.read.text(s"$root/data")
-    val manifests = spark.read.text(s"$root/manifests")
     written.agg(count(lit(1)).as("n_records")).crossJoin(
-      manifests.agg(count(lit(1)).as("n_manifest_lines")))
+      cached.agg(count(lit(1)).as("n_manifest_lines")))
   }
 
   /** Verify-runnable form: writes the sf's export records to a temp dir. */
