@@ -26,6 +26,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
+    // runtime-settable; makes events readable from ANY session (e.g. the
+    // driver's), not just ones built by GraftSession/Verify/Bench
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
       .withColumn("ts_ms", expr("ts DIV 1000000"))
       .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))

@@ -79,6 +79,7 @@ object KvModel {
 
     e.select(
         eid.as("eid"), uid.as("uid"), etype.as("etype"), ms.as("ms"),
+        col("ts").as("ts_ns"), // raw scan column: time-range filters on this PUSH DOWN
         fmtP(ms).as("lm_str"),
         idJson.as("id_json"),
         keyHash.as("key_hash"),

@@ -47,9 +47,13 @@ object ExportQueries {
        |  FROM kv WHERE valid)""".stripMargin
 
   // -------------------------------------------------------------- №1 kv_scan
+  /** Time-range predicate on the RAW scan column (ts_ns) — Catalyst pushes
+    * it into the parquet scan (`ms >= T1 ⇔ ts_ns >= T1e6` exactly, since
+    * ms = floor(ns/1e6)); the derived key-byte filter runs post-scan. */
   def kvScan(spark: SparkSession, dir: String): DataFrame =
     KvModel.kv(spark, dir)
-      .filter(col("key_byte") >= 32 && col("key_byte") < 96 && col("ms") >= T1 && col("ms") < T2)
+      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
+      .filter(col("key_byte") >= 32 && col("key_byte") < 96)
       .select(col("eid"), col("key_hash"), col("ms"), col("topic"))
       .orderBy(col("eid"))
 
@@ -75,7 +79,7 @@ object ExportQueries {
   // -------------------------------------------------------------- №3 time_range_scan
   def timeRangeScan(spark: SparkSession, dir: String): DataFrame =
     KvModel.kv(spark, dir)
-      .filter(col("ms") >= T1 && col("ms") < T2)
+      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
       .groupBy(col("topic"))
       .agg(count(lit(1)).as("n"), min("ms").as("min_ms"), max("ms").as("max_ms"))
       .orderBy(col("topic"))

@@ -25,8 +25,13 @@ object JsonlSnapshotSink {
 
   def write(records: DataFrame, root: String): DataFrame = {
     val spark = records.sparkSession
-    // persist: the pipeline runs ONCE, feeding both writes and the summary
-    val cached = records.select(col("topic"), col("record"), col("manifest_line")).persist()
+    // persist: the pipeline runs ONCE, feeding both writes and the summary.
+    // repartition by topic: one writer (and one file) per topic instead of
+    // (input-partitions × topics) tiny gzip files — the reference's
+    // one-stream-per-topic shape; at larger scale add a salt column for
+    // multiple files per topic.
+    val cached = records.select(col("topic"), col("record"), col("manifest_line"))
+      .repartition(col("topic")).persist()
     cached.select(col("topic"), col("record"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("topic")
