@@ -1,0 +1,114 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.regex.Pattern
+
+/** Whole-envelope extraction as ONE native expression — a single JSON parse
+  * per record, exactly like the reference processor
+  * (reference: app/batch/HBaseResultProcessor.kt:22-76), including the
+  * db/collection topic-name fallback (app/utils/TextUtils.kt:8) and the
+  * mandatory-field validity flag.
+  *
+  * Why not from_json? Spark's OptimizeJsonExprs rewrites each
+  * GetStructField(from_json(x)) into its own schema-pruned from_json(x) —
+  * with 10 extracted fields that's 10 parses per row, and worse, the
+  * envelope-CONSTRUCTION expression x (including AES encryption in the kv
+  * model) is cloned into every copy. A custom struct expression is opaque
+  * to that rewrite. Two structural rules keep it at
+  * two evaluations per row (pushed filter + projection):
+  *  - extract ALL fields in a single Project (CollapseProject then refuses
+  *    to inline the non-cheap expression);
+  *  - filter on the single `ok` field, not per-field conjuncts (predicate
+  *    pushdown clones the expression once per referenced field).
+  * Measured on the export pipeline: 9 parses/row → 2.
+  */
+case class EnvelopeExtract(envelope: Expression, topic: Expression) extends BinaryExpression {
+  override def left: Expression = envelope
+  override def right: Expression = topic
+  override def dataType: DataType = EnvelopeExtract.schema
+  override def prettyName: String = "envelope_extract"
+
+  /** Functionally deterministic — declared otherwise ONLY to pin plan
+    * placement: predicate pushdown substitutes a filter's attribute
+    * references with their defining expressions, cloning this (and the
+    * AES-encrypting envelope construction beneath it) once per referenced
+    * field. Marking it nondeterministic keeps downstream filters above the
+    * projection, so the parse happens exactly once per row. Filters on
+    * pass-through columns (e.g. the ts_ns scan predicate) still push down.
+    */
+  override lazy val deterministic: Boolean = false
+
+  override protected def nullSafeEval(env: Any, top: Any): Any =
+    EnvelopeExtract.extract(env.asInstanceOf[UTF8String], top.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, t) =>
+      s"${ev.value} = graft.functions.EnvelopeExtract.extract($e, $t);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(envelope = newLeft, topic = newRight)
+}
+
+object EnvelopeExtract {
+  val schema: StructType = StructType(Seq(
+    StructField("outer_type", StringType, nullable = false),
+    StructField("inner_type", StringType, nullable = false),
+    StructField("r_db", StringType, nullable = false),
+    StructField("r_coll", StringType, nullable = false),
+    StructField("lm", StringType, nullable = false),
+    StructField("eek", StringType, nullable = false),
+    StructField("kek", StringType, nullable = false),
+    StructField("iv", StringType, nullable = false),
+    StructField("ct", StringType, nullable = false),
+    StructField("id_json", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+
+  private val mapper = new ObjectMapper()
+  // reference: app/utils/TextUtils.kt:8
+  private val topicPattern = Pattern.compile("""^(?:\w+\.)?([-\w]+)\.([-\w]+)$""")
+
+  private def text(n: JsonNode, field: String): String = {
+    val v = if (n == null) null else n.get(field)
+    if (v == null || v.isNull) "" else if (v.isValueNode) v.asText() else ""
+  }
+
+  def extract(env: UTF8String, topicU: UTF8String): InternalRow = {
+    val root = mapper.readTree(env.toString)
+    val msg = root.get("message")
+    val enc = if (msg == null) null else msg.get("encryption")
+    val id = if (msg == null) null else msg.get("_id")
+    val idJson = if (id == null || id.isNull) "" else mapper.writeValueAsString(id)
+
+    var db = text(msg, "db")
+    var coll = text(msg, "collection")
+    if (db.isEmpty || coll.isEmpty) {
+      val m = topicPattern.matcher(topicU.toString)
+      if (m.find()) {
+        if (db.isEmpty) db = m.group(1)
+        if (coll.isEmpty) coll = m.group(2)
+      }
+    }
+    val eek = text(enc, "encryptedEncryptionKey")
+    val kek = text(enc, "keyEncryptionKeyId")
+    val iv = text(enc, "initialisationVector")
+    val ct = text(msg, "dbObject")
+    val ok = ct.nonEmpty && kek.nonEmpty && iv.nonEmpty && eek.nonEmpty && db.nonEmpty && coll.nonEmpty
+
+    def u(s: String) = UTF8String.fromString(s)
+    new GenericInternalRow(Array[Any](
+      u(text(root, "@type")), u(text(msg, "@type")), u(db), u(coll),
+      u(text(msg, "_lastModifiedDateTime")), u(eek), u(kek), u(iv), u(ct), u(idJson),
+      java.lang.Boolean.valueOf(ok)))
+  }
+
+  def envelopeExtract(env: Column, topic: Column): Column =
+    ColumnBridge.toCol(EnvelopeExtract(ColumnBridge.toExpr(env), ColumnBridge.toExpr(topic)))
+}

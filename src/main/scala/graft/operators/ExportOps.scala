@@ -39,30 +39,30 @@ object ExportOps {
 
   /** Parse the envelope and derive the processor's view of the record:
     * types (blank → TYPE_NOT_SET), db/collection with topic-name fallback,
-    * encryption block, ciphertext, raw `_id` JSON. One from_json for the
-    * fixed fields + one get_json_object for the free-form `_id`.
+    * encryption block, ciphertext, raw `_id` JSON. ONE JSON parse per row
+    * via the native [[graft.functions.EnvelopeExtract]] struct expression
+    * (see its scaladoc for why from_json multiplies work here).
     */
   def extractEnvelope(df: DataFrame, env: Column, topic: Column): DataFrame = {
-    df.withColumn("x", from_json(env, envelopeSchema))
-      .withColumn("x_id", get_json_object(env, "$.message._id"))
-      .withColumn("x_outer", when(col("x.@type").isNull || col("x.@type") === "", "TYPE_NOT_SET").otherwise(col("x.@type")))
-      .withColumn("x_inner", when(col("x.message.@type").isNull || col("x.message.@type") === "", "TYPE_NOT_SET").otherwise(col("x.message.@type")))
-      .withColumn("r_db", when(col("x.message.db").isNull || col("x.message.db") === "",
-        regexp_extract(topic, topicRegex, 1)).otherwise(col("x.message.db")))
-      .withColumn("r_coll", when(col("x.message.collection").isNull || col("x.message.collection") === "",
-        regexp_extract(topic, topicRegex, 2)).otherwise(col("x.message.collection")))
-      .withColumn("x_lm", coalesce(col("x.message._lastModifiedDateTime"), lit("")))
-      .withColumn("x_eek", coalesce(col("x.message.encryption.encryptedEncryptionKey"), lit("")))
-      .withColumn("x_kek", coalesce(col("x.message.encryption.keyEncryptionKeyId"), lit("")))
-      .withColumn("x_iv", coalesce(col("x.message.encryption.initialisationVector"), lit("")))
-      .withColumn("x_ct", coalesce(col("x.message.dbObject"), lit("")))
+    // ALL struct fields pulled in ONE projection: CollapseProject sees the
+    // many references to the non-cheap extract and refuses to inline it (a
+    // per-field withColumn chain would re-inline pairwise → N parses/row).
+    df.withColumn("x", graft.functions.EnvelopeExtract.envelopeExtract(env, topic))
+      .select(col("*"),
+        col("x.r_db").as("r_db"), col("x.r_coll").as("r_coll"),
+        col("x.lm").as("x_lm"), col("x.eek").as("x_eek"), col("x.kek").as("x_kek"),
+        col("x.iv").as("x_iv"), col("x.ct").as("x_ct"), col("x.id_json").as("x_id"),
+        col("x.ok").as("x_ok"),
+        when(col("x.outer_type") === "", "TYPE_NOT_SET").otherwise(col("x.outer_type")).as("x_outer"),
+        when(col("x.inner_type") === "", "TYPE_NOT_SET").otherwise(col("x.inner_type")).as("x_inner"))
+      .drop("x")
   }
 
   /** Mandatory-field validation (reference: HBaseResultProcessor
-    * validateMandatoryField — a missing field skips the record). */
-  val mandatoryOk: Column =
-    col("x_ct") =!= "" && col("x_kek") =!= "" && col("x_iv") =!= "" &&
-      col("x_eek") =!= "" && col("r_db") =!= "" && col("r_coll") =!= ""
+    * validateMandatoryField — a missing field skips the record). ONE field
+    * reference: predicate pushdown clones the extract per referenced field,
+    * so the conjunction lives inside the expression (`ok`). */
+  val mandatoryOk: Column = col("x_ok")
 
   /** DKS-stubbed decrypt: data key = base64(eek) decode, AES/CTR payload.
     * (reference: DecryptionProcessor + AESCipherService; the DKS round-trip
