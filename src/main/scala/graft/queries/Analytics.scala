@@ -29,9 +29,9 @@ object Analytics {
         sum($"l_extendedprice".cast("decimal(20,2)")).cast("double").as("sum_base_price"),
         sum(round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
         sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 6).cast("decimal(28,6)")).cast("double").as("sum_charge"),
-        round(sum($"l_quantity".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
-        round(sum($"l_extendedprice".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_price"),
-        round(sum($"l_discount".cast("decimal(20,2)")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        round(sum($"l_quantity".cast("decimal(20,2)")).cast("double") / count(lit(1)) + 1e-9, 6).as("avg_qty"),
+        round(sum($"l_extendedprice".cast("decimal(20,2)")).cast("double") / count(lit(1)) + 1e-9, 6).as("avg_price"),
+        round(sum($"l_discount".cast("decimal(20,2)")).cast("double") / count(lit(1)) + 1e-9, 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -42,9 +42,9 @@ object Analytics {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax),6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_qty,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_price,
-      |  round(CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE)/count(*), 6) AS avg_disc,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)/count(*) + 0.000000001, 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)/count(*) + 0.000000001, 6) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE)/count(*) + 0.000000001, 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

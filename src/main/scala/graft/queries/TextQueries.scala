@@ -102,13 +102,13 @@ object TextQueries {
       .withColumn("n_punct", length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")))
       .withColumn("n_stop", size(filter($"ws", w => w.isin(stopwords.map(lit(_)): _*))))
       .select($"doc_id", $"n_tok", $"n_uniq", $"n_punct", $"n_stop",
-        round($"n_stop".cast("double") / $"n_tok", 6).as("stop_ratio"),
-        round($"n_uniq".cast("double") / $"n_tok", 6).as("uniq_ratio"),
+        round($"n_stop".cast("double") / $"n_tok" + 1e-9, 6).as("stop_ratio"),
+        round($"n_uniq".cast("double") / $"n_tok" + 1e-9, 6).as("uniq_ratio"),
         round(
           least(lit(1.0), length($"text").cast("double") / 500.0) * 0.25
             + (lit(1.0) - least(lit(1.0), $"n_punct".cast("double") / greatest($"n_tok", lit(1)))) * 0.25
             + least(lit(1.0), $"n_stop".cast("double") * 4.0 / $"n_tok") * 0.25
-            + ($"n_uniq".cast("double") / $"n_tok") * 0.25, 6).as("quality"))
+            + ($"n_uniq".cast("double") / $"n_tok") * 0.25 + 1e-9, 6).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -121,12 +121,12 @@ object TextQueries {
        |    len(list_filter(ws, w -> w IN (${inList(stopwords)}))) AS n_stop
        |  FROM d)
        |SELECT doc_id, n_tok, n_uniq, n_punct, n_stop,
-       |  round(CAST(n_stop AS DOUBLE)/n_tok, 6) AS stop_ratio,
-       |  round(CAST(n_uniq AS DOUBLE)/n_tok, 6) AS uniq_ratio,
+       |  round(CAST(n_stop AS DOUBLE)/n_tok + 0.000000001, 6) AS stop_ratio,
+       |  round(CAST(n_uniq AS DOUBLE)/n_tok + 0.000000001, 6) AS uniq_ratio,
        |  round(least(1.0, CAST(length(text) AS DOUBLE)/500.0)*0.25
        |    + (1.0 - least(1.0, CAST(n_punct AS DOUBLE)/greatest(n_tok,1)))*0.25
        |    + least(1.0, CAST(n_stop AS DOUBLE)*4.0/n_tok)*0.25
-       |    + (CAST(n_uniq AS DOUBLE)/n_tok)*0.25, 6) AS quality
+       |    + (CAST(n_uniq AS DOUBLE)/n_tok)*0.25 + 0.000000001, 6) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- №31 doc_fingerprint
@@ -233,7 +233,7 @@ object TextQueries {
       .withColumn("common", size(array_intersect($"sh_a", $"sh_b")))
       .filter($"common" * 5 >= ($"n_a" + $"n_b" - $"common") * 3)
       .select($"doc_a", $"doc_b", $"common", $"n_a", $"n_b",
-        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common"), 6).as("jaccard"))
+        round($"common".cast("double") / ($"n_a" + $"n_b" - $"common") + 1e-9, 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -249,7 +249,7 @@ object TextQueries {
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, common, n_a, n_b,
-       |  round(CAST(common AS DOUBLE)/(n_a + n_b - common), 6) AS jaccard
+       |  round(CAST(common AS DOUBLE)/(n_a + n_b - common) + 0.000000001, 6) AS jaccard
        |FROM p WHERE common * 5 >= (n_a + n_b - common) * 3
        |ORDER BY doc_a, doc_b""".stripMargin
 }
