@@ -41,6 +41,10 @@ case class ValidateRecord(payload: Expression, rowKeyId: Expression)
   override def left: Expression = payload
   override def right: Expression = rowKeyId
   override def dataType: DataType = ValidateRecord.schema
+  /** null result = record REJECTED (reference: Validator throws
+    * BadDecryptedDataException on an unparseable lastModified chain —
+    * the record is skipped, not exported). */
+  override def nullable: Boolean = true
   override def prettyName: String = "validate_record"
 
   override protected def nullSafeEval(p: Any, k: Any): Any =
@@ -48,7 +52,10 @@ case class ValidateRecord(payload: Expression, rowKeyId: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (p, k) =>
-      s"${ev.value} = graft.functions.JsonRecordOps.validate($p, $k);")
+      // validate() returns null for rejected records — propagate to isNull
+      // (nullSafeCodeGen alone assumes a non-null result)
+      s"""${ev.value} = graft.functions.JsonRecordOps.validate($p, $k);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(payload = newLeft, rowKeyId = newRight)
@@ -173,9 +180,10 @@ object JsonRecordOps {
       }
     }
     val lmOut = reformatted(lmRaw)
+    if (lmOut == null) return null // unparseable date → record rejected
     obj.remove(LastModified)
     wrapTree(obj, skipLastModified = true)
-    obj.set[JsonNode](LastModified, dateObject(if (lmOut != null) lmOut else lmRaw))
+    obj.set[JsonNode](LastModified, dateObject(lmOut))
 
     // 2. drop archived when removed also present.
     if (obj.has(Archived) && obj.has(Removed)) obj.remove(Archived)

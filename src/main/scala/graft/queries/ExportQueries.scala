@@ -33,6 +33,7 @@ object ExportQueries {
       .withColumn("payload_dec", decrypted)
       .withColumn("payload2", when(isBusinessAudit, auditPromote(col("payload_dec"), col("x_lm"))).otherwise(col("payload_dec")))
       .withColumn("v", validate(col("payload2"), col("x_id")))
+      .filter(col("v").isNotNull) // validator rejections (none in this corpus)
       .withColumn("sanitised", sanitise(col("v.record"), col("r_db"), col("r_coll")))
       .withColumn("record", when(col("topic") === KvModel.EqualityTopic,
         equalityWrap(col("sanitised"), col("x_inner"))).otherwise(col("sanitised")))

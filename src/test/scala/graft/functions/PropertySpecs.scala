@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the native expressions (plain scalacheck
+  * generators with deterministic seeds — the scalatest bridge artifact is
+  * not in the offline cache). */
+class PropertySpecs extends SparkSpec {
+
+  /** deterministic forAll: 200 seeded samples per generator tuple */
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (1 to 200).foreach { i =>
+      val p = Gen.Parameters.default
+      f(ga.pureApply(p, Seed(i)), gb.pureApply(p, Seed(i * 7919L)), gc.pureApply(p, Seed(i * 104729L)))
+    }
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    (1 to 200).foreach(i => f(ga.pureApply(Gen.Parameters.default, Seed(i))))
+
+  private val keyGen = Gen.containerOfN[Array, Byte](16, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  private val dataGen = Gen.nonEmptyContainerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+
+  test("AES/CTR roundtrips for arbitrary payloads and keys") {
+    forAll(dataGen, keyGen, keyGen) { (data, key, iv) =>
+      val ct = AesCtrCrypt.crypt(data, key, iv)
+      assert(AesCtrCrypt.crypt(ct, key, iv).sameElements(data))
+      // keystream is position-dependent: ciphertext differs from plaintext
+      // unless the keystream byte happens to be zero — check length only
+      assert(ct.length == data.length)
+    }
+  }
+
+  private val fieldName = Gen.oneOf("a", "b", "zeta", "createdDateTime", "note9")
+  private val scalarValue = Gen.oneOf(
+    Gen.alphaNumStr.map(s => s.take(12)),
+    Gen.const("2021-03-04T05:06:07.089+0000"),
+    Gen.const("2021-03-04T05:06:07.089Z"))
+
+  private val payloadGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 5)
+    keys <- Gen.listOfN(n, fieldName).map(_.distinct)
+    vals <- Gen.listOfN(keys.size, scalarValue)
+  } yield keys.zip(vals).map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+
+  test("validator invariants: valid JSON out, lm always last (pre-id), idempotent-ish wrap") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    forAll(payloadGen) { payload =>
+      val r = JsonRecordOps.validate(UTF8String.fromString(payload), UTF8String.fromString("""{"id":"7"}"""))
+      // reference semantics: an unparseable lastModified-chain value
+      // (non-date string in createdDateTime/_removedDateTime/_lastModified)
+      // rejects the record → null
+      val mapper0 = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = mapper0.readTree(payload)
+      def raw(k: String) = Option(in.get(k)).map(_.asText()).getOrElse("")
+      val lmSrc = Seq("_lastModifiedDateTime", "_removedDateTime", "createdDateTime")
+        .map(raw).find(_.nonEmpty).getOrElse("1980-01-01T00:00:00.000Z")
+      val parseable = lmSrc.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(\+\d{4}|Z)""")
+      if (!parseable) assert(r == null)
+      else {
+        val rec = r.getUTF8String(0).toString
+      val node = mapper.readTree(rec)
+      assert(node.isObject)
+      // _lastModifiedDateTime always present, always a {"$date": ...Z} object
+      val lm = node.get("_lastModifiedDateTime")
+      assert(lm != null && lm.isObject && lm.get("$date") != null)
+      assert(lm.get("$date").asText().endsWith("Z"))
+      // no bare date-shaped strings survive at top level
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isTextual) {
+          val v = e.getValue.asText()
+          assert(!v.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}(\+\d{4}|Z)"""),
+            s"unwrapped date survived: $rec")
+        }
+      }
+        // manifest id from row key when no _id
+        assert(r.getUTF8String(1).toString == """{"$oid":"7"}""")
+      }
+    }
+  }
+
+  test("simhash: hamming distance between noisy variants is small, random pairs large") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val noisy = base.drop(2) ++ Seq("extra1", "extra2")
+    val other = (1 to 60).map(i => s"unrelated$i")
+    def fp(ts: Seq[String]): Long = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      SimHash60.fingerprint(new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(base), fp(noisy)) < ham(fp(base), fp(other)))
+  }
+}
