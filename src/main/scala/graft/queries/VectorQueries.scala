@@ -66,21 +66,23 @@ object VectorQueries {
 
   // ---------------------------------------------------------------- №26 knn_brute
   /** Brute-force top-k cosine: queries (tiny) are broadcast; the corpus is
-    * scanned ONCE; per-query rank via window over the query id. At cluster
-    * scale the corpus side stays partition-parallel and only k rows per
-    * (query, partition) would survive a partial top-k — the broadcast join
-    * shape is already the right one.
+    * scanned ONCE; ranking via the native TopKByScore bounded-heap
+    * aggregate — each scan partition contributes at most k rows per query
+    * to the shuffle (map-side partial top-k), where a window row_number
+    * would shuffle and sort every scored corpus row.
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
     val queries = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(queries))
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), K).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos"),
+        (col("pos") + 1).as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -125,11 +127,13 @@ object VectorQueries {
       .filter(col("prank") <= Probe)
       .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
 
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     cells.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= K)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), K).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos"),
+        (col("pos") + 1).as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
