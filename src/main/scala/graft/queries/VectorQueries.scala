@@ -111,21 +111,23 @@ object VectorQueries {
     val centroids = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
 
-    // cell assignment: nearest centroid (rounded cosine, centroid id tiebreak)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    // cell assignment: nearest centroid via max_by AGGREGATION (map-side
+    // partial) — a per-vector window would shuffle AND sort
+    // |corpus|x|centroids| rows. Tiebreak: max(struct(ccos, -c_id)) ==
+    // (cosine desc, centroid id asc), matching the oracle's row_number.
     val cells = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("emb"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), // functionally dependent on vec_id
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("neg"))).as("cell"))
 
-    // probe: top-P centroids per query
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    // probe: top-P centroids per query via the bounded-heap aggregate
     val probes = queries.join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= Probe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
 
     cells.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
