@@ -4,7 +4,6 @@ import graft.functions.{AesCtrCrypt, ValidateRecord}
 import graft.kv.KvModel
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** The export pipeline stages as reusable Spark-first building blocks.
   * A reference user maps their stages 1:1 onto these:
@@ -17,23 +16,6 @@ import org.apache.spark.sql.types._
   * whole-stage codegen.
   */
 object ExportOps {
-
-  /** Envelope schema for a single-pass from_json parse
-    * (reference: app/batch/HBaseResultProcessor.kt:22-76). */
-  val envelopeSchema: StructType = StructType(Seq(
-    StructField("traceId", StringType),
-    StructField("@type", StringType),
-    StructField("message", StructType(Seq(
-      StructField("@type", StringType),
-      StructField("db", StringType),
-      StructField("collection", StringType),
-      StructField("_lastModifiedDateTime", StringType),
-      StructField("encryption", StructType(Seq(
-        StructField("encryptedEncryptionKey", StringType),
-        StructField("keyEncryptionKeyId", StringType),
-        StructField("initialisationVector", StringType)))),
-      StructField("dbObject", StringType)))),
-    StructField("timestamp", StringType)))
 
   private val topicRegex = """^(?:\w+\.)?([-\w]+)\.([-\w]+)$"""
 

@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity-search + embedding-dedup operators (SURVEY §2 №25-27).
   *
