@@ -60,10 +60,13 @@ object ExportOps {
     * generic tree-walk lives in the validator expression).
     */
   def auditPromote(payload: Column, lm: Column): Column = {
+    // each get_json_object reference drags a copy of `payload` (and its
+    // decrypt) into the plan — reference ctx ONCE (strip the closing brace
+    // with an anchored regex, valid for any object) and auditType once.
     val ctx = get_json_object(payload, "$.context")
     val auditType = get_json_object(payload, "$.auditType")
     concat(
-      ctx.substr(lit(1), length(ctx) - 1),
+      regexp_replace(ctx, "\\}$", ""),
       lit(",\"AUDIT_EVENT\":\""), auditType,
       lit("\",\"TIME_STAMP\":\""), lm,
       lit("\",\"TIME_STAMP_ORIG\":\""), lm, lit("\"}"))

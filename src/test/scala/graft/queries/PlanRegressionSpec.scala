@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape regressions: the optimizations in SURVEY §3a, asserted so a
+  * future change can't silently reintroduce N-parses-per-row or lose a
+  * pushdown. String-level checks against the executed plan are crude but
+  * catch exactly the failure modes we hit while building.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("export pipeline evaluates envelope parse once + AES exactly twice") {
+    val plan = executedPlan(ExportQueries.exportRecords(spark, sf))
+    assert(countOccurrences(plan, "envelope_extract(") == 1,
+      s"envelope parse duplicated:\n$plan")
+    // 1 encrypt (kv model) + decrypt referenced from the audit-promote
+    // when() branches (ctx / auditType / otherwise) — branch copies are
+    // LAZY: non-audit rows evaluate exactly one decrypt.
+    // (branch copies are LAZY when()-arms: non-audit rows run one decrypt,
+    // audit rows two — the count below is plan-text occurrences, not
+    // per-row evaluations)
+    assert(countOccurrences(plan, "aes_ctr(") <= 5,
+      s"aes_ctr count regressed:\n$plan")
+    assert(countOccurrences(plan, "validate_record(") == 1)
+  }
+
+  test("q1 pushes the shipdate filter and prunes the scan schema") {
+    val plan = executedPlan(Analytics.q1Agg(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$plan")
+    assert(!plan.contains("l_comment"), "scan schema not pruned")
+  }
+
+  test("kv time-range scan pushes the raw ts predicate into the parquet scan") {
+    val plan = executedPlan(ExportQueries.timeRangeScan(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts predicate not pushed:\n$plan")
+  }
+
+  test("q3 broadcasts the dimension side") {
+    val df = Analytics.q3Join(spark, sf)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan
+    val broadcasts = plan.toString
+    assert(broadcasts.contains("BroadcastHashJoin"), s"no broadcast join:\n$broadcasts")
+  }
+
+  test("latest_cell is a single-shuffle partial aggregation (no window sort)") {
+    val plan = executedPlan(ExportQueries.latestCell(spark, sf))
+    assert(!plan.contains("Window"), s"latest_cell fell back to a window:\n$plan")
+  }
+}
