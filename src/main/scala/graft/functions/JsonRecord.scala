@@ -44,6 +44,12 @@ case class ValidateRecord(payload: Expression, rowKeyId: Expression)
     * BadDecryptedDataException on an unparseable lastModified chain —
     * the record is skipped, not exported). */
   override def nullable: Boolean = true
+
+  /** Functionally deterministic — declared otherwise only to pin plan
+    * placement (see EnvelopeExtract's scaladoc): the rejection filter
+    * (`v IS NOT NULL`) must test the projected attribute, not a pushed-down
+    * clone of the whole validator. */
+  override lazy val deterministic: Boolean = false
   override def prettyName: String = "validate_record"
 
   override protected def nullSafeEval(p: Any, k: Any): Any =
