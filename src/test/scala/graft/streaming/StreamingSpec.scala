@@ -43,4 +43,23 @@ class StreamingSpec extends SparkSpec {
     // user 1's (5000,5500) session is still open → not emitted
     assert(!out.exists(s => s.user_id == 1 && s.start_ms == 5000))
   }
+
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup.dedup(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(Doc(1, "alpha", 1000), Doc(2, "alpha", 2000), Doc(3, "beta", 3000))
+    q.processAllAvailable()
+    input.addData(Doc(4, "alpha", 4000), Doc(5, "gamma", 5000)) // dup across triggers
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").as[(Long, String)].collect()
+    q.stop()
+    // one row per distinct text; the kept doc for "alpha" is from its first sighting
+    assert(out.length == 3)
+    assert(out.map(_._1).toSet == Set(1L, 3L, 5L))
+  }
 }
