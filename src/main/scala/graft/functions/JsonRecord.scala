@@ -88,7 +88,12 @@ object JsonRecordOps {
   private val Epoch = "1980-01-01T00:00:00.000Z"
 
   // reference: app/utils/DateWrapper.kt:104-105 — full-match regexes.
+  // NOTE the tree wrap accepts POSITIVE offsets only (faithful to the
+  // reference regex); the lastModified chain below is parsed with
+  // SimpleDateFormat-ZZZZ leniency (reference Validator tests cover
+  // negative offsets: Should_Change_Negative_Offset_Date_To_UTC).
   private val incomingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+\d{4}""")
+  private val incomingAnySignRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}""")
   private val outgoingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z""")
   private val incomingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxx")
   private val outgoingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -96,6 +101,15 @@ object JsonRecordOps {
   /** Reformat a date-shaped string to the outgoing UTC 'Z' form; null if not date-shaped. */
   private def reformatted(s: String): String =
     if (incomingRe.matcher(s).matches())
+      outgoingFmt.format(OffsetDateTime.parse(s, incomingFmt).withOffsetSameInstant(ZoneOffset.UTC))
+    else if (outgoingRe.matcher(s).matches()) s
+    else null
+
+  /** lastModified-chain parse: like [[reformatted]] but accepts BOTH offset
+    * signs (reference: Validator.getValidParsedDateTime via
+    * SimpleDateFormat ZZZZ, app/batch/Validator.kt:186-197). */
+  private def lmReformatted(s: String): String =
+    if (incomingAnySignRe.matcher(s).matches())
       outgoingFmt.format(OffsetDateTime.parse(s, incomingFmt).withOffsetSameInstant(ZoneOffset.UTC))
     else if (outgoingRe.matcher(s).matches()) s
     else null
@@ -184,7 +198,7 @@ object JsonRecordOps {
         }
       }
     }
-    val lmOut = reformatted(lmRaw)
+    val lmOut = lmReformatted(lmRaw)
     if (lmOut == null) return null // unparseable date → record rejected
     obj.remove(LastModified)
     wrapTree(obj, skipLastModified = true)

@@ -85,6 +85,25 @@ class JsonRecordSpec extends SparkSpec {
     assert(only.contains("_archivedDateTime"))
   }
 
+  test("negative-offset lastModified converts to UTC (reference: Should_Change_Negative_Offset_Date_To_UTC)") {
+    val (rec, _, _) = run("""{"_lastModifiedDateTime":"2020-06-01T12:00:00.000-0500","a":"1"}""")
+    assert(rec.endsWith(""""_lastModifiedDateTime":{"$date":"2020-06-01T17:00:00.000Z"}}"""))
+  }
+
+  test("negative-offset strings ELSEWHERE in the tree stay unwrapped (DateWrapper regex is +HHMM only)") {
+    val (rec, _, _) = run("""{"d":"2020-06-01T12:00:00.000-0500"}""")
+    assert(rec.contains(""""d":"2020-06-01T12:00:00.000-0500""""))
+  }
+
+  test("reference IdUtility vectors (IdUtilityTest.kt)") {
+    val (_, m1, o1) = run("""{"a":"1"}""", """{ "citizenId": "123455" }""")
+    assert(o1 == """{"citizenId":"123455"}""" && m1 == o1)
+    val (_, m2, o2) = run("""{"a":"1"}""", """{ "z": "12345", "a": "54321" }""")
+    assert(o2 == """{"a":"54321","z":"12345"}""" && m2 == o2)
+    val (_, m3, o3) = run("""{"a":"1"}""", """{ "id": "123455" }""")
+    assert(o3 == "123455" && m3 == """{"$oid":"123455"}""")
+  }
+
   test("lastModified always lands at the END of the object") {
     val (rec, _, _) = run("""{"_lastModifiedDateTime":"2020-03-03T03:03:03.333+0000","z":"1","a":"2"}""")
     assert(rec == """{"z":"1","a":"2","_lastModifiedDateTime":{"$date":"2020-03-03T03:03:03.333Z"}}""")
