@@ -81,7 +81,8 @@ object EnvelopeExtract {
   }
 
   def extract(env: UTF8String, topicU: UTF8String): InternalRow = {
-    val root = mapper.readTree(env.toString)
+    // parse straight from UTF-8 bytes — skips a UTF8String→String decode
+    val root = mapper.readTree(env.getBytes)
     val msg = root.get("message")
     val enc = if (msg == null) null else msg.get("encryption")
     val id = if (msg == null) null else msg.get("_id")

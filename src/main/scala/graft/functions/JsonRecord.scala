@@ -183,7 +183,8 @@ object JsonRecordOps {
 
   /** The full validator stage. Returns struct(record, manifest_id, original_id). */
   def validate(payloadU: UTF8String, rowKeyIdU: UTF8String): InternalRow = {
-    val obj = mapper.readTree(payloadU.toString).asInstanceOf[ObjectNode]
+    // parse straight from UTF-8 bytes — skips a UTF8String→String decode
+    val obj = mapper.readTree(payloadU.getBytes).asInstanceOf[ObjectNode]
 
     // 1. resolve + format lastModified, remove it, wrap the rest, re-append.
     val lmRaw = {
@@ -220,7 +221,7 @@ object JsonRecordOps {
         (elementAsString(obj.get("_id")), elementAsString(idElement))
       } else {
         // reference: app/utils/IdUtility.kt:6-17 — reverse-engineer from row key.
-        val keyObj = mapper.readTree(rowKeyIdU.toString)
+        val keyObj = mapper.readTree(rowKeyIdU.getBytes)
         if (keyObj.isObject && keyObj.size() == 1 && keyObj.has("id")) {
           val raw = keyObj.get("id").asText()
           (sortJsonKeys(s"""{"$$oid":"$raw"}"""), raw)
@@ -231,7 +232,7 @@ object JsonRecordOps {
       }
 
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      UTF8String.fromString(mapper.writeValueAsString(obj)),
+      UTF8String.fromBytes(mapper.writeValueAsBytes(obj)),
       UTF8String.fromString(manifestId),
       UTF8String.fromString(originalId)))
   }
