@@ -9,7 +9,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * takes directories/globs transparently).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Source-format resolution: parquet preferred, JSON-lines / CSV accepted
+    * (`<dir>/<name>.{parquet,json,csv}`). Local-filesystem probe — a
+    * production deployment would state the format explicitly; the point is
+    * that every graft operator is source-format agnostic (the returned
+    * frame is identical, so the whole pipeline + oracles carry over).
+    */
+  private def t(name: String): DataFrame = {
+    val base = s"$dir/$name"
+    if (new java.io.File(s"$base.parquet").exists) spark.read.parquet(s"$base.parquet")
+    else if (new java.io.File(s"$base.json").exists)
+      spark.read.schema(Tables.knownSchema(name).orNull).json(s"$base.json")
+    else if (new java.io.File(s"$base.csv").exists)
+      spark.read.option("header", "true").schema(Tables.knownSchema(name).orNull).csv(s"$base.csv")
+    else spark.read.parquet(s"$base.parquet") // fail with the parquet error
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -35,4 +49,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.types._
+
+  /** Explicit schemas for schemaless formats (JSON/CSV) — events carries
+    * raw nanosecond longs, matching the parquet read under nanosAsLong. */
+  def knownSchema(name: String): Option[StructType] = name match {
+    case "events" => Some(StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+    case "documents" => Some(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    case _ => None
+  }
 }
