@@ -1,0 +1,23 @@
+package graft
+
+/** Global plan lint: no query may plan a CartesianProduct, and
+  * BroadcastNestedLoopJoin is allowed only where a broadcast cross join is
+  * the intended shape (brute-force kNN scans, the sink's 1-row summary).
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "jsonl_snapshot")
+
+  test("no accidental cartesians / nested-loop joins across all queries") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (name != "jsonl_snapshot" && name != "stream_export") { // sinks/streams execute on build
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+        if (!intendedCrossJoins.contains(name)) {
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans an unintended nested-loop join:\n$plan")
+        }
+      }
+    }
+  }
+}
