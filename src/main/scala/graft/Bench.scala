@@ -18,7 +18,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // same toRdd shape as the timed run — warms the FULL plan's codegen
+        try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
