@@ -56,12 +56,19 @@ object KvModel {
     * production multi-split table this is a no-op (no extra shuffle).
     */
   private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch parallelism is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def kv(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).events
+  def kv(spark: SparkSession, dir: String): DataFrame =
+    kvFromEvents(Tables(spark, dir).events)
+
+  /** Same construction over ANY events-shaped frame (batch or streaming —
+    * every derivation is a per-row projection, so the pipeline runs
+    * unchanged under Structured Streaming). Requires event_id, user_id,
+    * event_type, ts_ms columns. */
+  def kvFromEvents(e: DataFrame): DataFrame = {
     val eid = col("event_id")
     val uid = col("user_id")
     val etype = col("event_type")

@@ -27,8 +27,14 @@ object ExportQueries {
   }
 
   /** Pipeline through decrypt + validate + sanitise + wrap → final records. */
-  private def records(spark: SparkSession, dir: String): DataFrame = {
-    parsed(spark, dir)
+  private def records(spark: SparkSession, dir: String): DataFrame =
+    recordsFromKv(KvModel.withEnvelope(KvModel.kv(spark, dir)))
+
+  /** The full record pipeline over ANY envelope-bearing kv frame — batch or
+    * streaming (all stages are per-row projections; see
+    * graft.streaming.StreamExport.continuousExport for the stream form). */
+  def recordsFromKv(kvWithEnvelope: DataFrame): DataFrame = {
+    extractEnvelope(kvWithEnvelope, col("envelope"), col("topic"))
       .filter(mandatoryOk)
       .withColumn("payload_dec", decrypted)
       .withColumn("payload2", when(isBusinessAudit, auditPromote(col("payload_dec"), col("x_lm"))).otherwise(col("payload_dec")))

@@ -60,6 +60,30 @@ object StreamExport {
     spark.table(name).orderBy(col("topic"), col("window_start_ms"))
   }
 
+  /** Continuous export: the FULL record+manifest pipeline on a stream,
+    * flushed per micro-batch through the JSONL snapshot sink via
+    * foreachBatch — the streaming twin of the batch `jsonl_snapshot`
+    * operator (every stage is a projection, so the exact batch code runs
+    * per epoch; epochs land under `<root>/epoch=<id>/`).
+    */
+  def continuousExport(spark: SparkSession, dir: String, root: String): Long = {
+    val raw = spark.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val kv = graft.kv.KvModel.withEnvelope(graft.kv.KvModel.kvFromEvents(raw))
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = kv.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val records = graft.queries.ExportQueries.recordsFromKv(batch)
+        val summary = graft.sources.JsonlSnapshotSink.write(records, s"$root/epoch=$epochId")
+        written.addAndGet(summary.head.getLong(0))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    written.get()
+  }
+
   val streamExportSql: String =
     """WITH e AS (
       |  SELECT event_id AS eid, user_id AS uid, event_type AS etype, epoch_ms(ts) AS ms

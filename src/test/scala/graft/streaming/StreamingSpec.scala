@@ -44,6 +44,17 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(s => s.user_id == 1 && s.start_ms == 5000))
   }
 
+  test("continuous export: full record+manifest pipeline per micro-batch via foreachBatch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_export").toString
+    val n = StreamExport.continuousExport(spark, sf, root)
+    assert(n == 989L) // same valid-record count as the batch pipeline
+    // epoch directory holds JSONL data + manifests
+    val epochs = new java.io.File(root).listFiles().filter(_.getName.startsWith("epoch="))
+    assert(epochs.nonEmpty)
+    val readBack = spark.read.text(s"$root/epoch=*/data").count()
+    assert(readBack == 989L)
+  }
+
   test("watermarked streaming dedup drops in-horizon duplicates") {
     import spark.implicits._
     import graft.streaming.StreamDedup.Doc
