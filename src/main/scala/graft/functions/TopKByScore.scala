@@ -34,9 +34,15 @@ case class TopKByScore(
   override def dataType: DataType = ArrayType(TopKByScore.entryType, containsNull = false)
   override def prettyName: String = "top_k_by_score"
 
-  // heap head = current WEAKEST entry (lowest score, then largest id)
-  private def heapOrdering: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (s, -i) }
+  // heap head = current WEAKEST entry (lowest score, then largest id).
+  // Explicit comparator — an Ordering.by(-id) negation would overflow at
+  // Long.MinValue.
+  private def heapOrdering: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(x._1, y._1)
+      if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+    }
+  }
 
   override def createAggregationBuffer(): PriorityQueue[(Double, Long)] =
     new PriorityQueue[(Double, Long)](k + 1, heapOrdering)
