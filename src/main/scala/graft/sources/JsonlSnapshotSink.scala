@@ -43,10 +43,13 @@ object JsonlSnapshotSink {
       .text(s"$root/manifests")
 
     // read-back of the DATA side proves the round trip; manifests counted
-    // from the cache (same frame that was written).
-    val written = spark.read.text(s"$root/data")
-    written.agg(count(lit(1)).as("n_records")).crossJoin(
-      cached.agg(count(lit(1)).as("n_manifest_lines")))
+    // from the cache (same frame that was written). Computed EAGERLY so the
+    // cache can be released before returning.
+    val nRecords = spark.read.text(s"$root/data").count()
+    val nManifests = cached.count()
+    cached.unpersist()
+    import spark.implicits._
+    Seq((nRecords, nManifests)).toDF("n_records", "n_manifest_lines")
   }
 
   /** Verify-runnable form: writes the sf's export records to a temp dir. */
