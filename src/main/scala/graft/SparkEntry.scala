@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_simhash" -> (HashDedup.dedupSimhash _),
     // Multimodal (№32)
     "multimodal_ingest" -> (MultimodalQueries.multimodalIngest _),
+    "multimodal_transform" -> (MultimodalQueries.multimodalTransform _),
     // Sinks / streaming (№18, №36)
     "jsonl_snapshot" -> (graft.sources.JsonlSnapshotSink.snapshotQuery _),
     "stream_export" -> (graft.streaming.StreamExport.streamExport _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "dedup_minhash" -> HashDedup.dedupMinhashSql,
     "dedup_simhash" -> HashDedup.dedupSimhashSql,
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,
+    "multimodal_transform" -> MultimodalQueries.multimodalTransformSql,
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,
     // jsonl_snapshot: sink — rows-only check (write path verified by spec)
     "token_count" -> TextQueries.tokenCountSql,

@@ -47,6 +47,67 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  final case class MediaTransformed(doc_id: Long, fmt: String, out_width: Int, out_height: Int,
+                                    n_frames: Int, sampled_checksum: Long)
+
+  /** Resize + frame-sample stage (SURVEY §2 №32's transform side): the
+    * codec work is STUBBED deterministically (halved dimensions; "frames" =
+    * 4-byte windows, sampling every second frame), but the Spark plumbing
+    * is the real thing — a second mapPartitions stage over the binary
+    * column with its own decoder lifecycle, exactly where a real
+    * resize/ffmpeg call sits.
+    */
+  private def transformStub(r: MediaRow): MediaTransformed = {
+    val frames = r.blob.length / 4
+    var sum = 0L
+    var f = 0
+    while (f < frames) {
+      if (f % 2 == 0) { // sample every second frame
+        var j = 0
+        while (j < 4) { sum += (r.blob(f * 4 + j) & 0xff); j += 1 }
+      }
+      f += 1
+    }
+    MediaTransformed(r.doc_id, r.fmt, math.max(1, r.width / 2), math.max(1, r.height / 2), frames, sum)
+  }
+
+  def multimodalTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaFrame(spark, dir).mapPartitions { rows =>
+      // per-partition decoder/scaler lifecycle
+      rows.map(transformStub)
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private def mediaFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("2"))))).as("blob"),
+      element_at(array(lit("png"), lit("jpg"), lit("wav")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+      (lit(8) + col("doc_id") % 32).cast("int").as("width"),
+      (lit(8) + col("doc_id") % 24).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Sampled frames = byte offsets 0-3, 8-11, 16-19, 24-27 of the 32-byte
+    * blob → hex chars 1-8, 17-24, 33-40, 49-56 (1-indexed pairs). */
+  val multimodalTransformSql: String = {
+    val hex = "md5(text) || md5(text || '2')"
+    s"""WITH m AS (SELECT doc_id, $hex AS h FROM documents)
+       |SELECT doc_id,
+       |  ['png','jpg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       |  CAST(greatest(1, (8 + doc_id % 32) // 2) AS INT) AS out_width,
+       |  CAST(greatest(1, (8 + doc_id % 24) // 2) AS INT) AS out_height,
+       |  8 AS n_frames,
+       |  CAST(list_sum(list_transform(
+       |    [0,1,2,3,8,9,10,11,16,17,18,19,24,25,26,27], j ->
+       |    (strpos('0123456789abcdef', substr(h, 2*j + 1, 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(h, 2*j + 2, 1)) - 1)) AS BIGINT) AS sampled_checksum
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle recomputes features from the md5 hex strings (no blob type
     * gymnastics needed: nibble arithmetic over the 64 hex chars). */
   val multimodalIngestSql: String = {
