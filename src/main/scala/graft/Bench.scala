@@ -26,9 +26,11 @@ object Bench {
       val t0 = System.nanoTime()
       // toRdd.count() materializes EVERY output column (count() alone lets
       // Catalyst prune the projection — the string-building tail of the
-      // pipeline queries would go unmeasured).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // pipeline queries would go unmeasured). A crashed query reports -1,
+      // not its time-to-crash.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -95,24 +95,44 @@ object JsonRecordOps {
   private val incomingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+\d{4}""")
   private val incomingAnySignRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}""")
   private val outgoingRe = Pattern.compile("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z""")
-  private val incomingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxx")
-  private val outgoingFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  // LENIENT SimpleDateFormat like the reference (calendar-invalid but
+  // shape-valid values, e.g. Jan 32, ROLL OVER instead of erroring —
+  // app/utils/DateWrapper.kt uses lenient SDF). UTC-pinned; ThreadLocal
+  // because SDF is not thread-safe.
+  private def sdf(pattern: String): ThreadLocal[java.text.SimpleDateFormat] =
+    ThreadLocal.withInitial { () =>
+      val f = new java.text.SimpleDateFormat(pattern)
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f
+    }
+  private val incomingSdf = sdf("yyyy-MM-dd'T'HH:mm:ss.SSSZ")
+  private val outgoingSdf = sdf("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  private def parseWith(tl: ThreadLocal[java.text.SimpleDateFormat], s: String): java.util.Date =
+    try tl.get().parse(s) catch { case _: java.text.ParseException => null }
 
   /** Reformat a date-shaped string to the outgoing UTC 'Z' form; null if not date-shaped. */
   private def reformatted(s: String): String =
-    if (incomingRe.matcher(s).matches())
-      outgoingFmt.format(OffsetDateTime.parse(s, incomingFmt).withOffsetSameInstant(ZoneOffset.UTC))
-    else if (outgoingRe.matcher(s).matches()) s
-    else null
+    if (incomingRe.matcher(s).matches()) {
+      val d = parseWith(incomingSdf, s)
+      if (d == null) null else outgoingSdf.get().format(d)
+    } else if (outgoingRe.matcher(s).matches()) {
+      val d = parseWith(outgoingSdf, s)
+      if (d == null) s else outgoingSdf.get().format(d)
+    } else null
 
   /** lastModified-chain parse: like [[reformatted]] but accepts BOTH offset
     * signs (reference: Validator.getValidParsedDateTime via
     * SimpleDateFormat ZZZZ, app/batch/Validator.kt:186-197). */
   private def lmReformatted(s: String): String =
-    if (incomingAnySignRe.matcher(s).matches())
-      outgoingFmt.format(OffsetDateTime.parse(s, incomingFmt).withOffsetSameInstant(ZoneOffset.UTC))
-    else if (outgoingRe.matcher(s).matches()) s
-    else null
+    if (incomingAnySignRe.matcher(s).matches()) {
+      val d = parseWith(incomingSdf, s)
+      if (d == null) null else outgoingSdf.get().format(d)
+    } else if (outgoingRe.matcher(s).matches()) {
+      val d = parseWith(outgoingSdf, s)
+      if (d == null) s else outgoingSdf.get().format(d)
+    } else null
 
   private def dateObject(formatted: String): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -181,8 +201,17 @@ object JsonRecordOps {
   private def elementAsString(n: JsonNode): String =
     if (n.isObject) sortJsonKeys(mapper.writeValueAsString(n)) else n.asText()
 
-  /** The full validator stage. Returns struct(record, manifest_id, original_id). */
-  def validate(payloadU: UTF8String, rowKeyIdU: UTF8String): InternalRow = {
+  /** The full validator stage. Returns struct(record, manifest_id, original_id);
+    * null = record REJECTED. Any malformed input (non-JSON payload, JSON
+    * scalar/array, broken row key) rejects THE RECORD rather than failing
+    * the task — the reference wraps this whole stage in a catch and skips
+    * (app/batch/Validator.kt:33-76 BadDecryptedDataException + the job's
+    * skip policy); a single dirty record must never abort a 100TB export. */
+  def validate(payloadU: UTF8String, rowKeyIdU: UTF8String): InternalRow =
+    try validateOrThrow(payloadU, rowKeyIdU)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def validateOrThrow(payloadU: UTF8String, rowKeyIdU: UTF8String): InternalRow = {
     // parse straight from UTF-8 bytes — skips a UTF8String→String decode
     val obj = mapper.readTree(payloadU.getBytes).asInstanceOf[ObjectNode]
 

@@ -67,7 +67,10 @@ object ExportOps {
     val auditType = get_json_object(payload, "$.auditType")
     concat(
       regexp_replace(ctx, "\\}$", ""),
-      lit(",\"AUDIT_EVENT\":\""), auditType,
+      // empty context {} needs no separating comma (reference addProperty
+      // on an empty Gson object produces {"AUDIT_EVENT":...})
+      when(length(ctx) > 2, lit(",")).otherwise(lit("")),
+      lit("\"AUDIT_EVENT\":\""), auditType,
       lit("\",\"TIME_STAMP\":\""), lm,
       lit("\",\"TIME_STAMP_ORIG\":\""), lm, lit("\"}"))
   }

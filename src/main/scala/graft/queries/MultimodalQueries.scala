@@ -32,15 +32,7 @@ object MultimodalQueries {
 
   def multimodalIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents.select(
-      col("doc_id"),
-      // synthetic 32-byte media payload: md5(text) ++ md5(text||'2')
-      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("2"))))).as("blob"),
-      element_at(array(lit("png"), lit("jpg"), lit("wav")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
-      (lit(8) + col("doc_id") % 32).cast("int").as("width"),
-      (lit(8) + col("doc_id") % 24).cast("int").as("height"))
-      .as[MediaRow]
-    media.mapPartitions { rows =>
+    mediaFrame(spark, dir).mapPartitions { rows =>
       // per-partition decoder lifecycle: init heavyweight codec state here
       rows.map(decodeStub)
     }.toDF()

@@ -138,7 +138,7 @@ object TextQueries {
     import spark.implicits._
     Tables(spark, dir).documents
       .withColumn("ws", words($"text"))
-      .withColumn("sh", expr("transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+      .withColumn("sh", expr("CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])) ELSE array() END"))
       .select($"doc_id",
         array_min(transform($"sh", s => md5(s))).as("fingerprint"),
         size(array_distinct($"sh")).as("n_shingles"))

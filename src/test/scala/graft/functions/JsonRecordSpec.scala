@@ -104,6 +104,22 @@ class JsonRecordSpec extends SparkSpec {
     assert(o3 == "123455" && m3 == """{"$oid":"123455"}""")
   }
 
+  test("malformed payloads REJECT the record (null), never throw") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def raw(p: String, k: String = """{"id":"7"}""") =
+      JsonRecordOps.validate(UTF8String.fromString(p), UTF8String.fromString(k))
+    assert(raw("not json at all") == null)
+    assert(raw("""["array","payload"]""") == null)
+    assert(raw(""""scalar"""") == null)
+    assert(raw("""{"a":"1"}""", "") == null)          // broken row key
+    assert(raw("""{"a":"1"}""", "not-json") == null)  // broken row key
+  }
+
+  test("calendar-invalid shape-valid dates roll over leniently (reference SimpleDateFormat)") {
+    val (rec, _, _) = run("""{"d":"2024-01-32T10:00:00.000+0000"}""")
+    assert(rec.contains(""""d":{"$date":"2024-02-01T10:00:00.000Z"}"""))
+  }
+
   test("lastModified always lands at the END of the object") {
     val (rec, _, _) = run("""{"_lastModifiedDateTime":"2020-03-03T03:03:03.333+0000","z":"1","a":"2"}""")
     assert(rec == """{"z":"1","a":"2","_lastModifiedDateTime":{"$date":"2020-03-03T03:03:03.333Z"}}""")
