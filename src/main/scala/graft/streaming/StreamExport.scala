@@ -21,30 +21,20 @@ object StreamExport {
 
   val WindowMs: Long = 600000L
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  val eventsSchema: StructType = graft.Tables.knownSchema("events").get
 
   /** The streaming query: windowed per-topic record counts after full
     * envelope-extract validation. */
   def streamExport(spark: SparkSession, dir: String): DataFrame = {
-    // file-stream source wants a directory or glob, not a bare file path
+    // file-stream source wants a directory or glob, not a bare file path.
+    // Topic/validity derivations come from KvModel.kvFromEvents — ONE
+    // definition shared by batch and streaming (column pruning drops the
+    // unused kv columns from this plan).
     val raw = spark.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
-    val ts = col("ts")
-    val eid = col("event_id"); val uid = col("user_id"); val etype = col("event_type")
-    val db = when(etype === "error" || etype === "signup", lit("data"))
-      .when(etype === "purchase", lit("penalties-and-deductions"))
-      .otherwise(concat(lit("database"), (uid % 3).cast("string")))
-    val coll = when(etype === "error", lit("businessAudit"))
-      .when(etype === "signup", lit("equality"))
-      .when(etype === "purchase", lit("sanction"))
-      .otherwise(concat(lit("collection"), (eid % 4).cast("string")))
-    val stream = raw
       .withColumn("ts_ms", expr("ts DIV 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
-      .withColumn("topic", concat(db, lit("."), coll))
-      .filter(eid % 97 =!= 0) // mandatory-valid rows (same rule as KvModel)
+    val stream = KvModel.kvFromEvents(raw)
+      .filter(col("valid"))
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
       .withWatermark("ts_utc", "30 minutes")
       .groupBy(col("topic"), window(col("ts_utc"), "10 minutes"))
       .agg(count(lit(1)).as("n"))
