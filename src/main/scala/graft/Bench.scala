@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ≥3 iterations: single-run numbers carry ±2-3× JIT/GC transients (a
+    // 1.9s query has benched at 12.6s on its first timed run) — the median
+    // is the honest figure; min/max expose the spread.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,22 +24,40 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         // same toRdd shape as the timed run — warms the FULL plan's codegen
         try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
+        CacheRegistry.releaseAll()
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes EVERY output column (count() alone lets
-      // Catalyst prune the projection — the string-building tail of the
-      // pipeline queries would go unmeasured). A crashed query reports -1,
-      // not its time-to-crash.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val stats = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes EVERY output column (count() alone lets
+        // Catalyst prune the projection — the string-building tail of the
+        // pipeline queries would go unmeasured). A crashed iteration is
+        // dropped, not timed.
+        val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        CacheRegistry.releaseAll() // caches must not carry across iterations
+        t
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val failed = stats.filter(_._2.isEmpty).keys.toSeq.sorted
+    // headline per-query number = median; total = sum of medians over the
+    // queries that SUCCEEDED (a -1 sentinel must never deflate the total).
+    val qs = stats.map { case (k, v) => s"\"" + k + "\":" + (if (v.isEmpty) "-1.0" else f(median(v))) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = stats.map { case (k, v) =>
+      val body = if (v.isEmpty) "\"failed\":true"
+        else s"""\"median\":${f(median(v))},\"min\":${f(v.head)},\"max\":${f(v.last)},\"n\":${v.size}"""
+      s"\"" + k + "\":{" + body + "}"
+    }.mkString("{", ",", "}")
+    val total = stats.values.filter(_.nonEmpty).map(median).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,7 +80,21 @@ object EnvelopeExtract {
     if (v == null || v.isNull) "" else if (v.isValueNode) v.asText() else ""
   }
 
-  def extract(env: UTF8String, topicU: UTF8String): InternalRow = {
+  /** A row with ok=false and empty fields — what a dirty envelope extracts
+    * to. Mirrors the reference's skip policy (the job skips
+    * MissingFieldException records rather than aborting): a single
+    * unparseable envelope must never abort a 100 TB export. */
+  private def rejectRow: InternalRow = {
+    val e = UTF8String.EMPTY_UTF8
+    new GenericInternalRow(Array[Any](e, e, e, e, e, e, e, e, e, e,
+      java.lang.Boolean.FALSE))
+  }
+
+  def extract(env: UTF8String, topicU: UTF8String): InternalRow =
+    try extractOrThrow(env, topicU)
+    catch { case scala.util.control.NonFatal(_) => rejectRow }
+
+  private def extractOrThrow(env: UTF8String, topicU: UTF8String): InternalRow = {
     // parse straight from UTF-8 bytes — skips a UTF8String→String decode
     val root = mapper.readTree(env.getBytes)
     val msg = root.get("message")

@@ -10,8 +10,6 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import java.time.format.DateTimeFormatter
-import java.time.{OffsetDateTime, ZoneOffset}
 import java.util.regex.Pattern
 import scala.jdk.CollectionConverters._
 
@@ -237,8 +235,12 @@ object JsonRecordOps {
     // 2. drop archived when removed also present.
     if (obj.has(Archived) && obj.has(Removed)) obj.remove(Archived)
 
-    // 3. id normalization + manifest ids.
+    // 3. id normalization + manifest ids. An explicit "_id": null REJECTS
+    // the record (reference: JsonNull.asString throws
+    // UnsupportedOperationException → BadDecryptedDataException → skipped);
+    // NullNode would otherwise pass isValueNode and export {"$oid":"null"}.
     val idElement = obj.get("_id")
+    if (idElement != null && idElement.isNull) return null
     val (manifestId, originalId) =
       if (idElement != null) {
         if (idElement.isValueNode) {

@@ -49,9 +49,11 @@ object ExportOps {
   /** DKS-stubbed decrypt: data key = base64(eek) decode, AES/CTR payload.
     * (reference: DecryptionProcessor + AESCipherService; the DKS round-trip
     * is environment plumbing — SURVEY §6 — modeled as deterministic key
-    * material.) */
+    * material.) Lenient: dirty key material (bad base64, wrong key length)
+    * NULLs the payload and the record is rejected by the validate filter —
+    * mirrors the reference's DecryptionFailureException skip policy. */
   val decrypted: Column =
-    decode(AesCtrCrypt.aesCtr(unbase64(col("x_ct")), unbase64(col("x_eek")), unbase64(col("x_iv"))), "UTF-8")
+    decode(AesCtrCrypt.aesCtrLenient(unbase64(col("x_ct")), unbase64(col("x_eek")), unbase64(col("x_iv"))), "UTF-8")
 
   /** Business-audit context promotion
     * (reference: app/batch/DecryptionProcessor.kt:60-74): pull `context` up,

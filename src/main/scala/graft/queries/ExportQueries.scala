@@ -3,7 +3,7 @@ package graft.queries
 import graft.kv.{KvModel, KvSql}
 import graft.operators.ExportOps
 import graft.operators.ExportOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,15 +20,24 @@ object ExportQueries {
   val T1 = 1704672000000L // 2024-01-08
   val T2 = 1705881600000L // 2024-01-22
 
-  /** kv + envelope, parsed + resolved — the common pipeline prefix. */
-  private def parsed(spark: SparkSession, dir: String): DataFrame = {
-    val base = KvModel.withEnvelope(KvModel.kv(spark, dir))
+  /** kv + envelope, parsed + resolved — the common pipeline prefix.
+    * `kvPred` filters on the CHEAP kv columns (etype, topic, ts_ns, …)
+    * BEFORE the envelope is built: the parse/decrypt expressions are
+    * placement-pinned (deterministic=false), so Catalyst cannot push a
+    * later filter through them — a subset query without this decrypts the
+    * whole corpus to emit 20%. At 100 TB this is the difference between
+    * scanning a topic and decrypting the table. */
+  private def parsed(spark: SparkSession, dir: String,
+                     kvPred: Column = lit(true)): DataFrame = {
+    val base = KvModel.withEnvelope(KvModel.kv(spark, dir).filter(kvPred))
     extractEnvelope(base, col("envelope"), col("topic"))
   }
 
-  /** Pipeline through decrypt + validate + sanitise + wrap → final records. */
-  private def records(spark: SparkSession, dir: String): DataFrame =
-    recordsFromKv(KvModel.withEnvelope(KvModel.kv(spark, dir)))
+  /** Pipeline through decrypt + validate + sanitise + wrap → final records.
+    * Same `kvPred` contract as [[parsed]]. */
+  private def records(spark: SparkSession, dir: String,
+                      kvPred: Column = lit(true)): DataFrame =
+    recordsFromKv(KvModel.withEnvelope(KvModel.kv(spark, dir).filter(kvPred)))
 
   /** The full record pipeline over ANY envelope-bearing kv frame — batch or
     * streaming (all stages are per-row projections; see
@@ -194,7 +203,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №10 business_audit
   def businessAudit(spark: SparkSession, dir: String): DataFrame =
-    parsed(spark, dir)
+    parsed(spark, dir, col("etype") === "error") // kv-level topic pre-filter
       .filter(mandatoryOk && isBusinessAudit)
       .withColumn("payload_dec", decrypted)
       .select(col("eid"), auditPromote(col("payload_dec"), col("x_lm")).as("audit_json"))
@@ -220,8 +229,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №12 date_wrap
   def dateWrap(spark: SparkSession, dir: String): DataFrame =
-    records(spark, dir)
-      .filter(col("etype").isin("click", "view"))
+    records(spark, dir, col("etype").isin("click", "view"))
       .select(col("eid"), col("v.record").as("record"))
       .orderBy(col("eid"))
 
@@ -232,8 +240,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №13 sanitise
   def sanitiseQ(spark: SparkSession, dir: String): DataFrame =
-    records(spark, dir)
-      .filter(col("etype") === "purchase")
+    records(spark, dir, col("etype") === "purchase")
       .select(col("eid"), col("record"))
       .orderBy(col("eid"))
 
@@ -244,8 +251,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №14 equality_wrap
   def equalityWrapQ(spark: SparkSession, dir: String): DataFrame =
-    records(spark, dir)
-      .filter(col("etype") === "signup")
+    records(spark, dir, col("etype") === "signup")
       .select(col("eid"), col("record"))
       .orderBy(col("eid"))
 
@@ -266,40 +272,42 @@ object ExportQueries {
        |FROM kv WHERE valid ORDER BY eid""".stripMargin
 
   // -------------------------------------------------------------- №16 chunk_batch
-  /** Byte-bounded chunk ids per keyspace partition: window cumsum WITHIN the
-    * partition only — never a global sort (SURVEY §4; the reference chunks
-    * per scan partition too). Chunk id = floor(exclusive-prefix-bytes / max).
+  /** Byte-bounded chunk ids per (keyspace partition, topic): window cumsum
+    * WITHIN the partition only — never a global sort (SURVEY §4). The
+    * reference numbers batches per (topic, scan-partition) writer (one job
+    * = one topic), so the byte-bound and batch index never span topics.
+    * Chunk id = floor(exclusive-prefix-bytes / max).
     */
   def chunkBatch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("plabel")).orderBy(col("key_hash"), col("eid"))
+    val w = Window.partitionBy(col("plabel"), col("topic")).orderBy(col("key_hash"), col("eid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     records(spark, dir)
       .withColumn("plabel", partitionLabel(col("key_byte")))
       .withColumn("bytes", length(col("record")) + 1)
       .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / KvModel.ChunkMaxBytes).cast("long"))
-      .groupBy(col("plabel"), col("batch"))
+      .groupBy(col("plabel"), col("topic"), col("batch"))
       .agg(count(lit(1)).as("n_records"), sum(col("bytes")).as("batch_bytes"))
-      .orderBy(col("plabel"), col("batch"))
+      .orderBy(col("plabel"), col("topic"), col("batch"))
   }
 
   val chunkBatchSql: String =
     s"""WITH ${KvSql.cte},
        |$recordsCte,
        |sized AS (
-       |  SELECT ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
        |    key_hash, eid, length(record) + 1 AS bytes
        |  FROM records),
        |batched AS (
-       |  SELECT plabel, bytes,
-       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel ORDER BY key_hash, eid
+       |  SELECT plabel, topic, bytes,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
        |  FROM sized)
-       |SELECT plabel, batch, count(*) AS n_records, CAST(sum(bytes) AS BIGINT) AS batch_bytes
-       |FROM batched GROUP BY plabel, batch ORDER BY plabel, batch""".stripMargin
+       |SELECT plabel, topic, batch, count(*) AS n_records, CAST(sum(bytes) AS BIGINT) AS batch_bytes
+       |FROM batched GROUP BY plabel, topic, batch ORDER BY plabel, topic, batch""".stripMargin
 
   // -------------------------------------------------------------- №17 snapshot_name
   def snapshotNameQ(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("plabel")).orderBy(col("key_hash"), col("eid"))
+    val w = Window.partitionBy(col("plabel"), col("topic")).orderBy(col("key_hash"), col("eid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     records(spark, dir)
       .withColumn("plabel", partitionLabel(col("key_byte")))
@@ -327,7 +335,7 @@ object ExportQueries {
        |  FROM records),
        |batched AS (
        |  SELECT topic, pstart, pstop, bytes,
-       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel ORDER BY key_hash, eid
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
        |  FROM sized)
        |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key,

@@ -212,7 +212,7 @@ object TextQueries {
     // shingling chain into every consumer and the regex/sort/distinct work
     // runs ~10x per row. At cluster scale this is the classic
     // "cache the normalized corpus before a multi-consumer DAG" pattern.
-    val c = dupCorpus(spark, dir)
+    val c = graft.CacheRegistry.track(dupCorpus(spark, dir)
       .withColumn("ws", words($"text"))
       // guard size(ws)>=5: Spark's sequence(0, n) with n<0 DESCENDS — short
       // docs must yield an empty shingle set (as DuckDB's range() does).
@@ -221,7 +221,7 @@ object TextQueries {
       // prefix length for τ=3/5: n − ⌈3n/5⌉ + 1  (= ⌊2n/5⌋+1)
       .withColumn("pfx", expr("slice(sh, 1, greatest(n_sh - CAST((3*n_sh + 4) DIV 5 AS INT) + 1, 0))"))
       .select($"doc_id", $"sh", $"n_sh", $"pfx")
-      .persist()
+      .persist())
     val prefixGrams = c.select($"doc_id", explode($"pfx").as("gram"))
     val candidates = prefixGrams.as("a").join(prefixGrams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -265,7 +265,8 @@ object HashDedup {
   val Bands = 4      // LSH bands of R = K/Bands rows
   val R: Int = NumHashes / Bands
   val HammingMax = 3 // simhash near-dup threshold
-  val SimBits = 60   // 15 hex chars → 60-bit fingerprints (sign-safe in BIGINT)
+  val SimBits = 96   // 2×48-bit halves → 4×24-bit LSH bands (see SimHash96)
+  val BandBits = 24  // band-key width: candidate pairs grow O(n²/2^BandBits)
 
   // ---------------------------------------------------------------- №22 dedup_minhash
   /** Word-3-shingles → K salted-md5 minhashes (single aggregation pass: K
@@ -320,54 +321,68 @@ object HashDedup {
   }
 
   // ---------------------------------------------------------------- №23 dedup_simhash
-  /** 60-bit SimHash: per distinct token, h = first 15 md5 hex chars as a
-    * long; bit b of the fingerprint is the sign of Σ count·(±1) over
-    * tokens. Spark finds close pairs via 4×15-bit band LSH (hamming ≤ 3 ⇒
-    * at least one band equal — pigeonhole), then verifies bit_count(xor).
-    * The oracle does the O(n²) scan — an independent formulation.
+  /** 96-bit SimHash (struct of two 48-bit longs — see [[graft.functions.SimHash96]]
+    * for why 96): per distinct token, h = first 24 md5 hex chars; bit b of
+    * the fingerprint is the sign of Σ count·(±1) over tokens. Spark finds
+    * close pairs via 4×24-bit band LSH (hamming ≤ 3 ⇒ at least one band
+    * equal — pigeonhole), then verifies summed bit_count(xor) over both
+    * halves. 24-bit band keys bound candidate growth at O(n²/2²⁴) — the
+    * 100 TB-safe band width (the previous 15-bit bands hit a quadratic
+    * cliff ~512× earlier). The oracle does the O(n²) scan over a 96-way
+    * bit-join fingerprint — an independent formulation.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // Fingerprint = ONE narrow projection via the native SimHash60
-    // expression (vs. the oracle's explode + 60-way bit join — an
+    // Fingerprint = ONE narrow projection via the native SimHash96
+    // expression (vs. the oracle's explode + 96-way bit join — an
     // independent relational formulation of the same function).
-    val fp = dupCorpus(spark, dir)
-      .select(col("doc_id"), graft.functions.SimHash60.simhash60(words(col("text"))).as("fp"))
-      .persist()
+    val fp = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .select(col("doc_id"), graft.functions.SimHash96.simhash96(words(col("text"))).as("f"))
+      .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"))
+      .persist())
+    val mask = (1L << BandBits) - 1
     val bands = (0 until 4).map { i =>
-      fp.select(col("doc_id"), lit(i).as("band"), expr(s"(fp >> ${15 * i}) & 32767").as("band_key"))
+      val key = if (i < 2) expr(s"(lo >> ${BandBits * i}) & $mask")
+                else expr(s"(hi >> ${BandBits * (i - 2)}) & $mask")
+      fp.select(col("doc_id"), lit(i).as("band"), key.as("band_key"))
     }.reduce(_ unionAll _)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    cand.join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+    cand.join(fp.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupSimhashSql: String = {
-    // 15-hex-char parse → BIGINT via per-nibble shifts
-    val hexParse = "CAST(list_sum(list_transform(range(1, 16), i -> " +
-      "CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT) << (4 * (15 - i)))) AS BIGINT)"
+    // 48-bit halves of the first 24 hex chars of md5(tok), per-nibble shifts
+    def hexParse(from: Int): String =
+      s"CAST(list_sum(list_transform(range($from, ${from + 12}), i -> " +
+        s"CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT) << (4 * (${from + 11} - i)))) AS BIGINT)"
     s"""WITH $dupCorpusSql,
        |toks AS (
        |  SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM corpus),
        |tc AS (
-       |  SELECT doc_id, tok, count(*) AS cnt, $hexParse AS h
+       |  SELECT doc_id, tok, count(*) AS cnt, ${hexParse(1)} AS h_hi, ${hexParse(13)} AS h_lo
        |  FROM toks GROUP BY doc_id, tok),
        |bits AS (
-       |  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN (CASE WHEN b.b < 48 THEN (h_lo >> b.b) & 1 ELSE (h_hi >> (b.b - 48)) & 1 END) = 1
+       |      THEN cnt ELSE -cnt END) AS s
        |  FROM tc, (SELECT unnest(range(0, $SimBits)) AS b) b
        |  GROUP BY doc_id, b.b),
        |fp AS (
-       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS fp
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 AND b >= 48 THEN CAST(1 AS BIGINT) << (b - 48) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN s > 0 AND b < 48 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS lo
        |  FROM bits GROUP BY doc_id)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.fp, b.fp)) AS hamming
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingMax
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

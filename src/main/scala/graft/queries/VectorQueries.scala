@@ -24,9 +24,26 @@ object VectorQueries {
   val NQueries = 10  // query vectors: vec_id < 10
   val Probe = 2      // IVF cells probed
 
+  /** IVF centroid count — FIXED, independent of corpus size. Centroids are
+    * a deterministic hash-ordered sample of the corpus (md5 of the id — an
+    * unbiased order), so at any scale the centroid broadcast is C vectors
+    * and cell assignment is O(n·C), never O(n·n/k). Production tuning:
+    * C ≈ √n (k-means on a sample); 64 is proof-sized for the sf corpora. */
+  val Centroids = 64
+
+  /** LSH sign-bucket width (bits → 2^bits buckets) for embedding dedup.
+    * Within-bucket candidate verification is all-pairs, O(n²/2^bits): 8 bits
+    * is proof-sized for the sf corpora (and required by the injected-dup
+    * recall contract below — copies perturb dim 60, buckets hash dims 1-8,
+    * so recall is exact). At 100 TB set ≥16-24 bits — recall then depends
+    * on near-dup pairs agreeing on every bucketed sign, which holds as
+    * τ→1 (a τ=0.99 pair flips a given sign bit only if that dim is within
+    * noise of 0); for lower τ route candidates through IVF cells instead. */
+  val BucketBits = 8
+
   // ---------------------------------------------------------------- №25 dedup_embedding
   /** Corpus with injected near-dups: every 20th vector re-inserted
-    * (id+1000000) with dim-61 perturbed by +0.01. Dims 1..8 are the LSH
+    * (id+1000000) with dim-60 perturbed by +0.01. Dims 1..8 are the LSH
     * sign-bucket bits, so injected copies always share their original's
     * bucket — the bucketed candidate join has full recall at τ=0.99 (no
     * natural pair comes near it; verified max natural cosine ≈ 0.51).
@@ -39,9 +56,9 @@ object VectorQueries {
         concat(slice(col("emb"), 1, 59),
           array(element_at(col("emb"), 60) + lit(0.01f)),
           slice(col("emb"), 61, 4)).as("emb"))
-    val corpus = v.unionAll(copies)
-      .withColumn("bucket", signBucket(col("emb"), 8))
-      .persist()
+    val corpus = graft.CacheRegistry.track(v.unionAll(copies)
+      .withColumn("bucket", signBucket(col("emb"), BucketBits))
+      .persist())
     corpus.as("a").join(corpus.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -97,17 +114,22 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- №27 knn_ivf
-  /** IVF: deterministic centroids (every 100th corpus vector), cells =
-    * nearest centroid per corpus vector, probe = top-P cells per query,
-    * search only probed cells. Scale path: the cell assignment is one
-    * broadcast-join pass; probing prunes the search to ~P/C of the corpus.
+  /** IVF: FIXED-C deterministic centroids (hash-ordered sample of the
+    * corpus — constant-size broadcast at any corpus size), cells = nearest
+    * centroid per corpus vector, probe = top-P cells per query, search only
+    * probed cells. Scale path: the cell assignment is one broadcast-join
+    * pass at O(n·C); probing prunes the search to ~P/C of the corpus. The
+    * sample itself is a TakeOrderedAndProject (per-partition top-C, no full
+    * sort shuffle).
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
     val queries = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
-    val centroids = corpus.filter(col("vec_id") % 100 === 0)
+    val centroids = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Centroids)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
 
     // cell assignment: nearest centroid via max_by AGGREGATION (map-side
@@ -142,7 +164,8 @@ object VectorQueries {
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
        |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
-       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c WHERE vec_id % 100 = 0),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
        |cells AS (
        |  SELECT vec_id, emb, c_id AS cell FROM (
        |    SELECT c.vec_id, c.emb, cent.c_id,

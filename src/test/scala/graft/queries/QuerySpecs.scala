@@ -102,14 +102,16 @@ class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
   test("chunk ids: batch bytes stay near the target, ids contiguous from 0") {
+    // batch ids number per (keyspace partition, topic) — the reference's
+    // one-writer-per-(topic, scan-partition) numbering
     val out = ExportQueries.chunkBatch(spark, sf)
-      .select("plabel", "batch", "batch_bytes").as[(String, Long, Long)].collect()
-    out.groupBy(_._1).foreach { case (_, batches) =>
-      val ids = batches.map(_._2).sorted
+      .select("plabel", "topic", "batch", "batch_bytes").as[(String, String, Long, Long)].collect()
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, batches) =>
+      val ids = batches.map(_._3).sorted
       assert(ids.head == 0 && ids.last == ids.length - 1) // contiguous
-      // all but the final batch of a partition hold ≥ the byte target
-      batches.sortBy(_._2).dropRight(1).foreach(b =>
-        assert(b._3 >= graft.kv.KvModel.ChunkMaxBytes - 2000))
+      // all but the final batch of a (partition, topic) hold ≥ the byte target
+      batches.sortBy(_._3).dropRight(1).foreach(b =>
+        assert(b._4 >= graft.kv.KvModel.ChunkMaxBytes - 2000))
     }
   }
 
