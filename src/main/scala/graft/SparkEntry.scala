@@ -93,7 +93,10 @@ object SparkEntry {
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,
     "multimodal_transform" -> MultimodalQueries.multimodalTransformSql,
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,
-    // jsonl_snapshot: sink — rows-only check (write path verified by spec)
+    // jsonl_snapshot: full sink round trip — the query WRITES the chunked
+    // AES-CTR-encrypted objects, then decrypts them back; the oracle
+    // reconstructs the expected (object_key, record) pairs relationally
+    "jsonl_snapshot" -> ExportQueries.jsonlSnapshotSql,
     "token_count" -> TextQueries.tokenCountSql,
     "lang_id" -> TextQueries.langIdSql,
     "quality_score" -> TextQueries.qualityScoreSql,

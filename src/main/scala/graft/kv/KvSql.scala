@@ -176,6 +176,16 @@ object KvSql {
       csvEsc("inner_type")
     ).mkString(" || '|' || ")
 
+  /** Unsigned-normalized partition bounds (mirrors ExportOps.partitionStart
+    * / partitionStop). */
+  def pstartSql(keyByte: String): String =
+    s"CASE WHEN $keyByte >= 128 THEN (($keyByte - 128) // $ScanWidth) * $ScanWidth + 128 " +
+      s"ELSE ($keyByte // $ScanWidth) * $ScanWidth END"
+
+  def pstopSql(keyByte: String): String =
+    s"CASE WHEN $keyByte >= 128 THEN least((($keyByte - 128) // $ScanWidth) * $ScanWidth + 128 + $ScanWidth, 256) " +
+      s"ELSE least(($keyByte // $ScanWidth) * $ScanWidth + $ScanWidth, 128) END"
+
   /** Keyspace partition label for a leading key byte — unsigned-normalized
     * ranges (see ExportOps.partitionStart scaladoc for the reference
     * mapping). Width must divide 128.

@@ -147,6 +147,32 @@ object ExportOps {
   def snapshotName(prefix: String, topic: Column, pstart: Column, pstop: Column, batch: Column): Column =
     format_string(s"$prefix/%s-%03d-%03d-%06d.txt.gz.enc", topic, pstart, pstop, batch)
 
+  /** Byte-bounded chunk/batch assignment — THE single definition shared by
+    * the chunk_batch / snapshot_name queries and the snapshot sink. Batch
+    * ids number per (keyspace partition, topic): a cumulative-byte window
+    * WITHIN the partition only (never a global sort — SURVEY §4), matching
+    * the reference's one-writer-per-(topic, scan-partition) numbering
+    * (S3StreamingWriter.kt:77-113: one job = one topic, chunking per scan
+    * partition). Chunk id = floor(exclusive-prefix-bytes / maxBytes): a
+    * batch can overshoot the byte target by <1 record — the documented
+    * distributed-equivalent contract (SURVEY §3a).
+    *
+    * Input needs (topic, record, key_byte, key_hash, eid); adds
+    * plabel/pstart/pstop/bytes/batch.
+    */
+  def withChunkIds(records: DataFrame, maxBytes: Long = KvModel.ChunkMaxBytes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("plabel"), col("topic"))
+      .orderBy(col("key_hash"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    records
+      .withColumn("plabel", partitionLabel(col("key_byte")))
+      .withColumn("pstart", partitionStart(col("key_byte")))
+      .withColumn("pstop", partitionStop(col("key_byte")))
+      .withColumn("bytes", length(col("record")) + 1)
+      .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / maxBytes).cast("long"))
+  }
+
   /** printableKey rendering (reference: HBaseResultProcessor.printableKey:
     * `\xNN` for each of the 4 hash bytes + raw remainder). */
   def printableKey(keyHash: Column, idJson: Column): Column =

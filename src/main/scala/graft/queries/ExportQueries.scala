@@ -278,17 +278,11 @@ object ExportQueries {
     * = one topic), so the byte-bound and batch index never span topics.
     * Chunk id = floor(exclusive-prefix-bytes / max).
     */
-  def chunkBatch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("plabel"), col("topic")).orderBy(col("key_hash"), col("eid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    records(spark, dir)
-      .withColumn("plabel", partitionLabel(col("key_byte")))
-      .withColumn("bytes", length(col("record")) + 1)
-      .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / KvModel.ChunkMaxBytes).cast("long"))
+  def chunkBatch(spark: SparkSession, dir: String): DataFrame =
+    ExportOps.withChunkIds(records(spark, dir))
       .groupBy(col("plabel"), col("topic"), col("batch"))
       .agg(count(lit(1)).as("n_records"), sum(col("bytes")).as("batch_bytes"))
       .orderBy(col("plabel"), col("topic"), col("batch"))
-  }
 
   val chunkBatchSql: String =
     s"""WITH ${KvSql.cte},
@@ -306,31 +300,21 @@ object ExportQueries {
        |FROM batched GROUP BY plabel, topic, batch ORDER BY plabel, topic, batch""".stripMargin
 
   // -------------------------------------------------------------- №17 snapshot_name
-  def snapshotNameQ(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("plabel"), col("topic")).orderBy(col("key_hash"), col("eid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    records(spark, dir)
-      .withColumn("plabel", partitionLabel(col("key_byte")))
-      .withColumn("pstart", partitionStart(col("key_byte")))
-      .withColumn("pstop", partitionStop(col("key_byte")))
-      .withColumn("bytes", length(col("record")) + 1)
-      .withColumn("batch", (coalesce(sum(col("bytes")).over(w), lit(0L)) / KvModel.ChunkMaxBytes).cast("long"))
+  def snapshotNameQ(spark: SparkSession, dir: String): DataFrame =
+    ExportOps.withChunkIds(records(spark, dir))
       .groupBy(col("topic"), col("pstart"), col("pstop"), col("batch"))
       .agg(count(lit(1)).as("n_records"))
       .withColumn("object_key", snapshotName("exports", col("topic"), col("pstart"), col("pstop"), col("batch")))
       .select(col("object_key"), col("n_records"))
       .orderBy(col("object_key"))
-  }
 
   val snapshotNameSql: String =
     s"""WITH ${KvSql.cte},
        |$recordsCte,
        |sized AS (
        |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
-       |    CASE WHEN key_byte >= 128 THEN ((key_byte - 128) // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + 128
-       |         ELSE (key_byte // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} END AS pstart,
-       |    CASE WHEN key_byte >= 128 THEN least(((key_byte - 128) // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + 128 + ${KvModel.ScanWidth}, 256)
-       |         ELSE least((key_byte // ${KvModel.ScanWidth}) * ${KvModel.ScanWidth} + ${KvModel.ScanWidth}, 128) END AS pstop,
+       |    ${KvSql.pstartSql("key_byte")} AS pstart,
+       |    ${KvSql.pstopSql("key_byte")} AS pstop,
        |    key_hash, eid, length(record) + 1 AS bytes
        |  FROM records),
        |batched AS (
@@ -341,6 +325,27 @@ object ExportQueries {
        |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key,
        |  count(*) AS n_records
        |FROM batched GROUP BY topic, pstart, pstop, batch ORDER BY object_key""".stripMargin
+
+  // -------------------------------------------------------------- №18 jsonl_snapshot (oracle)
+  /** The EXPECTED (object_key, record) pairs the snapshot sink must emit on
+    * decrypt-read-back — the full sink contract (chunk assignment + object
+    * naming + content round trip) reconstructed relationally. */
+  val jsonlSnapshotSql: String =
+    s"""WITH ${KvSql.cte},
+       |$recordsCte,
+       |sized AS (
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    ${KvSql.pstartSql("key_byte")} AS pstart,
+       |    ${KvSql.pstopSql("key_byte")} AS pstop,
+       |    key_hash, eid, record, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT topic, pstart, pstop, record,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized)
+       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key, record
+       |FROM batched ORDER BY object_key, record""".stripMargin
 
   // -------------------------------------------------------------- №19 export_status
   def exportStatus(spark: SparkSession, dir: String): DataFrame =
@@ -366,6 +371,12 @@ object ExportQueries {
        |SELECT eid, '\\x' || substr(key_hash,1,2) || '\\x' || substr(key_hash,3,2)
        |  || '\\x' || substr(key_hash,5,2) || '\\x' || substr(key_hash,7,2) || id_json AS printable
        |FROM kv ORDER BY eid""".stripMargin
+
+  /** The full pipeline frame WITH the kv routing columns — what a sink
+    * consumes (the snapshot sink needs key_byte/key_hash for chunk
+    * assignment alongside record + manifest_line). */
+  def pipelineRecords(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir)
 
   /** Flagship: the whole export pipeline end-to-end (records + manifest). */
   def exportRecords(spark: SparkSession, dir: String): DataFrame =

@@ -125,8 +125,8 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("jsonl snapshot sink: write + read-back roundtrip counts") {
-    val summary = graft.sources.JsonlSnapshotSink.snapshotQuery(spark, sf).head
-    assert(summary.getLong(0) == 989L && summary.getLong(1) == 989L)
+  test("jsonl snapshot sink: write + decrypt read-back roundtrip counts") {
+    val back = graft.sources.JsonlSnapshotSink.snapshotQuery(spark, sf)
+    assert(back.count() == 989L)
   }
 }

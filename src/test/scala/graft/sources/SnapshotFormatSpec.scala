@@ -1,21 +1,28 @@
 package graft.sources
 
 import graft.SparkSpec
+import graft.kv.KvModel
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** The written snapshot must be consumable as mongo-backup-format input:
-  * one JSON object per line, `$`-keys sanitised to `d_`, no raw control
-  * characters, manifest lines pipe-splittable with CSV quoting intact.
+/** The sink's output contract (reference: S3StreamingWriter +
+  * StreamingManifestWriter): one encrypted gzip object per byte-bounded
+  * chunk, a pipe-CSV manifest object per chunk, and the decrypted content
+  * must be consumable as mongo-backup-format input (one JSON object per
+  * line, `$`-keys sanitised, no raw control characters).
   */
 class SnapshotFormatSpec extends SparkSpec {
 
-  test("snapshot lines parse as JSON and manifests split into 8 columns") {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_fmt"
-    val records = graft.queries.ExportQueries.exportRecords(spark, sf)
-    JsonlSnapshotSink.write(records, root)
+  private lazy val root = {
+    val r = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_fmt"
+    val records = graft.queries.ExportQueries.pipelineRecords(spark, sf)
+    JsonlSnapshotSink.write(records, r).collect() // force the write
+    r
+  }
 
+  test("decrypted snapshot lines parse as JSON; manifests split into 8 columns") {
     val mapper = new ObjectMapper()
-    val lines = spark.read.text(s"$root/data").collect().map(_.getString(0))
+    val lines = JsonlSnapshotSink.readBack(spark, root)
+      .collect().map(_.getString(1))
     assert(lines.length == 989)
     lines.foreach { l =>
       val node = mapper.readTree(l) // throws on malformed JSON
@@ -25,7 +32,9 @@ class SnapshotFormatSpec extends SparkSpec {
       // sanitisation applied: no `$`-prefixed keys survive
       assert(!l.contains("\"$"))
     }
-    val manifests = spark.read.text(s"$root/manifests").collect().map(_.getString(0))
+    val manifests = spark.read.option("recursiveFileLookup", "true")
+      .text(s"$root/manifests").collect().map(_.getString(0))
+    assert(manifests.length == 989)
     manifests.foreach { m =>
       // pipe-split honoring CSV quoting: count unquoted pipes == 7
       var inQ = false
@@ -36,6 +45,46 @@ class SnapshotFormatSpec extends SparkSpec {
         case _ => ()
       }
       assert(pipes == 7, s"bad manifest line: $m")
+    }
+  }
+
+  test("one encrypted object per chunk, named per the reference objectKey format") {
+    val summary = JsonlSnapshotSink.write(
+      graft.queries.ExportQueries.pipelineRecords(spark, sf), root).collect()
+    val expected = graft.queries.ExportQueries.snapshotNameQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val actual = summary.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actual == expected) // same objects, same per-object record counts
+    actual.keys.foreach(k =>
+      assert(k.matches("""exports/[-\w.]+-\d{3}-\d{3}-\d{6}\.txt\.gz\.enc"""), k))
+  }
+
+  test("byte bound: every chunk's JSONL payload ≤ target + one record overshoot") {
+    val summary = JsonlSnapshotSink.write(
+      graft.queries.ExportQueries.pipelineRecords(spark, sf), root).collect()
+    val maxRecordBytes = graft.queries.ExportQueries.pipelineRecords(spark, sf)
+      .selectExpr("max(length(record) + 1)").head().getInt(0)
+    summary.foreach { r =>
+      assert(r.getLong(2) <= KvModel.ChunkMaxBytes + maxRecordBytes,
+        s"${r.getString(0)} overshoots: ${r.getLong(2)}")
+    }
+  }
+
+  test("decrypt round trip: read-back records == pipeline records") {
+    val back = JsonlSnapshotSink.readBack(spark, root)
+      .collect().map(_.getString(1)).sorted
+    val direct = graft.queries.ExportQueries.exportRecords(spark, sf)
+      .collect().map(_.getAs[String]("record")).sorted
+    assert(back.toSeq == direct.toSeq)
+  }
+
+  test("every data object has a manifest object alongside") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dataKeys = JsonlSnapshotSink.readBack(spark, root)
+      .select("object_key").distinct().collect().map(_.getString(0))
+    dataKeys.foreach { k =>
+      val m = new org.apache.hadoop.fs.Path(s"$root/manifests/${JsonlSnapshotSink.manifestKey(k)}")
+      assert(fs.exists(m), s"missing manifest for $k")
     }
   }
 }
