@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AesCtrCrypt, SimHash60, ValidateRecord}
+import graft.functions.{AesCtrCrypt, SimHash60, SimHash96, ValidateRecord}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,7 +34,9 @@ object GraftExtensions {
     ("validate_record", info("validate_record", "validate_record(payload, row_key_id) - struct(record, manifest_id, original_id)"),
       (args: Seq[Expression]) => ValidateRecord(args(0), args(1))),
     ("simhash60", info("simhash60", "simhash60(tokens) - 60-bit SimHash fingerprint of a token array"),
-      (args: Seq[Expression]) => SimHash60(args(0))))
+      (args: Seq[Expression]) => SimHash60(args(0))),
+    ("simhash96", info("simhash96", "simhash96(tokens) - 96-bit SimHash fingerprint as struct(hi, lo) 48-bit halves"),
+      (args: Seq[Expression]) => SimHash96(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

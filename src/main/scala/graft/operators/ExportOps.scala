@@ -119,6 +119,23 @@ object ExportOps {
       csvEscape(manifestId), csvEscape(ts.cast("string")), csvEscape(db), csvEscape(coll),
       lit("EXPORT"), csvEscape(outer), csvEscape(originalId), csvEscape(inner))
 
+  /** STRICT blocked-topic mode (reference: FilterBlockedTopicsUtils.kt:14-25
+    * — a blocked topic ABORTS the job via BlockedTopicException; it is not
+    * silently filtered). The default `blocked_topics` query filters — a
+    * documented deviation (SURVEY §3a) — and this restores reference abort
+    * semantics Spark-first: the topic column is wrapped in a raise_error
+    * guard, so the first blocked row fails the job from inside the scan
+    * stage, with no separate validation pass or action. The guard lives IN
+    * the topic column, so it fires whenever topic is consumed (every export
+    * pipeline stage does); it costs one codegen'd IN-check per row.
+    */
+  def failOnBlockedTopics(df: DataFrame,
+                          blocked: Seq[String] = KvModel.BlockedTopics): DataFrame =
+    df.withColumn("topic",
+      when(col("topic").isin(blocked: _*),
+        raise_error(concat(lit("Blocked topic: "), col("topic"))).cast("string"))
+        .otherwise(col("topic")))
+
   // ---------------------------------------------------------------- keyspace partitioning
 
   /** Unsigned-normalized partition bounds for a leading key byte

@@ -64,8 +64,9 @@ object StreamExport {
     val q = kv.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         val records = graft.queries.ExportQueries.recordsFromKv(batch)
+        // summary is per-object (object_key, n_records, jsonl_bytes)
         val summary = graft.sources.JsonlSnapshotSink.write(records, s"$root/epoch=$epochId")
-        written.addAndGet(summary.head.getLong(0))
+        written.addAndGet(summary.agg(sum(col("n_records"))).head.getLong(0))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.SimHash60
+import graft.functions.{SimHash60, SimHash96}
 import org.apache.spark.unsafe.types.UTF8String
 
 class GraftExtensionsSpec extends SparkSpec {
@@ -34,6 +34,36 @@ class GraftExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val viaExpr = Seq(toks).toDF("t").select(SimHash60.simhash60(col("t"))).as[Long].head
+    assert(viaExpr == relational(toks))
+  }
+
+  test("simhash96 expression equals the relational bit formulation (hex-parse hashes)") {
+    // independent recomputation: token hash from the md5 HEX STRING (the
+    // oracle's nibble parse), not the expression's byte arithmetic
+    def hexHalves(tok: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 12), 16),
+        java.lang.Long.parseLong(hex.substring(12, 24), 16))
+    }
+    def relational(tokens: Seq[String]): (Long, Long) = {
+      val hs = tokens.map(hexHalves)
+      val fpLo = (0 until 48).foldLeft(0L) { (fp, b) =>
+        val s = hs.map { case (_, lo) => if (((lo >> b) & 1L) == 1L) 1 else -1 }.sum
+        if (s > 0) fp | (1L << b) else fp
+      }
+      val fpHi = (0 until 48).foldLeft(0L) { (fp, b) =>
+        val s = hs.map { case (hi, _) => if (((hi >> b) & 1L) == 1L) 1 else -1 }.sum
+        if (s > 0) fp | (1L << b) else fp
+      }
+      (fpHi, fpLo)
+    }
+    val toks = Seq("key", "agg", "row", "scan", "slow", "fast", "key", "key")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaExpr = Seq(toks).toDF("t")
+      .select(SimHash96.simhash96(col("t")).as("f"))
+      .select(col("f.hi"), col("f.lo")).as[(Long, Long)].head
     assert(viaExpr == relational(toks))
   }
 }

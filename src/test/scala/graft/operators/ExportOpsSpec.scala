@@ -79,4 +79,19 @@ class ExportOpsSpec extends SparkSpec {
       .withColumn("p", ExportOps.printableKey(col("h"), col("id")))
     assert(df.select("p").as[String].head == """\x0a\x1b\x2c\x3d{"id":"9"}""")
   }
+
+  test("strict blocked-topic mode aborts the job; clean corpus passes") {
+    val dirty = Seq("db.ok", KvModel.BlockedTopics.head, "db.ok2").toDF("topic")
+    val ex = intercept[Exception] {
+      ExportOps.failOnBlockedTopics(dirty).select(length(col("topic"))).collect()
+    }
+    // raise_error surfaces wrapped in the task failure chain
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Blocked topic: " + KvModel.BlockedTopics.head)))
+
+    val clean = Seq("db.ok", "db.ok2").toDF("topic")
+    val out = ExportOps.failOnBlockedTopics(clean).select("topic").as[String].collect()
+    assert(out.sorted.toSeq == Seq("db.ok", "db.ok2")) // pass-through unchanged
+  }
 }

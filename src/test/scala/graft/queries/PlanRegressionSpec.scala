@@ -58,4 +58,25 @@ class PlanRegressionSpec extends SparkSpec {
     val plan = executedPlan(ExportQueries.latestCell(spark, sf))
     assert(!plan.contains("Window"), s"latest_cell fell back to a window:\n$plan")
   }
+
+  test("subset pipeline queries filter BEFORE the envelope build/decrypt") {
+    // The etype predicate must sit below envelope_extract in the plan (the
+    // pinned expressions block pushdown, so records() threads it in
+    // explicitly). Plan text lists children below parents: the Filter line
+    // with event_type must appear AFTER the envelope_extract projection.
+    val plan = executedPlan(ExportQueries.sanitiseQ(spark, sf))
+    val extractAt = plan.indexOf("envelope_extract(")
+    val filterAt = plan.indexOf("event_type")
+    assert(extractAt >= 0 && filterAt > extractAt,
+      s"etype filter not below the envelope build:\n$plan")
+    // and the whole pipeline still parses/validates once per row
+    assert(countOccurrences(plan, "envelope_extract(") == 1)
+    assert(countOccurrences(plan, "validate_record(") == 1)
+  }
+
+  test("knn_ivf centroid sample is a bounded TakeOrdered, not a global sort") {
+    val plan = executedPlan(VectorQueries.knnIvf(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid limit+sort not collapsed to TakeOrdered:\n$plan")
+  }
 }

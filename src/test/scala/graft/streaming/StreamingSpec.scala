@@ -48,10 +48,11 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_export").toString
     val n = StreamExport.continuousExport(spark, sf, root)
     assert(n == 989L) // same valid-record count as the batch pipeline
-    // epoch directory holds JSONL data + manifests
+    // epoch directory holds encrypted chunk objects + manifests
     val epochs = new java.io.File(root).listFiles().filter(_.getName.startsWith("epoch="))
     assert(epochs.nonEmpty)
-    val readBack = spark.read.text(s"$root/epoch=*/data").count()
+    val readBack = epochs.map(e =>
+      graft.sources.JsonlSnapshotSink.readBack(spark, e.toString).count()).sum
     assert(readBack == 989L)
   }
 
