@@ -8,6 +8,12 @@ object Bench {
     // 1.9s query has benched at 12.6s on its first timed run) — the median
     // is the honest figure; min/max expose the spread.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=jsonl_snapshot,knn_ivf
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,13 +27,13 @@ object Bench {
     // cluster job sees), not Janino compile latency.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         // same toRdd shape as the timed run — warms the FULL plan's codegen
         try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
         CacheRegistry.releaseAll()
       }
     }
-    val stats = SparkEntry.queries.map { case (name, fn) =>
+    val stats = selected.map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes EVERY output column (count() alone lets

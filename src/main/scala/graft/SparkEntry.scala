@@ -33,6 +33,7 @@ object SparkEntry {
     "chunk_batch" -> (ExportQueries.chunkBatch _),
     "snapshot_name" -> (ExportQueries.snapshotNameQ _),
     "export_status" -> (ExportQueries.exportStatus _),
+    "export_completion" -> (ExportQueries.exportCompletion _),
     "printable_key" -> (ExportQueries.printableKeyQ _),
     "export_records" -> (ExportQueries.exportRecords _),
     // Analytics heads (№33-35)
@@ -80,6 +81,7 @@ object SparkEntry {
     "chunk_batch" -> ExportQueries.chunkBatchSql,
     "snapshot_name" -> ExportQueries.snapshotNameSql,
     "export_status" -> ExportQueries.exportStatusSql,
+    "export_completion" -> ExportQueries.exportCompletionSql,
     "printable_key" -> ExportQueries.printableKeySql,
     "export_records" -> ExportQueries.exportRecordsSql,
     "q1_agg" -> Analytics.q1Sql,

@@ -21,9 +21,11 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity rounded to 6dp. */
+  /** Cosine similarity rounded to 6dp — native fused-loop expression
+    * (see [[graft.functions.CosineSim]]); bit-identical to the HOF
+    * formulation `round(dot(a,b)/(norm(a)*norm(b)), 6)` and the oracle. */
   def cosine6(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(graft.functions.CosineSim.cosineSim(a, b), 6)
 
   /** Sign-bit bucket over the first `bits` dimensions — a deterministic
     * axis-aligned LSH for cosine (both engines compute it identically).

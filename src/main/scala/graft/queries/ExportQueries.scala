@@ -360,6 +360,87 @@ object ExportQueries {
        |SELECT topic, count(*) AS n_records, CAST(sum(length(record) + 1) AS BIGINT) AS total_bytes
        |FROM records GROUP BY topic ORDER BY topic""".stripMargin
 
+  // -------------------------------------------------------------- №37 export_completion
+  /** Export completion lifecycle, data-level (reference:
+    * DynamoDBExportStatusService.kt:30-46 + JobCompletionNotificationListener
+    * .kt:70-92 — the DynamoDB/SNS transport is §6 environment plumbing; the
+    * STATUS SEMANTICS are data): per topic, the files/records a completed
+    * export produced and its terminal status (Blocked_Topic aborts before
+    * writing → 0 files; everything else completes → Exported), plus the
+    * job-level completion verdict with the reference's precedence
+    * (all-successful → COMPLETED_SUCCESSFULLY; any Exporting →
+    * IN_PROGRESS; any Export_Failed → COMPLETED_UNSUCCESSFULLY; else
+    * NOT_COMPLETED — note Blocked_Topic and Table_Unavailable COUNT AS
+    * successful completion, DynamoDBExportStatusService.kt:162-165).
+    *
+    * The over-() window runs on the 15-row post-aggregation frame — single
+    * partition by construction, never on row-scale data.
+    */
+  def exportCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val successSet = Seq("Exported", "Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic")
+    val chunks = ExportOps.withChunkIds(
+        records(spark, dir, !col("topic").isin(KvModel.BlockedTopics: _*)))
+      .withColumn("object_key",
+        snapshotName("exports", col("topic"), col("pstart"), col("pstop"), col("batch")))
+      .groupBy(col("topic"))
+      .agg(countDistinct(col("object_key")).as("files_exported"),
+        count(lit(1)).as("records_exported"))
+    val allTopics = KvModel.kv(spark, dir).select(col("topic")).distinct()
+    val allW = Window.partitionBy()
+    allTopics.join(chunks, Seq("topic"), "left")
+      .select(col("topic"),
+        coalesce(col("files_exported"), lit(0L)).as("files_exported"),
+        coalesce(col("records_exported"), lit(0L)).as("records_exported"),
+        when(col("topic").isin(KvModel.BlockedTopics: _*), "Blocked_Topic")
+          .otherwise("Exported").as("status"))
+      .withColumn("job_completion",
+        when(min(when(col("status").isin(successSet: _*), 1).otherwise(0)).over(allW) === 1,
+          "COMPLETED_SUCCESSFULLY")
+          .when(max(when(col("status") === "Exporting", 1).otherwise(0)).over(allW) === 1,
+            "IN_PROGRESS")
+          .when(max(when(col("status") === "Export_Failed", 1).otherwise(0)).over(allW) === 1,
+            "COMPLETED_UNSUCCESSFULLY")
+          .otherwise("NOT_COMPLETED"))
+      .orderBy(col("topic"))
+  }
+
+  val exportCompletionSql: String = {
+    val blockedIn = KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${KvSql.cte},
+       |records AS (
+       |  SELECT kv.*, ${KvSql.expectedRecordSql} AS record
+       |  FROM kv WHERE valid AND topic NOT IN ($blockedIn)),
+       |sized AS (
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    ${KvSql.pstartSql("key_byte")} AS pstart,
+       |    ${KvSql.pstopSql("key_byte")} AS pstop,
+       |    key_hash, eid, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT topic, pstart, pstop,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized),
+       |chunks AS (
+       |  SELECT topic,
+       |    count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch)) AS files_exported,
+       |    count(*) AS records_exported
+       |  FROM batched GROUP BY topic),
+       |pt AS (
+       |  SELECT t.topic,
+       |    coalesce(c.files_exported, 0) AS files_exported,
+       |    coalesce(c.records_exported, 0) AS records_exported,
+       |    CASE WHEN t.topic IN ($blockedIn) THEN 'Blocked_Topic' ELSE 'Exported' END AS status
+       |  FROM (SELECT DISTINCT topic FROM kv) t LEFT JOIN chunks c USING (topic))
+       |SELECT topic, files_exported, records_exported, status,
+       |  CASE WHEN min(CASE WHEN status IN ('Exported','Sent','Received','Success','Table_Unavailable','Blocked_Topic')
+       |         THEN 1 ELSE 0 END) OVER () = 1 THEN 'COMPLETED_SUCCESSFULLY'
+       |       WHEN max(CASE WHEN status = 'Exporting' THEN 1 ELSE 0 END) OVER () = 1 THEN 'IN_PROGRESS'
+       |       WHEN max(CASE WHEN status = 'Export_Failed' THEN 1 ELSE 0 END) OVER () = 1 THEN 'COMPLETED_UNSUCCESSFULLY'
+       |       ELSE 'NOT_COMPLETED' END AS job_completion
+       |FROM pt ORDER BY topic""".stripMargin
+  }
+
   // -------------------------------------------------------------- №20 printable_key
   def printableKeyQ(spark: SparkSession, dir: String): DataFrame =
     KvModel.kv(spark, dir)

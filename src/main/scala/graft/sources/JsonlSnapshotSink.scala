@@ -103,6 +103,12 @@ object JsonlSnapshotSink {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confEntries.foreach { case (k, v) => conf.set(k, v) }
           val fs = new Path(root).getFileSystem(conf)
+          // LocalFileSystem otherwise writes a .crc sidecar per object —
+          // for many small chunks that doubles the file creates. The
+          // AES-CTR envelope already detects corruption (garbage gunzip);
+          // no-op on filesystems without client-side checksums.
+          fs.setWriteChecksum(false)
+          fs.setVerifyChecksum(false)
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
           var curKey: String = null
@@ -124,7 +130,8 @@ object JsonlSnapshotSink {
             cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(dk, "AES"), new IvParameterSpec(iv))
             val dataOut = fs.create(new Path(s"$root/data/$key"), true)
             gz = new GZIPOutputStream(new CipherOutputStream(dataOut, cipher))
-            manifest = fs.create(new Path(s"$root/manifests/${manifestKey(key)}"), true)
+            manifest = new java.io.BufferedOutputStream(
+              fs.create(new Path(s"$root/manifests/${manifestKey(key)}"), true))
             curKey = key
             nRecords = 0L
             nBytes = 0L

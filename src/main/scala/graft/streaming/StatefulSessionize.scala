@@ -1,19 +1,34 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state: gap-based sessionization via
-  * flatMapGroupsWithState (SURVEY §2 №36's stateful form). A closed
-  * session is emitted as soon as a later event arrives past the gap;
-  * the open session stays in state (production would add an event-time
-  * timeout to flush idle users — kept minimal here).
+  * flatMapGroupsWithState (SURVEY §2 №36's stateful form), in two tiers:
+  *
+  *  - [[sessionize]] — the minimal demo: per-trigger sort, closed sessions
+  *    emitted when a later event passes the gap, open session held forever
+  *    (no timeout). Fine for bounded demos, NOT for production: idle users
+  *    pin state, and a trigger's events are buffered+sorted per group.
+  *
+  *  - [[sessionizeIncremental]] — the production shape: state is a sorted
+  *    list of disjoint gap-separated intervals per user, each event merges
+  *    INCREMENTALLY (no per-trigger buffer/sort — order-independent by
+  *    construction: gap-connectivity is the same partition whatever the
+  *    arrival order), and an EVENT-TIME TIMEOUT flushes sessions once the
+  *    watermark passes their close horizon — state per user is bounded by
+  *    the watermark window, and idle users are evicted by the state store,
+  *    not by luck. Memory per user = O(open intervals), never O(batch).
   */
 object StatefulSessionize {
 
   final case class Ev(user_id: Long, ts_ms: Long)
+  final case class EvT(user_id: Long, ts_ms: Long, ts_utc: java.sql.Timestamp)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
   final case class SessState(start: Long, end: Long, n: Long)
+  /** Disjoint intervals sorted by start; (start, end, n_events). */
+  final case class IntervalState(intervals: List[(Long, Long, Long)])
 
   def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -35,6 +50,53 @@ object StatefulSessionize {
           }
           st.foreach(state.update)
           closed.reverse.iterator
+      }
+  }
+
+  /** Insert an event into the sorted disjoint interval list, merging any
+    * neighbours now within `gapMs`. O(k) for k open intervals (k is
+    * bounded by the watermark horizon / gap). */
+  private[streaming] def merge(intervals: List[(Long, Long, Long)], ts: Long,
+                               gapMs: Long): List[(Long, Long, Long)] = {
+    val (before, rest) = intervals.span(_._2 < ts - gapMs) // strictly left of reach
+    val (touching, after) = rest.span(_._1 <= ts + gapMs)  // reachable from ts
+    val start = (ts :: touching.map(_._1)).min
+    val end = (ts :: touching.map(_._2)).max
+    val n = 1L + touching.map(_._3).sum
+    before ::: ((start, end, n) :: after)
+  }
+
+  /** Production sessionization: incremental merge + event-time timeout.
+    *
+    * @param delay watermark delay expression, e.g. "10 seconds" — late
+    *              events beyond it are dropped by the engine, which is what
+    *              makes closing `end + gap < watermark` intervals safe.
+    */
+  def sessionizeIncremental(events: Dataset[Ev], gapMs: Long,
+                            delay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
+      .as[EvT]
+      .withWatermark("ts_utc", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IntervalState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state: GroupState[IntervalState]) =>
+          var iv = state.getOption.map(_.intervals).getOrElse(Nil)
+          if (!state.hasTimedOut) evs.foreach(e => iv = merge(iv, e.ts_ms, gapMs))
+          val wm = state.getCurrentWatermarkMs()
+          // an interval with end + gap < watermark can never be extended
+          // again (later events are ≥ wm by the watermark contract) → close
+          val (closed, open) = iv.partition(i => i._2 + gapMs < wm)
+          if (open.nonEmpty) {
+            state.update(IntervalState(open))
+            // wake when the OLDEST open interval becomes closable
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+          } else {
+            state.remove()
+          }
+          closed.sortBy(_._1).map(i => Session(uid, i._1, i._2, i._3)).iterator
       }
   }
 }

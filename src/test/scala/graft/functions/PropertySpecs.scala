@@ -93,4 +93,26 @@ class PropertySpecs extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(base), fp(noisy)) < ham(fp(base), fp(other)))
   }
+
+  test("native cosine is bit-identical to the sequential-fold HOF formulation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val floatGen = Gen.chooseNum(-100, 100).map(_ / 7.0f)
+    val vecGen = Gen.containerOfN[Array, Float](64, floatGen)
+      .suchThat(v => v.exists(_ != 0f))
+    forAll(vecGen, vecGen, Gen.const(())) { (a, b, _) =>
+      // independent recomputation: three separate sequential folds, exactly
+      // as zip_with+aggregate (and the DuckDB oracle) evaluate it
+      def fold(x: Array[Float], y: Array[Float]): Double =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      val expected = fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+      val got = CosineSim.cosine(
+        new GenericArrayData(a.map(java.lang.Float.valueOf).toArray[Any]),
+        new GenericArrayData(b.map(java.lang.Float.valueOf).toArray[Any]))
+      assert(got != null && got.doubleValue() == expected) // bit-equal, no epsilon
+    }
+    // null semantics: length mismatch -> null
+    val a3 = new GenericArrayData(Array[Any](1.0f, 2.0f, 3.0f))
+    val a2 = new GenericArrayData(Array[Any](1.0f, 2.0f))
+    assert(CosineSim.cosine(a3, a2) == null)
+  }
 }
