@@ -44,6 +44,50 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(s => s.user_id == 1 && s.start_ms == 5000))
   }
 
+  test("interval merge: order-independent, gap-bridging, count-preserving") {
+    import StatefulSessionize.merge
+    val gap = 10L
+    // any arrival order yields the same gap-connected components
+    val orders = Seq(Seq(1L, 5L, 30L, 37L), Seq(37L, 1L, 30L, 5L), Seq(30L, 37L, 5L, 1L))
+    val results = orders.map(_.foldLeft(List.empty[(Long, Long, Long)])((iv, t) => merge(iv, t, gap)))
+    assert(results.distinct.size == 1)
+    assert(results.head == List((1L, 5L, 2L), (30L, 37L, 2L)))
+    // a middle event within gap of BOTH sides bridges two intervals
+    // (18 is 13 from end=5 and 12 from start=30 — both ≤ gap 15)
+    assert(merge(List((1L, 5L, 2L), (30L, 37L, 2L)), 18L, 15L) == List((1L, 37L, 5L)))
+    // outside reach on both sides: new singleton interval in sorted position
+    assert(merge(List((1L, 2L, 1L), (50L, 60L, 3L)), 25L, gap) ==
+      List((1L, 2L, 1L), (25L, 25L, 1L), (50L, 60L, 3L)))
+  }
+
+  test("incremental sessions: out-of-order merge in-trigger, event-time timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StatefulSessionize.sessionizeIncremental(input.toDS(), gapMs = 10000L, delay = "0 seconds")
+      .writeStream.format("memory").queryName("inc_sessions")
+      .outputMode("append").start()
+    // trigger 1: user 1's events arrive OUT OF ORDER → one merged interval;
+    // watermark 0 during the batch → nothing closes
+    input.addData(Ev(1, 2000), Ev(1, 500), Ev(1, 1500))
+    q.processAllAvailable()
+    assert(spark.table("inc_sessions").isEmpty)
+    // trigger 2: the 100000 event advances the watermark; the trailing
+    // no-data micro-batch fires user 1's EVENT-TIME TIMEOUT (no user-1
+    // events arrive — the flush is timeout-driven, not data-driven)
+    input.addData(Ev(2, 100000))
+    q.processAllAvailable()
+    assert(spark.table("inc_sessions").as[Session].collect().toSet ==
+      Set(Session(1, 500, 2000, 3)))
+    // trigger 3: watermark passes user 2's first burst → it closes as its
+    // own session (200000 - 100000 > gap); the 200000 interval stays open
+    input.addData(Ev(2, 200000))
+    q.processAllAvailable()
+    val out = spark.table("inc_sessions").as[Session].collect().toSet
+    q.stop()
+    assert(out == Set(Session(1, 500, 2000, 3), Session(2, 100000, 100000, 1)))
+  }
+
   test("continuous export: full record+manifest pipeline per micro-batch via foreachBatch") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_export").toString
     val n = StreamExport.continuousExport(spark, sf, root)
