@@ -30,6 +30,18 @@ object GraftSession {
       // the corpus writes ns-precision timestamps; Spark reads them as longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Streaming-state confs for production state sizes: the default
+    * HDFS-backed state store holds every key in executor heap — fine for
+    * demos, an OOM at 100 TB-scale session/dedup state. RocksDB spills to
+    * local disk with incremental checkpointing to the checkpoint location.
+    * Opt-in (separate from [[builder]]) because it only matters for
+    * stateful streaming jobs.
+    */
+  def withRocksDbState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
