@@ -42,6 +42,11 @@ object JsonlSnapshotSink {
 
   val Prefix = "exports"
 
+  /** Cipher per writer thread — Cipher.getInstance per object serializes
+    * on the JCE provider lookup across tasks; init() per object is cheap. */
+  private val cipherTL: ThreadLocal[Cipher] =
+    ThreadLocal.withInitial(() => Cipher.getInstance("AES/CTR/NoPadding"))
+
   /** Deterministic per-object (dataKey, IV) — 16 md5 bytes each. */
   def keyMaterial(objectKey: String): (Array[Byte], Array[Byte]) = {
     val md = MessageDigest.getInstance("MD5")
@@ -92,23 +97,44 @@ object JsonlSnapshotSink {
     // One shuffle on the object key (high-cardinality, even); groups are
     // contiguous after the within-partition sort, so the writer is a
     // single streaming pass per task with at most one open object.
+    // EXPLICIT partition count: a bare repartition(col) lets AQE coalesce
+    // the (byte-small) shuffle to one partition — serializing thousands of
+    // object writes onto a single task. File-create latency, not shuffle
+    // bytes, bounds this stage, so pin writer parallelism to the cluster.
     chunked
-      .repartition(col("object_key"))
+      .repartition(spark.sparkContext.defaultParallelism, col("object_key"))
       .sortWithinPartitions(col("object_key"), col("key_hash"), col("eid"))
       .select(col("object_key"), col("record"), col("manifest_line"))
       .as[(String, String, String)]
       .mapPartitions { rows =>
         if (rows.isEmpty) Iterator.empty
         else {
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
-          val fs = new Path(root).getFileSystem(conf)
-          // LocalFileSystem otherwise writes a .crc sidecar per object —
-          // for many small chunks that doubles the file creates. The
-          // AES-CTR envelope already detects corruption (garbage gunzip);
-          // no-op on filesystems without client-side checksums.
-          fs.setWriteChecksum(false)
-          fs.setVerifyChecksum(false)
+          // file:// fast path: Hadoop's LocalFileSystem costs ~1ms per
+          // create (Path URI parse + per-create mkdirs + checksum/wrapper
+          // streams) — ~15x the raw java.io cost, and with byte-small test
+          // chunks the create overhead DOMINATES the write stage. Remote
+          // filesystems (hdfs://, s3a://) go through the Hadoop API, where
+          // per-object latency is network-bound anyway.
+          val rootUri = new java.net.URI(root)
+          val rawLocal = rootUri.getScheme == null || rootUri.getScheme == "file"
+          val localRoot = if (rootUri.getScheme == null) root else rootUri.getPath
+          lazy val fs = {
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val f = new Path(root).getFileSystem(conf)
+            // no .crc sidecars — the AES envelope detects corruption
+            f.setWriteChecksum(false)
+            f.setVerifyChecksum(false)
+            f
+          }
+          val madeDirs = scala.collection.mutable.HashSet.empty[String]
+          def createOut(rel: String): java.io.OutputStream =
+            if (rawLocal) {
+              val f = new java.io.File(s"$localRoot/$rel")
+              val parent = f.getParent
+              if (madeDirs.add(parent)) f.getParentFile.mkdirs()
+              new java.io.FileOutputStream(f)
+            } else fs.create(new Path(s"$root/$rel"), true)
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
           var curKey: String = null
@@ -126,12 +152,15 @@ object JsonlSnapshotSink {
 
           def openObject(key: String): Unit = {
             val (dk, iv) = keyMaterial(key)
-            val cipher = Cipher.getInstance("AES/CTR/NoPadding")
+            val cipher = cipherTL.get()
             cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(dk, "AES"), new IvParameterSpec(iv))
-            val dataOut = fs.create(new Path(s"$root/data/$key"), true)
-            gz = new GZIPOutputStream(new CipherOutputStream(dataOut, cipher))
+            val dataOut = createOut(s"data/$key")
+            // 64 KB buffer between deflate and cipher: one cipher.update and
+            // one file write per 64 KB instead of per ~512 B deflate burst
+            gz = new GZIPOutputStream(new java.io.BufferedOutputStream(
+              new CipherOutputStream(dataOut, cipher), 65536))
             manifest = new java.io.BufferedOutputStream(
-              fs.create(new Path(s"$root/manifests/${manifestKey(key)}"), true))
+              createOut(s"manifests/${manifestKey(key)}"))
             curKey = key
             nRecords = 0L
             nBytes = 0L
