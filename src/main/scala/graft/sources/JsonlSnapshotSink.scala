@@ -194,7 +194,9 @@ object JsonlSnapshotSink {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val key = path.substring(path.indexOf("/data/") + "/data/".length)
+        // lastIndexOf: the ROOT may itself contain "/data/"; object keys
+        // (prefix/<topic>-...) never do
+        val key = path.substring(path.lastIndexOf("/data/") + "/data/".length)
         val (dk, iv) = keyMaterial(key)
         val plain = AesCtrCrypt.crypt(bytes, dk, iv)
         val text = new String(new GZIPInputStream(new ByteArrayInputStream(plain)).readAllBytes(), "UTF-8")

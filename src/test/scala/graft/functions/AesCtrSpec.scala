@@ -45,4 +45,17 @@ class AesCtrSpec extends SparkSpec {
       .withColumn("ct", AesCtrCrypt.aesCtr(encode(col("clear"), "UTF-8"), lit(key), lit(iv)))
     assert(df.select("ct").head.isNullAt(0))
   }
+
+  test("lenient mode NULLs on bad key material; strict mode throws") {
+    import spark.implicits._
+    // 5-byte key: Cipher.init throws InvalidKeyException
+    val df = Seq("data").toDF("clear")
+      .withColumn("badkey", lit(Array[Byte](1, 2, 3, 4, 5)))
+      .withColumn("dec", AesCtrCrypt.aesCtrLenient(encode(col("clear"), "UTF-8"), col("badkey"), lit(iv)))
+    assert(df.select("dec").head.isNullAt(0)) // record rejected, task alive
+    val strict = Seq("data").toDF("clear")
+      .withColumn("badkey", lit(Array[Byte](1, 2, 3, 4, 5)))
+      .withColumn("dec", AesCtrCrypt.aesCtr(encode(col("clear"), "UTF-8"), col("badkey"), lit(iv)))
+    intercept[Exception] { strict.select("dec").collect() } // encrypt side = a bug, not dirty data
+  }
 }

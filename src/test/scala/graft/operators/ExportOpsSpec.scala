@@ -68,6 +68,17 @@ class ExportOpsSpec extends SparkSpec {
     assert(r.getString(5) == """{"id":"1"}""")
   }
 
+  test("unparseable envelope yields ok=false instead of aborting the task") {
+    val df = ExportOps.extractEnvelope(
+      Seq(("{not json at all", "db.coll"), ("", "db.coll")).toDF("envelope", "topic"),
+      col("envelope"), col("topic"))
+    // "{not json" throws in Jackson → caught → reject row; "" parses to a
+    // MissingNode → empty fields → mandatory check rejects. Either way:
+    // ok=false and the task survives.
+    val rows = df.select("x_ok").collect()
+    rows.foreach(r => assert(!r.getBoolean(0)))
+  }
+
   test("equality wrap appends @type inside a message envelope") {
     val df = Seq(("""{"a":"1"}""", "TYPE_X")).toDF("rec", "t")
       .withColumn("w", ExportOps.equalityWrap(col("rec"), col("t")))
