@@ -10,6 +10,12 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=jsonl_snapshot,knn_ivf
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      // fail fast: a typo would otherwise bench nothing and print a
+      // plausible-looking total of 0.0
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     def selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries

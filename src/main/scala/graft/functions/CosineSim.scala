@@ -31,9 +31,15 @@ case class CosineSim(a: Expression, b: Expression) extends BinaryExpression {
     CosineSim.cosine(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"""${ev.value} = graft.functions.CosineSim.cosine($x, $y);
-         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // ev.value is a primitive double — route through a boxed local for
+      // the null check (a direct `double == null` does not compile and
+      // would silently disable whole-stage codegen for the entire stage)
+      val tmp = ctx.freshName("cos")
+      s"""java.lang.Double $tmp = graft.functions.CosineSim.cosine($x, $y);
+         |${ev.isNull} = ($tmp == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(a = newLeft, b = newRight)

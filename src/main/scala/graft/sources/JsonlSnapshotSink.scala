@@ -121,12 +121,27 @@ object JsonlSnapshotSink {
           lazy val fs = {
             val conf = new org.apache.hadoop.conf.Configuration(false)
             confEntries.foreach { case (k, v) => conf.set(k, v) }
+            // PRIVATE instance: FileSystem.CACHE is keyed by (scheme,
+            // authority, ugi) — mutating checksum flags on the shared
+            // cached instance would disable checksums for every other
+            // writer in this executor (parquet, shuffle spill, logs)
+            conf.setBoolean(s"fs.${rootUri.getScheme}.impl.disable.cache", true)
             val f = new Path(root).getFileSystem(conf)
             // no .crc sidecars — the AES envelope detects corruption
             f.setWriteChecksum(false)
             f.setVerifyChecksum(false)
             f
           }
+          // Task-commit protocol: write to an attempt-suffixed temp name
+          // next to the final path, rename on object close. Concurrent
+          // duplicate attempts (speculation, zombie tasks) then cannot
+          // interleave bytes into one object: rename is atomic, both
+          // attempts produce identical content, last-rename-wins. Leftover
+          // *.tmp from failed attempts is invisible to readBack (glob
+          // *.enc) and removed by the next overwrite.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          def tmpOf(rel: String) = s"$rel.a$attempt.tmp"
           val madeDirs = scala.collection.mutable.HashSet.empty[String]
           def createOut(rel: String): java.io.OutputStream =
             if (rawLocal) {
@@ -135,6 +150,22 @@ object JsonlSnapshotSink {
               if (madeDirs.add(parent)) f.getParentFile.mkdirs()
               new java.io.FileOutputStream(f)
             } else fs.create(new Path(s"$root/$rel"), true)
+          def commit(rel: String): Unit =
+            if (rawLocal) {
+              // POSIX rename(2): atomically replaces an existing target
+              val t = new java.io.File(s"$localRoot/${tmpOf(rel)}")
+              val f = new java.io.File(s"$localRoot/$rel")
+              if (!t.renameTo(f)) {
+                if (f.exists()) t.delete() // a duplicate attempt won — same bytes
+                else throw new java.io.IOException(s"commit rename failed: $rel")
+              }
+            } else {
+              val t = new Path(s"$root/${tmpOf(rel)}")
+              val f = new Path(s"$root/$rel")
+              if (fs.exists(f)) fs.delete(f, false) // overwrite/duplicate-attempt
+              if (!fs.rename(t, f) && !fs.exists(f))
+                throw new java.io.IOException(s"commit rename failed: $rel")
+            }
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
           var curKey: String = null
@@ -146,6 +177,8 @@ object JsonlSnapshotSink {
           def closeCurrent(): Unit = if (curKey != null) {
             gz.close() // closes cipher + data streams
             manifest.close()
+            commit(s"data/$curKey")
+            commit(s"manifests/${manifestKey(curKey)}")
             out += ((curKey, nRecords, nBytes))
             curKey = null
           }
@@ -154,32 +187,46 @@ object JsonlSnapshotSink {
             val (dk, iv) = keyMaterial(key)
             val cipher = cipherTL.get()
             cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(dk, "AES"), new IvParameterSpec(iv))
-            val dataOut = createOut(s"data/$key")
+            val dataOut = createOut(tmpOf(s"data/$key"))
             // 64 KB buffer between deflate and cipher: one cipher.update and
             // one file write per 64 KB instead of per ~512 B deflate burst
             gz = new GZIPOutputStream(new java.io.BufferedOutputStream(
               new CipherOutputStream(dataOut, cipher), 65536))
             manifest = new java.io.BufferedOutputStream(
-              createOut(s"manifests/${manifestKey(key)}"))
+              createOut(tmpOf(s"manifests/${manifestKey(key)}")))
             curKey = key
             nRecords = 0L
             nBytes = 0L
           }
 
-          rows.foreach { case (key, record, manifestLine) =>
-            if (key != curKey) { closeCurrent(); openObject(key) }
-            val line = (record + "\n").getBytes("UTF-8")
-            gz.write(line)
-            manifest.write((manifestLine + "\n").getBytes("UTF-8"))
-            nRecords += 1
-            nBytes += line.length
+          try {
+            rows.foreach { case (key, record, manifestLine) =>
+              if (key != curKey) { closeCurrent(); openObject(key) }
+              val line = (record + "\n").getBytes("UTF-8")
+              gz.write(line)
+              manifest.write((manifestLine + "\n").getBytes("UTF-8"))
+              nRecords += 1
+              nBytes += line.length
+            }
+            closeCurrent()
+          } catch {
+            case e: Throwable =>
+              // don't leak fds on a mid-partition failure; the uncommitted
+              // *.tmp of the current object stays invisible to readers
+              if (curKey != null) {
+                try gz.close() catch { case _: Throwable => () }
+                try manifest.close() catch { case _: Throwable => () }
+              }
+              throw e
           }
-          closeCurrent()
           out.iterator
         }
       }
       .toDF("object_key", "n_records", "jsonl_bytes")
-      .orderBy(col("object_key"))
+    // NOTE deliberately NOT sorted: a global orderBy here would run the
+    // side-effecting writer stage TWICE (the range partitioner's sampling
+    // job executes the child plan once just to pick boundaries) — callers
+    // sort the (tiny) summary themselves if they need display order.
   }
 
   /** Decrypt + decompress every data object back to (object_key, record)

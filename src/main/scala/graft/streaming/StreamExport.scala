@@ -66,7 +66,9 @@ object StreamExport {
         val records = graft.queries.ExportQueries.recordsFromKv(batch)
         // summary is per-object (object_key, n_records, jsonl_bytes)
         val summary = graft.sources.JsonlSnapshotSink.write(records, s"$root/epoch=$epochId")
-        written.addAndGet(summary.agg(sum(col("n_records"))).head.getLong(0))
+        // coalesce: sum over an EMPTY summary (all-invalid micro-batch) is
+        // NULL, and Row.getLong on null would kill the streaming query
+        written.addAndGet(summary.agg(coalesce(sum(col("n_records")), lit(0L))).head.getLong(0))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
