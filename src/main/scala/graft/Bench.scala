@@ -20,13 +20,10 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // the TUNED session (GraftSession: 64MB broadcast threshold, AQE flags)
+    // — the benched plans must be the plans the library actually ships
+    // (and the ones Plans captures for the audit)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at the smallest SF: pays codegen/JIT compilation once so the
     // timed runs below measure steady-state throughput (what a long-running

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity over two `array<float>` embeddings as ONE native
   * expression — replaces the zip_with + aggregate HOF pair (three sequential
@@ -26,6 +27,16 @@ case class CosineSim(a: Expression, b: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  /** Pinned element type: eval reads via getFloat, so an array<double>
+    * input would REINTERPRET each 8-byte slot as a float — silent garbage.
+    * Reject anything but array<float> at analysis time (SQL callers cast:
+    * `CAST(arr AS ARRAY<FLOAT>)`). */
+  override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float> inputs, got ${a.dataType.sql} / ${b.dataType.sql}")
+  }
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
     CosineSim.cosine(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])

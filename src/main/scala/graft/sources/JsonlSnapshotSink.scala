@@ -118,30 +118,41 @@ object JsonlSnapshotSink {
           val rootUri = new java.net.URI(root)
           val rawLocal = rootUri.getScheme == null || rootUri.getScheme == "file"
           val localRoot = if (rootUri.getScheme == null) root else rootUri.getPath
-          lazy val fs = {
-            val conf = new org.apache.hadoop.conf.Configuration(false)
-            confEntries.foreach { case (k, v) => conf.set(k, v) }
-            // PRIVATE instance: FileSystem.CACHE is keyed by (scheme,
-            // authority, ugi) — mutating checksum flags on the shared
-            // cached instance would disable checksums for every other
-            // writer in this executor (parquet, shuffle spill, logs)
-            conf.setBoolean(s"fs.${rootUri.getScheme}.impl.disable.cache", true)
-            val f = new Path(root).getFileSystem(conf)
-            // no .crc sidecars — the AES envelope detects corruption
-            f.setWriteChecksum(false)
-            f.setVerifyChecksum(false)
-            f
+          var fsRef: org.apache.hadoop.fs.FileSystem = null
+          def fs = {
+            if (fsRef == null) {
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => conf.set(k, v) }
+              // PRIVATE instance: FileSystem.CACHE is keyed by (scheme,
+              // authority, ugi) — mutating checksum flags on the shared
+              // cached instance would disable checksums for every other
+              // writer in this executor (parquet, shuffle spill, logs).
+              // Closed in the finally below (uncached instances otherwise
+              // leak connection/thread pools on remote filesystems).
+              conf.setBoolean(s"fs.${rootUri.getScheme}.impl.disable.cache", true)
+              val f = new Path(root).getFileSystem(conf)
+              // no .crc sidecars — the AES envelope detects corruption
+              f.setWriteChecksum(false)
+              f.setVerifyChecksum(false)
+              fsRef = f
+            }
+            fsRef
           }
-          // Task-commit protocol: write to an attempt-suffixed temp name
-          // next to the final path, rename on object close. Concurrent
-          // duplicate attempts (speculation, zombie tasks) then cannot
-          // interleave bytes into one object: rename is atomic, both
-          // attempts produce identical content, last-rename-wins. Leftover
-          // *.tmp from failed attempts is invisible to readBack (glob
-          // *.enc) and removed by the next overwrite.
+          // Task-commit protocol: write to a DOT-PREFIXED, attempt-suffixed
+          // temp name in the final directory, rename on object close.
+          // Concurrent duplicate attempts (speculation, zombie tasks) then
+          // cannot interleave bytes into one object: rename is atomic, both
+          // attempts produce identical content, first-rename-wins. Leftover
+          // temps from failed attempts are hidden files — Spark's file
+          // sources (text, binaryFile) skip '.'-prefixed paths, so neither
+          // readBack nor manifest consumers ever see them; the next
+          // overwrite removes them with the root.
           val attempt = Option(org.apache.spark.TaskContext.get())
             .map(_.taskAttemptId()).getOrElse(0L)
-          def tmpOf(rel: String) = s"$rel.a$attempt.tmp"
+          def tmpOf(rel: String) = {
+            val i = rel.lastIndexOf('/')
+            s"${rel.substring(0, i + 1)}.${rel.substring(i + 1)}.a$attempt.tmp"
+          }
           val madeDirs = scala.collection.mutable.HashSet.empty[String]
           def createOut(rel: String): java.io.OutputStream =
             if (rawLocal) {
@@ -160,11 +171,16 @@ object JsonlSnapshotSink {
                 else throw new java.io.IOException(s"commit rename failed: $rel")
               }
             } else {
+              // rename FIRST — a delete-then-rename window would let a
+              // killed duplicate attempt delete the winner's committed
+              // object. Hadoop rename refuses an existing dest → existing
+              // dest means a duplicate attempt won (same bytes): drop ours.
               val t = new Path(s"$root/${tmpOf(rel)}")
               val f = new Path(s"$root/$rel")
-              if (fs.exists(f)) fs.delete(f, false) // overwrite/duplicate-attempt
-              if (!fs.rename(t, f) && !fs.exists(f))
-                throw new java.io.IOException(s"commit rename failed: $rel")
+              if (!fs.rename(t, f)) {
+                if (fs.exists(f)) fs.delete(t, false)
+                else throw new java.io.IOException(s"commit rename failed: $rel")
+              }
             }
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
@@ -211,13 +227,16 @@ object JsonlSnapshotSink {
             closeCurrent()
           } catch {
             case e: Throwable =>
-              // don't leak fds on a mid-partition failure; the uncommitted
-              // *.tmp of the current object stays invisible to readers
-              if (curKey != null) {
-                try gz.close() catch { case _: Throwable => () }
-                try manifest.close() catch { case _: Throwable => () }
-              }
+              // don't leak fds on a mid-partition failure (including a
+              // PARTIALLY opened object: openObject sets curKey last, so
+              // guard on the streams, not the key — double-close of an
+              // already-closed stream is a no-op); the uncommitted hidden
+              // temp of the current object stays invisible to readers
+              try { if (gz != null) gz.close() } catch { case _: Throwable => () }
+              try { if (manifest != null) manifest.close() } catch { case _: Throwable => () }
               throw e
+          } finally {
+            if (fsRef != null) fsRef.close() // uncached instance — ours to close
           }
           out.iterator
         }

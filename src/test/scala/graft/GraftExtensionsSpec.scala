@@ -12,13 +12,24 @@ class GraftExtensionsSpec extends SparkSpec {
         |  decode(aes_ctr(aes_ctr(encode('secret', 'UTF-8'), unhex(md5('k')), unhex(md5('v'))),
         |                 unhex(md5('k')), unhex(md5('v'))), 'UTF-8') AS roundtrip,
         |  validate_record('{"_id":"a","x":"1"}', '{"id":"9"}') AS v,
-        |  simhash60(array('alpha', 'beta', 'alpha')) AS fp
+        |  simhash60(array('alpha', 'beta', 'alpha')) AS fp,
+        |  round(cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS cos
         |""".stripMargin).head
     assert(row.getString(0) == "secret")
     val v = row.getStruct(1)
     assert(v.getString(0) == """{"x":"1","_lastModifiedDateTime":{"$date":"1980-01-01T00:00:00.000Z"},"_id":{"$oid":"a"}}""")
     assert(v.getString(1) == """{"$oid":"a"}""")
     assert(row.getLong(2) != 0L)
+    assert(row.getDouble(3) == 1.0)
+  }
+
+  test("cosine_sim rejects non-float arrays at analysis time (no silent reinterpretation)") {
+    GraftExtensions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0, 2.0), array(1.0, 2.0))").collect()
+    }
+    assert(ex.getMessage.contains("array<float>"), ex.getMessage)
   }
 
   test("simhash60 expression equals the relational bit formulation") {
