@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(Session(1, 500, 2000, 3), Session(2, 100000, 100000, 1)))
   }
 
+  test("incremental sessions run under the RocksDB state store (production conf)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the provider GraftSession.withRocksDbState configures — prove it
+    // actually hosts our flatMapGroupsWithState state end-to-end
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = StatefulSessionize.sessionizeIncremental(input.toDS(), gapMs = 10000L, delay = "0 seconds")
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode("append").start()
+      input.addData(Ev(1, 2000), Ev(1, 500))
+      q.processAllAvailable()
+      input.addData(Ev(2, 100000))
+      q.processAllAvailable() // watermark passes user 1 → timeout flush
+      val out = spark.table("rocks_sessions").as[Session].collect().toSet
+      q.stop()
+      assert(out == Set(Session(1, 500, 2000, 2)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("continuous export: full record+manifest pipeline per micro-batch via foreachBatch") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_export").toString
     val n = StreamExport.continuousExport(spark, sf, root)
