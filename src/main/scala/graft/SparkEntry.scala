@@ -36,6 +36,7 @@ object SparkEntry {
     "export_completion" -> (ExportQueries.exportCompletion _),
     "printable_key" -> (ExportQueries.printableKeyQ _),
     "export_records" -> (ExportQueries.exportRecords _),
+    "incremental_export" -> (ExportQueries.incrementalExport _),
     // Analytics heads (№33-35)
     "q1_agg" -> (Analytics.q1Agg _),
     "q3_join" -> (Analytics.q3Join _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "export_completion" -> ExportQueries.exportCompletionSql,
     "printable_key" -> ExportQueries.printableKeySql,
     "export_records" -> ExportQueries.exportRecordsSql,
+    "incremental_export" -> ExportQueries.incrementalExportSql,
     "q1_agg" -> Analytics.q1Sql,
     "q3_join" -> Analytics.q3Sql,
     "sessionize" -> Analytics.sessionizeSql,

@@ -465,6 +465,38 @@ object ExportQueries {
       .select(col("eid"), col("topic"), col("record"), col("manifest_line"))
       .orderBy(col("eid"))
 
+  // -------------------------------------------------------------- №38 incremental_export
+  /** The reference's PRIMARY daily mode composed end-to-end: time-range
+    * scan (Scan.setTimeRange) + latest-version-per-key (HBase maxVersions=1
+    * semantics) + the full record pipeline. Shape at scale: the ts
+    * predicate pushes into the parquet scan; latest-cell is ONE max_by
+    * hash-aggregation (map-side partial, no window/sort); everything after
+    * is the per-row projection pipeline — so an incremental export reads
+    * only the time slice and shuffles once on the row key. */
+  def incrementalExport(spark: SparkSession, dir: String): DataFrame = {
+    val kv = KvModel.kv(spark, dir)
+      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
+    val cols = kv.columns
+    val latest = kv
+      .groupBy(col("uid"))
+      .agg(max_by(struct(cols.map(col): _*), struct(col("ms"), col("eid"))).as("r"))
+      .select(col("r.*"))
+    recordsFromKv(KvModel.withEnvelope(latest))
+      .select(col("eid"), col("topic"), col("record"), col("manifest_line"))
+      .orderBy(col("eid"))
+  }
+
+  val incrementalExportSql: String =
+    s"""WITH ${KvSql.cte},
+       |latest AS (
+       |  SELECT * FROM kv WHERE ms >= $T1 AND ms < $T2
+       |  QUALIFY row_number() OVER (PARTITION BY uid ORDER BY ms DESC, eid DESC) = 1),
+       |records AS (
+       |  SELECT latest.*, ${KvSql.expectedRecordSql} AS record,
+       |    ${KvSql.manifestLineSql} AS manifest_line
+       |  FROM latest WHERE valid)
+       |SELECT eid, topic, record, manifest_line FROM records ORDER BY eid""".stripMargin
+
   val exportRecordsSql: String =
     s"""WITH ${KvSql.cte},
        |$recordsCte
