@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_embedding" -> (VectorQueries.dedupEmbedding _),
     "knn_brute" -> (VectorQueries.knnBrute _),
     "knn_ivf" -> (VectorQueries.knnIvf _),
+    "knn_graph" -> (VectorQueries.knnGraph _),
     // Hash dedup (№22-23)
     "dedup_minhash" -> (HashDedup.dedupMinhash _),
     "dedup_simhash" -> (HashDedup.dedupSimhash _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "knn_brute" -> VectorQueries.knnBruteSql,
     "knn_ivf" -> VectorQueries.knnIvfSql,
+    "knn_graph" -> VectorQueries.knnGraphSql,
     "dedup_minhash" -> HashDedup.dedupMinhashSql,
     "dedup_simhash" -> HashDedup.dedupSimhashSql,
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,

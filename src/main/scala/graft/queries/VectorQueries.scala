@@ -160,6 +160,73 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Neighbors per vector in the kNN graph. */
+  val GraphK = 3
+
+  // ---------------------------------------------------------------- №27b knn_graph
+  /** kNN GRAPH: top-k neighbors for EVERY corpus vector (the core of
+    * embedding-dedup clustering), via IVF cells. The scale shape differs
+    * from [[knnBrute]]/[[knnIvf]]: the query side IS the corpus, so nothing
+    * is broadcast for the search itself — probes and cells are joined by a
+    * plain equi-join on the cell id (both sides hash-partition on cell; at
+    * 10⁹ vectors this is a co-partitioned shuffle join touching ~P/C of
+    * the all-pairs space), and the per-vector top-k is the bounded-heap
+    * TopKByScore aggregate (≤k rows per partition to the final shuffle).
+    * Only the fixed-C centroid sample is broadcast (constant size).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val centroids = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Centroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+
+    val cells = v.join(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"),
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("neg"))).as("cell"))
+
+    val probes = v.join(broadcast(centroids))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("c_id"),
+        cosine6(col("emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+
+    cells.join(probes, "cell") // shuffle equi-join on cell — NO query broadcast
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), GraphK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id").as("vec_id"), col("e.id").as("neighbor"), col("e.score").as("cos"),
+        (col("pos") + 1).as("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |cells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos6Sql("v.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM v, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT v.vec_id AS q_id, v.emb AS q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos6Sql("v.emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM v, cent) x WHERE prank <= $Probe),
+       |scored AS (
+       |  SELECT p.q_id, cells.vec_id AS n_id, ${cos6Sql("cells.emb", "p.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql("cells.emb", "p.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes p USING (cell) WHERE cells.vec_id <> p.q_id)
+       |SELECT q_id AS vec_id, n_id AS neighbor, cos, rank FROM scored WHERE rank <= $GraphK
+       |ORDER BY vec_id, rank""".stripMargin
+
   val knnIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),

@@ -6,7 +6,9 @@ package graft
   */
 class PlanLintSpec extends SparkSpec {
 
-  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "jsonl_snapshot")
+  // knn_*: the constant-size centroid/query broadcast cross joins are the
+  // intended scan shape (the GRAPH search join itself is an equi-join)
+  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "jsonl_snapshot")
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
