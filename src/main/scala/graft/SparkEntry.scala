@@ -55,6 +55,7 @@ object SparkEntry {
     // Sinks / streaming (№18, №36)
     "jsonl_snapshot" -> (graft.sources.JsonlSnapshotSink.snapshotQuery _),
     "stream_export" -> (graft.streaming.StreamExport.streamExport _),
+    "stream_sessionize" -> (graft.streaming.StatefulSessionize.streamSessionize _),
     // Text / dedup (№21,24,28-31)
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langId _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,
     "multimodal_transform" -> MultimodalQueries.multimodalTransformSql,
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,
+    "stream_sessionize" -> graft.streaming.StatefulSessionize.streamSessionizeSql,
     // jsonl_snapshot: full sink round trip — the query WRITES the chunked
     // AES-CTR-encrypted objects, then decrypts them back; the oracle
     // reconstructs the expected (object_key, record) pairs relationally

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -99,4 +99,66 @@ object StatefulSessionize {
           closed.sortBy(_._1).map(i => Session(uid, i._1, i._2, i._3)).iterator
       }
   }
+
+  /** Driver-verified form of [[sessionizeIncremental]]: replay the whole
+    * `events` table through a MemoryStream in several watermarked
+    * micro-batches, run the production operator (incremental interval merge
+    * + event-time timeout, RocksDB state store), and number the flushed
+    * sessions so the output is comparable row-for-row with the BATCH
+    * sessionization oracle ([[graft.queries.Analytics.sessionizeSql]]) —
+    * stream ≡ batch, checked by the driver's DuckDB gate.
+    *
+    * The MemoryStream feed (a driver-side collect of the events table) is
+    * verification scaffolding only — it exists because a file stream can't
+    * replay one file as multiple ordered micro-batches. The OPERATOR under
+    * test is fully distributed; production ingestion is `readStream` as in
+    * [[StreamExport]]. Events are fed in ts order, so with chunks cut at ts
+    * boundaries nothing is ever behind the watermark (no silent drops to
+    * fake a pass); a final far-future sentinel (user −1, filtered out)
+    * advances the watermark so EVERY real session flushes via the same
+    * event-time-timeout path production uses.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 1800000L
+    val delay = "30 minutes"
+    val evs = graft.Tables(spark, dir).events
+      .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
+    val name = s"stream_sessions_${System.nanoTime()}"
+    // production state store for the verified run (GraftSession.withRocksDbState)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = sessionizeIncremental(input.toDS(), gapMs, delay)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // 4 contiguous ts-ordered chunks → separate micro-batches, watermark
+      // advancing between them (mid-stream sessions close by TIMEOUT here,
+      // not at end-of-input — the production path is what's exercised)
+      evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // sentinel beyond every closable horizon: wm passes max(end)+gap
+      input.addData(Ev(-1L, evs.last.ts_ms + gapMs + 3600000L))
+      q.processAllAvailable()
+      q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(name).filter($"user_id" >= 0)
+      .withColumn("session_id",
+        row_number().over(Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
+      .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms",
+        ($"end_ms" - $"start_ms").as("duration_ms"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Same oracle as batch sessionize — the claim IS stream ≡ batch. */
+  val streamSessionizeSql: String = graft.queries.Analytics.sessionizeSql
 }
