@@ -29,6 +29,16 @@ object KvModel {
   val EqualityTopic = "data.equality"
   val BlockedTopics: Seq[String] = Seq("database1.collection2", "database2.collection3")
 
+  /** The CONFIGURED topic list (reference: `topic.name` CSV env — a static
+    * job input, independent of what HBase actually holds). Deliberately a
+    * superset of what the corpus produces: `collection4` is configured but
+    * has no table, so a scan raises TableNotFoundException → status
+    * Table_Unavailable (reference HBaseReader.kt:48-55) — which COUNTS AS
+    * successful completion (DynamoDBExportStatusService.kt:162-165). */
+  val DeclaredTopics: Seq[String] =
+    Seq("data.businessAudit", "data.equality", "penalties-and-deductions.sanction") ++
+      (for (d <- 0 to 2; c <- 0 to 4) yield s"database$d.collection$c")
+
   // Deterministic date offsets (ms) for the payload's date-shaped fields.
   val D1: Long = -86400000L   // "d1" plain +0000 string
   val D2: Long = -3600000L    // "nested.d2" already-Z string

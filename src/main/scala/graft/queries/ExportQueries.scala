@@ -376,8 +376,23 @@ object ExportQueries {
     * The over-() window runs on the 15-row post-aggregation frame — single
     * partition by construction, never on row-scale data.
     */
-  def exportCompletion(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-topic status under the reference's lifecycle, data-level:
+    * configured-but-absent table → Table_Unavailable; blocked → aborted
+    * before writing → Blocked_Topic; else Exported. `present` is set by
+    * [[completionWith]] (non-null ⇔ the topic has rows in the corpus). */
+  def defaultTopicStatus: Column =
+    when(col("present").isNull, "Table_Unavailable")
+      .when(col("topic").isin(KvModel.BlockedTopics: _*), "Blocked_Topic")
+      .otherwise("Exported")
+
+  /** Completion lifecycle over the CONFIGURED topic list with a pluggable
+    * per-topic status expression — the reference's process states
+    * (Exporting / Export_Failed, set by the job runner, not the data) are
+    * injected by callers; see [[exportCompletionFailed]] and
+    * CompletionSpec for the failure verdicts. */
+  def completionWith(spark: SparkSession, dir: String, statusFor: Column): DataFrame = {
     val successSet = Seq("Exported", "Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic")
+    import spark.implicits._
     val chunks = ExportOps.withChunkIds(
         records(spark, dir, !col("topic").isin(KvModel.BlockedTopics: _*)))
       .withColumn("object_key",
@@ -385,14 +400,15 @@ object ExportQueries {
       .groupBy(col("topic"))
       .agg(countDistinct(col("object_key")).as("files_exported"),
         count(lit(1)).as("records_exported"))
-    val allTopics = KvModel.kv(spark, dir).select(col("topic")).distinct()
+    val present = KvModel.kv(spark, dir).select(col("topic")).distinct()
+      .withColumn("present", lit(true))
+    val allTopics = KvModel.DeclaredTopics.toDF("topic")
     val allW = Window.partitionBy()
-    allTopics.join(chunks, Seq("topic"), "left")
+    allTopics.join(chunks, Seq("topic"), "left").join(present, Seq("topic"), "left")
       .select(col("topic"),
         coalesce(col("files_exported"), lit(0L)).as("files_exported"),
         coalesce(col("records_exported"), lit(0L)).as("records_exported"),
-        when(col("topic").isin(KvModel.BlockedTopics: _*), "Blocked_Topic")
-          .otherwise("Exported").as("status"))
+        statusFor.as("status"))
       .withColumn("job_completion",
         when(min(when(col("status").isin(successSet: _*), 1).otherwise(0)).over(allW) === 1,
           "COMPLETED_SUCCESSFULLY")
@@ -404,7 +420,24 @@ object ExportQueries {
       .orderBy(col("topic"))
   }
 
-  val exportCompletionSql: String = {
+  def exportCompletion(spark: SparkSession, dir: String): DataFrame =
+    completionWith(spark, dir, defaultTopicStatus)
+
+  /** The failure lifecycle, reachable: one topic's export fails mid-run
+    * (reference: any step exception → Export_Failed,
+    * JobCompletionNotificationListener.kt:70-92). No Exporting remains, so
+    * the verdict is COMPLETED_UNSUCCESSFULLY; the IN_PROGRESS precedence
+    * (Exporting beats Export_Failed) and NOT_COMPLETED fallback are
+    * spec-covered in CompletionSpec. */
+  val FailedTopic = "database0.collection2"
+  def exportCompletionFailed(spark: SparkSession, dir: String): DataFrame =
+    completionWith(spark, dir,
+      when(col("topic") === FailedTopic, "Export_Failed").otherwise(defaultTopicStatus))
+
+  private def declaredTopicsValues: String =
+    KvModel.DeclaredTopics.map(t => s"('$t')").mkString(", ")
+
+  private def completionSqlWith(statusCase: String): String = {
     val blockedIn = KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")
     s"""WITH ${KvSql.cte},
        |records AS (
@@ -426,12 +459,15 @@ object ExportQueries {
        |    count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch)) AS files_exported,
        |    count(*) AS records_exported
        |  FROM batched GROUP BY topic),
+       |topics AS (SELECT topic FROM (VALUES $declaredTopicsValues) v(topic)),
+       |present AS (SELECT DISTINCT topic AS ptopic FROM kv),
        |pt AS (
        |  SELECT t.topic,
        |    coalesce(c.files_exported, 0) AS files_exported,
        |    coalesce(c.records_exported, 0) AS records_exported,
-       |    CASE WHEN t.topic IN ($blockedIn) THEN 'Blocked_Topic' ELSE 'Exported' END AS status
-       |  FROM (SELECT DISTINCT topic FROM kv) t LEFT JOIN chunks c USING (topic))
+       |    $statusCase AS status
+       |  FROM topics t LEFT JOIN chunks c USING (topic)
+       |    LEFT JOIN present p ON p.ptopic = t.topic)
        |SELECT topic, files_exported, records_exported, status,
        |  CASE WHEN min(CASE WHEN status IN ('Exported','Sent','Received','Success','Table_Unavailable','Blocked_Topic')
        |         THEN 1 ELSE 0 END) OVER () = 1 THEN 'COMPLETED_SUCCESSFULLY'
@@ -440,6 +476,19 @@ object ExportQueries {
        |       ELSE 'NOT_COMPLETED' END AS job_completion
        |FROM pt ORDER BY topic""".stripMargin
   }
+
+  private def defaultStatusCase: String = {
+    val blockedIn = KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")
+    s"""CASE WHEN p.ptopic IS NULL THEN 'Table_Unavailable'
+       |       WHEN t.topic IN ($blockedIn) THEN 'Blocked_Topic'
+       |       ELSE 'Exported' END""".stripMargin
+  }
+
+  val exportCompletionSql: String = completionSqlWith(defaultStatusCase)
+
+  val exportCompletionFailedSql: String = completionSqlWith(
+    s"CASE WHEN t.topic = '$FailedTopic' THEN 'Export_Failed' ELSE $defaultStatusCase END")
+
 
   // -------------------------------------------------------------- №20 printable_key
   def printableKeyQ(spark: SparkSession, dir: String): DataFrame =
