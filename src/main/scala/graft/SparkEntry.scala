@@ -34,6 +34,7 @@ object SparkEntry {
     "snapshot_name" -> (ExportQueries.snapshotNameQ _),
     "export_status" -> (ExportQueries.exportStatus _),
     "export_completion" -> (ExportQueries.exportCompletion _),
+    "export_completion_failed" -> (ExportQueries.exportCompletionFailed _),
     "printable_key" -> (ExportQueries.printableKeyQ _),
     "export_records" -> (ExportQueries.exportRecords _),
     "incremental_export" -> (ExportQueries.incrementalExport _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "knn_brute" -> (VectorQueries.knnBrute _),
     "knn_ivf" -> (VectorQueries.knnIvf _),
     "knn_graph" -> (VectorQueries.knnGraph _),
+    "knn_recall" -> (VectorQueries.knnRecall _),
     // Hash dedup (№22-23)
     "dedup_minhash" -> (HashDedup.dedupMinhash _),
     "dedup_simhash" -> (HashDedup.dedupSimhash _),
@@ -85,6 +87,7 @@ object SparkEntry {
     "snapshot_name" -> ExportQueries.snapshotNameSql,
     "export_status" -> ExportQueries.exportStatusSql,
     "export_completion" -> ExportQueries.exportCompletionSql,
+    "export_completion_failed" -> ExportQueries.exportCompletionFailedSql,
     "printable_key" -> ExportQueries.printableKeySql,
     "export_records" -> ExportQueries.exportRecordsSql,
     "incremental_export" -> ExportQueries.incrementalExportSql,
@@ -95,6 +98,7 @@ object SparkEntry {
     "knn_brute" -> VectorQueries.knnBruteSql,
     "knn_ivf" -> VectorQueries.knnIvfSql,
     "knn_graph" -> VectorQueries.knnGraphSql,
+    "knn_recall" -> VectorQueries.knnRecallSql,
     "dedup_minhash" -> HashDedup.dedupMinhashSql,
     "dedup_simhash" -> HashDedup.dedupSimhashSql,
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,

@@ -122,7 +122,13 @@ object VectorQueries {
     * sample itself is a TakeOrderedAndProject (per-partition top-C, no full
     * sort shuffle).
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfWith(spark, dir, Probe)
+
+  /** [[knnIvf]] with an explicit probe width — the recall/cost knob
+    * ([[knnRecall]] measures the curve: more probed cells → more of the
+    * corpus scanned → higher recall, linearly more work). */
+  def knnIvfWith(spark: SparkSession, dir: String, probe: Int): DataFrame = {
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
     val queries = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -147,7 +153,7 @@ object VectorQueries {
       .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
       .groupBy(col("q_id"))
       .agg(first(col("q_emb")).as("q_emb"),
-        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), probe).as("top"))
       .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
 
     cells.join(broadcast(probes), "cell")
@@ -226,6 +232,123 @@ object VectorQueries {
        |  FROM cells JOIN probes p USING (cell) WHERE cells.vec_id <> p.q_id)
        |SELECT q_id AS vec_id, n_id AS neighbor, cos, rank FROM scored WHERE rank <= $GraphK
        |ORDER BY vec_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №27c knn_recall
+  /** Probe widths the recall curve is measured at ([[knnRecall]]). */
+  val RecallProbes: Seq[Int] = Seq(2, 8, 32)
+
+  /** Recall accounting for BOTH approximate operators: per query vector,
+    * |approx ∩ exact| / k against brute-force ground truth — the number a
+    * production pipeline tunes (C, Probe) on, measured instead of asserted.
+    * `ivf_pP` rows grade [[knnIvfWith]] at probe P across [[RecallProbes]]
+    * — the tuning CURVE (P/C of the corpus scanned → recall), not a point;
+    * `graph_p2` rows grade [[knnGraph]] restricted to the same query ids
+    * (k=[[GraphK]], corpus = everything). Runs the graded operators
+    * VERBATIM — this is a measurement harness over their outputs, so the
+    * cost is the operators' own; the ground-truth side only broadcasts the
+    * 10 query vectors. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    def recallOf(approx: DataFrame, exact: DataFrame, k: Int, method: String): DataFrame = {
+      val hits = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct().join(hits, Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / k + 1e-9, 6).as("recall"))
+    }
+    val brute = knnBrute(spark, dir).select(col("q_id"), col("vec_id"))
+    val ivfCurve = RecallProbes.map { p =>
+      recallOf(knnIvfWith(spark, dir, p).select(col("q_id"), col("vec_id")),
+        brute, K, s"ivf_p$p")
+    }.reduce(_ unionAll _)
+
+    // graph ground truth: exact top-GraphK over the FULL corpus for the
+    // measured query ids (queries broadcast; corpus scanned once)
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val gq = v.filter(col("vec_id") < NQueries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val gBrute = v.join(broadcast(gq)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), GraphK).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    val graph = recallOf(
+      knnGraph(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("neighbor").as("vec_id")),
+      gBrute, GraphK, s"graph_p$Probe")
+
+    ivfCurve.unionAll(graph).orderBy(col("method"), col("q_id"))
+  }
+
+  /** Per-probe ivf CTE block for [[knnRecallSql]] (cells are shared — only
+    * the probe list and downstream search differ by P). */
+  private def ivfRecallCtes(p: Int): String =
+    s"""probes_p$p AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $p),
+       |iscored_p$p AS (
+       |  SELECT p.q_id, cells.vec_id,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql("cells.emb", "p.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes_p$p p USING (cell)),
+       |ivf_p$p AS (SELECT q_id, vec_id FROM iscored_p$p WHERE rank <= $K),
+       |ihits_p$p AS (
+       |  SELECT b.q_id, count(*) AS n_hits
+       |  FROM brute b JOIN ivf_p$p USING (q_id, vec_id) GROUP BY b.q_id)""".stripMargin
+
+  private def ivfRecallSelect(p: Int): String =
+    s"""SELECT 'ivf_p$p' AS method, q.q_id, coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall
+       |FROM (SELECT DISTINCT q_id FROM brute) q LEFT JOIN ihits_p$p h USING (q_id)""".stripMargin
+
+  val knnRecallSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |bscored AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${cos6Sql("emb", "q_emb")} DESC, vec_id) AS rank
+       |  FROM c, q),
+       |brute AS (SELECT q_id, vec_id FROM bscored WHERE rank <= $K),
+       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |cells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT c.vec_id, c.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |${RecallProbes.map(ivfRecallCtes).mkString(",\n")},
+       |gcent AS (SELECT vec_id AS c_id, emb AS c_emb FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |gcells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.emb, gcent.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos6Sql("v.emb", "gcent.c_emb")} DESC, gcent.c_id) AS crank
+       |    FROM v, gcent) x WHERE crank = 1),
+       |gprobes AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT v.vec_id AS q_id, v.emb AS q_emb, gcent.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos6Sql("v.emb", "gcent.c_emb")} DESC, gcent.c_id) AS prank
+       |    FROM v, gcent WHERE v.vec_id < $NQueries) x WHERE prank <= $Probe),
+       |gscored AS (
+       |  SELECT p.q_id, gcells.vec_id,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql("gcells.emb", "p.q_emb")} DESC, gcells.vec_id) AS rank
+       |  FROM gcells JOIN gprobes p USING (cell) WHERE gcells.vec_id <> p.q_id),
+       |graph AS (SELECT q_id, vec_id FROM gscored WHERE rank <= $GraphK),
+       |gbscored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("b.emb", "a.emb")} DESC, b.vec_id) AS rank
+       |  FROM v a JOIN v b ON b.vec_id <> a.vec_id WHERE a.vec_id < $NQueries),
+       |gbrute AS (SELECT q_id, vec_id FROM gbscored WHERE rank <= $GraphK),
+       |ghits AS (
+       |  SELECT b.q_id, count(*) AS n_hits
+       |  FROM gbrute b JOIN graph USING (q_id, vec_id) GROUP BY b.q_id)
+       |${RecallProbes.map(ivfRecallSelect).mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT 'graph_p$Probe', q.q_id, coalesce(h.n_hits, 0),
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $GraphK + 0.000000001, 6)
+       |FROM (SELECT DISTINCT q_id FROM gbrute) q LEFT JOIN ghits h USING (q_id)
+       |ORDER BY method, q_id""".stripMargin
 
   val knnIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
