@@ -25,11 +25,107 @@ object VectorQueries {
   val Probe = 2      // IVF cells probed
 
   /** IVF centroid count — FIXED, independent of corpus size. Centroids are
-    * a deterministic hash-ordered sample of the corpus (md5 of the id — an
-    * unbiased order), so at any scale the centroid broadcast is C vectors
-    * and cell assignment is O(n·C), never O(n·n/k). Production tuning:
-    * C ≈ √n (k-means on a sample); 64 is proof-sized for the sf corpora. */
+    * k-means-refined over a deterministic hash-ordered sample of the corpus
+    * (md5 of the id — an unbiased order), so at any scale the centroid
+    * broadcast is C vectors and cell assignment is O(n·C), never O(n·n/k).
+    * Production tuning: C ≈ √n; 64 is proof-sized for the sf corpora. */
   val Centroids = 64
+
+  /** k-means sample size — CONSTANT at any corpus scale (the sample is the
+    * hash-ordered first M, collected to the driver: ~M·dim floats). */
+  val SampleM = 1024
+
+  /** Lloyd iterations over the sample ([[refinedCentroids]]). */
+  val Lloyd = 2
+
+  /** Spark round() semantics (BigDecimal.valueOf → HALF_UP) — the rounding
+    * the cross-engine cosine path is already proven on. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Driver-side mirror of [[graft.functions.CosineSim]] + round 6dp:
+    * sequential left folds in array order, float→double widening —
+    * bit-identical to the engine expression and the DuckDB oracle. */
+  private def cos6Local(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** k-means-refined IVF centroids: hash-ordered sample of [[SampleM]]
+    * (constant-size TakeOrdered + driver collect at ANY corpus scale),
+    * [[Lloyd]] Lloyd iterations driver-side, centroid components rounded to
+    * 6dp and narrowed to float — every arithmetic step (sequential-fold
+    * cosine, sample-order component sums, HALF_UP rounding) is chosen so
+    * the DuckDB oracle reproduces the centroids EXACTLY
+    * ([[refinedCentSql]]), keeping the knn oracles value-checkable.
+    * Returns a local (c_id, c_emb) frame — a constant broadcast, cheaper
+    * than the previous in-plan sample (no re-scan per consumer). Empty
+    * clusters drop (both engines agree: group-by semantics). */
+  private[queries] def refinedCentroids(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(SampleM).select(col("emb"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    var cents: Array[(Long, Array[Float])] =
+      sample.take(Centroids).zipWithIndex.map { case (e, i) => ((i + 1).toLong, e) }
+    for (_ <- 1 to Lloyd) {
+      val assigned: Array[(Long, Array[Float])] = sample.map { e =>
+        // cents is cid-ascending; strict > keeps the LOWEST cid on rounded
+        // ties — the oracle's row_number (cos DESC, cid ASC)
+        var bestCid = 0L; var bestCos = Double.NegativeInfinity
+        cents.foreach { case (cid, cemb) =>
+          val c = cos6Local(e, cemb)
+          if (c > bestCos) { bestCos = c; bestCid = cid }
+        }
+        (bestCid, e)
+      }
+      // groupBy preserves encounter (= sample rank) order per key → the
+      // component sums fold in the same order as the oracle's list(ORDER BY rk)
+      cents = assigned.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, members) =>
+        val n = members.length
+        val cemb = Array.tabulate(members(0)._2.length) { i =>
+          var s = 0.0
+          members.foreach(m => s += m._2(i).toDouble)
+          round6(s / n + 1e-9).toFloat
+        }
+        (cid, cemb)
+      }
+    }
+    cents.toSeq.toDF("c_id", "c_emb")
+  }
+
+  /** The oracle's mirror of [[refinedCentroids]]: CTE chain `{p}samp →
+    * {p}c0 → ({p}a_i assign, {p}g_i group, {p}c_i update)×Lloyd → {p}cent`
+    * over source relation `src(vec_id, emb)`. */
+  private def refinedCentSql(src: String, p: String): String = {
+    def assign(it: Int): String = {
+      val centSrc = if (it == 1) s"${p}c0" else s"${p}c${it - 1}"
+      s"""${p}a$it AS (
+         |  SELECT rk, emb, cid FROM (
+         |    SELECT s.rk, s.emb, c.cid,
+         |      row_number() OVER (PARTITION BY s.rk ORDER BY ${cos6Sql("s.emb", "c.cemb")} DESC, c.cid) AS r
+         |    FROM ${p}samp s, $centSrc c) x WHERE r = 1)""".stripMargin
+    }
+    def update(it: Int): String =
+      s"""${p}g$it AS (
+         |  SELECT cid, list(emb ORDER BY rk) AS embs, count(*) AS n FROM ${p}a$it GROUP BY cid),
+         |${p}c$it AS (
+         |  SELECT cid, list_transform(range(1, len(embs[1]) + 1), i ->
+         |    CAST(round(list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE))) / n + 0.000000001, 6) AS FLOAT)) AS cemb
+         |  FROM ${p}g$it)""".stripMargin
+    val iters = (1 to Lloyd).map(it => assign(it) + ",\n" + update(it)).mkString(",\n")
+    s"""${p}samp AS (
+       |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM $src QUALIFY rk <= $SampleM),
+       |${p}c0 AS (SELECT rk AS cid, emb AS cemb FROM ${p}samp WHERE rk <= $Centroids),
+       |$iters,
+       |${p}cent AS (SELECT cid AS c_id, cemb AS c_emb FROM ${p}c$Lloyd)""".stripMargin
+  }
 
   /** LSH sign-bucket width (bits → 2^bits buckets) for embedding dedup.
     * Within-bucket candidate verification is all-pairs, O(n²/2^bits): 8 bits
@@ -133,10 +229,7 @@ object VectorQueries {
     val queries = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
-    val centroids = corpus
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(Centroids)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val centroids = refinedCentroids(spark, corpus)
 
     // cell assignment: nearest centroid via max_by AGGREGATION (map-side
     // partial) — a per-vector window would shuffle AND sort
@@ -182,10 +275,7 @@ object VectorQueries {
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
-    val centroids = v
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(Centroids)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val centroids = refinedCentroids(spark, v)
 
     val cells = v.join(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
@@ -214,8 +304,7 @@ object VectorQueries {
 
   val knnGraphSql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
-       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM v
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |${refinedCentSql("v", "")},
        |cells AS (
        |  SELECT vec_id, emb, c_id AS cell FROM (
        |    SELECT v.vec_id, v.emb, cent.c_id,
@@ -310,16 +399,14 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY q_id ORDER BY ${cos6Sql("emb", "q_emb")} DESC, vec_id) AS rank
        |  FROM c, q),
        |brute AS (SELECT q_id, vec_id FROM bscored WHERE rank <= $K),
-       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |${refinedCentSql("c", "")},
        |cells AS (
        |  SELECT vec_id, emb, c_id AS cell FROM (
        |    SELECT c.vec_id, c.emb, cent.c_id,
        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
        |    FROM c, cent) x WHERE crank = 1),
        |${RecallProbes.map(ivfRecallCtes).mkString(",\n")},
-       |gcent AS (SELECT vec_id AS c_id, emb AS c_emb FROM v
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |${refinedCentSql("v", "g")},
        |gcells AS (
        |  SELECT vec_id, emb, c_id AS cell FROM (
        |    SELECT v.vec_id, v.emb, gcent.c_id,
@@ -354,8 +441,7 @@ object VectorQueries {
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
        |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
-       |cent AS (SELECT vec_id AS c_id, emb AS c_emb FROM c
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+       |${refinedCentSql("c", "")},
        |cells AS (
        |  SELECT vec_id, emb, c_id AS cell FROM (
        |    SELECT c.vec_id, c.emb, cent.c_id,

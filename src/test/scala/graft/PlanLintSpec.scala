@@ -8,11 +8,14 @@ class PlanLintSpec extends SparkSpec {
 
   // knn_*: the constant-size centroid/query broadcast cross joins are the
   // intended scan shape (the GRAPH search join itself is an equi-join)
-  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "jsonl_snapshot")
+  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall", "jsonl_snapshot")
+
+  // sinks/streams execute on build — linting them would run the job
+  private val executesOnBuild = Set("jsonl_snapshot", "stream_export", "stream_sessionize")
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (name != "jsonl_snapshot" && name != "stream_export") { // sinks/streams execute on build
+      if (!executesOnBuild.contains(name)) {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
         if (!intendedCrossJoins.contains(name)) {

@@ -74,9 +74,22 @@ class PlanRegressionSpec extends SparkSpec {
     assert(countOccurrences(plan, "validate_record(") == 1)
   }
 
-  test("knn_ivf centroid sample is a bounded TakeOrdered, not a global sort") {
+  test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
+    // refined centroids: the k-means sample collect runs as its own tiny
+    // job whose plan must be a bounded TakeOrdered (per-partition top-M,
+    // no global sort shuffle)…
+    import org.apache.spark.sql.functions._
+    val v = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val samplePlan = executedPlan(
+      v.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(VectorQueries.SampleM).select(col("emb")))
+    assert(samplePlan.contains("TakeOrderedAndProject"),
+      s"centroid sample not collapsed to TakeOrdered:\n$samplePlan")
+    // …and the search plan broadcasts the refined centroids as a CONSTANT
+    // local relation (no corpus re-scan, no sort anywhere in the plan)
     val plan = executedPlan(VectorQueries.knnIvf(spark, sf))
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"centroid limit+sort not collapsed to TakeOrdered:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"refined centroids not a constant local relation:\n$plan")
   }
 }
