@@ -145,7 +145,15 @@ object VectorQueries {
     * natural pair comes near it; verified max natural cosine ≈ 0.51).
     * The oracle deliberately verifies with a NAIVE all-pairs scan.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingWith(spark, dir, BucketBits)
+
+  /** [[dedupEmbedding]] with an explicit bucket width — the candidate-set
+    * size knob (buckets 2^bits, within-bucket verify O(n²/2^bits)). The
+    * driver query runs the proof size [[BucketBits]]; DedupScaleSpec proves
+    * the ≥16-bit scale configuration finds the IDENTICAL pair set on the
+    * injected-dup corpus (perturbation is outside every bucketed dim). */
+  def dedupEmbeddingWith(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
     val copies = v.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
@@ -153,7 +161,7 @@ object VectorQueries {
           array(element_at(col("emb"), 60) + lit(0.01f)),
           slice(col("emb"), 61, 4)).as("emb"))
     val corpus = graft.CacheRegistry.track(v.unionAll(copies)
-      .withColumn("bucket", signBucket(col("emb"), BucketBits))
+      .withColumn("bucket", signBucket(col("emb"), bits))
       .persist())
     corpus.as("a").join(corpus.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
