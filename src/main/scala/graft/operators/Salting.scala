@@ -24,6 +24,19 @@ object Salting {
   def maxOf(c: Column, as: String): SaltedAgg =
     SaltedAgg(max(c).as(as), inner => max(col(inner)).as(as), as)
 
+  /** [[latestCell]]'s aggregation under a hot row key (one uid holding a
+    * large share of all versions — HBase-style timeline skew): max(struct)
+    * is algebraic, so the latest-version struct flows through the two
+    * phases and one hot uid spreads over `salts` reducers. Output ≡ the
+    * direct `latest_cell` aggregation (SaltingSpec proves it on a skewed
+    * corpus and pins the two-exchange plan). */
+  def latestCellSalted(kv: DataFrame, salts: Int): DataFrame =
+    saltedAgg(kv, col("uid"), salts,
+      maxOf(struct(col("ms"), col("eid")), "latest"),
+      countOf("n_versions"))
+      .select(col("key").as("uid"), col("latest.eid").as("latest_eid"),
+        col("latest.ms").as("latest_ms"), col("n_versions"))
+
   /** Aggregate `df` by `key` with a salt fan-out of `salts`. */
   def saltedAgg(df: DataFrame, key: Column, salts: Int, aggs: SaltedAgg*): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))

@@ -27,4 +27,25 @@ class SaltingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), "salt column missing from the plan")
   }
+
+  test("salted latest_cell equals the direct aggregation under a hot uid") {
+    // synthetic timeline skew on the REAL kv corpus: one uid absorbs 10%
+    // of all rows (every eid % 10 == 0 remapped to uid 0)
+    val skewed = graft.kv.KvModel.kv(spark, sf)
+      .withColumn("uid", when($"eid" % 10 === 0, lit(0L)).otherwise($"uid"))
+    val direct = skewed.groupBy($"uid")
+      .agg(max_by($"eid", struct($"ms", $"eid")).as("latest_eid"),
+        max(struct($"ms", $"eid")).getField("ms").as("latest_ms"),
+        count(lit(1)).as("n_versions"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val salted = Salting.latestCellSalted(skewed, salts = 16)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(salted == direct)
+    // the hot uid was actually spread: phase 1 shuffles on (__key, __salt),
+    // phase 2 re-aggregates on __key alone → two hash exchanges
+    val plan = Salting.latestCellSalted(skewed, 16).queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+    assert("hashpartitioning".r.findAllIn(plan).size >= 2,
+      s"expected two-phase exchanges:\n$plan")
+  }
 }
