@@ -160,9 +160,12 @@ object ExportOps {
   def partitionLabel(keyByte: Column): Column =
     concat(lit("p"), partitionStart(keyByte).cast("string"), lit("-"), partitionStop(keyByte).cast("string"))
 
-  /** Snapshot object key (reference: S3StreamingWriter.filePrefix/objectKey). */
-  def snapshotName(prefix: String, topic: Column, pstart: Column, pstop: Column, batch: Column): Column =
-    format_string(s"$prefix/%s-%03d-%03d-%06d.txt.gz.enc", topic, pstart, pstop, batch)
+  /** Snapshot object key (reference: S3StreamingWriter.filePrefix/objectKey;
+    * the compression extension is part of the key —
+    * `….txt.${compressionExtension}.enc`, S3StreamingWriter.kt:99-101). */
+  def snapshotName(prefix: String, topic: Column, pstart: Column, pstop: Column, batch: Column,
+                   compressionExt: String = "gz"): Column =
+    format_string(s"$prefix/%s-%03d-%03d-%06d.txt.$compressionExt.enc", topic, pstart, pstop, batch)
 
   /** Byte-bounded chunk/batch assignment — THE single definition shared by
     * the chunk_batch / snapshot_name queries and the snapshot sink. Batch

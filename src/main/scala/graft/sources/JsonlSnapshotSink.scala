@@ -9,7 +9,6 @@ import org.apache.spark.sql.functions._
 
 import java.io.ByteArrayInputStream
 import java.security.MessageDigest
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import javax.crypto.{Cipher, CipherOutputStream}
 import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
 
@@ -56,10 +55,10 @@ object JsonlSnapshotSink {
     (dk, iv)
   }
 
-  /** Manifest object key for a data object key: `.txt.gz.enc` → `.csv`
+  /** Manifest object key for a data object key: `.txt.<ext>.enc` → `.csv`
     * (reference names both off the same filePrefix-NNNNNN stem). */
-  def manifestKey(objectKey: String): String =
-    objectKey.stripSuffix(".txt.gz.enc") + ".csv"
+  def manifestKey(objectKey: String, codec: SnapshotCodec = GzipSnapshotCodec): String =
+    objectKey.stripSuffix(s".txt.${codec.extension}.enc") + ".csv"
 
   /** Write chunked, encrypted snapshot objects + per-chunk manifests.
     *
@@ -68,7 +67,8 @@ object JsonlSnapshotSink {
     * @return per-object summary (object_key, n_records, jsonl_bytes)
     */
   def write(records: DataFrame, root: String, prefix: String = Prefix,
-            maxBytes: Long = KvModel.ChunkMaxBytes): DataFrame = {
+            maxBytes: Long = KvModel.ChunkMaxBytes,
+            codec: SnapshotCodec = GzipSnapshotCodec): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
 
@@ -91,7 +91,8 @@ object JsonlSnapshotSink {
         records.select(col("topic"), col("record"), col("manifest_line"),
           col("key_byte"), col("key_hash"), col("eid")), maxBytes)
       .withColumn("object_key",
-        ExportOps.snapshotName(prefix, col("topic"), col("pstart"), col("pstop"), col("batch")))
+        ExportOps.snapshotName(prefix, col("topic"), col("pstart"), col("pstop"), col("batch"),
+          codec.extension))
       .select(col("object_key"), col("key_hash"), col("eid"), col("record"), col("manifest_line"))
 
     // One shuffle on the object key (high-cardinality, even); groups are
@@ -185,7 +186,7 @@ object JsonlSnapshotSink {
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
           var curKey: String = null
-          var gz: GZIPOutputStream = null
+          var gz: java.io.OutputStream = null
           var manifest: java.io.OutputStream = null
           var nRecords = 0L
           var nBytes = 0L
@@ -194,7 +195,7 @@ object JsonlSnapshotSink {
             gz.close() // closes cipher + data streams
             manifest.close()
             commit(s"data/$curKey")
-            commit(s"manifests/${manifestKey(curKey)}")
+            commit(s"manifests/${manifestKey(curKey, codec)}")
             out += ((curKey, nRecords, nBytes))
             curKey = null
           }
@@ -206,10 +207,10 @@ object JsonlSnapshotSink {
             val dataOut = createOut(tmpOf(s"data/$key"))
             // 64 KB buffer between deflate and cipher: one cipher.update and
             // one file write per 64 KB instead of per ~512 B deflate burst
-            gz = new GZIPOutputStream(new java.io.BufferedOutputStream(
+            gz = codec.compress(new java.io.BufferedOutputStream(
               new CipherOutputStream(dataOut, cipher), 65536))
             manifest = new java.io.BufferedOutputStream(
-              createOut(tmpOf(s"manifests/${manifestKey(key)}")))
+              createOut(tmpOf(s"manifests/${manifestKey(key, codec)}")))
             curKey = key
             nRecords = 0L
             nBytes = 0L
@@ -251,7 +252,8 @@ object JsonlSnapshotSink {
   /** Decrypt + decompress every data object back to (object_key, record)
     * rows — the round-trip proof the driver's oracle checks. Distributed:
     * binaryFile source (one whole object per row), per-row decrypt. */
-  def readBack(spark: SparkSession, root: String): DataFrame = {
+  def readBack(spark: SparkSession, root: String,
+               codec: SnapshotCodec = GzipSnapshotCodec): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -265,7 +267,7 @@ object JsonlSnapshotSink {
         val key = path.substring(path.lastIndexOf("/data/") + "/data/".length)
         val (dk, iv) = keyMaterial(key)
         val plain = AesCtrCrypt.crypt(bytes, dk, iv)
-        val text = new String(new GZIPInputStream(new ByteArrayInputStream(plain)).readAllBytes(), "UTF-8")
+        val text = new String(codec.decompress(new ByteArrayInputStream(plain)).readAllBytes(), "UTF-8")
         text.split("\n", -1).iterator.filter(_.nonEmpty).map(r => (key, r))
       }
       .toDF("object_key", "record")

@@ -78,6 +78,31 @@ class SnapshotFormatSpec extends SparkSpec {
     assert(back.toSeq == direct.toSeq)
   }
 
+  test("pluggable compression: zstd snapshot round-trips, extension in the key") {
+    // reference behavior: the compression extension is PART of the object
+    // key (S3StreamingWriter.kt:99-101) — a zstd export names .txt.zst.enc
+    // objects and round-trips through the same write/readBack machinery
+    val r = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_zst"
+    val records = graft.queries.ExportQueries.pipelineRecords(spark, sf)
+    val summary = JsonlSnapshotSink.write(records, r, codec = ZstdSnapshotCodec).collect()
+    assert(summary.nonEmpty)
+    summary.foreach(row =>
+      assert(row.getString(0).matches("""exports/[-\w.]+-\d{3}-\d{3}-\d{6}\.txt\.zst\.enc"""),
+        row.getString(0)))
+    val back = JsonlSnapshotSink.readBack(spark, r, ZstdSnapshotCodec)
+      .collect().map(_.getString(1)).sorted
+    val direct = graft.queries.ExportQueries.exportRecords(spark, sf)
+      .collect().map(_.getAs[String]("record")).sorted
+    assert(back.toSeq == direct.toSeq)
+    // manifests are named off the same stem whatever the codec
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    summary.foreach { row =>
+      val m = JsonlSnapshotSink.manifestKey(row.getString(0), ZstdSnapshotCodec)
+      assert(m.endsWith(".csv") && !m.contains(".zst"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$r/manifests/$m")))
+    }
+  }
+
   test("every data object has a manifest object alongside") {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dataKeys = JsonlSnapshotSink.readBack(spark, root)
