@@ -33,6 +33,7 @@ object SparkEntry {
     "chunk_batch" -> (ExportQueries.chunkBatch _),
     "snapshot_name" -> (ExportQueries.snapshotNameQ _),
     "export_status" -> (ExportQueries.exportStatus _),
+    "skip_audit" -> (ExportQueries.skipAudit _),
     "export_completion" -> (ExportQueries.exportCompletion _),
     "export_completion_failed" -> (ExportQueries.exportCompletionFailed _),
     "printable_key" -> (ExportQueries.printableKeyQ _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "chunk_batch" -> ExportQueries.chunkBatchSql,
     "snapshot_name" -> ExportQueries.snapshotNameSql,
     "export_status" -> ExportQueries.exportStatusSql,
+    "skip_audit" -> ExportQueries.skipAuditSql,
     "export_completion" -> ExportQueries.exportCompletionSql,
     "export_completion_failed" -> ExportQueries.exportCompletionFailedSql,
     "printable_key" -> ExportQueries.printableKeySql,

@@ -83,7 +83,10 @@ object EnvelopeExtract {
   /** A row with ok=false and empty fields — what a dirty envelope extracts
     * to. Mirrors the reference's skip policy (the job skips
     * MissingFieldException records rather than aborting): a single
-    * unparseable envelope must never abort a 100 TB export. */
+    * unparseable envelope must never abort a 100 TB export. NOT silent:
+    * ok=false is a relational flag the `skip_audit` query aggregates per
+    * topic (with decrypt/validator rejects), so skip rates are observable —
+    * the reference's log-and-count, Spark-first. */
   private def rejectRow: InternalRow = {
     val e = UTF8String.EMPTY_UTF8
     new GenericInternalRow(Array[Any](e, e, e, e, e, e, e, e, e, e,

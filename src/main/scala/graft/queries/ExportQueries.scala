@@ -322,7 +322,7 @@ object ExportQueries {
        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
        |  FROM sized)
-       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key,
+       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1) AS object_key,
        |  count(*) AS n_records
        |FROM batched GROUP BY topic, pstart, pstop, batch ORDER BY object_key""".stripMargin
 
@@ -344,7 +344,7 @@ object ExportQueries {
        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
        |  FROM sized)
-       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch) AS object_key, record
+       |SELECT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1) AS object_key, record
        |FROM batched ORDER BY object_key, record""".stripMargin
 
   // -------------------------------------------------------------- №19 export_status
@@ -456,7 +456,7 @@ object ExportQueries {
        |  FROM sized),
        |chunks AS (
        |  SELECT topic,
-       |    count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch)) AS files_exported,
+       |    count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1)) AS files_exported,
        |    count(*) AS records_exported
        |  FROM batched GROUP BY topic),
        |topics AS (SELECT topic FROM (VALUES $declaredTopicsValues) v(topic)),
@@ -489,6 +489,42 @@ object ExportQueries {
   val exportCompletionFailedSql: String = completionSqlWith(
     s"CASE WHEN t.topic = '$FailedTopic' THEN 'Export_Failed' ELSE $defaultStatusCase END")
 
+
+  // -------------------------------------------------------------- №39 skip_audit
+  /** Per-topic skip accounting — the reference logs-and-counts every record
+    * it skips (envelope MissingFieldException, DecryptionFailureException,
+    * validator rejection), and silent data loss at 100 TB is the failure
+    * mode the lenient expressions ([[graft.functions.EnvelopeExtract]]
+    * rejectRow, AesCtrCrypt.cryptOrNull) would otherwise hide. Spark-first,
+    * the counts are RELATIONAL, not a side-channel metric: every rejection
+    * reason is a flag in the frame, aggregated per topic and checked by the
+    * oracle (which knows the corpus's expected rejects exactly — and that
+    * decrypt/validate failures MUST be zero here). One pass, map-side
+    * partial aggregation; observable in any deploy mode, streaming
+    * included. */
+  def skipAudit(spark: SparkSession, dir: String): DataFrame = {
+    parsed(spark, dir)
+      .withColumn("payload_dec", decrypted)
+      .withColumn("v", when(col("x_ok") && col("payload_dec").isNotNull,
+        validate(when(isBusinessAudit, auditPromote(col("payload_dec"), col("x_lm")))
+          .otherwise(col("payload_dec")), col("x_id"))))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(!col("x_ok"), 1)).as("n_envelope_rejected"),
+        count(when(col("x_ok") && col("payload_dec").isNull, 1)).as("n_decrypt_failed"),
+        count(when(col("x_ok") && col("payload_dec").isNotNull && col("v").isNull, 1)).as("n_validator_rejected"),
+        count(when(col("x_ok") && col("payload_dec").isNotNull && col("v").isNotNull, 1)).as("n_exported"))
+      .orderBy(col("topic"))
+  }
+
+  val skipAuditSql: String =
+    s"""WITH ${KvSql.cte}
+       |SELECT topic, count(*) AS n_rows,
+       |  count(*) FILTER (WHERE NOT valid) AS n_envelope_rejected,
+       |  CAST(0 AS BIGINT) AS n_decrypt_failed,
+       |  CAST(0 AS BIGINT) AS n_validator_rejected,
+       |  count(*) FILTER (WHERE valid) AS n_exported
+       |FROM kv GROUP BY topic ORDER BY topic""".stripMargin
 
   // -------------------------------------------------------------- №20 printable_key
   def printableKeyQ(spark: SparkSession, dir: String): DataFrame =
