@@ -162,10 +162,14 @@ object ExportOps {
 
   /** Snapshot object key (reference: S3StreamingWriter.filePrefix/objectKey;
     * the compression extension is part of the key —
-    * `….txt.${compressionExtension}.enc`, S3StreamingWriter.kt:99-101). */
+    * `….txt.${compressionExtension}.enc`, S3StreamingWriter.kt:99-101).
+    * Numbering is 1-BASED like the reference's (writeOutput increments
+    * currentBatch BEFORE the first put, S3StreamingWriter.kt:81-99), so
+    * consumers keyed to its naming see identical keys; the internal chunk
+    * id stays 0-based. */
   def snapshotName(prefix: String, topic: Column, pstart: Column, pstop: Column, batch: Column,
                    compressionExt: String = "gz"): Column =
-    format_string(s"$prefix/%s-%03d-%03d-%06d.txt.$compressionExt.enc", topic, pstart, pstop, batch)
+    format_string(s"$prefix/%s-%03d-%03d-%06d.txt.$compressionExt.enc", topic, pstart, pstop, batch + lit(1))
 
   /** Byte-bounded chunk/batch assignment — THE single definition shared by
     * the chunk_batch / snapshot_name queries and the snapshot sink. Batch
