@@ -31,11 +31,13 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * summary frame. IO goes through the Hadoop FileSystem API, so the same
   * code writes file://, hdfs:// or s3a:// at cluster scale.
   *
-  * Key material is deterministic per object key (SURVEY §6: the DKS
-  * round-trip is environment plumbing, modeled as derivable key material) —
-  * which also makes the sink's output verifiable end-to-end: [[readBack]]
-  * re-derives the key, decrypts, gunzips and yields (object_key, record)
-  * rows that the driver's DuckDB oracle reproduces independently.
+  * Key material comes from a pluggable [[SnapshotKeyProvider]]; the
+  * default [[StubDerivedKeyProvider]] derives it from the object key
+  * (SURVEY §6: the DKS round-trip is environment plumbing), which makes
+  * the sink's output verifiable end-to-end — [[readBack]] re-derives the
+  * key, decrypts, decompresses and yields (object_key, record) rows that
+  * the driver's DuckDB oracle reproduces independently — but is NOT
+  * protection (see its scaladoc warning).
   */
 object JsonlSnapshotSink {
 
@@ -46,13 +48,32 @@ object JsonlSnapshotSink {
   private val cipherTL: ThreadLocal[Cipher] =
     ThreadLocal.withInitial(() => Cipher.getInstance("AES/CTR/NoPadding"))
 
-  /** Deterministic per-object (dataKey, IV) — 16 md5 bytes each. */
-  def keyMaterial(objectKey: String): (Array[Byte], Array[Byte]) = {
-    val md = MessageDigest.getInstance("MD5")
-    val dk = md.digest(s"dk|$objectKey".getBytes("UTF-8"))
-    md.reset()
-    val iv = md.digest(s"iv|$objectKey".getBytes("UTF-8"))
-    (dk, iv)
+  /** Key service abstraction (reference: DKS — the external Data Key
+    * Service that returns (plaintext dataKey, encrypted dataKey) per
+    * object; SURVEY §6 scopes the SERVICE out as environment plumbing, the
+    * sink only needs the material). A production deployment implements
+    * this against its KMS; [[StubDerivedKeyProvider]] is the test stub. */
+  trait SnapshotKeyProvider extends Serializable {
+    /** (dataKey, IV) for one object key — 16 bytes each. */
+    def keyMaterial(objectKey: String): (Array[Byte], Array[Byte])
+  }
+
+  /** STUB key material, deterministically DERIVED from the PUBLIC object
+    * key (16 md5 bytes each for key and IV).
+    *
+    * WARNING — NOT protection: anyone who can list the bucket can re-derive
+    * every data key, so objects written with this provider are effectively
+    * plaintext. It exists so the oracle can decrypt-read-back the sink's
+    * output without an external key service; never point [[write]] at real
+    * data without a real [[SnapshotKeyProvider]]. */
+  object StubDerivedKeyProvider extends SnapshotKeyProvider {
+    def keyMaterial(objectKey: String): (Array[Byte], Array[Byte]) = {
+      val md = MessageDigest.getInstance("MD5")
+      val dk = md.digest(s"dk|$objectKey".getBytes("UTF-8"))
+      md.reset()
+      val iv = md.digest(s"iv|$objectKey".getBytes("UTF-8"))
+      (dk, iv)
+    }
   }
 
   /** Manifest object key for a data object key: `.txt.<ext>.enc` → `.csv`
@@ -68,7 +89,8 @@ object JsonlSnapshotSink {
     */
   def write(records: DataFrame, root: String, prefix: String = Prefix,
             maxBytes: Long = KvModel.ChunkMaxBytes,
-            codec: SnapshotCodec = GzipSnapshotCodec): DataFrame = {
+            codec: SnapshotCodec = GzipSnapshotCodec,
+            keys: SnapshotKeyProvider = StubDerivedKeyProvider): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
 
@@ -201,7 +223,7 @@ object JsonlSnapshotSink {
           }
 
           def openObject(key: String): Unit = {
-            val (dk, iv) = keyMaterial(key)
+            val (dk, iv) = keys.keyMaterial(key)
             val cipher = cipherTL.get()
             cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(dk, "AES"), new IvParameterSpec(iv))
             val dataOut = createOut(tmpOf(s"data/$key"))
@@ -242,18 +264,20 @@ object JsonlSnapshotSink {
           out.iterator
         }
       }
-      .toDF("object_key", "n_records", "jsonl_bytes")
-    // NOTE deliberately NOT sorted: a global orderBy here would run the
-    // side-effecting writer stage TWICE (the range partitioner's sampling
-    // job executes the child plan once just to pick boundaries) — callers
-    // sort the (tiny) summary themselves if they need display order.
+      .collect()  // EAGER: the write executes exactly once, HERE — a lazy
+      // summary would re-run the side-effecting writer stage on every
+      // action a caller takes on it. The summary is one row per OBJECT
+      // (not per record): bounded driver-side even at scale (raise
+      // maxBytes with the data; 10⁶ objects ≈ tens of MB).
+      .toSeq.toDF("object_key", "n_records", "jsonl_bytes")
   }
 
   /** Decrypt + decompress every data object back to (object_key, record)
     * rows — the round-trip proof the driver's oracle checks. Distributed:
     * binaryFile source (one whole object per row), per-row decrypt. */
   def readBack(spark: SparkSession, root: String,
-               codec: SnapshotCodec = GzipSnapshotCodec): DataFrame = {
+               codec: SnapshotCodec = GzipSnapshotCodec,
+               keys: SnapshotKeyProvider = StubDerivedKeyProvider): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -265,7 +289,7 @@ object JsonlSnapshotSink {
         // lastIndexOf: the ROOT may itself contain "/data/"; object keys
         // (prefix/<topic>-...) never do
         val key = path.substring(path.lastIndexOf("/data/") + "/data/".length)
-        val (dk, iv) = keyMaterial(key)
+        val (dk, iv) = keys.keyMaterial(key)
         val plain = AesCtrCrypt.crypt(bytes, dk, iv)
         val text = new String(codec.decompress(new ByteArrayInputStream(plain)).readAllBytes(), "UTF-8")
         text.split("\n", -1).iterator.filter(_.nonEmpty).map(r => (key, r))
@@ -280,7 +304,29 @@ object JsonlSnapshotSink {
   def snapshotQuery(spark: SparkSession, dir: String): DataFrame = {
     val records = graft.queries.ExportQueries.pipelineRecords(spark, dir)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    write(records, root).queryExecution.toRdd.count() // force the write
+    registerScratch(spark, root)
+    write(records, root) // eager — the objects exist when this returns
     readBack(spark, root).orderBy(col("object_key"), col("record"))
+  }
+
+  /** Scratch roots written by [[snapshotQuery]], deleted when the Spark
+    * application ends (listener installed once per JVM). */
+  private val scratchRoots = scala.collection.mutable.HashSet.empty[String]
+  private def registerScratch(spark: SparkSession, root: String): Unit = synchronized {
+    if (scratchRoots.isEmpty) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          scratchRoots.foreach { r =>
+            try {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete(); ()
+              }
+              rm(new java.io.File(r))
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+      })
+    }
+    scratchRoots += root
   }
 }
