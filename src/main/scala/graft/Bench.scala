@@ -33,7 +33,7 @@ object Bench {
       selected.foreach { case (_, fn) =>
         // same toRdd shape as the timed run — warms the FULL plan's codegen
         try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
-        CacheRegistry.releaseAll()
+        CacheRegistry.releaseAll(spark)
       }
     }
     val stats = selected.map { case (name, fn) =>
@@ -45,7 +45,7 @@ object Bench {
         // dropped, not timed.
         val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
-        CacheRegistry.releaseAll() // caches must not carry across iterations
+        CacheRegistry.releaseAll(spark) // caches must not carry across iterations
         t
       }.sorted
       name -> times

@@ -12,13 +12,23 @@ import scala.collection.mutable
   * calls `releaseAll()` when the result is materialized.
   */
 object CacheRegistry {
-  private val live = mutable.ArrayBuffer.empty[DataFrame]
+  import org.apache.spark.sql.SparkSession
+  private val live = mutable.Map.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
 
-  def track(df: DataFrame): DataFrame = synchronized { live += df; df }
+  def track(df: DataFrame): DataFrame = synchronized {
+    live.getOrElseUpdate(df.sparkSession, mutable.ArrayBuffer.empty) += df; df
+  }
 
-  /** Release every tracked cache (idempotent, never throws). */
+  /** Release the caches tracked for ONE session (idempotent, never
+    * throws) — a second session or a concurrent streaming job sharing the
+    * JVM keeps its caches. */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    live.remove(spark).foreach(_.foreach(df =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }))
+  }
+
+  /** Release everything tracked in this JVM (single-session drivers). */
   def releaseAll(): Unit = synchronized {
-    live.foreach(df => try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })
-    live.clear()
+    live.keys.toSeq.foreach(releaseAll)
   }
 }

@@ -68,7 +68,13 @@ object KvModel {
   private def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch parallelism is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // estimate the scan split count from optimizer STATS (file bytes /
+    // maxPartitionBytes) — no RDD lineage materialization (the previous
+    // df.rdd probe ran physical planning eagerly inside a lazy builder)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits < target) df.repartition(target) else df
   }
 
   def kv(spark: SparkSession, dir: String): DataFrame =
