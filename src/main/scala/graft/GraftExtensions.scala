@@ -18,10 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and `register` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // tier-(c) whole-operator extension: grouped top-k logical node,
+    // pruning rule and two-phase physical strategy (graft.plans.GroupedTopK)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKPruning)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+  }
 }
 
 object GraftExtensions {

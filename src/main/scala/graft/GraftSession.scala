@@ -15,6 +15,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions) // SQL functions + GroupedTopK strategy
       // Shuffle width: locally = cores; on a cluster this is overridden by
       // submit conf, and AQE coalesces down from it at runtime anyway.
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

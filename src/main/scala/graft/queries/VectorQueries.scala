@@ -184,6 +184,22 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Ranked grouped top-k: the custom whole-operator path
+    * ([[graft.plans.GroupedTopK]] — logical node + pruning rule + two-phase
+    * physical plan) by default; `spark.graft.nativeTopK=false` falls back
+    * to the TopKByScore aggregate + posexplode chain. Row-identical either
+    * way (GroupedTopKSpec), same scale shape (≤k rows per partition into
+    * one hash exchange on the group). */
+  private def topKRanked(df: DataFrame, group: String, score: String, id: String, k: Int): DataFrame = {
+    if (df.sparkSession.conf.get("spark.graft.nativeTopK", "true").toBoolean)
+      graft.plans.GroupedTopK.rankedTopK(df, group, score, id, k)
+    else
+      df.groupBy(col(group))
+        .agg(graft.functions.TopKByScore.topK(col(score), col(id), k).as("top"))
+        .select(col(group), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col(group), col("e.id").as(id), col("e.score").as(score), (col("pos") + 1).as("rank"))
+  }
+
   // ---------------------------------------------------------------- №26 knn_brute
   /** Brute-force top-k cosine: queries (tiny) are broadcast; the corpus is
     * scanned ONCE; ranking via the native TopKByScore bounded-heap
@@ -196,13 +212,9 @@ object VectorQueries {
     val queries = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
-    corpus.join(broadcast(queries))
+    val scored = corpus.join(broadcast(queries))
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), K).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos"),
-        (col("pos") + 1).as("rank"))
+    topKRanked(scored, "q_id", "cos", "vec_id", K)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -257,13 +269,9 @@ object VectorQueries {
         graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), probe).as("top"))
       .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
 
-    cells.join(broadcast(probes), "cell")
+    val scored = cells.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), K).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos"),
-        (col("pos") + 1).as("rank"))
+    topKRanked(scored, "q_id", "cos", "vec_id", K)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -299,14 +307,11 @@ object VectorQueries {
         graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
       .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
 
-    cells.join(probes, "cell") // shuffle equi-join on cell — NO query broadcast
+    val scored = cells.join(probes, "cell") // shuffle equi-join on cell — NO query broadcast
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore.topK(col("cos"), col("vec_id"), GraphK).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("q_id").as("vec_id"), col("e.id").as("neighbor"), col("e.score").as("cos"),
-        (col("pos") + 1).as("rank"))
+    topKRanked(scored, "q_id", "cos", "vec_id", GraphK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("neighbor"), col("cos"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
   }
 
