@@ -59,6 +59,7 @@ object SparkEntry {
     "jsonl_snapshot" -> (graft.sources.JsonlSnapshotSink.snapshotQuery _),
     "stream_export" -> (graft.streaming.StreamExport.streamExport _),
     "stream_sessionize" -> (graft.streaming.StatefulSessionize.streamSessionize _),
+    "stream_dedup" -> (graft.streaming.StreamDedup.streamDedup _),
     // Text / dedup (№21,24,28-31)
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langId _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextQueries.docFingerprint _),
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+    "dedup_cluster" -> (TextQueries.dedupCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +109,7 @@ object SparkEntry {
     "multimodal_transform" -> MultimodalQueries.multimodalTransformSql,
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,
     "stream_sessionize" -> graft.streaming.StatefulSessionize.streamSessionizeSql,
+    "stream_dedup" -> graft.streaming.StreamDedup.streamDedupSql,
     // jsonl_snapshot: full sink round trip — the query WRITES the chunked
     // AES-CTR-encrypted objects, then decrypts them back; the oracle
     // reconstructs the expected (object_key, record) pairs relationally
@@ -117,5 +120,6 @@ object SparkEntry {
     "doc_fingerprint" -> TextQueries.docFingerprintSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
+    "dedup_cluster" -> TextQueries.dedupClusterSql,
   )
 }

@@ -252,6 +252,73 @@ object TextQueries {
        |  round(CAST(common AS DOUBLE)/(n_a + n_b - common) + 0.000000001, 6) AS jaccard
        |FROM p WHERE common * 5 >= (n_a + n_b - common) * 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  // ---------------------------------------------------------------- №40 dedup_cluster
+  /** Duplicate CLUSTERING — the step a training-data pipeline runs after
+    * pair-finding: connected components over the verified near-dup pairs
+    * ([[dedupNgramJaccard]]), labeling every duplicate doc with its
+    * component's minimum doc_id and flagging the canonical keeper. Spark
+    * shape: iterative min-label propagation — each round is ONE shuffle
+    * join (labels ⋈ symmetric edges) + a map-side-partial min aggregation,
+    * converging in O(component diameter) rounds (dedup graphs are
+    * stars/cliques around a canonical doc, so diameter is small; the
+    * large-star/small-star variant would cut rounds to O(log n) if ever
+    * needed). The driver-side loop holds only a changed-row COUNT per
+    * round — the labels stay distributed; lineage is cut by persisting
+    * each round's frame and releasing the previous one.
+    *
+    * The DuckDB oracle is deliberately a DIFFERENT algorithm: a recursive
+    * transitive-closure CTE with min aggregation — two independent
+    * formulations must agree on every component.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b")
+    val sym = graft.CacheRegistry.track(
+      edges.select($"doc_a".as("n"), $"doc_b".as("m"))
+        .unionAll(edges.select($"doc_b".as("n"), $"doc_a".as("m")))
+        .persist())
+    var labels = sym.select($"n".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = sym.join(labels.select($"doc_id".as("m"), $"label".as("ml")), "m")
+        .groupBy($"n").agg(min($"ml").as("nbr"))
+      val next = labels.join(nbrMin.select($"n".as("doc_id"), $"nbr"), Seq("doc_id"), "left")
+        .select($"doc_id", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .persist()
+      changed = next.join(labels.select($"doc_id", $"label".as("old")), "doc_id")
+        .filter($"label" < $"old").count() // labels only ever decrease
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    graft.CacheRegistry.track(labels)
+    labels.select($"doc_id", $"label".as("cluster"), ($"doc_id" === $"label").as("keep"))
+      .orderBy($"cluster", $"doc_id")
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM d),
+       |g AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |e AS (SELECT doc_a, doc_b FROM p WHERE common * 5 >= (n_a + n_b - common) * 3),
+       |nodes AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e) u),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.doc_id = sym.d)
+       |SELECT doc_id, min(r) AS cluster, doc_id = min(r) AS keep
+       |FROM reach GROUP BY doc_id ORDER BY cluster, doc_id""".stripMargin
 }
 
 /** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own
@@ -385,4 +452,5 @@ object HashDedup {
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
 }

@@ -19,4 +19,52 @@ object StreamDedup {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("doc_id"), col("text_hash"))
+
+  /** Driver-verified form: replay the injected-dup corpus through a
+    * MemoryStream in several micro-batches, run [[dedup]] (RocksDB state),
+    * and check the kept (doc_id, text_hash) rows against the batch
+    * first-seen oracle — stream ≡ batch, like
+    * [[StatefulSessionize.streamSessionize]]. Determinism contract: events
+    * are fed in (event_ms, doc_id) order with event_ms = doc_id mod 1e6,
+    * so an exact copy (+2e6 id offset) shares its original's event time,
+    * arrives after it, and the watermark horizon (7 days ≫ the corpus's
+    * ~1s event span) never evicts the state that dedups it — first
+    * arrival ⇔ minimum doc_id, which is the relational oracle. The +1e6
+    * base keeps every event time strictly above the INITIAL watermark
+    * (0): a doc at epoch-0 exactly would be dropped as late on arrival. */
+  def streamDedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.TextQueries.dupCorpus(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (id, text) => Doc(id, text, 1000000L + id % 1000000L) }
+      .sortBy(d => (d.event_ms, d.doc_id))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Doc]
+      val q = dedup(input.toDS(), "7 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(name).select(col("doc_id"), col("text_hash"))
+      .orderBy(col("text_hash"))
+  }
+
+  /** Batch first-seen formulation — the stream ≡ batch claim. */
+  val streamDedupSql: String =
+    s"""WITH ${graft.queries.TextQueries.dupCorpusSql}
+       |SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+       |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 }

@@ -10,8 +10,9 @@ class PlanLintSpec extends SparkSpec {
   // intended scan shape (the GRAPH search join itself is an equi-join)
   private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall", "jsonl_snapshot")
 
-  // sinks/streams execute on build — linting them would run the job
-  private val executesOnBuild = Set("jsonl_snapshot", "stream_export", "stream_sessionize")
+  // sinks/streams/iterative queries execute on build — linting would run the job
+  private val executesOnBuild =
+    Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster")
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
