@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AesCtrCrypt, CosineSim, SimHash60, SimHash96, ValidateRecord}
+import graft.functions.{AesCtrCrypt, CosineSim, NfcNormalize, SimHash60, SimHash96, ValidateRecord}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,7 +43,9 @@ object GraftExtensions {
     ("simhash96", info("simhash96", "simhash96(tokens) - 96-bit SimHash fingerprint as struct(hi, lo) 48-bit halves"),
       (args: Seq[Expression]) => SimHash96(args(0))),
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays (fused single-pass)"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("nfc_normalize", info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -68,6 +68,10 @@ object SparkEntry {
     "dedup_exact" -> (TextQueries.dedupExact _),
     "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
     "dedup_cluster" -> (TextQueries.dedupCluster _),
+    "text_normalize" -> (TextQueries.textNormalize _),
+    "stratified_sample" -> (TextQueries.stratifiedSample _),
+    "token_histogram" -> (TextQueries.tokenHistogram _),
+    "contamination_check" -> (TextQueries.contaminationCheck _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,5 +125,9 @@ object SparkEntry {
     "dedup_exact" -> TextQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> TextQueries.dedupNgramJaccardSql,
     "dedup_cluster" -> TextQueries.dedupClusterSql,
+    "text_normalize" -> TextQueries.textNormalizeSql,
+    "stratified_sample" -> TextQueries.stratifiedSampleSql,
+    "token_histogram" -> TextQueries.tokenHistogramSql,
+    "contamination_check" -> TextQueries.contaminationCheckSql,
   )
 }

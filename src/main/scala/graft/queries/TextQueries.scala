@@ -319,6 +319,137 @@ object TextQueries {
        |  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.doc_id = sym.d)
        |SELECT doc_id, min(r) AS cluster, doc_id = min(r) AS keep
        |FROM reach GROUP BY doc_id ORDER BY cluster, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №41 text_normalize
+  /** Text normalization for ingest: Unicode NFC (native [[graft.functions
+    * .NfcNormalize]] expression — Spark has no built-in; mirrors DuckDB's
+    * nfc_normalize), lowercase, control chars → space, whitespace-run
+    * collapse, trim. Pure per-row projection, scan-bound at any scale.
+    * The synthetic corpus is ASCII (NFC = identity here); the non-ASCII
+    * semantics are pinned by TextNormalizeSpec with composed/decomposed
+    * literals. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfcNormalize($"text")),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    Tables(spark, dir).documents
+      .select($"doc_id", norm.as("norm_text"), length($"text").as("n_raw"))
+      .withColumn("n_norm", length($"norm_text"))
+      .orderBy($"doc_id")
+  }
+
+  val textNormalizeSql: String =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       |  length(text) AS n_raw,
+       |  length(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №42 stratified_sample
+  /** Deterministic stratified sampling — corpus mixing with per-language
+    * rates. Keep iff the first 4 hex chars of md5(doc_id) are
+    * lexicographically below the stratum's threshold: hex-string compare ≡
+    * 16-bit numeric compare, bit-identical in any engine, reproducible
+    * run-to-run (the property a training pipeline needs for ablations).
+    * Narrow scan-bound filter; no shuffle. Rates: en 1/2 ('8000'),
+    * de 1/4 ('4000'), rest ≈1/10 ('1999'). */
+  val SampleThresholds: Seq[(String, String)] = Seq("en" -> "8000", "de" -> "4000")
+  val SampleDefaultThreshold: String = "1999"
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = SampleThresholds.foldRight(lit(SampleDefaultThreshold)) {
+      case ((l, t), acc) => when($"lang" === l, t).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .withColumn("bucket", substring(md5($"doc_id".cast("string")), 1, 4))
+      .filter($"bucket" < thr)
+      .select($"doc_id", $"lang", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       |  CASE $cases ELSE '$SampleDefaultThreshold' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №43 token_histogram
+  /** Global token frequencies, top-100 — the vocabulary-building head (BPE
+    * base vocab, stopword discovery). Shape at scale: explode → ONE hash
+    * aggregation with map-side partial combine (token cardinality ≪ corpus
+    * size, so partials collapse hard), then TakeOrdered top-N — never a
+    * global sort of the vocabulary. Deterministic tiebreak (count DESC,
+    * token ASC). */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(explode(words($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(100)
+  }
+
+  val tokenHistogramSql: String =
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest(${wordsSql("text")}) AS token FROM documents) t
+       |WHERE length(token) > 0
+       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- №44 contamination_check
+  /** Benchmark decontamination — the eval-leak check every training
+    * pipeline runs: flag corpus docs sharing 5-gram shingles with a
+    * benchmark set (here: every 50th original doc — copies of those docs in
+    * the dup corpus are near-fully contaminated by construction, natural
+    * near-dups partially). Shape at scale: the benchmark gram set is small
+    * (eval suites are thousands of docs, not billions) → DISTINCT then
+    * BROADCAST; the corpus side is one explode + broadcast-hash semi-ish
+    * join + per-doc count — no shuffle of corpus grams. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted: two consumers (benchmark grams + corpus side) — without
+    // it the regex/shingle chain re-runs per consumer (41s -> ~2s at sf0.1)
+    val c = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .withColumn("ws", words($"text"))
+      .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) ELSE array() END"))
+      .withColumn("n_sh", size($"sh"))
+      .select($"doc_id", $"sh", $"n_sh")
+      .persist())
+    val isBench = ($"doc_id" % 50 === 0) && ($"doc_id" < 1000000)
+    val benchGrams = c.filter(isBench).select(explode($"sh").as("gram")).distinct()
+    c.filter(!isBench && $"n_sh" > 0)
+      .select($"doc_id", $"n_sh", explode($"sh").as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy($"doc_id", $"n_sh")
+      .agg(count(lit(1)).as("n_hit"))
+      .select($"doc_id", $"n_sh", $"n_hit",
+        round($"n_hit".cast("double") / $"n_sh" + 1e-9, 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationCheckSql: String =
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM d),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |g AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram FROM s
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000) AND len(sh) > 0)
+       |SELECT g.doc_id, g.n_sh, count(*) AS n_hit,
+       |  round(CAST(count(*) AS DOUBLE) / g.n_sh + 0.000000001, 6) AS contamination
+       |FROM g JOIN bench USING (gram)
+       |GROUP BY g.doc_id, g.n_sh ORDER BY g.doc_id""".stripMargin
+
 }
 
 /** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own
