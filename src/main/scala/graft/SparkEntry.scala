@@ -72,6 +72,7 @@ object SparkEntry {
     "stratified_sample" -> (TextQueries.stratifiedSample _),
     "token_histogram" -> (TextQueries.tokenHistogram _),
     "contamination_check" -> (TextQueries.contaminationCheck _),
+    "corpus_curate" -> (TextQueries.corpusCurate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,5 +130,6 @@ object SparkEntry {
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "token_histogram" -> TextQueries.tokenHistogramSql,
     "contamination_check" -> TextQueries.contaminationCheckSql,
+    "corpus_curate" -> TextQueries.corpusCurateSql,
   )
 }

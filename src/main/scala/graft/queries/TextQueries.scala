@@ -450,6 +450,55 @@ object TextQueries {
        |FROM g JOIN bench USING (gram)
        |GROUP BY g.doc_id, g.n_sh ORDER BY g.doc_id""".stripMargin
 
+
+  // ---------------------------------------------------------------- №45 corpus_curate
+  /** The curation pipeline composed END-TO-END — the LLM-side twin of
+    * `export_records`: NFC/case/whitespace normalization → exact dedup on
+    * the NORMALIZED text (normalization first is the point: case and
+    * whitespace variants collapse into dup groups the raw-text dedup
+    * misses), keeper = min doc_id → deterministic per-language stratified
+    * sample → token accounting. Scale shape: one narrow projection, one
+    * hash shuffle on md5(norm) with map-side min_by partials, then narrow
+    * filters — a 100 TB curation run is scan + ONE shuffle. */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfcNormalize($"text")),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    val thr = SampleThresholds.foldRight(lit(SampleDefaultThreshold)) {
+      case ((l, t), acc) => when($"lang" === l, t).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .select($"doc_id", $"lang", norm.as("norm"))
+      .groupBy(md5($"norm").as("text_hash"))
+      .agg(min_by(struct($"doc_id", $"lang", $"norm"), $"doc_id").as("r"),
+        count(lit(1)).as("n_variants"))
+      .select($"r.doc_id".as("doc_id"), $"r.lang".as("lang"), $"r.norm".as("norm"), $"n_variants")
+      .withColumn("bucket", substring(md5($"doc_id".cast("string")), 1, 4))
+      .filter($"bucket" < thr)
+      .select($"doc_id", $"lang", $"n_variants",
+        size(words($"norm")).as("n_tokens"), $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val corpusCurateSql: String = {
+    val cases = SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+    val normSql = """trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+                    |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))""".stripMargin
+    s"""WITH n AS (
+       |  SELECT doc_id, lang, $normSql AS norm FROM documents),
+       |k AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS n_variants
+       |  FROM n GROUP BY md5(norm))
+       |SELECT n.doc_id, n.lang, k.n_variants,
+       |  len(${wordsSql("n.norm")}) AS n_tokens,
+       |  substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) AS bucket
+       |FROM n JOIN k USING (doc_id)
+       |WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) <
+       |  CASE $cases ELSE '$SampleDefaultThreshold' END
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
 }
 
 /** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own
