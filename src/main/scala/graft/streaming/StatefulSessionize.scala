@@ -132,6 +132,13 @@ object StatefulSessionize {
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partitions sized to STATE VOLUME, not cores: each state
+    // partition opens its own RocksDB instance per micro-batch, and at
+    // proof-size state that per-instance overhead dominates (32 partitions
+    // x ~7 batches was ~1.5x slower than 8). Production sizes this at
+    // checkpoint creation against expected keys/executor.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val input = MemoryStream[Ev]
       val q = sessionizeIncremental(input.toDS(), gapMs, delay)
@@ -147,9 +154,12 @@ object StatefulSessionize {
       input.addData(Ev(-1L, evs.last.ts_ms + gapMs + 3600000L))
       q.processAllAvailable()
       q.stop()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
     spark.table(name).filter($"user_id" >= 0)
       .withColumn("session_id",
