@@ -10,8 +10,6 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.DatasetBridge
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
-
 import java.util.PriorityQueue
 
 /** Grouped top-k as a WHOLE-OPERATOR Catalyst extension (SURVEY tier (c)):
@@ -45,6 +43,15 @@ object GroupedTopK {
     val (g, s, i) = (attr(group), attr(score), attr(id))
     require(s.dataType == DoubleType, s"score must be double, got ${s.dataType}")
     require(i.dataType == LongType, s"id must be bigint, got ${i.dataType}")
+    // group keys become the exec's hash-map keys: binary and nested types
+    // would alias the reused scan row / compare by reference
+    import org.apache.spark.sql.types._
+    val groupTypeOk = g.dataType match {
+      case BinaryType => false
+      case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+    require(groupTypeOk, s"group must be an atomic non-binary type, got ${g.dataType}")
     val node = GroupedTopKPlan(k, g, s, i,
       AttributeReference(id, i.dataType, nullable = false)(),
       AttributeReference(score, s.dataType, nullable = false)(),
@@ -57,10 +64,12 @@ object GroupedTopK {
     * (sessions built with `.withExtensions(new GraftExtensions)` or
     * `spark.sql.extensions=graft.GraftExtensions` already have them). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+    // the planner's strategy list covers BOTH routes (extension-injected and
+    // experimental) — a GraftExtensions-built session registers nothing twice
+    if (!DatasetBridge.plannerStrategies(spark).contains(GroupedTopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupedTopKStrategy
-    if (!spark.experimental.extraOptimizations.contains(GroupedTopKPruning))
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ GroupedTopKPruning
+    }
   }
 
   /** Heap head = weakest entry (lowest score, then largest id) — identical
@@ -89,8 +98,10 @@ object GroupedTopK {
       val s = scoreOf(row)
       val i = idOf(row)
       if (s != null && i != null) {
-        val gRaw = groupOf(row)
-        val g = gRaw match { case u: UTF8String => u.copy(); case x => x }
+        // copyValue: buffer-backed values (UTF8String) must not alias the
+        // reused input row (group types are restricted to atomic non-binary
+        // at the API, so map-key equality is value equality)
+        val g = InternalRow.copyValue(groupOf(row))
         var heap = heaps.get(g)
         if (heap == null) { heap = new PriorityQueue[(Double, Long)](k + 1, heapOrdering); heaps.put(g, heap) }
         offer(heap, k, (s.asInstanceOf[Double], i.asInstanceOf[Long]))

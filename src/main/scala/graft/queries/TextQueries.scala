@@ -23,6 +23,29 @@ object TextQueries {
   def wordsSql(c: String): String =
     s"string_split(trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g')), ' ')"
 
+  /** ONE definition of the ingest normalization chain (NFC → lower →
+    * control chars → space → collapse runs → trim), shared by
+    * `text_normalize` and `corpus_curate` so the composed pipeline can
+    * never de-sync from the standalone operator. */
+  private[queries] def normExpr(c: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfcNormalize(c)),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+  private[queries] def normSql(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(lower(nfc_normalize($c)),
+       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))""".stripMargin
+
+  /** Per-language sampling threshold, shared by `stratified_sample` and
+    * `corpus_curate` (see [[SampleThresholds]]). */
+  private[queries] def langThreshold: Column =
+    SampleThresholds.foldRight(lit(SampleDefaultThreshold)) {
+      case ((l, t), acc) => when(col("lang") === l, t).otherwise(acc)
+    }
+  private[queries] def langThresholdSql: String = {
+    val cases = SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+    s"CASE $cases ELSE '$SampleDefaultThreshold' END"
+  }
+
   // Language marker words (tiny deterministic language-ID heuristic).
   val langs: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
@@ -330,22 +353,17 @@ object TextQueries {
     * literals. */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = trim(regexp_replace(regexp_replace(
-      lower(graft.functions.NfcNormalize.nfcNormalize($"text")),
-      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
     Tables(spark, dir).documents
-      .select($"doc_id", norm.as("norm_text"), length($"text").as("n_raw"))
+      .select($"doc_id", normExpr($"text").as("norm_text"), length($"text").as("n_raw"))
       .withColumn("n_norm", length($"norm_text"))
       .orderBy($"doc_id")
   }
 
   val textNormalizeSql: String =
     s"""SELECT doc_id,
-       |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
-       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       |  ${normSql("text")} AS norm_text,
        |  length(text) AS n_raw,
-       |  length(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
-       |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
+       |  length(${normSql("text")}) AS n_norm
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- №42 stratified_sample
@@ -361,9 +379,7 @@ object TextQueries {
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val thr = SampleThresholds.foldRight(lit(SampleDefaultThreshold)) {
-      case ((l, t), acc) => when($"lang" === l, t).otherwise(acc)
-    }
+    val thr = langThreshold
     Tables(spark, dir).documents
       .withColumn("bucket", substring(md5($"doc_id".cast("string")), 1, 4))
       .filter($"bucket" < thr)
@@ -371,14 +387,11 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  val stratifiedSampleSql: String = {
-    val cases = SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+  val stratifiedSampleSql: String =
     s"""SELECT doc_id, lang, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
        |FROM documents
-       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-       |  CASE $cases ELSE '$SampleDefaultThreshold' END
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < $langThresholdSql
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- №43 token_histogram
   /** Global token frequencies, top-100 — the vocabulary-building head (BPE
@@ -462,14 +475,9 @@ object TextQueries {
     * filters — a 100 TB curation run is scan + ONE shuffle. */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = trim(regexp_replace(regexp_replace(
-      lower(graft.functions.NfcNormalize.nfcNormalize($"text")),
-      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
-    val thr = SampleThresholds.foldRight(lit(SampleDefaultThreshold)) {
-      case ((l, t), acc) => when($"lang" === l, t).otherwise(acc)
-    }
+    val thr = langThreshold
     Tables(spark, dir).documents
-      .select($"doc_id", $"lang", norm.as("norm"))
+      .select($"doc_id", $"lang", normExpr($"text").as("norm"))
       .groupBy(md5($"norm").as("text_hash"))
       .agg(min_by(struct($"doc_id", $"lang", $"norm"), $"doc_id").as("r"),
         count(lit(1)).as("n_variants"))
@@ -482,11 +490,8 @@ object TextQueries {
   }
 
   val corpusCurateSql: String = {
-    val cases = SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
-    val normSql = """trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
-                    |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))""".stripMargin
     s"""WITH n AS (
-       |  SELECT doc_id, lang, $normSql AS norm FROM documents),
+       |  SELECT doc_id, lang, ${normSql("text")} AS norm FROM documents),
        |k AS (
        |  SELECT min(doc_id) AS doc_id, count(*) AS n_variants
        |  FROM n GROUP BY md5(norm))
@@ -494,8 +499,7 @@ object TextQueries {
        |  len(${wordsSql("n.norm")}) AS n_tokens,
        |  substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) AS bucket
        |FROM n JOIN k USING (doc_id)
-       |WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) <
-       |  CASE $cases ELSE '$SampleDefaultThreshold' END
+       |WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 4) < $langThresholdSql
        |ORDER BY n.doc_id""".stripMargin
   }
 

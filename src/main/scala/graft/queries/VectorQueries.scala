@@ -250,17 +250,24 @@ object VectorQueries {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
     val centroids = refinedCentroids(spark, corpus)
+    ivfSearch(cellsOf(corpus, centroids), centroids, queries, probe, K)
+  }
 
-    // cell assignment: nearest centroid via max_by AGGREGATION (map-side
-    // partial) — a per-vector window would shuffle AND sort
-    // |corpus|x|centroids| rows. Tiebreak: max(struct(ccos, -c_id)) ==
-    // (cosine desc, centroid id asc), matching the oracle's row_number.
-    val cells = corpus.join(broadcast(centroids))
+  /** Cell assignment: nearest centroid via max_by AGGREGATION (map-side
+    * partial) — a per-vector window would shuffle AND sort
+    * |corpus|×|centroids| rows. Tiebreak: max(struct(ccos, -c_id)) ==
+    * (cosine desc, centroid id asc), matching the oracle's row_number. */
+  private def cellsOf(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(first(col("emb")).as("emb"), // functionally dependent on vec_id
         max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("neg"))).as("cell"))
 
+  /** Probe + search over a PRE-BUILT cell assignment ([[knnRecall]] shares
+    * one assignment across its probe widths — only this part varies). */
+  private def ivfSearch(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+                        probe: Int, k: Int): DataFrame = {
     // probe: top-P centroids per query via the bounded-heap aggregate
     val probes = queries.join(broadcast(centroids))
       .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
@@ -271,7 +278,7 @@ object VectorQueries {
 
     val scored = cells.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-    topKRanked(scored, "q_id", "cos", "vec_id", K)
+    topKRanked(scored, "q_id", "cos", "vec_id", k)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -358,9 +365,19 @@ object VectorQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / k + 1e-9, 6).as("recall"))
     }
-    val brute = knnBrute(spark, dir).select(col("q_id"), col("vec_id"))
+    val brute = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id")).persist())
+    // ONE centroid refinement + cell assignment shared across the probe
+    // widths (only probing/search vary — the oracle shares its cells CTE
+    // the same way); the search per width still runs the operator verbatim
+    val vAll = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = vAll.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = vAll.filter(col("vec_id") >= NQueries)
+    val centroids = refinedCentroids(spark, corpus)
+    val cells = graft.CacheRegistry.track(cellsOf(corpus, centroids).persist())
     val ivfCurve = RecallProbes.map { p =>
-      recallOf(knnIvfWith(spark, dir, p).select(col("q_id"), col("vec_id")),
+      recallOf(ivfSearch(cells, centroids, queries, p, K).select(col("q_id"), col("vec_id")),
         brute, K, s"ivf_p$p")
     }.reduce(_ unionAll _)
 

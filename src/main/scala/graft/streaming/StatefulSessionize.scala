@@ -139,34 +139,50 @@ object StatefulSessionize {
     // checkpoint creation against expected keys/executor.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val out = try {
       val input = MemoryStream[Ev]
-      val q = sessionizeIncremental(input.toDS(), gapMs, delay)
+      q = sessionizeIncremental(input.toDS(), gapMs, delay)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      // 4 contiguous ts-ordered chunks → separate micro-batches, watermark
-      // advancing between them (mid-stream sessions close by TIMEOUT here,
-      // not at end-of-input — the production path is what's exercised)
-      evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
-        input.addData(chunk.toSeq); q.processAllAvailable()
+      if (evs.nonEmpty) {
+        // 4 contiguous ts-ordered chunks → separate micro-batches, watermark
+        // advancing between them (mid-stream sessions close by TIMEOUT here,
+        // not at end-of-input — the production path is what's exercised)
+        evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        // sentinel beyond every closable horizon: wm passes max(end)+gap
+        input.addData(Ev(-1L, evs.last.ts_ms + gapMs + 3600000L))
+        q.processAllAvailable()
       }
-      // sentinel beyond every closable horizon: wm passes max(end)+gap
-      input.addData(Ev(-1L, evs.last.ts_ms + gapMs + 3600000L))
-      q.processAllAvailable()
-      q.stop()
+      // MATERIALIZE, then drop the memory sink: a lazily-returned
+      // spark.table(name) would pin the sink's rows (and one more table
+      // per call) in driver memory for the application's lifetime
+      spark.table(name).filter($"user_id" >= 0)
+        .withColumn("session_id",
+          row_number().over(Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
+        .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms",
+          ($"end_ms" - $"start_ms").as("duration_ms"))
+        .orderBy($"user_id", $"session_id")
+        .collect()
     } finally {
+      if (q != null) q.stop() // a failed replay must not leak the query + state
+      spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    spark.table(name).filter($"user_id" >= 0)
-      .withColumn("session_id",
-        row_number().over(Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
-      .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms",
-        ($"end_ms" - $"start_ms").as("duration_ms"))
-      .orderBy($"user_id", $"session_id")
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("start_ms", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("end_ms", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("duration_ms", org.apache.spark.sql.types.LongType))))
   }
 
   /** Same oracle as batch sessionize — the claim IS stream ≡ batch. */

@@ -45,21 +45,36 @@ object StreamDedup {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // state partitions sized to STATE VOLUME, not cores (see
+    // StatefulSessionize.streamSessionize — same RocksDB-per-partition-
+    // per-batch overhead)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val out = try {
       val input = MemoryStream[Doc]
-      val q = dedup(input.toDS(), "7 days")
+      q = dedup(input.toDS(), "7 days")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
         input.addData(chunk.toSeq); q.processAllAvailable()
       }
-      q.stop()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // materialize, then drop the memory sink (see streamSessionize)
+      spark.table(name).select(col("doc_id"), col("text_hash"))
+        .orderBy(col("text_hash")).collect()
+    } finally {
+      if (q != null) q.stop() // a failed replay must not leak the query + state
+      spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
-    spark.table(name).select(col("doc_id"), col("text_hash"))
-      .orderBy(col("text_hash"))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text_hash", org.apache.spark.sql.types.StringType))))
   }
 
   /** Batch first-seen formulation — the stream ≡ batch claim. */
