@@ -295,6 +295,11 @@ object TextQueries {
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // iteration frames are component-count-sized (hundreds of rows), not
+    // corpus-sized: run the loop at a narrow shuffle width — 32 partitions
+    // of ~10 rows each just pays scheduler overhead per round. Production
+    // sizes this to |dup pairs|, which is orders below the corpus.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val edges = dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b")
     val sym = graft.CacheRegistry.track(
       edges.select($"doc_a".as("n"), $"doc_b".as("m"))
@@ -304,7 +309,8 @@ object TextQueries {
       .withColumn("label", $"doc_id").persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try while (changed > 0 && rounds < 50) {
       val nbrMin = sym.join(labels.select($"doc_id".as("m"), $"label".as("ml")), "m")
         .groupBy($"n").agg(min($"ml").as("nbr"))
       val next = labels.join(nbrMin.select($"n".as("doc_id"), $"nbr"), Seq("doc_id"), "left")
@@ -315,7 +321,7 @@ object TextQueries {
       labels.unpersist()
       labels = next
       rounds += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     graft.CacheRegistry.track(labels)
     labels.select($"doc_id", $"label".as("cluster"), ($"doc_id" === $"label").as("keep"))

@@ -10,6 +10,16 @@ import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
   * pushdown. String-level checks against the executed plan are crude but
   * catch exactly the failure modes we hit while building.
   */
+object ExportQueriesPlanHelper {
+  /** Executed plan TREE (AQE-unwrapped enough for node collection: the
+    * initial physical plan is what we pin). */
+  def exec(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+}
+
 class PlanRegressionSpec extends SparkSpec {
 
   private def executedPlan(df: DataFrame): String =
@@ -72,6 +82,33 @@ class PlanRegressionSpec extends SparkSpec {
     // and the whole pipeline still parses/validates once per row
     assert(countOccurrences(plan, "envelope_extract(") == 1)
     assert(countOccurrences(plan, "validate_record(") == 1)
+  }
+
+  test("corpus_curate is scan + ONE data shuffle (the dedup exchange)") {
+    val plan = ExportQueriesPlanHelper.exec(TextQueries.corpusCurate(spark, sf))
+    // exactly one HASH exchange (the dedup groupBy); the trailing range
+    // exchange is the oracle's display orderBy, not data movement the
+    // pipeline needs
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1, s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("contamination_check never shuffles corpus grams: broadcast join only") {
+    val plan = ExportQueriesPlanHelper.exec(TextQueries.contaminationCheck(spark, sf))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"benchmark grams not broadcast:\n$plan")
+    // the only exchanges allowed: the bench-gram DISTINCT (tiny) and the
+    // final per-doc aggregation — the exploded corpus-gram side must reach
+    // the join without a shuffle
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size <= 2, s"corpus grams shuffled:\n$plan")
+    graft.CacheRegistry.releaseAll(spark)
   }
 
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
