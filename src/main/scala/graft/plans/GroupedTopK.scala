@@ -74,21 +74,21 @@ object GroupedTopK {
 
   /** Heap head = weakest entry (lowest score, then largest id) — identical
     * comparator to TopKByScore. */
-  private[plans] val heapOrdering: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+  private[graft] val heapOrdering: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     override def compare(x: (Double, Long), y: (Double, Long)): Int = {
       val c = java.lang.Double.compare(x._1, y._1)
       if (c != 0) c else java.lang.Long.compare(y._2, x._2)
     }
   }
 
-  private[plans] def offer(buf: PriorityQueue[(Double, Long)], k: Int, e: (Double, Long)): Unit = {
+  private[graft] def offer(buf: PriorityQueue[(Double, Long)], k: Int, e: (Double, Long)): Unit = {
     if (buf.size < k) { buf.offer(e); () }
     else if (heapOrdering.compare(e, buf.peek()) > 0) { buf.poll(); buf.offer(e); () }
   }
 
   /** Consume a partition into per-group bounded heaps. Group values are
     * copied when buffer-backed (UTF8String) — input rows are reused. */
-  private[plans] def heapsOf(iter: Iterator[InternalRow], k: Int,
+  private[graft] def heapsOf(iter: Iterator[InternalRow], k: Int,
                              groupOf: InternalRow => Any,
                              scoreOf: InternalRow => Any,
                              idOf: InternalRow => Any): java.util.LinkedHashMap[Any, PriorityQueue[(Double, Long)]] = {

@@ -56,7 +56,7 @@ object StatefulSessionize {
   /** Insert an event into the sorted disjoint interval list, merging any
     * neighbours now within `gapMs`. O(k) for k open intervals (k is
     * bounded by the watermark horizon / gap). */
-  private[streaming] def merge(intervals: List[(Long, Long, Long)], ts: Long,
+  private[graft] def merge(intervals: List[(Long, Long, Long)], ts: Long,
                                gapMs: Long): List[(Long, Long, Long)] = {
     val (before, rest) = intervals.span(_._2 < ts - gapMs) // strictly left of reach
     val (touching, after) = rest.span(_._1 <= ts + gapMs)  // reachable from ts

@@ -115,4 +115,62 @@ class PropertySpecs extends SparkSpec {
     val a2 = new GenericArrayData(Array[Any](1.0f, 2.0f))
     assert(CosineSim.cosine(a3, a2) == null)
   }
+
+  test("interval merge: arbitrary arrival orders converge to gap-connected components") {
+    import graft.streaming.StatefulSessionize.merge
+    val tsGen = Gen.listOfN(24, Gen.chooseNum(0L, 400L))
+    forAll(tsGen) { ts =>
+      val gap = 20L
+      // reference formulation: sort, then linear gap-split
+      val sorted = ts.sorted
+      val expected = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, t) => acc match {
+          case (s, e, n) :: rest if t - e <= gap => (s, math.max(e, t), n + 1) :: rest
+          case _ => (t, t, 1L) :: acc
+        }
+      }.reverse
+      // incremental merge over THREE different arrival orders
+      for (order <- Seq(ts, ts.reverse, ts.sortBy(t => t.hashCode))) {
+        val got = order.foldLeft(List.empty[(Long, Long, Long)])((iv, t) => merge(iv, t, gap))
+        assert(got == expected, s"order $order diverged")
+      }
+      // structural invariants: sorted, disjoint, gap-separated, counts sum
+      expected.sliding(2).foreach {
+        case List((_, e1, _), (s2, _, _)) => assert(s2 - e1 > gap)
+        case _ => ()
+      }
+      assert(expected.map(_._3).sum == ts.length)
+    }
+  }
+
+  test("grouped top-k heap equals sort-based ground truth (ties included)") {
+    val entryGen = Gen.listOfN(60, for {
+      s <- Gen.chooseNum(0, 9).map(_ / 3.0) // coarse scores force ties
+      i <- Gen.chooseNum(0L, 30L)
+    } yield (s, i))
+    forAll(entryGen) { entries =>
+      val k = 5
+      val heap = new java.util.PriorityQueue[(Double, Long)](k + 1, graft.plans.GroupedTopK.heapOrdering)
+      entries.foreach(e => graft.plans.GroupedTopK.offer(heap, k, e))
+      val got = {
+        val a = new Array[(Double, Long)](heap.size)
+        var j = 0; val it = heap.iterator()
+        while (it.hasNext) { a(j) = it.next(); j += 1 }
+        a.sortBy { case (s, i) => (-s, i) }.toList
+      }
+      // ground truth: full sort by (score desc, id asc), DISTINCT not applied
+      val expected = entries.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == expected)
+    }
+  }
+
+  test("csv escape matches commons-text escapeCsv (the reference's escaper)") {
+    val cellGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '"', '\n', '\r', '|', ' ')))
+      .map(_.mkString)
+    forAll(cellGen) { cell =>
+      val expected = org.apache.commons.text.StringEscapeUtils.escapeCsv(cell)
+      val got = CsvEscape.escape(UTF8String.fromString(cell)).toString
+      assert(got == expected, s"cell=${cell.map(_.toInt).mkString(",")}")
+    }
+  }
 }
