@@ -44,14 +44,19 @@ object GroupedTopK {
     require(s.dataType == DoubleType, s"score must be double, got ${s.dataType}")
     require(i.dataType == LongType, s"id must be bigint, got ${i.dataType}")
     // group keys become the exec's hash-map keys: binary and nested types
-    // would alias the reused scan row / compare by reference
+    // would alias the reused scan row / compare by reference. Float/double
+    // are excluded too: Catalyst's NormalizeFloatingNumbers only rewrites
+    // nodes it knows, so -0.0/0.0 (and NaN) would land in different heap-map
+    // groups here while the TopKByScore aggregate fallback normalizes them
+    // into one — the two paths must stay row-for-row identical.
     import org.apache.spark.sql.types._
     val groupTypeOk = g.dataType match {
-      case BinaryType => false
+      case BinaryType | FloatType | DoubleType => false
       case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
       case _ => false
     }
-    require(groupTypeOk, s"group must be an atomic non-binary type, got ${g.dataType}")
+    require(groupTypeOk,
+      s"group must be an atomic non-binary, non-floating type, got ${g.dataType}")
     val node = GroupedTopKPlan(k, g, s, i,
       AttributeReference(id, i.dataType, nullable = false)(),
       AttributeReference(score, s.dataType, nullable = false)(),

@@ -305,8 +305,13 @@ object TextQueries {
       edges.select($"doc_a".as("n"), $"doc_b".as("m"))
         .unionAll(edges.select($"doc_b".as("n"), $"doc_a".as("m")))
         .persist())
+    // Materialize the corpus-scale pair-finding (shingle self-join) at the
+    // session's NORMAL shuffle width before narrowing: persist() is lazy, so
+    // without this the heaviest stage would run under the iteration width.
+    sym.count()
     var labels = sym.select($"n".as("doc_id")).distinct()
       .withColumn("label", $"doc_id").persist()
+    labels.count() // reads the cached edge set; materialized pre-narrowing too
     var changed = 1L
     var rounds = 0
     spark.conf.set("spark.sql.shuffle.partitions", "8")

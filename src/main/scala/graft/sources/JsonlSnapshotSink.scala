@@ -76,10 +76,19 @@ object JsonlSnapshotSink {
     }
   }
 
-  /** Manifest object key for a data object key: `.txt.<ext>.enc` → `.csv`
-    * (reference names both off the same filePrefix-NNNNNN stem). */
-  def manifestKey(objectKey: String, codec: SnapshotCodec = GzipSnapshotCodec): String =
-    objectKey.stripSuffix(s".txt.${codec.extension}.enc") + ".csv"
+  /** Manifest object key for a data object key. The number is the data
+    * object's MINUS ONE, matching the reference exactly: the manifest file
+    * is named with `currentBatch` BEFORE the increment
+    * (S3StreamingWriter.kt:174 in encryptingOutputStream) while the data
+    * object key formats AFTER it (S3StreamingWriter.kt:99-101,159), so
+    * reference manifest N rides with data object N+1 (first pair:
+    * `…-000000.csv` / `…-000001.txt.gz.enc`). */
+  def manifestKey(objectKey: String, codec: SnapshotCodec = GzipSnapshotCodec): String = {
+    val stem = objectKey.stripSuffix(s".txt.${codec.extension}.enc")
+    val cut = stem.lastIndexOf('-')
+    val n = stem.substring(cut + 1).toLong
+    f"${stem.substring(0, cut + 1)}${n - 1}%06d.csv"
+  }
 
   /** Write chunked, encrypted snapshot objects + per-chunk manifests.
     *
@@ -309,21 +318,33 @@ object JsonlSnapshotSink {
     readBack(spark, root).orderBy(col("object_key"), col("record"))
   }
 
-  /** Scratch roots written by [[snapshotQuery]], deleted when the Spark
-    * application ends (listener installed once per JVM). */
+  /** Scratch roots written by [[snapshotQuery]], deleted when the owning
+    * Spark application ends. The listener is installed once per
+    * SparkContext (tracked by applicationId, NOT once per JVM — a later
+    * session after the first application ends gets its own), and the
+    * registered roots are cleared once deleted so a subsequent application
+    * starts from a clean slate. */
   private val scratchRoots = scala.collection.mutable.HashSet.empty[String]
+  private val listenerApps = scala.collection.mutable.HashSet.empty[String]
   private def registerScratch(spark: SparkSession, root: String): Unit = synchronized {
-    if (scratchRoots.isEmpty) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val ctx = spark.sparkContext
+    val appId = ctx.applicationId
+    if (listenerApps.add(appId)) {
+      ctx.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          scratchRoots.foreach { r =>
-            try {
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete(); ()
-              }
-              rm(new java.io.File(r))
-            } catch { case scala.util.control.NonFatal(_) => () }
+          JsonlSnapshotSink.synchronized {
+            scratchRoots.foreach { r =>
+              try {
+                def rm(f: java.io.File): Unit = {
+                  if (f.isDirectory) f.listFiles().foreach(rm)
+                  f.delete(); ()
+                }
+                rm(new java.io.File(r))
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+            scratchRoots.clear()
+            listenerApps.remove(appId)
+            ()
           }
       })
     }
