@@ -73,6 +73,10 @@ object SparkEntry {
     "token_histogram" -> (TextQueries.tokenHistogram _),
     "contamination_check" -> (TextQueries.contaminationCheck _),
     "corpus_curate" -> (TextQueries.corpusCurate _),
+    // Curation (№43-45)
+    "line_dedup" -> (CurationQueries.lineDedup _),
+    "pii_redact" -> (CurationQueries.piiRedact _),
+    "doc_repetition" -> (CurationQueries.docRepetition _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +135,8 @@ object SparkEntry {
     "token_histogram" -> TextQueries.tokenHistogramSql,
     "contamination_check" -> TextQueries.contaminationCheckSql,
     "corpus_curate" -> TextQueries.corpusCurateSql,
+    "line_dedup" -> CurationQueries.lineDedupSql,
+    "pii_redact" -> CurationQueries.piiRedactSql,
+    "doc_repetition" -> CurationQueries.docRepetitionSql,
   )
 }

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization (SURVEY §2 №43-45): cross-document
+  * line dedup (the RefinedWeb/CCNet boilerplate-removal step), PII
+  * redaction, and within-document repetition signals (the Gopher
+  * repetition filters).
+  *
+  * Same cross-engine discipline as [[TextQueries]]: every constant
+  * (segment width, regexes, thresholds) is defined once and spliced into
+  * both the Spark plan and the DuckDB oracle.
+  */
+object CurationQueries {
+  import TextQueries.{words, wordsSql, dupCorpus, dupCorpusSql}
+
+  // ---------------------------------------------------------------- №43 line_dedup
+  /** Words per synthetic "line". The corpus is single-line word soup, so
+    * lines are deterministic fixed-width word windows — the SEGMENTATION is
+    * synthetic, the operator semantics (remove any line whose document
+    * frequency reaches [[LineDupThreshold]]) are the real RefinedWeb rule. */
+  val LineWidth = 8
+
+  /** A line is boilerplate when it appears in at least this many docs. */
+  val LineDupThreshold = 2
+
+  /** Cross-document line dedup. Scale shape (the part that matters at
+    * 100 TB): segment+explode is narrow; the document-frequency aggregation
+    * is ONE shuffle on the line text (high-cardinality key, map-side
+    * partial count_distinct); the surviving "common" set is tiny relative
+    * to the corpus (boilerplate lines only) so it BROADCASTS back to mark
+    * removals — the corpus-side explode never reshuffles for the join; the
+    * per-doc reassembly is the second and last shuffle, on doc_id. No
+    * all-pairs anything: cost is O(total lines), independent of how many
+    * documents share a line.
+    *
+    * Output keeps the doc even when every line was removed (clean_text = '').
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = LineWidth
+    val lines = dupCorpus(spark, dir)
+      .withColumn("ws", words($"text"))
+      .withColumn("lines",
+        expr(s"transform(sequence(0, (size(ws)-1) DIV $w), i -> concat_ws(' ', slice(ws, i*$w+1, $w)))"))
+      .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
+    val common = lines.groupBy($"line")
+      .agg(count_distinct($"doc_id").as("df"))
+      .filter($"df" >= LineDupThreshold)
+      .select($"line", lit(true).as("dup"))
+    lines.join(broadcast(common), Seq("line"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(!coalesce($"dup", lit(false)), struct($"idx", $"line")))),
+            s => s.getField("line"))).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String = {
+    val w = LineWidth
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |s AS (SELECT doc_id,
+       |  list_transform(range(0, (len(ws)-1)//$w + 1),
+       |                 i -> array_to_string(list_slice(ws, i*$w+1, i*$w+$w), ' ')) AS lines
+       |  FROM d),
+       |e AS (SELECT doc_id, lines, unnest(range(0, len(lines))) AS idx FROM s),
+       |g AS (SELECT doc_id, idx, lines[idx+1] AS line FROM e),
+       |common AS (SELECT line FROM g GROUP BY line
+       |           HAVING count(DISTINCT doc_id) >= $LineDupThreshold),
+       |m AS (SELECT g.doc_id, g.idx, g.line, c.line IS NOT NULL AS dup
+       |      FROM g LEFT JOIN common c ON g.line = c.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT dup), '') AS clean_text
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №44 pii_redact
+  /** Email/phone regexes, RE2-compatible (the common subset of Java regex
+    * and DuckDB's RE2 — character classes only, no backrefs/lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** documents with deterministic synthetic PII appended (the corpus has
+    * none): ~2/3 of docs get an email, ~3/4 a phone number, both derived
+    * from doc_id so each engine constructs the identical corpus — the same
+    * trick as [[TextQueries.dupCorpus]]. */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 3 =!= 2,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 =!= 3,
+          concat(lit(" call 555-"),
+            lpad(($"doc_id" * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(($"doc_id" * 13 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        lit(" end")).as("text"))
+  }
+
+  // NB: no line below may BEGIN with `||` — this fragment is spliced into
+  // another stripMargin string, which would eat one pipe.
+  val piiCorpusSql: String =
+    """pii AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 <> 2
+      |         THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 <> 3
+      |         THEN ' call 555-' || lpad(CAST(doc_id*7 % 1000 AS VARCHAR), 3, '0') ||
+      |              '-' || lpad(CAST(doc_id*13 % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    ' end' AS text
+      |  FROM documents)""".stripMargin
+
+  /** PII redaction: count then replace emails and phone numbers with typed
+    * placeholder tokens. Emails are redacted FIRST in both engines (an
+    * email's local part could otherwise shadow a digit run). Pure per-row
+    * regex projection — scan-bound at any scale, no shuffle at all. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    piiCorpus(spark, dir)
+      .withColumn("n_emails", size(regexp_extract_all($"text", lit(EmailRe), lit(0))))
+      .withColumn("pass1", regexp_replace($"text", EmailRe, "<EMAIL>"))
+      .withColumn("n_phones", size(regexp_extract_all($"pass1", lit(PhoneRe), lit(0))))
+      .select($"doc_id", $"n_emails", $"n_phones",
+        regexp_replace($"pass1", PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH $piiCorpusSql,
+       |p AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS pass1
+       |  FROM pii)
+       |SELECT doc_id, n_emails,
+       |  len(regexp_extract_all(pass1, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(pass1, '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №45 doc_repetition
+  /** Within-document repetition signals (the Gopher repetition filters):
+    * duplicate-word ratio and the most-frequent-2-gram share. Relational
+    * shape rather than per-row nested loops: explode 2-grams, ONE partial+
+    * final count on (doc_id, gram) — a high-cardinality, skew-free key —
+    * then a per-doc rollup reusing the doc_id prefix. Top-gram tiebreak is
+    * deterministic (max count, then lexicographically GREATEST gram: a
+    * plain max(struct(cnt, gram)) both engines can express). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .withColumn("n_tok", size($"ws"))
+      .withColumn("n_uniq", size(array_distinct($"ws")))
+      .withColumn("gram",
+        explode(expr("CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) ELSE array() END")))
+      .select($"doc_id", $"n_tok", $"n_uniq", $"gram")
+    grams.groupBy($"doc_id", $"n_tok", $"n_uniq", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"n_tok", $"n_uniq")
+      .agg(sum($"cnt").as("n_2grams"), max(struct($"cnt", $"gram")).as("top"))
+      .select($"doc_id", $"n_tok", $"n_uniq", $"n_2grams",
+        $"top.cnt".as("top_cnt"), $"top.gram".as("top_gram"),
+        round($"top.cnt".cast("double") / $"n_2grams" + 1e-9, 6).as("top2_ratio"),
+        round(lit(1.0) - $"n_uniq".cast("double") / $"n_tok" + 1e-9, 6).as("dup_word_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |t AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
+       |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+       |  FROM d WHERE len(ws) >= 2),
+       |c AS (SELECT doc_id, n_tok, n_uniq, gram, count(*) AS cnt
+       |      FROM t GROUP BY 1, 2, 3, 4),
+       |r AS (SELECT doc_id, n_tok, n_uniq,
+       |        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_2grams,
+       |        cnt AS top_cnt, gram AS top_gram,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+       |      FROM c)
+       |SELECT doc_id, n_tok, n_uniq, n_2grams, top_cnt, top_gram,
+       |  round(CAST(top_cnt AS DOUBLE)/n_2grams + 0.000000001, 6) AS top2_ratio,
+       |  round(1.0 - CAST(n_uniq AS DOUBLE)/n_tok + 0.000000001, 6) AS dup_word_ratio
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the curation operators (№43-45) beyond the DuckDB
+  * hash oracle: known-dup behavior, redaction completeness, invariants. */
+class CurationSpec extends SparkSpec {
+
+  test("line_dedup: exact-copy twins lose every line; near-copies keep at most the tail") {
+    val out = CurationQueries.lineDedup(spark, sf).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val exactTwins = out.filter(_.getLong(0) >= 2000000)
+    assert(exactTwins.nonEmpty)
+    exactTwins.foreach { r =>
+      val base = byId(r.getLong(0) - 2000000)
+      // doc and its byte-identical copy: every line has df>=2 in BOTH rows
+      assert(r.getString(3) == "", s"copy ${r.getLong(0)} kept text '${r.getString(3)}'")
+      assert(base.getString(3) == "", s"base ${base.getLong(0)} kept text")
+      assert(r.getLong(2) == r.getLong(1), "copy must remove all lines")
+    }
+    val nearTwins = out.filter(_.getLong(0) >= 1000000).filter(_.getLong(0) < 2000000)
+    assert(nearTwins.nonEmpty)
+    nearTwins.foreach { r =>
+      // appended token only perturbs the final fixed-width line
+      assert(r.getLong(2) >= r.getLong(1) - 1,
+        s"near-copy ${r.getLong(0)} removed only ${r.getLong(2)} of ${r.getLong(1)} lines")
+    }
+  }
+
+  test("pii_redact: no residual matches, injection rule drives the counts") {
+    val out = CurationQueries.piiRedact(spark, sf)
+    val residual = out.filter(
+      col("redacted").rlike(CurationQueries.EmailRe) ||
+        col("redacted").rlike(CurationQueries.PhoneRe)).count()
+    assert(residual == 0, s"$residual docs still contain PII after redaction")
+    val wrong = out.filter(
+      (col("doc_id") % 3 =!= 2 && col("n_emails") < 1) ||
+        (col("doc_id") % 3 === 2 && col("n_emails") =!= 0) ||
+        (col("doc_id") % 4 =!= 3 && col("n_phones") < 1) ||
+        (col("doc_id") % 4 === 3 && col("n_phones") =!= 0)).count()
+    assert(wrong == 0, s"$wrong docs disagree with the deterministic injection rule")
+    assert(out.count() == graft.Tables(spark, sf).documents.count())
+  }
+
+  test("doc_repetition: gram accounting and ratio invariants hold per doc") {
+    val bad = CurationQueries.docRepetition(spark, sf)
+      .filter(
+        col("n_2grams") =!= col("n_tok") - 1 || // sum of 2-gram counts = n-1
+          col("top_cnt") < 1 || col("top_cnt") > col("n_2grams") ||
+          col("top2_ratio") < 0 || col("top2_ratio") > 1.000001 ||
+          col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1.000001)
+      .count()
+    assert(bad == 0)
+  }
+}
