@@ -27,31 +27,56 @@ object CurationQueries {
   /** A line is boilerplate when it appears in at least this many docs. */
   val LineDupThreshold = 2
 
+  /** Cross-document line dedup, default join mode ("auto"): AQE picks the
+    * mark-back strategy from the measured size of the common-line set. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupWith(spark, dir, "auto")
+
   /** Cross-document line dedup. Scale shape (the part that matters at
-    * 100 TB): segment+explode is narrow; the document-frequency aggregation
-    * is ONE shuffle on the line text (high-cardinality key, map-side
-    * partial count_distinct); the surviving "common" set is tiny relative
-    * to the corpus (boilerplate lines only) so it BROADCASTS back to mark
-    * removals — the corpus-side explode never reshuffles for the join; the
-    * per-doc reassembly is the second and last shuffle, on doc_id. No
-    * all-pairs anything: cost is O(total lines), independent of how many
-    * documents share a line.
+    * 100 TB): segment+explode is narrow and runs ONCE (the lines frame is
+    * persisted — it feeds both the document-frequency aggregation and the
+    * mark-back join); the df aggregation is ONE shuffle on the line text
+    * (high-cardinality key, map-side partial count_distinct); the per-doc
+    * reassembly is the last shuffle, on doc_id. No all-pairs anything:
+    * cost is O(total lines), independent of how many docs share a line.
+    *
+    * The mark-back join is the scale knob. The common-line set GROWS WITH
+    * THE CORPUS (at web scale, boilerplate lines are a large fraction of
+    * all unique lines — unlike the constant-size centroid or eval-gram
+    * broadcasts elsewhere), so it must never be force-broadcast:
+    *   - "auto"    — no hint; AQE chooses from measured sizes (broadcasts
+    *                 only while `common` is genuinely small).
+    *   - "shuffle" — SHUFFLE_HASH equi-join on the line key: both sides
+    *                 partition on a high-cardinality, even key, and each
+    *                 task builds only its |common|/numPartitions slice —
+    *                 bounded memory at any corpus size. This costs the
+    *                 corpus-side reshuffle that "auto" avoids at proof
+    *                 scale; at 100 TB it is the safe default.
+    * LineDedupScaleSpec proves both modes return identical output on the
+    * dup corpus (the BucketBits/DedupScaleSpec pattern);
+    * PlanRegressionSpec pins the shuffle mode to a broadcast-free plan.
     *
     * Output keeps the doc even when every line was removed (clean_text = '').
     */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+  def lineDedupWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
     import spark.implicits._
     val w = LineWidth
-    val lines = dupCorpus(spark, dir)
+    val lines = graft.CacheRegistry.track(dupCorpus(spark, dir)
       .withColumn("ws", words($"text"))
       .withColumn("lines",
         expr(s"transform(sequence(0, (size(ws)-1) DIV $w), i -> concat_ws(' ', slice(ws, i*$w+1, $w)))"))
       .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
+      .persist())
     val common = lines.groupBy($"line")
       .agg(count_distinct($"doc_id").as("df"))
       .filter($"df" >= LineDupThreshold)
       .select($"line", lit(true).as("dup"))
-    lines.join(broadcast(common), Seq("line"), "left")
+    val marked = mode match {
+      case "auto"    => lines.join(common, Seq("line"), "left")
+      case "shuffle" => lines.join(common.hint("SHUFFLE_HASH"), Seq("line"), "left")
+      case other     => throw new IllegalArgumentException(s"unknown line_dedup join mode: $other")
+    }
+    marked
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_lines"),

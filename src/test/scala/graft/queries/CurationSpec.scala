@@ -28,6 +28,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("line_dedup: auto and shuffle join modes return identical output") {
+    // the DedupScaleSpec pattern: the scale-safe configuration (shuffle
+    // equi-join on the line key, bounded per-task build side) must return
+    // row-identical output to the proof-size mode the driver oracle checks
+    val auto = CurationQueries.lineDedupWith(spark, sf, "auto")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    graft.CacheRegistry.releaseAll(spark)
+    val shuffled = CurationQueries.lineDedupWith(spark, sf, "shuffle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    graft.CacheRegistry.releaseAll(spark)
+    assert(auto.nonEmpty)
+    assert(shuffled == auto, "join mode changed line_dedup output")
+    intercept[IllegalArgumentException] {
+      CurationQueries.lineDedupWith(spark, sf, "bogus")
+    }
+  }
+
   test("pii_redact: no residual matches, injection rule drives the counts") {
     val out = CurationQueries.piiRedact(spark, sf)
     val residual = out.filter(

@@ -111,6 +111,41 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("pii_redact is a pure projection: zero data shuffles") {
+    val plan = ExportQueriesPlanHelper.exec(CurationQueries.piiRedact(spark, sf))
+    // scan → regex projection → display orderBy (range exchange). Any HASH
+    // exchange means a join/agg crept into a per-row operator.
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty, s"pii_redact shuffled:\n$plan")
+  }
+
+  test("doc_repetition is two hash aggregations, no window") {
+    val plan = ExportQueriesPlanHelper.exec(CurationQueries.docRepetition(spark, sf))
+    // (doc,gram) count + per-doc rollup — both partial+final hash aggs on
+    // skew-free keys; a Window would mean a full per-doc sort sneaked in
+    assert(!plan.toString.contains("Window"), s"doc_repetition planned a window:\n$plan")
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size <= 2, s"expected ≤2 hash exchanges:\n$plan")
+  }
+
+  test("line_dedup scale mode never broadcasts the corpus-growing common-line set") {
+    val plan = ExportQueriesPlanHelper.exec(
+      CurationQueries.lineDedupWith(spark, sf, "shuffle"))
+    val txt = plan.toString
+    assert(!txt.contains("BroadcastHashJoin") && !txt.contains("BroadcastExchange"),
+      s"scale mode broadcast the common-line set:\n$txt")
+    assert(txt.contains("ShuffledHashJoin"), s"mark-back not a shuffled hash join:\n$txt")
+    // the segmentation chain runs ONCE: both consumers read the persisted frame
+    assert(txt.contains("InMemoryTableScan"), s"lines frame not persisted:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,
