@@ -66,7 +66,13 @@ object Bench {
       s"\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
     val total = stats.values.filter(_.nonEmpty).map(median).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver's log capture truncates long stdout
+    // tails mid-record — the file is the parseable artifact of record.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -403,6 +403,10 @@ object ExportQueries {
     val present = KvModel.kv(spark, dir).select(col("topic")).distinct()
       .withColumn("present", lit(true))
     val allTopics = KvModel.DeclaredTopics.toDF("topic")
+    // Unpartitioned window BY DESIGN (WindowExec warns "No Partition
+    // Defined"): the job verdict is a global min/max over the per-TOPIC
+    // frame, whose size is bounded by the configured topic list (≤18 rows
+    // at any data scale) — never over record-level data.
     val allW = Window.partitionBy()
     allTopics.join(chunks, Seq("topic"), "left").join(present, Seq("topic"), "left")
       .select(col("topic"),
