@@ -73,10 +73,12 @@ object SparkEntry {
     "token_histogram" -> (TextQueries.tokenHistogram _),
     "contamination_check" -> (TextQueries.contaminationCheck _),
     "corpus_curate" -> (TextQueries.corpusCurate _),
-    // Curation (№43-45)
+    // Curation (№46-50)
     "line_dedup" -> (CurationQueries.lineDedup _),
     "pii_redact" -> (CurationQueries.piiRedact _),
     "doc_repetition" -> (CurationQueries.docRepetition _),
+    "dedup_pipeline" -> (CurationQueries.dedupPipeline _),
+    "dedup_substring" -> (CurationQueries.dedupSubstring _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,5 +140,7 @@ object SparkEntry {
     "line_dedup" -> CurationQueries.lineDedupSql,
     "pii_redact" -> CurationQueries.piiRedactSql,
     "doc_repetition" -> CurationQueries.docRepetitionSql,
+    "dedup_pipeline" -> CurationQueries.dedupPipelineSql,
+    "dedup_substring" -> CurationQueries.dedupSubstringSql,
   )
 }

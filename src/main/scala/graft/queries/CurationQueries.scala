@@ -5,10 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
-  * between ingest and tokenization (SURVEY §2 №43-45): cross-document
+  * between ingest and tokenization (SURVEY §2 №46-50): cross-document
   * line dedup (the RefinedWeb/CCNet boilerplate-removal step), PII
-  * redaction, and within-document repetition signals (the Gopher
-  * repetition filters).
+  * redaction, within-document repetition signals (the Gopher repetition
+  * filters), the composed near-dup removal pipeline, and substring-level
+  * exact dedup (the Lee et al. 2022 step at token-window granularity).
   *
   * Same cross-engine discipline as [[TextQueries]]: every constant
   * (segment width, regexes, thresholds) is defined once and spliced into
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   import TextQueries.{words, wordsSql, dupCorpus, dupCorpusSql}
 
-  // ---------------------------------------------------------------- №43 line_dedup
+  // ---------------------------------------------------------------- №46 line_dedup
   /** Words per synthetic "line". The corpus is single-line word soup, so
     * lines are deterministic fixed-width word windows — the SEGMENTATION is
     * synthetic, the operator semantics (remove any line whose document
@@ -108,7 +109,7 @@ object CurationQueries {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  // ---------------------------------------------------------------- №44 pii_redact
+  // ---------------------------------------------------------------- №47 pii_redact
   /** Email/phone regexes, RE2-compatible (the common subset of Java regex
     * and DuckDB's RE2 — character classes only, no backrefs/lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -172,7 +173,7 @@ object CurationQueries {
        |  regexp_replace(pass1, '$PhoneRe', '<PHONE>', 'g') AS redacted
        |FROM p ORDER BY doc_id""".stripMargin
 
-  // ---------------------------------------------------------------- №45 doc_repetition
+  // ---------------------------------------------------------------- №48 doc_repetition
   /** Within-document repetition signals (the Gopher repetition filters):
     * duplicate-word ratio and the most-frequent-2-gram share. Relational
     * shape rather than per-row nested loops: explode 2-grams, ONE partial+
@@ -198,6 +199,122 @@ object CurationQueries {
         round($"top.cnt".cast("double") / $"n_2grams" + 1e-9, 6).as("top2_ratio"),
         round(lit(1.0) - $"n_uniq".cast("double") / $"n_tok" + 1e-9, 6).as("dup_word_ratio"))
       .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- №49 dedup_pipeline
+  /** The near-dup removal pipeline composed END-TO-END — what a real
+    * training-data pipeline runs after ingest: pair-finding
+    * ([[TextQueries.dedupNgramJaccard]], PPJoin prefix-filtered) →
+    * connected-component labels ([[TextQueries.clusterLabels]], iterative
+    * min-label propagation) → drop every non-canonical member → surviving
+    * corpus with per-keeper cluster accounting.
+    *
+    * Scale shape: the label frame covers only docs in a verified near-dup
+    * pair — proportional to the corpus's duplicated fraction, so it GROWS
+    * with the corpus and is never broadcast-hinted (AQE decides from
+    * measured sizes; the corpus⋈labels equi-join on doc_id shuffles on a
+    * uniform key at scale). Cluster sizes aggregate the label frame, not
+    * the corpus. The DuckDB oracle reconstructs clusters with the
+    * recursive transitive-closure CTE and joins them back — a fully
+    * independent formulation of the whole pipeline.
+    */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = TextQueries.clusterLabels(spark, dir)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("n_members"))
+    dupCorpus(spark, dir)
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"label", $"doc_id"))
+      .filter($"doc_id" === $"cluster") // canonical keeper, or untouched singleton
+      .join(sizes.select($"label".as("cluster"), $"n_members"), Seq("cluster"), "left")
+      .select($"doc_id",
+        coalesce($"n_members", lit(1L)).as("n_members"),
+        size(words($"text")).cast("long").as("n_tok"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupPipelineSql: String =
+    s"""WITH RECURSIVE ${TextQueries.clusterCteSql},
+       |lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY doc_id),
+       |j AS (SELECT c.doc_id, coalesce(l.lbl, c.doc_id) AS cluster, c.text
+       |      FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id),
+       |k AS (SELECT cluster, count(*) AS n_members FROM j GROUP BY cluster)
+       |SELECT j.doc_id, k.n_members,
+       |  CAST(len(${wordsSql("j.text")}) AS BIGINT) AS n_tok
+       |FROM j JOIN k ON j.cluster = k.cluster
+       |WHERE j.doc_id = j.cluster
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №50 dedup_substring
+  /** Tokens per window for substring-level dedup (stride 1 — every
+    * token-aligned window, overlapping, unlike [[LineWidth]]'s disjoint
+    * segments). */
+  val SubstringWidth = 10
+
+  /** Substring-level exact dedup signals — the Lee et al. 2022
+    * deduplication step at token-window granularity: every fixed-width
+    * token window is hashed, windows occurring ≥2 times ANYWHERE in the
+    * corpus (cross- or within-doc, counted with multiplicity) are
+    * duplicated, and each doc reports its duplicated-window coverage
+    * ratio — the "how much of this doc is copied text" signal a pipeline
+    * thresholds on.
+    *
+    * Same one-shuffle-per-stage shape as [[lineDedupWith]]: the window
+    * frame is persisted (explode feeds both the occurrence count and the
+    * mark-back); occurrence counting is ONE shuffle on a 64-bit xxhash64
+    * key (8-byte shuffle rows, not window text — the output carries only
+    * counts, so the hash is drop-in); mark-back join mode is the same
+    * scale knob ("auto" = AQE, "shuffle" = SHUFFLE_HASH bounded-memory) —
+    * the duplicated-window set grows with the corpus and must never be
+    * force-broadcast. The DuckDB oracle deliberately groups by the window
+    * TEXT itself — an independent formulation that also proves the hash
+    * keying introduces no collisions at proof scale.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringWith(spark, dir, "auto")
+
+  def dedupSubstringWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    import spark.implicits._
+    val w = SubstringWidth
+    val wins = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .withColumn("ws", words($"text"))
+      .withColumn("hs",
+        expr(s"CASE WHEN size(ws) >= $w THEN transform(sequence(0, size(ws)-$w), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $w)))) ELSE array() END"))
+      .select($"doc_id", explode($"hs").as("h"))
+      .persist())
+    val dup = wins.groupBy($"h")
+      .agg(count(lit(1)).as("occ"))
+      .filter($"occ" >= 2)
+      .select($"h", lit(true).as("dup"))
+    val marked = mode match {
+      case "auto"    => wins.join(dup, Seq("h"), "left")
+      case "shuffle" => wins.join(dup.hint("SHUFFLE_HASH"), Seq("h"), "left")
+      case other     => throw new IllegalArgumentException(s"unknown dedup_substring join mode: $other")
+    }
+    marked.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"))
+      .select($"doc_id", $"n_windows", $"n_dup",
+        round($"n_dup".cast("double") / $"n_windows" + 1e-9, 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSql: String = {
+    val w = SubstringWidth
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |wn AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, len(ws)-$w+1),
+       |                        i -> array_to_string(list_slice(ws, i+1, i+$w), ' '))) AS win
+       |  FROM d WHERE len(ws) >= $w),
+       |occ AS (SELECT win FROM wn GROUP BY win HAVING count(*) >= 2),
+       |m AS (SELECT wn.doc_id, o.win IS NOT NULL AS dup
+       |      FROM wn LEFT JOIN occ o ON wn.win = o.win)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup,
+       |  round(CAST(count(*) FILTER (WHERE dup) AS DOUBLE)/count(*) + 0.000000001, 6) AS dup_ratio
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val docRepetitionSql: String =

@@ -295,6 +295,17 @@ object TextQueries {
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    clusterLabels(spark, dir)
+      .select($"doc_id", $"label".as("cluster"), ($"doc_id" === $"label").as("keep"))
+      .orderBy($"cluster", $"doc_id")
+  }
+
+  /** The converged (doc_id, label) frame behind [[dedupCluster]] — unordered
+    * and still distributed (persisted + tracked), for composition into the
+    * end-to-end [[CurationQueries.dedupPipeline]] without re-sorting. Covers
+    * only docs that appear in a verified near-dup pair. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // iteration frames are component-count-sized (hundreds of rows), not
     // corpus-sized: run the loop at a narrow shuffle width — 32 partitions
     // of ~10 rows each just pays scheduler overhead per round. Production
@@ -329,12 +340,16 @@ object TextQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     graft.CacheRegistry.track(labels)
-    labels.select($"doc_id", $"label".as("cluster"), ($"doc_id" === $"label").as("keep"))
-      .orderBy($"cluster", $"doc_id")
+    labels
   }
 
-  val dedupClusterSql: String =
-    s"""WITH RECURSIVE $dupCorpusSql,
+  /** The transitive-closure CTE chain shared by [[dedupClusterSql]] and
+    * [[CurationQueries.dedupPipelineSql]]: corpus → shingles → verified
+    * near-dup edges → recursive reachability. Callers prepend
+    * `WITH RECURSIVE` and aggregate `reach`.
+    * NB: no line may BEGIN with `||` — spliced into other stripMargins. */
+  val clusterCteSql: String =
+    s"""$dupCorpusSql,
        |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
        |s AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
@@ -350,7 +365,10 @@ object TextQueries {
        |reach(doc_id, r) AS (
        |  SELECT doc_id, doc_id FROM nodes
        |  UNION
-       |  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.doc_id = sym.d)
+       |  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.doc_id = sym.d)""".stripMargin
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $clusterCteSql
        |SELECT doc_id, min(r) AS cluster, doc_id = min(r) AS keep
        |FROM reach GROUP BY doc_id ORDER BY cluster, doc_id""".stripMargin
 

@@ -12,7 +12,8 @@ class PlanLintSpec extends SparkSpec {
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
-    Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster")
+    Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster",
+      "dedup_pipeline") // runs the clusterLabels convergence loop on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>

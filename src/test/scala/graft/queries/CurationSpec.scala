@@ -60,6 +60,43 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == graft.Tables(spark, sf).documents.count())
   }
 
+  test("dedup_pipeline: drops every exact twin, conserves the corpus, keeps canonical ids") {
+    val out = CurationQueries.dedupPipeline(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    val ids = out.map(_.getLong(0)).toSet
+    // exact copies (base id + 2000000) always cluster with their base →
+    // never survive; their base (the cluster min) always does
+    assert(ids.forall(_ < 2000000), "an exact-copy twin survived the pipeline")
+    val corpusN = TextQueries.dupCorpus(spark, sf).count()
+    // every corpus doc is accounted for exactly once across the clusters
+    assert(out.map(_.getLong(1)).sum == corpusN, "cluster membership does not partition the corpus")
+    // keepers of multi-doc clusters exist, and singletons dominate
+    assert(out.exists(_.getLong(1) >= 2))
+    assert(out.count(_.getLong(1) == 1) > out.length / 2)
+  }
+
+  test("dedup_substring: exact twins are fully covered; join modes agree") {
+    val out = CurationQueries.dedupSubstring(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val exactTwins = out.filter(_.getLong(0) >= 2000000)
+    assert(exactTwins.nonEmpty)
+    exactTwins.foreach { r =>
+      // a byte-identical copy duplicates every window in copy AND base
+      assert(r.getDouble(3) == 1.0, s"copy ${r.getLong(0)} dup_ratio ${r.getDouble(3)}")
+      assert(byId(r.getLong(0) - 2000000).getDouble(3) == 1.0, "base of exact twin not fully covered")
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.000001)
+    }
+    val shuffled = CurationQueries.dedupSubstringWith(spark, sf, "shuffle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.CacheRegistry.releaseAll(spark)
+    assert(shuffled == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet,
+      "join mode changed dedup_substring output")
+  }
+
   test("doc_repetition: gram accounting and ratio invariants hold per doc") {
     val bad = CurationQueries.docRepetition(spark, sf)
       .filter(

@@ -146,6 +146,17 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("dedup_substring scale mode never broadcasts the corpus-growing dup-window set") {
+    val plan = ExportQueriesPlanHelper.exec(
+      CurationQueries.dedupSubstringWith(spark, sf, "shuffle"))
+    val txt = plan.toString
+    assert(!txt.contains("BroadcastHashJoin") && !txt.contains("BroadcastExchange"),
+      s"scale mode broadcast the dup-window set:\n$txt")
+    assert(txt.contains("ShuffledHashJoin"), s"mark-back not a shuffled hash join:\n$txt")
+    assert(txt.contains("InMemoryTableScan"), s"window frame not persisted:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,
