@@ -79,6 +79,12 @@ object SparkEntry {
     "doc_repetition" -> (CurationQueries.docRepetition _),
     "dedup_pipeline" -> (CurationQueries.dedupPipeline _),
     "dedup_substring" -> (CurationQueries.dedupSubstring _),
+    // Pipeline accounting (№52-55) + semantic dedup (№56)
+    "quality_classifier" -> (PipelineQueries.qualityClassifier _),
+    "domain_mix" -> (PipelineQueries.domainMix _),
+    "vocab_coverage" -> (PipelineQueries.vocabCoverage _),
+    "sequence_pack" -> (PipelineQueries.sequencePack _),
+    "semantic_dedup" -> (VectorQueries.semanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,5 +148,10 @@ object SparkEntry {
     "doc_repetition" -> CurationQueries.docRepetitionSql,
     "dedup_pipeline" -> CurationQueries.dedupPipelineSql,
     "dedup_substring" -> CurationQueries.dedupSubstringSql,
+    "quality_classifier" -> PipelineQueries.qualityClassifierSql,
+    "domain_mix" -> PipelineQueries.domainMixSql,
+    "vocab_coverage" -> PipelineQueries.vocabCoverageSql,
+    "sequence_pack" -> PipelineQueries.sequencePackSql,
+    "semantic_dedup" -> VectorQueries.semanticDedupSql,
   )
 }

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline accounting operators (SURVEY §2 №52-55): the
+  * steps a pretraining pipeline runs AFTER curation and BEFORE the
+  * tokenizer — model-based quality filtering (a fastText-style linear
+  * classifier), domain-mixture weighting (temperature-scaled sampling
+  * weights per source), vocabulary coverage / OOV accounting against the
+  * corpus's own top-K vocab, and GPT-style sequence packing (concatenate
+  * documents, cut into fixed-length training sequences).
+  *
+  * Same cross-engine discipline as [[TextQueries]]: every constant is
+  * defined once and spliced into both the Spark plan and the DuckDB
+  * oracle; floating arithmetic is either per-row IEEE ops written in the
+  * identical order in both engines, or integer-exact (micro-unit sums)
+  * where a multi-row float sum would be association-order-dependent.
+  */
+object PipelineQueries {
+  import TextQueries.{words, wordsSql, stopwords}
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  // ---------------------------------------------------------------- №52 quality_classifier
+  /** Fixed classifier coefficients (a stand-in for fastText/logreg weights
+    * a real pipeline trains offline — the ENGINE contract is "score every
+    * document with a linear model over cheap text features", and shipping
+    * fixed public weights keeps the oracle independent). Scoring stays in
+    * LOGIT space: a sigmoid would drag in libm exp() whose last-ulp
+    * behavior differs across engines, while the linear form is plain IEEE
+    * add/multiply in a fixed order — bit-identical everywhere. keep = logit ≥ 0
+    * (the sigmoid≥0.5 decision boundary, sigmoid-free). */
+  val ClfBias = -2.0
+  val WStop = 3.0    // stopword ratio: prose-ish text
+  val WUniq = 2.0    // lexical diversity
+  val WPunct = -1.5  // punctuation per token: markup/boilerplate penalty
+  val WLen = 1.0     // saturating length prior
+
+  /** Model-based quality filter: linear classifier over the same cheap
+    * features [[TextQueries.qualityScore]] exposes. Pure per-row
+    * projection — scan-bound at any scale, zero shuffle (plan-pinned). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .withColumn("n_tok", size($"ws"))
+      .withColumn("f_stop",
+        size(filter($"ws", w => w.isin(stopwords.map(lit(_)): _*))).cast("double") / $"n_tok")
+      .withColumn("f_uniq", size(array_distinct($"ws")).cast("double") / $"n_tok")
+      .withColumn("f_punct",
+        length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).cast("double") / greatest($"n_tok", lit(1)))
+      .withColumn("f_len", least(lit(1.0), length($"text").cast("double") / 500.0))
+      // fixed evaluation order: bias + stop + uniq + punct + len
+      .withColumn("logit",
+        lit(ClfBias) + lit(WStop) * $"f_stop" + lit(WUniq) * $"f_uniq"
+          + lit(WPunct) * $"f_punct" + lit(WLen) * $"f_len")
+      .select($"doc_id",
+        round($"f_stop" + 1e-9, 6).as("f_stop"),
+        round($"f_uniq" + 1e-9, 6).as("f_uniq"),
+        round($"f_punct" + 1e-9, 6).as("f_punct"),
+        round($"f_len" + 1e-9, 6).as("f_len"),
+        round($"logit" + 1e-9, 6).as("logit"),
+        ($"logit" >= 0.0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH d AS (SELECT doc_id, text, ${wordsSql("text")} AS ws FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(list_filter(ws, w -> w IN (${inList(stopwords)}))) AS DOUBLE)/len(ws) AS f_stop,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS f_uniq,
+       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/greatest(len(ws),1) AS f_punct,
+       |  least(1.0, CAST(length(text) AS DOUBLE)/500.0) AS f_len
+       |  FROM d),
+       |s AS (SELECT doc_id, f_stop, f_uniq, f_punct, f_len,
+       |  $ClfBias + $WStop*f_stop + $WUniq*f_uniq + $WPunct*f_punct + $WLen*f_len AS logit
+       |  FROM f)
+       |SELECT doc_id,
+       |  round(f_stop + 0.000000001, 6) AS f_stop,
+       |  round(f_uniq + 0.000000001, 6) AS f_uniq,
+       |  round(f_punct + 0.000000001, 6) AS f_punct,
+       |  round(f_len + 0.000000001, 6) AS f_len,
+       |  round(logit + 0.000000001, 6) AS logit,
+       |  logit >= 0.0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №53 domain_mix
+  /** Mixture temperature α=0.5 → weight ∝ share^0.5. Written as sqrt()
+    * (IEEE correctly-rounded in both engines) rather than pow() (libm). */
+  val MixTokenBudget = 1000000L
+
+  /** Domain-mixture weighting: per-source token counts → temperature-
+    * scaled sampling weights → effective epochs at a fixed token budget.
+    * The DoReMi/Pile-style "how much of each domain does the run see".
+    *
+    * Scale shape: ONE shuffle — the per-source aggregation (map-side
+    * partial sums; #sources is bounded, and count/sum partials make the
+    * reduce side #sources rows total). Everything after operates on the
+    * per-source frame (rows = #domains, a few dozen at any corpus size):
+    * the totals are single-row broadcast cross joins, never a window over
+    * the data. Float discipline: token shares divide exact BIGINTs;
+    * the temperature-scaled weight normalizer sums MICRO-UNIT BIGINTs
+    * (round(sqrt(share)·10⁶)) — an exact integer sum, immune to the
+    * association-order nondeterminism of a float sum.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted: feeds BOTH the grand-total agg and the scaled frame — one
+    // corpus scan, not two (the r3 two-consumer lesson); the cached frame
+    // itself is #sources rows
+    val perSource = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"source", size(words($"text")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .persist())
+    val totTok = perSource.agg(sum($"n_tokens").as("tot_tokens"))
+    val scaled = perSource.crossJoin(broadcast(totTok))
+      .withColumn("token_share", round($"n_tokens".cast("double") / $"tot_tokens" + 1e-9, 6))
+      .withColumn("su", round(sqrt($"token_share") * 1000000.0 + 1e-9, 0).cast("long"))
+    val totSu = scaled.agg(sum($"su").as("tot_su"))
+    scaled.crossJoin(broadcast(totSu))
+      .withColumn("weight", round($"su".cast("double") / $"tot_su" + 1e-9, 6))
+      .select($"source", $"n_docs", $"n_tokens", $"token_share", $"weight",
+        round(lit(MixTokenBudget.toDouble) * $"weight" / $"n_tokens" + 1e-9, 6).as("epochs"))
+      .orderBy($"source")
+  }
+
+  val domainMixSql: String =
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(CAST(len(${wordsSql("text")}) AS BIGINT)) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_source),
+       |scaled AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6) AS token_share,
+       |    CAST(round(sqrt(round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6))*1000000.0 + 0.000000001, 0) AS BIGINT) AS su
+       |  FROM per_source CROSS JOIN tot),
+       |tot2 AS (SELECT sum(su) AS tot_su FROM scaled)
+       |SELECT source, n_docs, n_tokens, token_share,
+       |  round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6) AS weight,
+       |  round(${MixTokenBudget}.0 * (round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6)) / n_tokens + 0.000000001, 6) AS epochs
+       |FROM scaled CROSS JOIN tot2 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- №54 vocab_coverage
+  /** Vocab size for OOV accounting — FIXED (the tokenizer-vocab analogue),
+    * so the vocab broadcast is constant-size at any corpus scale, the same
+    * justification as contamination_check's eval grams. */
+  val VocabK = 100
+
+  /** Vocabulary coverage: build the corpus's top-[[VocabK]] token vocab
+    * (count desc, token asc — deterministic), then score every document's
+    * out-of-vocabulary rate against it. The "how much of the corpus does a
+    * K-token vocab explain" signal a tokenizer-budget decision reads.
+    *
+    * Scale shape: the exploded token frame is persisted (it feeds BOTH the
+    * vocab aggregation and the per-doc rollup — one segmentation pass, the
+    * r3 lesson); vocab build is one hash agg (map-side partials on a
+    * high-cardinality token key) + TakeOrdered (per-partition top-K, no
+    * global sort); the mark-back join broadcasts the CONSTANT-K vocab; the
+    * per-doc rollup is one shuffle on doc_id. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("tok"))
+      .persist())
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(VocabK)
+      .select($"tok", lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tok", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tok" + 1e-9, 6).as("oov_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM toks GROUP BY tok
+       |  ORDER BY count(*) DESC, tok ASC LIMIT $VocabK),
+       |m AS (SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
+       |      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       |SELECT doc_id, count(*) AS n_tok,
+       |  CAST(count(*) FILTER (WHERE NOT in_vocab) AS BIGINT) AS n_oov,
+       |  round(CAST(count(*) FILTER (WHERE NOT in_vocab) AS DOUBLE)/count(*) + 0.000000001, 6) AS oov_ratio
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №55 sequence_pack
+  /** Training-sequence length in tokens (proof-sized; production uses the
+    * model's context length). */
+  val SeqLen = 256
+
+  /** Packing bins. Each bin concatenates independently — bins exist so the
+    * cumulative-offset window is PARTITIONED (per-bin sort, parallel across
+    * the cluster), never a single global ordered cumsum. At 100 TB set
+    * bins ≈ O(cluster parallelism); packing quality is unaffected (only
+    * the last sequence per bin is short). */
+  val PackBins = 8
+
+  /** GPT-style sequence packing: concatenate documents (in a deterministic
+    * hash order, so packing is run-reproducible and length-decorrelated)
+    * and cut every [[SeqLen]] tokens; documents span sequence boundaries
+    * (no padding, the standard pretraining layout). Emits per-sequence
+    * accounting: how many docs START in each sequence, their token mass,
+    * and how many of them cross into the next sequence.
+    *
+    * Scale shape: ONE shuffle (hash-partition on bin) + a per-bin
+    * within-partition sort for the running-offset window, then a hash agg
+    * on (bin, seq) — no global sort anywhere. All arithmetic is integer
+    * (token counts, offsets, integer division), so both engines agree
+    * exactly. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).documents
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        size(words($"text")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .withColumn("spans", expr(s"start_off DIV $SeqLen <> (start_off + n_tok - 1) DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"))
+      .orderBy($"bin", $"seq_id")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT bin, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |  FROM d),
+       |s AS (
+       |  SELECT bin, n_tok, start_off // $SeqLen AS seq_id,
+       |    start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen AS spans
+       |  FROM o)
+       |SELECT bin, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
+       |FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
+}

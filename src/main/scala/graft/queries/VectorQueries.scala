@@ -467,6 +467,82 @@ object VectorQueries {
        |FROM (SELECT DISTINCT q_id FROM gbrute) q LEFT JOIN ghits h USING (q_id)
        |ORDER BY method, q_id""".stripMargin
 
+  // ---------------------------------------------------------------- №56 semantic_dedup
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    * with k-means, then near-dedup WITHIN each cluster only — the cluster
+    * pass bounds the candidate space to O(n²/C) instead of all-pairs,
+    * which is the whole point of the method at 100 TB (C grows with n, so
+    * per-cell membership stays bounded). Distinct from [[dedupEmbedding]]
+    * (LSH sign-buckets, pair OUTPUT): this is the cluster-then-drop
+    * pipeline whose output is a per-vector keep/drop verdict.
+    *
+    * Reuses the proven pieces verbatim: the dup-injected corpus, the
+    * [[refinedCentroids]] k-means (constant-size sample + broadcast at any
+    * scale, oracle-reproduced bit-exactly) and the [[cellsOf]] assignment
+    * (one broadcast-join pass, map-side max_by). Within a cell the drop
+    * rule is deterministic and non-transitive: a vector is dropped iff
+    * some LOWER-id member of its cell is ≥ τ cosine-similar — relational
+    * (an EXISTS, not an iteration), identical in both engines. The
+    * within-cell self-join is a shuffle equi-join on the cell id, both
+    * sides co-partitioned — no broadcast of anything corpus-sized. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupWith(spark, dir, "auto")
+
+  /** [[semanticDedup]] with the mark-back scale knob shared with
+    * line_dedup/dedup_substring: the dropped-id set grows with the
+    * corpus's duplicated fraction, so it is never force-broadcast —
+    * "auto" lets AQE decide from measured sizes; "shuffle" pins the
+    * bounded-memory SHUFFLE_HASH equi-join for the 100 TB shape
+    * (SemanticDedupSpec proves the modes row-identical). */
+  def semanticDedupWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val copies = v.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        concat(slice(col("emb"), 1, 59),
+          array(element_at(col("emb"), 60) + lit(0.01f)),
+          slice(col("emb"), 61, 4)).as("emb"))
+    val corpus = v.unionAll(copies)
+    val centroids = refinedCentroids(spark, corpus)
+    val cells = graft.CacheRegistry.track(cellsOf(corpus, centroids)
+      .select(col("vec_id"), col("emb"), col("cell")).persist())
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine6(col("a.emb"), col("b.emb")) >= NearDupTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("vec_id"), lit(true).as("dup"))
+    val marked = mode match {
+      case "auto"    => cells.join(dropped, Seq("vec_id"), "left")
+      case "shuffle" => cells.join(dropped.hint("SHUFFLE_HASH"), Seq("vec_id"), "left")
+      case other     => throw new IllegalArgumentException(s"unknown semantic_dedup join mode: $other")
+    }
+    marked
+      .select(col("vec_id"), col("cell"), coalesce(!col("dup"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String = {
+    val perturbed = "emb[1:59] || [CAST(emb[60] AS FLOAT) + CAST(0.01 AS FLOAT)] || emb[61:64]"
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sdcorpus AS (
+       |  SELECT vec_id, emb FROM v
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, $perturbed FROM v WHERE vec_id % 20 = 0),
+       |${refinedCentSql("sdcorpus", "sd")},
+       |sdcells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT s.vec_id, s.emb, sdcent.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "sdcent.c_emb")} DESC, sdcent.c_id) AS crank
+       |    FROM sdcorpus s, sdcent) x WHERE crank = 1),
+       |sddropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sdcells a JOIN sdcells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cos6Sql("a.emb", "b.emb")} >= $NearDupTau)
+       |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+       |FROM sdcells c LEFT JOIN sddropped d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   val knnIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),

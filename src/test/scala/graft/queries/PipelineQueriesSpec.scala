@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the pipeline-accounting operators (№52-55) and
+  * semantic_dedup (№56) beyond the DuckDB hash oracle: conservation
+  * invariants, decision-boundary consistency, known-dup behavior. */
+class PipelineQueriesSpec extends SparkSpec {
+
+  test("quality_classifier: keep flag is exactly the logit sign; features bounded") {
+    val out = PipelineQueries.qualityClassifier(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val logit = r.getDouble(5); val keep = r.getBoolean(6)
+      assert(keep == (logit >= 0.0), s"doc ${r.getLong(0)}: keep=$keep logit=$logit")
+      // ratios in [0,1]; punct-per-token can exceed 1 only on pathological
+      // rows (more punctuation than tokens) — the corpus has none
+      Seq(1, 2, 4).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.000001, s"feature $i out of range"))
+    }
+    // the boundary must split the corpus, not rubber-stamp it
+    val kept = out.count(_.getBoolean(6))
+    assert(kept > 0 && kept < out.length, s"degenerate classifier: $kept/${out.length} kept")
+  }
+
+  test("domain_mix: weights normalize, temperature flattens toward uniform") {
+    val out = PipelineQueries.domainMix(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    assert(out.length >= 2, "need multiple sources to mix")
+    val shares = out.map(_.getDouble(3)); val weights = out.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum ${shares.sum}")
+    assert(math.abs(weights.sum - 1.0) < 1e-3, s"weights sum ${weights.sum}")
+    // α=0.5 preserves the share ordering but compresses the spread
+    val byShare = shares.zip(weights).sortBy(_._1)
+    assert(byShare.zip(byShare.tail).forall { case ((_, w1), (_, w2)) => w2 >= w1 - 1e-9 },
+      "temperature scaling broke the share ordering")
+    assert(weights.max - weights.min <= shares.max - shares.min + 1e-9,
+      "temperature scaling did not flatten the mixture")
+    // epochs at the budget: weight*budget tokens drawn from n_tokens
+    out.foreach { r =>
+      val expected = PipelineQueries.MixTokenBudget.toDouble * r.getDouble(4) / r.getLong(2)
+      assert(math.abs(r.getDouble(5) - expected) < 1e-4, s"epochs off for ${r.getString(0)}")
+    }
+  }
+
+  test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {
+    val out = PipelineQueries.vocabCoverage(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"doc ${r.getLong(0)}: n_oov > n_tok")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.000001)
+    }
+    // every token the corpus tokenizes is scored exactly once
+    val total = TextQueries.tokenCount(spark, sf)
+      .agg(sum(col("ws_tokens"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(1)).sum == total, "token accounting not conserved")
+    // a 100-token vocab must explain a nontrivial share of a zipf-ish corpus
+    val oovTotal = out.map(_.getLong(2)).sum
+    assert(oovTotal < total, "vocab explained nothing")
+  }
+
+  test("sequence_pack: token mass conserved, packing arithmetic consistent per bin") {
+    val out = PipelineQueries.sequencePack(spark, sf).collect()
+    val total = TextQueries.tokenCount(spark, sf)
+      .agg(sum(col("ws_tokens"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(3)).sum == total, "packed token mass != corpus tokens")
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "more spanning docs than docs")
+      assert(r.getLong(1) >= 0)
+    }
+    // per bin: the highest sequence id is bounded by the bin's token mass
+    out.groupBy(_.getLong(0)).foreach { case (bin, rows) =>
+      val binTokens = rows.map(_.getLong(3)).sum
+      val maxSeq = rows.map(_.getLong(1)).max
+      assert(maxSeq <= binTokens / PipelineQueries.SeqLen,
+        s"bin $bin: seq id $maxSeq beyond token mass $binTokens")
+    }
+    // packing must actually pack: multiple docs per sequence on average
+    val docs = out.map(_.getLong(2)).sum
+    assert(docs > out.length, "sequences average < 1 doc — packing degenerate")
+  }
+
+  test("semantic_dedup: injected copies drop, bases survive, join modes agree") {
+    val out = VectorQueries.semanticDedup(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val copies = out.filter(_.getLong(0) >= 1000000)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      val base = byId(r.getLong(0) - 1000000)
+      // the ε-perturbed copy lands in its base's k-means cell and is the
+      // higher id of a ≥τ pair → dropped; the base (lower id) survives
+      assert(r.getLong(1) == base.getLong(1), s"copy ${r.getLong(0)} left its base's cell")
+      assert(!r.getBoolean(2), s"copy ${r.getLong(0)} survived")
+      assert(base.getBoolean(2), s"base ${base.getLong(0)} dropped")
+    }
+    // nothing else comes near τ (max natural cosine ≈ 0.51 on this corpus)
+    assert(out.count(!_.getBoolean(2)) == copies.length, "a natural pair crossed τ")
+    val shuffled = VectorQueries.semanticDedupWith(spark, sf, "shuffle")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    graft.CacheRegistry.releaseAll(spark)
+    assert(shuffled == out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet,
+      "join mode changed semantic_dedup output")
+    intercept[IllegalArgumentException] {
+      VectorQueries.semanticDedupWith(spark, sf, "bogus")
+    }
+  }
+}

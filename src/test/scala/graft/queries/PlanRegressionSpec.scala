@@ -157,6 +157,79 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("quality_classifier is a pure projection: zero data shuffles") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.qualityClassifier(spark, sf))
+    // scan → feature/logit projection → display orderBy (range exchange
+    // only). Any HASH exchange means an agg/join crept into a per-row op.
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty, s"quality_classifier shuffled:\n$plan")
+  }
+
+  test("vocab_coverage broadcasts only the constant-K vocab; token frame persisted") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.vocabCoverage(spark, sf))
+    val txt = plan.toString
+    // the vocab mark-back must be a broadcast (constant K=100 rows)…
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"vocab not broadcast:\n$txt")
+    // …the vocab build must be per-partition top-K, never a global sort…
+    assert(txt.contains("TakeOrderedAndProject"), s"vocab build sorted globally:\n$txt")
+    // …and the exploded token frame is persisted (one segmentation pass
+    // feeding both the vocab agg and the per-doc rollup)
+    assert(txt.contains("InMemoryTableScan"), s"token frame not persisted:\n$txt")
+    // exchanges: vocab agg + per-doc rollup — the token side reaches the
+    // join without an extra shuffle
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size <= 2, s"token frame shuffled:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
+  test("sequence_pack is one bin shuffle + per-bin window, no global sort") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.sequencePack(spark, sf))
+    val txt = plan.toString
+    // the running-offset window is PARTITIONED by bin (the whole point:
+    // per-bin sorts parallelize; an empty partition spec would be a
+    // single-task global cumsum)
+    assert(txt.contains("Window"), s"no window in sequence_pack:\n$txt")
+    assert(!txt.contains("Window [") || !txt.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"window lost its bin partitioning:\n$txt")
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // bin repartition for the window + (bin,seq) agg reuses the bin prefix
+    // — Catalyst plans the rollup without a second full exchange when the
+    // partitioning is compatible; allow ≤2 to not overfit the version
+    assert(hashExchanges.size <= 2, s"sequence_pack over-shuffled:\n$txt")
+  }
+
+  test("domain_mix: corpus scanned once (persisted per-source frame), totals broadcast") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.domainMix(spark, sf))
+    val txt = plan.toString
+    // per-source frame persisted: the grand totals re-read the cache, not
+    // the corpus (one documents scan in the whole query)
+    assert(txt.contains("InMemoryTableScan"), s"per-source frame not persisted:\n$txt")
+    assert(!txt.contains("Window"), s"domain_mix planned a window over data:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
+  test("semantic_dedup scale mode never broadcasts the corpus-growing dropped set") {
+    val df = VectorQueries.semanticDedupWith(spark, sf, "shuffle")
+    val plan = ExportQueriesPlanHelper.exec(df)
+    val txt = plan.toString
+    // centroids: constant local relation (broadcast is fine — it's C=64
+    // rows at any scale); the dropped-id mark-back must NOT be a broadcast
+    assert(txt.contains("ShuffledHashJoin"), s"mark-back not a shuffled hash join:\n$txt")
+    assert(txt.contains("LocalTableScan"), s"centroids not a constant local relation:\n$txt")
+    assert(txt.contains("InMemoryTableScan"), s"cell frame not persisted:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,
