@@ -60,6 +60,7 @@ object SparkEntry {
     "stream_export" -> (graft.streaming.StreamExport.streamExport _),
     "stream_sessionize" -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "stream_dedup" -> (graft.streaming.StreamDedup.streamDedup _),
+    "stream_join" -> (graft.streaming.StreamJoin.streamJoin _),
     // Text / dedup (№21,24,28-31)
     "token_count" -> (TextQueries.tokenCount _),
     "lang_id" -> (TextQueries.langId _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,
     "stream_sessionize" -> graft.streaming.StatefulSessionize.streamSessionizeSql,
     "stream_dedup" -> graft.streaming.StreamDedup.streamDedupSql,
+    "stream_join" -> graft.streaming.StreamJoin.streamJoinSql,
     // jsonl_snapshot: full sink round trip — the query WRITES the chunked
     // AES-CTR-encrypted objects, then decrypts them back; the oracle
     // reconstructs the expected (object_key, record) pairs relationally

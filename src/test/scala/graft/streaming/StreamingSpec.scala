@@ -140,4 +140,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.map(_._1).toSet == Set(1L, 3L, 5L))
   }
+
+  test("stream-stream interval join: boundary inclusion and cross-batch matching") {
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val w = StreamJoin.AttributionMs
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamJoin.attribute(clicks.toDS(), purchases.toDS(), "7 days")
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    // batch 1: PURCHASE arrives before its click (buffered in join state)
+    purchases.addData(Ev(200, 1, 5000L + w))
+    q.processAllAvailable()
+    // batch 2: the click lands → the buffered purchase matches at the
+    // EXACT window boundary (lag == AttributionMs, inclusive)
+    clicks.addData(Ev(100, 1, 5000L))
+    q.processAllAvailable()
+    // batch 3: outside the window by 1ms / wrong user / purchase BEFORE click
+    purchases.addData(Ev(201, 1, 5001L + w), Ev(202, 2, 6000L), Ev(203, 1, 4999L))
+    q.processAllAvailable()
+    val out = spark.table("join_out").as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((1L, 100L, 200L, w)),
+      s"expected exactly the boundary match, got $out")
+  }
 }
