@@ -86,6 +86,8 @@ object SparkEntry {
     "vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "sequence_pack" -> (PipelineQueries.sequencePack _),
     "semantic_dedup" -> (VectorQueries.semanticDedup _),
+    // Composed LLM-side flagship (№58)
+    "pretrain_pipeline" -> (PipelineQueries.pretrainPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +157,6 @@ object SparkEntry {
     "vocab_coverage" -> PipelineQueries.vocabCoverageSql,
     "sequence_pack" -> PipelineQueries.sequencePackSql,
     "semantic_dedup" -> VectorQueries.semanticDedupSql,
+    "pretrain_pipeline" -> PipelineQueries.pretrainPipelineSql,
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,30 +33,51 @@ object PipelineQueries {
     * behavior differs across engines, while the linear form is plain IEEE
     * add/multiply in a fixed order — bit-identical everywhere. keep = logit ≥ 0
     * (the sigmoid≥0.5 decision boundary, sigmoid-free). */
-  val ClfBias = -2.0
+  val ClfBias = -1.75 // decision boundary sits near the corpus's median logit → the gate FILTERS (≈half kept), not rubber-stamps
   val WStop = 3.0    // stopword ratio: prose-ish text
   val WUniq = 2.0    // lexical diversity
   val WPunct = -1.5  // punctuation per token: markup/boilerplate penalty
   val WLen = 1.0     // saturating length prior
+
+  /** ONE definition of the classifier's linear form, shared by
+    * `quality_classifier` and the composed `pretrain_pipeline` (and their
+    * oracles via [[logitSqlOf]]) so the decision boundary can never drift
+    * between the standalone operator and the pipeline. Evaluation order is
+    * fixed: bias + stop + uniq + punct + len. */
+  private[queries] def logitOf(fStop: Column, fUniq: Column, fPunct: Column, fLen: Column): Column =
+    lit(ClfBias) + lit(WStop) * fStop + lit(WUniq) * fUniq +
+      lit(WPunct) * fPunct + lit(WLen) * fLen
+  private[queries] def logitSqlOf(fStop: String, fUniq: String, fPunct: String, fLen: String): String =
+    s"$ClfBias + $WStop*$fStop + $WUniq*$fUniq + $WPunct*$fPunct + $WLen*$fLen"
+
+  /** The four classifier features over (text, ws, n_tok) columns — the
+    * Spark side of the feature definitions; [[featureSqlOf]] mirrors them. */
+  private[queries] def featuresOf(text: Column, ws: Column, nTok: Column): Seq[Column] = Seq(
+    size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*))).cast("double") / nTok,
+    size(array_distinct(ws)).cast("double") / nTok,
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / greatest(nTok, lit(1)),
+    least(lit(1.0), length(text).cast("double") / 500.0))
+  private[queries] def featureSqlOf(text: String, ws: String): Seq[String] = Seq(
+    s"CAST(len(list_filter($ws, w -> w IN (${inList(stopwords)}))) AS DOUBLE)/len($ws)",
+    s"CAST(len(list_distinct($ws)) AS DOUBLE)/len($ws)",
+    s"CAST(length(regexp_replace($text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/greatest(len($ws),1)",
+    s"least(1.0, CAST(length($text) AS DOUBLE)/500.0)")
 
   /** Model-based quality filter: linear classifier over the same cheap
     * features [[TextQueries.qualityScore]] exposes. Pure per-row
     * projection — scan-bound at any scale, zero shuffle (plan-pinned). */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    val base = Tables(spark, dir).documents
       .withColumn("ws", words($"text"))
       .withColumn("n_tok", size($"ws"))
-      .withColumn("f_stop",
-        size(filter($"ws", w => w.isin(stopwords.map(lit(_)): _*))).cast("double") / $"n_tok")
-      .withColumn("f_uniq", size(array_distinct($"ws")).cast("double") / $"n_tok")
-      .withColumn("f_punct",
-        length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).cast("double") / greatest($"n_tok", lit(1)))
-      .withColumn("f_len", least(lit(1.0), length($"text").cast("double") / 500.0))
-      // fixed evaluation order: bias + stop + uniq + punct + len
-      .withColumn("logit",
-        lit(ClfBias) + lit(WStop) * $"f_stop" + lit(WUniq) * $"f_uniq"
-          + lit(WPunct) * $"f_punct" + lit(WLen) * $"f_len")
+    val Seq(fStop, fUniq, fPunct, fLen) = featuresOf($"text", $"ws", $"n_tok")
+    base
+      .withColumn("f_stop", fStop)
+      .withColumn("f_uniq", fUniq)
+      .withColumn("f_punct", fPunct)
+      .withColumn("f_len", fLen)
+      .withColumn("logit", logitOf($"f_stop", $"f_uniq", $"f_punct", $"f_len"))
       .select($"doc_id",
         round($"f_stop" + 1e-9, 6).as("f_stop"),
         round($"f_uniq" + 1e-9, 6).as("f_uniq"),
@@ -67,16 +88,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
-  val qualityClassifierSql: String =
+  val qualityClassifierSql: String = {
+    val Seq(fs, fu, fp, fl) = featureSqlOf("text", "ws")
     s"""WITH d AS (SELECT doc_id, text, ${wordsSql("text")} AS ws FROM documents),
        |f AS (SELECT doc_id,
-       |  CAST(len(list_filter(ws, w -> w IN (${inList(stopwords)}))) AS DOUBLE)/len(ws) AS f_stop,
-       |  CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS f_uniq,
-       |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/greatest(len(ws),1) AS f_punct,
-       |  least(1.0, CAST(length(text) AS DOUBLE)/500.0) AS f_len
+       |  $fs AS f_stop,
+       |  $fu AS f_uniq,
+       |  $fp AS f_punct,
+       |  $fl AS f_len
        |  FROM d),
        |s AS (SELECT doc_id, f_stop, f_uniq, f_punct, f_len,
-       |  $ClfBias + $WStop*f_stop + $WUniq*f_uniq + $WPunct*f_punct + $WLen*f_len AS logit
+       |  ${logitSqlOf("f_stop", "f_uniq", "f_punct", "f_len")} AS logit
        |  FROM f)
        |SELECT doc_id,
        |  round(f_stop + 0.000000001, 6) AS f_stop,
@@ -86,6 +108,7 @@ object PipelineQueries {
        |  round(logit + 0.000000001, 6) AS logit,
        |  logit >= 0.0 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- №53 domain_mix
   /** Mixture temperature α=0.5 → weight ∝ share^0.5. Written as sqrt()
@@ -231,6 +254,79 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"))
       .orderBy($"bin", $"seq_id")
+  }
+
+  // ---------------------------------------------------------------- №58 pretrain_pipeline
+  /** The pretraining data pipeline composed END-TO-END — the LLM-side
+    * flagship, the analogue of `export_records` on the export side:
+    * near-dup removal (PPJoin pair-finding → min-label-propagation
+    * clusters → keep canonical members, exactly `dedup_pipeline`'s stage)
+    * → model-based quality filter (the SHARED [[logitOf]] boundary — the
+    * pipeline can never disagree with the standalone `quality_classifier`)
+    * → GPT-style sequence packing of the survivors (the SHARED packing
+    * arithmetic of [[sequencePack]]). Output: per-(bin, sequence)
+    * accounting of the final training batches.
+    *
+    * Scale shape is the sum of its parts, each already plan-pinned:
+    * pair-finding shuffles on grams, label frames are dup-proportional
+    * (AQE-decided joins only), the quality gate is a zero-shuffle
+    * projection, packing is one bin shuffle + per-bin window. The oracle
+    * recomposes ALL stages independently: recursive-CTE clusters + the
+    * shared feature/logit SQL fragments + the window packing SQL.
+    */
+  def pretrainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = TextQueries.clusterLabels(spark, dir)
+    val kept = TextQueries.dupCorpus(spark, dir)
+      .join(labels, Seq("doc_id"), "left")
+      .filter(coalesce($"label", $"doc_id") === $"doc_id")
+      .select($"doc_id", $"text")
+    val scored = kept
+      .withColumn("ws", words($"text"))
+      .withColumn("n_tok", size($"ws"))
+    val Seq(fStop, fUniq, fPunct, fLen) = featuresOf($"text", $"ws", $"n_tok")
+    val survivors = scored
+      .withColumn("logit", logitOf(fStop, fUniq, fPunct, fLen))
+      .filter($"logit" >= 0.0)
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        $"n_tok".cast("long").as("n_tok"))
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .withColumn("spans", expr(s"start_off DIV $SeqLen <> (start_off + n_tok - 1) DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"))
+      .orderBy($"bin", $"seq_id")
+  }
+
+  val pretrainPipelineSql: String = {
+    val Seq(fs, fu, fp, fl) = featureSqlOf("text", "ws")
+    s"""WITH RECURSIVE ${TextQueries.clusterCteSql},
+       |lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY doc_id),
+       |kept AS (
+       |  SELECT c.doc_id, c.text FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id
+       |  WHERE coalesce(l.lbl, c.doc_id) = c.doc_id),
+       |feat AS (SELECT doc_id, text, ${wordsSql("text")} AS ws FROM kept),
+       |surv AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin, CAST(len(ws) AS BIGINT) AS n_tok
+       |  FROM feat
+       |  WHERE ${logitSqlOf(fs, fu, fp, fl)} >= 0.0),
+       |poff AS (
+       |  SELECT bin, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |  FROM surv),
+       |pseq AS (
+       |  SELECT bin, n_tok, start_off // $SeqLen AS seq_id,
+       |    start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen AS spans
+       |  FROM poff)
+       |SELECT bin, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
+       |FROM pseq GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
   }
 
   val sequencePackSql: String =

@@ -6,14 +6,19 @@ package graft
   */
 class PlanLintSpec extends SparkSpec {
 
-  // knn_*: the constant-size centroid/query broadcast cross joins are the
-  // intended scan shape (the GRAPH search join itself is an equi-join)
-  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall", "jsonl_snapshot")
+  // knn_* / semantic_dedup: the constant-size centroid/query broadcast
+  // cross joins are the intended scan shape (the GRAPH search join itself
+  // is an equi-join); domain_mix: single-ROW grand-total broadcasts (the
+  // jsonl_snapshot summary class)
+  private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall",
+    "jsonl_snapshot", "semantic_dedup", "domain_mix")
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
     Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster",
-      "dedup_pipeline") // runs the clusterLabels convergence loop on build
+      "dedup_pipeline", // runs the clusterLabels convergence loop on build
+      "pretrain_pipeline", // same clusterLabels stage
+      "stream_join") // streaming replay
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>

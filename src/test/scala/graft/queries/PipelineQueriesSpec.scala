@@ -81,6 +81,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(docs > out.length, "sequences average < 1 doc — packing degenerate")
   }
 
+  test("pretrain_pipeline: equals the composition of dedup keepers + quality gate + packing") {
+    val out = PipelineQueries.pretrainPipeline(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    // recompose the funnel from the standalone stages
+    val keepers = CurationQueries.dedupPipeline(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.releaseAll(spark)
+    val corpus = TextQueries.dupCorpus(spark, sf)
+      .withColumn("ws", TextQueries.words(col("text")))
+      .withColumn("n_tok", size(col("ws")))
+    val Seq(fs, fu, fp, fl) = PipelineQueries.featuresOf(col("text"), col("ws"), col("n_tok"))
+    val survivors = corpus
+      .withColumn("logit", PipelineQueries.logitOf(fs, fu, fp, fl))
+      .filter(col("logit") >= 0.0)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+      .collect().filter(r => keepers(r.getLong(0)))
+    assert(survivors.nonEmpty && survivors.length < keepers.size,
+      "quality gate must filter the keeper set, not rubber-stamp it")
+    assert(out.map(_.getLong(2)).sum == survivors.length, "doc funnel not conserved")
+    assert(out.map(_.getLong(3)).sum == survivors.map(_.getLong(1)).sum,
+      "token mass not conserved through packing")
+    out.foreach(r => assert(r.getLong(4) <= r.getLong(2)))
+  }
+
   test("semantic_dedup: injected copies drop, bases survive, join modes agree") {
     val out = VectorQueries.semanticDedup(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
