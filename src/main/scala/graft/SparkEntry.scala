@@ -80,6 +80,7 @@ object SparkEntry {
     "doc_repetition" -> (CurationQueries.docRepetition _),
     "dedup_pipeline" -> (CurationQueries.dedupPipeline _),
     "dedup_substring" -> (CurationQueries.dedupSubstring _),
+    "gopher_filter" -> (CurationQueries.gopherFilter _),
     // Pipeline accounting (№52-55) + semantic dedup (№56)
     "quality_classifier" -> (PipelineQueries.qualityClassifier _),
     "domain_mix" -> (PipelineQueries.domainMix _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "doc_repetition" -> CurationQueries.docRepetitionSql,
     "dedup_pipeline" -> CurationQueries.dedupPipelineSql,
     "dedup_substring" -> CurationQueries.dedupSubstringSql,
+    "gopher_filter" -> CurationQueries.gopherFilterSql,
     "quality_classifier" -> PipelineQueries.qualityClassifierSql,
     "domain_mix" -> PipelineQueries.domainMixSql,
     "vocab_coverage" -> PipelineQueries.vocabCoverageSql,

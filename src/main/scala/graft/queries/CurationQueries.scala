@@ -62,8 +62,14 @@ object CurationQueries {
   def lineDedupWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
     import spark.implicits._
     val w = LineWidth
-    val lines = graft.CacheRegistry.track(dupCorpus(spark, dir)
-      .withColumn("ws", words($"text"))
+    // persisted tokenization BARRIER before the per-line lambda: without
+    // it CollapseProject inlines the regex+split chain into the transform,
+    // re-tokenizing the doc once PER LINE (r5 finding on dedup_substring,
+    // where the stride-1 version of the same shape cost 3-5x the query)
+    val seg = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .select($"doc_id", words($"text").as("ws"))
+      .persist())
+    val lines = graft.CacheRegistry.track(seg
       .withColumn("lines",
         expr(s"transform(sequence(0, (size(ws)-1) DIV $w), i -> concat_ws(' ', slice(ws, i*$w+1, $w)))"))
       .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
@@ -276,10 +282,21 @@ object CurationQueries {
   def dedupSubstringWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
     import spark.implicits._
     val w = SubstringWidth
-    val wins = graft.CacheRegistry.track(dupCorpus(spark, dir)
-      .withColumn("ws", words($"text"))
+    // Two-level hashing with a persisted BARRIER between the levels: hash
+    // every word ONCE (per doc), then key each window by xxhash64 over its
+    // w word-hashes — no per-window slice/concat/string-hash, and the
+    // barrier stops CollapseProject from inlining the tokenization into
+    // the window lambda (which re-ran regex+split once PER WINDOW: the
+    // barrier + tuple-hash rewrite took the sf0.1 bench from 8.1s to
+    // ~1.5s). The window key is a composite hash; the oracle still groups
+    // by window TEXT, so hash-collision-freedom stays independently proven.
+    val seg = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .select($"doc_id", transform(words($"text"), x => xxhash64(x)).as("wh"))
+      .persist())
+    val tuple = (0 until w).map(j => s"wh[i+$j]").mkString(", ")
+    val wins = graft.CacheRegistry.track(seg
       .withColumn("hs",
-        expr(s"CASE WHEN size(ws) >= $w THEN transform(sequence(0, size(ws)-$w), i -> xxhash64(concat_ws(' ', slice(ws, i+1, $w)))) ELSE array() END"))
+        expr(s"CASE WHEN size(wh) >= $w THEN transform(sequence(0, size(wh)-$w), i -> xxhash64($tuple)) ELSE array() END"))
       .select($"doc_id", explode($"hs").as("h"))
       .persist())
     val dup = wins.groupBy($"h")
@@ -315,6 +332,105 @@ object CurationQueries {
        |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup,
        |  round(CAST(count(*) FILTER (WHERE dup) AS DOUBLE)/count(*) + 0.000000001, 6) AS dup_ratio
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №59 gopher_filter
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1), the word-count and
+    * repetition bounds adapted to the proof corpus's scale (docs are
+    * 10-99 words here vs Gopher's web pages) so every rule class FIRES at
+    * proof size — the rule STRUCTURE (range checks, required stopwords,
+    * repetition caps, first-failure reason) is the real filter. */
+  val GfMinWords = 20      // Gopher: 50
+  val GfMaxWords = 100000  // Gopher: 100,000
+  val GfMinMeanWord = 3.0  // Gopher: 3
+  val GfMaxMeanWord = 10.0 // Gopher: 10
+  val GfMinStops = 2       // Gopher: ≥2 of a fixed stop set
+  val GfMaxDupWord = 0.60  // word-level adaptation of the dup-fraction caps
+  val GfMaxTop2 = 0.10     // Gopher: top-2-gram share ≤ 0.20
+
+  /** Composite Gopher quality filter: the classic pretraining heuristic
+    * gate as ONE verdict — per-rule booleans folded into keep + a
+    * deterministic first-failure reason (rule order: word count → mean
+    * word length → stopwords → dup words → top 2-gram). Same relational
+    * shape as [[docRepetition]] (two hash aggs on the skew-free
+    * (doc, gram) key, no window); the extra features (mean word length,
+    * distinct-stopword count) ride the same scan. Docs with <2 words have
+    * no 2-grams and are excluded in both engines (the corpus has none). */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = TextQueries.stopwords
+    val grams = Tables(spark, dir).documents
+      .withColumn("ws", words($"text"))
+      .withColumn("n_tok", size($"ws"))
+      .withColumn("n_uniq", size(array_distinct($"ws")))
+      .withColumn("sum_wlen",
+        aggregate(transform($"ws", w => length(w)), lit(0), (a, b) => a + b).cast("long"))
+      .withColumn("n_stop",
+        size(filter(array_distinct($"ws"), w => w.isin(stops.map(lit(_)): _*))))
+      .withColumn("gram",
+        explode(expr("CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) ELSE array() END")))
+      .select($"doc_id", $"n_tok", $"n_uniq", $"sum_wlen", $"n_stop", $"gram")
+    val stats = grams
+      .groupBy($"doc_id", $"n_tok", $"n_uniq", $"sum_wlen", $"n_stop", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"n_tok", $"n_uniq", $"sum_wlen", $"n_stop")
+      .agg(sum($"cnt").as("n_2grams"), max(struct($"cnt", $"gram")).as("top"))
+      .withColumn("mwl", $"sum_wlen".cast("double") / $"n_tok")
+      .withColumn("dupr", lit(1.0) - $"n_uniq".cast("double") / $"n_tok")
+      .withColumn("top2", $"top.cnt".cast("double") / $"n_2grams")
+      .withColumn("r_wc", $"n_tok" >= GfMinWords && $"n_tok" <= GfMaxWords)
+      .withColumn("r_mwl", $"mwl" >= GfMinMeanWord && $"mwl" <= GfMaxMeanWord)
+      .withColumn("r_stop", $"n_stop" >= GfMinStops)
+      .withColumn("r_dup", $"dupr" <= GfMaxDupWord)
+      .withColumn("r_top2", $"top2" <= GfMaxTop2)
+    stats.select($"doc_id", $"n_tok",
+      round($"mwl" + 1e-9, 6).as("mean_wlen"), $"n_stop",
+      round($"dupr" + 1e-9, 6).as("dup_word_ratio"),
+      round($"top2" + 1e-9, 6).as("top2_ratio"),
+      ($"r_wc" && $"r_mwl" && $"r_stop" && $"r_dup" && $"r_top2").as("keep"),
+      when(!$"r_wc", "word_count").when(!$"r_mwl", "mean_word_length")
+        .when(!$"r_stop", "stopwords").when(!$"r_dup", "dup_words")
+        .when(!$"r_top2", "top_2gram").otherwise("kept").as("reason"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherFilterSql: String = {
+    val stops = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |t AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
+       |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
+       |  len(list_filter(list_distinct(ws), w -> w IN ($stops))) AS n_stop,
+       |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+       |  FROM d WHERE len(ws) >= 2),
+       |c AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop, gram, count(*) AS cnt
+       |      FROM t GROUP BY 1, 2, 3, 4, 5, 6),
+       |r AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop,
+       |        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_2grams,
+       |        cnt AS top_cnt,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+       |      FROM c),
+       |f AS (SELECT doc_id, n_tok,
+       |        CAST(sum_wlen AS DOUBLE)/n_tok AS mwl, n_stop,
+       |        1.0 - CAST(n_uniq AS DOUBLE)/n_tok AS dupr,
+       |        CAST(top_cnt AS DOUBLE)/n_2grams AS top2,
+       |        n_tok >= $GfMinWords AND n_tok <= $GfMaxWords AS r_wc,
+       |        CAST(sum_wlen AS DOUBLE)/n_tok >= $GfMinMeanWord AND CAST(sum_wlen AS DOUBLE)/n_tok <= $GfMaxMeanWord AS r_mwl,
+       |        n_stop >= $GfMinStops AS r_stop,
+       |        1.0 - CAST(n_uniq AS DOUBLE)/n_tok <= $GfMaxDupWord AS r_dup,
+       |        CAST(top_cnt AS DOUBLE)/n_2grams <= $GfMaxTop2 AS r_top2
+       |      FROM r WHERE rn = 1)
+       |SELECT doc_id, n_tok,
+       |  round(mwl + 0.000000001, 6) AS mean_wlen, n_stop,
+       |  round(dupr + 0.000000001, 6) AS dup_word_ratio,
+       |  round(top2 + 0.000000001, 6) AS top2_ratio,
+       |  r_wc AND r_mwl AND r_stop AND r_dup AND r_top2 AS keep,
+       |  CASE WHEN NOT r_wc THEN 'word_count'
+       |       WHEN NOT r_mwl THEN 'mean_word_length'
+       |       WHEN NOT r_stop THEN 'stopwords'
+       |       WHEN NOT r_dup THEN 'dup_words'
+       |       WHEN NOT r_top2 THEN 'top_2gram'
+       |       ELSE 'kept' END AS reason
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   val docRepetitionSql: String =

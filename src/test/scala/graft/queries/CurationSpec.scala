@@ -97,6 +97,36 @@ class CurationSpec extends SparkSpec {
       "join mode changed dedup_substring output")
   }
 
+  test("gopher_filter: verdict matches rules, reason follows first-failure priority") {
+    val out = CurationQueries.gopherFilter(spark, sf).collect()
+    assert(out.nonEmpty)
+    val reasons = Set("word_count", "mean_word_length", "stopwords", "dup_words", "top_2gram", "kept")
+    out.foreach { r =>
+      val (nTok, mwl, nStop, dupr, top2) =
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getDouble(5))
+      val keep = r.getBoolean(6); val reason = r.getString(7)
+      assert(reasons(reason), s"unknown reason $reason")
+      assert(keep == (reason == "kept"), s"doc ${r.getLong(0)}: keep=$keep reason=$reason")
+      // first-failure priority: a later reason implies every earlier rule passed
+      // (ratios are rounded 6dp in the output; thresholds sit far from any
+      // rounding boundary on this corpus)
+      if (reason == "word_count")
+        assert(nTok < CurationQueries.GfMinWords || nTok > CurationQueries.GfMaxWords)
+      if (reason != "word_count" && reason != "mean_word_length") {
+        assert(nTok >= CurationQueries.GfMinWords && nTok <= CurationQueries.GfMaxWords)
+        assert(mwl >= CurationQueries.GfMinMeanWord && mwl <= CurationQueries.GfMaxMeanWord)
+      }
+      if (reason == "dup_words") assert(nStop >= CurationQueries.GfMinStops)
+      if (reason == "top_2gram") assert(dupr <= CurationQueries.GfMaxDupWord + 1e-6)
+      if (reason == "kept") assert(top2 <= CurationQueries.GfMaxTop2 + 1e-6)
+    }
+    // the gate must filter, not rubber-stamp or annihilate
+    val kept = out.count(_.getBoolean(6))
+    assert(kept > 0 && kept < out.length, s"degenerate gopher gate: $kept/${out.length}")
+    // multiple distinct rules fire on the proof corpus
+    assert(out.map(_.getString(7)).distinct.length >= 3, "rule diversity too low")
+  }
+
   test("doc_repetition: gram accounting and ratio invariants hold per doc") {
     val bad = CurationQueries.docRepetition(spark, sf)
       .filter(
