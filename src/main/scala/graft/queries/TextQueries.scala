@@ -311,35 +311,46 @@ object TextQueries {
     // of ~10 rows each just pays scheduler overhead per round. Production
     // sizes this to |dup pairs|, which is orders below the corpus.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopWidth = 8
     val edges = dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b")
+    // sym is hash-partitioned on the probe key `m` at the LOOP width once,
+    // at build time — every round's sym⋈labels join then reuses that
+    // partitioning instead of re-exchanging the (scale-dominant) edge set
+    // per round; only the label frame shuffles inside the loop.
     val sym = graft.CacheRegistry.track(
       edges.select($"doc_a".as("n"), $"doc_b".as("m"))
         .unionAll(edges.select($"doc_b".as("n"), $"doc_a".as("m")))
+        .repartition(loopWidth, $"m")
         .persist())
     // Materialize the corpus-scale pair-finding (shingle self-join) at the
     // session's NORMAL shuffle width before narrowing: persist() is lazy, so
     // without this the heaviest stage would run under the iteration width.
     sym.count()
-    var labels = sym.select($"n".as("doc_id")).distinct()
+    var cached = sym.select($"n".as("doc_id")).distinct()
       .withColumn("label", $"doc_id").persist()
+    var labels = cached
     labels.count() // reads the cached edge set; materialized pre-narrowing too
     var changed = 1L
     var rounds = 0
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
     try while (changed > 0 && rounds < 50) {
       val nbrMin = sym.join(labels.select($"doc_id".as("m"), $"label".as("ml")), "m")
         .groupBy($"n").agg(min($"ml").as("nbr"))
+      // decrease-detection rides the SAME projection as the label update —
+      // one action per round runs two joins, not three (labels only ever
+      // decrease, so `nbr < label` is exactly "this round changed me")
       val next = labels.join(nbrMin.select($"n".as("doc_id"), $"nbr"), Seq("doc_id"), "left")
-        .select($"doc_id", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .select($"doc_id", least($"label", coalesce($"nbr", $"label")).as("label"),
+          (coalesce($"nbr", $"label") < $"label").as("dec"))
         .persist()
-      changed = next.join(labels.select($"doc_id", $"label".as("old")), "doc_id")
-        .filter($"label" < $"old").count() // labels only ever decrease
-      labels.unpersist()
-      labels = next
+      changed = next.filter($"dec").count()
+      cached.unpersist()
+      cached = next
+      labels = next.select($"doc_id", $"label")
       rounds += 1
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    graft.CacheRegistry.track(labels)
+    graft.CacheRegistry.track(cached)
     labels
   }
 
