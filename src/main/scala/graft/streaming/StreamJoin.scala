@@ -75,9 +75,12 @@ object StreamJoin {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to state volume, not cores (r3 rule shared
-    // with StreamDedup/StatefulSessionize)
+    // with StreamDedup/StatefulSessionize) — and a stream-stream join runs
+    // FOUR state stores per partition (left/right × two indexes), so the
+    // per-batch store overhead is 4x a dedup's at the same width: 4
+    // partitions is plenty for the proof corpus's ~4k buffered events
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     val out = try {
       val cIn = MemoryStream[Ev]
@@ -88,7 +91,7 @@ object StreamJoin {
       // interleave time-aligned chunks: both sides advance together, the
       // realistic arrival pattern (and the one that exercises BOTH
       // buffer-then-match directions of the join state)
-      val nChunks = 4
+      val nChunks = 3
       val cChunks = clicks.grouped(math.max(1, clicks.length / nChunks + 1)).toSeq
       val pChunks = purchases.grouped(math.max(1, purchases.length / nChunks + 1)).toSeq
       (0 until math.max(cChunks.size, pChunks.size)).foreach { i =>
