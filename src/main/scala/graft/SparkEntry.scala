@@ -57,6 +57,7 @@ object SparkEntry {
     "multimodal_transform" -> (MultimodalQueries.multimodalTransform _),
     // Sinks / streaming (№18, №36)
     "jsonl_snapshot" -> (graft.sources.JsonlSnapshotSink.snapshotQuery _),
+    "bucketed_join" -> (graft.sources.Bucketing.bucketedJoin _),
     "stream_export" -> (graft.streaming.StreamExport.streamExport _),
     "stream_sessionize" -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "stream_dedup" -> (graft.streaming.StreamDedup.streamDedup _),
@@ -136,6 +137,7 @@ object SparkEntry {
     // AES-CTR-encrypted objects, then decrypts them back; the oracle
     // reconstructs the expected (object_key, record) pairs relationally
     "jsonl_snapshot" -> ExportQueries.jsonlSnapshotSql,
+    "bucketed_join" -> graft.sources.Bucketing.bucketedJoinSql,
     "token_count" -> TextQueries.tokenCountSql,
     "lang_id" -> TextQueries.langIdSql,
     "quality_score" -> TextQueries.qualityScoreSql,

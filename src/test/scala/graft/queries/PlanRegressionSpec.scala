@@ -230,6 +230,22 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("bucketed_join: co-located join plans with ZERO exchanges") {
+    val df = graft.sources.Bucketing.bucketedJoinFrames(spark, sf)
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // both sides bucketed+sorted on doc_id → the join must read the bucket
+    // layout directly: no exchange anywhere except the display orderBy's
+    // range partitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty, s"bucketed join shuffled:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin") || plan.toString.contains("ShuffledHashJoin"),
+      s"expected a co-located join:\n$plan")
+    assert(plan.toString.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$plan")
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,
