@@ -85,6 +85,7 @@ object SparkEntry {
     // Pipeline accounting (№52-55) + semantic dedup (№56)
     "quality_classifier" -> (PipelineQueries.qualityClassifier _),
     "domain_mix" -> (PipelineQueries.domainMix _),
+    "mix_sample" -> (PipelineQueries.mixSample _),
     "vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "sequence_pack" -> (PipelineQueries.sequencePack _),
     "semantic_dedup" -> (VectorQueries.semanticDedup _),
@@ -158,6 +159,7 @@ object SparkEntry {
     "gopher_filter" -> CurationQueries.gopherFilterSql,
     "quality_classifier" -> PipelineQueries.qualityClassifierSql,
     "domain_mix" -> PipelineQueries.domainMixSql,
+    "mix_sample" -> PipelineQueries.mixSampleSql,
     "vocab_coverage" -> PipelineQueries.vocabCoverageSql,
     "sequence_pack" -> PipelineQueries.sequencePackSql,
     "semantic_dedup" -> VectorQueries.semanticDedupSql,

@@ -129,7 +129,11 @@ object PipelineQueries {
     * (round(sqrt(share)·10⁶)) — an exact integer sum, immune to the
     * association-order nondeterminism of a float sum.
     */
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-source mixture frame shared by [[domainMix]] and [[mixSample]]:
+    * source, n_docs, n_tokens, token_share, weight, epochs — the SAME
+    * weights the standalone operator reports are the ones the sampler
+    * applies. Bounded frame (#sources rows). */
+  private[queries] def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted: feeds BOTH the grand-total agg and the scaled frame — one
     // corpus scan, not two (the r3 two-consumer lesson); the cached frame
@@ -146,27 +150,103 @@ object PipelineQueries {
     val totSu = scaled.agg(sum($"su").as("tot_su"))
     scaled.crossJoin(broadcast(totSu))
       .withColumn("weight", round($"su".cast("double") / $"tot_su" + 1e-9, 6))
-      .select($"source", $"n_docs", $"n_tokens", $"token_share", $"weight",
+      .select($"source", $"n_docs", $"n_tokens", $"tot_tokens", $"token_share", $"weight",
         round(lit(MixTokenBudget.toDouble) * $"weight" / $"n_tokens" + 1e-9, 6).as("epochs"))
-      .orderBy($"source")
   }
 
-  val domainMixSql: String =
-    s"""WITH per_source AS (
+  /** The oracle's mirror of [[mixWeights]] — CTE chain ending in `mixw`. */
+  private[queries] val mixWeightsSql: String =
+    s"""per_source AS (
        |  SELECT source, count(*) AS n_docs,
        |    sum(CAST(len(${wordsSql("text")}) AS BIGINT)) AS n_tokens
        |  FROM documents GROUP BY source),
        |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_source),
        |scaled AS (
-       |  SELECT source, n_docs, n_tokens,
+       |  SELECT source, n_docs, n_tokens, tot_tokens,
        |    round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6) AS token_share,
        |    CAST(round(sqrt(round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6))*1000000.0 + 0.000000001, 0) AS BIGINT) AS su
        |  FROM per_source CROSS JOIN tot),
-       |tot2 AS (SELECT sum(su) AS tot_su FROM scaled)
-       |SELECT source, n_docs, n_tokens, token_share,
-       |  round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6) AS weight,
-       |  round(${MixTokenBudget}.0 * (round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6)) / n_tokens + 0.000000001, 6) AS epochs
-       |FROM scaled CROSS JOIN tot2 ORDER BY source""".stripMargin
+       |tot2 AS (SELECT sum(su) AS tot_su FROM scaled),
+       |mixw AS (
+       |  SELECT source, n_docs, n_tokens, tot_tokens, token_share,
+       |    round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6) AS weight,
+       |    round(${MixTokenBudget}.0 * (round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6)) / n_tokens + 0.000000001, 6) AS epochs
+       |  FROM scaled CROSS JOIN tot2)""".stripMargin
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
+        col("weight"), col("epochs"))
+      .orderBy(col("source"))
+
+  val domainMixSql: String =
+    s"""WITH $mixWeightsSql
+       |SELECT source, n_docs, n_tokens, token_share, weight, epochs
+       |FROM mixw ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- №61 mix_sample
+  /** Sample-budget fraction of the corpus: the sampler draws
+    * weight-proportional token mass totalling ~this fraction of all
+    * tokens. Corpus-RELATIVE (unlike [[MixTokenBudget]]) so the sampler
+    * actually samples at every proof SF — an absolute budget saturates
+    * every rate at 1 once the corpus is smaller than it. */
+  val MixSampleFraction = 0.5
+
+  /** Deterministic mixture sampling — the [[domainMix]] weights APPLIED:
+    * each source is downsampled at rate min(1, frac·total·weight/n_s) by
+    * the md5-threshold rule stratified_sample established: keep a doc iff
+    * the first 8 hex digits of md5(doc_id) sort below the rate's 32-bit
+    * hex threshold — engine-independent, run-reproducible, and a pure
+    * per-row predicate (no shuffle beyond the per-source accounting
+    * rollup).
+    *
+    * Scale shape: the weight frame is #sources rows (broadcast join onto
+    * the corpus scan), the keep predicate is scan-bound, and the output
+    * rollup is one map-side-partial aggregation on the bounded source key.
+    * Float discipline: the rate is 6dp-rounded BEFORE the ×2³² floor, so
+    * both engines derive the identical threshold string. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = mixWeights(spark, dir)
+      .select($"source",
+        round(least(lit(1.0),
+          lit(MixSampleFraction) * $"tot_tokens" * $"weight" / $"n_tokens") + 1e-9, 6).as("rate"))
+      .withColumn("thresh",
+        lower(lpad(hex(floor($"rate" * 4294967296.0).cast("long")), 8, "0")))
+    Tables(spark, dir).documents
+      .select($"source", $"doc_id", size(words($"text")).cast("long").as("n_tok"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        $"rate" >= 1.0 || substring(md5($"doc_id".cast("string")), 1, 8) < $"thresh")
+      .groupBy($"source", $"rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_tok").otherwise(0L)).as("tok_kept"))
+      .select($"source", $"rate", $"n_docs", $"n_kept", $"tok_kept",
+        round($"n_kept".cast("double") / $"n_docs" + 1e-9, 6).as("realized"))
+      .orderBy($"source")
+  }
+
+  val mixSampleSql: String =
+    s"""WITH $mixWeightsSql,
+       |rates AS (
+       |  SELECT source,
+       |    round(least(1.0, $MixSampleFraction * tot_tokens * weight / n_tokens) + 0.000000001, 6) AS rate,
+       |    lpad(lower(to_hex(CAST(floor(round(least(1.0, $MixSampleFraction * tot_tokens * weight / n_tokens) + 0.000000001, 6) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
+       |  FROM mixw),
+       |d AS (
+       |  SELECT doc.source, doc.doc_id,
+       |    CAST(len(${wordsSql("doc.text")}) AS BIGINT) AS n_tok,
+       |    r.rate, r.thresh
+       |  FROM documents doc JOIN rates r ON doc.source = r.source),
+       |k AS (SELECT source, rate, n_tok,
+       |        rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thresh AS keep
+       |      FROM d)
+       |SELECT source, rate, count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(n_tok) FILTER (WHERE keep), 0) AS BIGINT) AS tok_kept,
+       |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)/count(*) + 0.000000001, 6) AS realized
+       |FROM k GROUP BY source, rate ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- №54 vocab_coverage
   /** Vocab size for OOV accounting — FIXED (the tokenizer-vocab analogue),

@@ -44,6 +44,33 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mix_sample: md5 thresholding realizes the rates, budget fraction lands") {
+    val out = PipelineQueries.mixSample(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    assert(out.nonEmpty)
+    var totTok = 0L; var keptTok = 0L
+    out.foreach { r =>
+      val (rate, nDocs, nKept) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nDocs)
+      assert(rate > 0.0 && rate <= 1.0)
+      // md5 prefixes are uniform: realized rate within 4σ of the target
+      val sigma = math.sqrt(rate * (1 - rate) / nDocs)
+      assert(math.abs(r.getDouble(5) - rate) <= 4 * sigma + 1e-6,
+        s"${r.getString(0)}: realized ${r.getDouble(5)} vs rate $rate (n=$nDocs)")
+      keptTok += r.getLong(4)
+      totTok += 1 // placeholder; corpus totals checked below
+    }
+    val corpusTok = TextQueries.tokenCount(spark, sf)
+      .agg(sum(col("ws_tokens"))).collect()(0).getLong(0)
+    // the sampler draws ~MixSampleFraction of the corpus's token mass
+    // (uniform-source corpus: rates hover near the fraction, so binomial
+    // noise at sf0.001's ~50-doc strata needs a loose band)
+    val frac = keptTok.toDouble / corpusTok
+    assert(frac > PipelineQueries.MixSampleFraction - 0.2 &&
+      frac < PipelineQueries.MixSampleFraction + 0.2,
+      s"kept token fraction $frac far from budget ${PipelineQueries.MixSampleFraction}")
+  }
+
   test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {
     val out = PipelineQueries.vocabCoverage(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
