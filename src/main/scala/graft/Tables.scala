@@ -9,15 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * takes directories/globs transparently).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  /** Source-format resolution: parquet preferred, JSON-lines / CSV accepted
-    * (`<dir>/<name>.{parquet,json,csv}`). Local-filesystem probe — a
-    * production deployment would state the format explicitly; the point is
-    * that every graft operator is source-format agnostic (the returned
-    * frame is identical, so the whole pipeline + oracles carry over).
+  /** Source-format resolution: parquet preferred, ORC / JSON-lines / CSV
+    * accepted (`<dir>/<name>.{parquet,orc,json,csv}`). Local-filesystem
+    * probe — a production deployment would state the format explicitly; the
+    * point is that every graft operator is source-format agnostic (the
+    * returned frame is identical, so the whole pipeline + oracles carry
+    * over; ORC keeps predicate pushdown + column pruning like parquet).
     */
   private def t(name: String): DataFrame = {
     val base = s"$dir/$name"
     if (new java.io.File(s"$base.parquet").exists) spark.read.parquet(s"$base.parquet")
+    else if (new java.io.File(s"$base.orc").exists) spark.read.orc(s"$base.orc")
     else if (new java.io.File(s"$base.json").exists)
       spark.read.schema(Tables.knownSchema(name).orNull).json(s"$base.json")
     else if (new java.io.File(s"$base.csv").exists)
