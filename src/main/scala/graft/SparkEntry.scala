@@ -86,6 +86,7 @@ object SparkEntry {
     "quality_classifier" -> (PipelineQueries.qualityClassifier _),
     "domain_mix" -> (PipelineQueries.domainMix _),
     "mix_sample" -> (PipelineQueries.mixSample _),
+    "corpus_stats" -> (PipelineQueries.corpusStats _),
     "vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "sequence_pack" -> (PipelineQueries.sequencePack _),
     "semantic_dedup" -> (VectorQueries.semanticDedup _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "quality_classifier" -> PipelineQueries.qualityClassifierSql,
     "domain_mix" -> PipelineQueries.domainMixSql,
     "mix_sample" -> PipelineQueries.mixSampleSql,
+    "corpus_stats" -> PipelineQueries.corpusStatsSql,
     "vocab_coverage" -> PipelineQueries.vocabCoverageSql,
     "sequence_pack" -> PipelineQueries.sequencePackSql,
     "semantic_dedup" -> VectorQueries.semanticDedupSql,

@@ -295,6 +295,46 @@ object PipelineQueries {
        |  round(CAST(count(*) FILTER (WHERE NOT in_vocab) AS DOUBLE)/count(*) + 0.000000001, 6) AS oov_ratio
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- №62 corpus_stats
+  /** Corpus audit statistics per language: doc counts, token totals, mean
+    * and interpolated token-count percentiles (p50/p90/p99) — the
+    * distribution snapshot a pipeline reads before choosing filter
+    * thresholds and sequence lengths. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition,
+    * so the values agree exactly on integer inputs; the mean divides
+    * exact BIGINTs. One map-side-partial aggregation on the bounded lang
+    * key. Scale note: exact percentile keeps a per-group value-count map —
+    * fine for bounded metrics like token counts; for unbounded-cardinality
+    * metrics swap in approx_percentile (mergeable t-digest sketch, same
+    * plan shape, no oracle equality). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"lang", size(words($"text")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        expr("percentile(n_tok, 0.5)").as("p50"),
+        expr("percentile(n_tok, 0.9)").as("p90"),
+        expr("percentile(n_tok, 0.99)").as("p99"))
+      .select($"lang", $"n_docs", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
+        round($"p50" + 1e-9, 6).as("p50"),
+        round($"p90" + 1e-9, 6).as("p90"),
+        round($"p99" + 1e-9, 6).as("p99"))
+      .orderBy($"lang")
+  }
+
+  val corpusStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  round(CAST(sum(n_tok) AS DOUBLE)/count(*) + 0.000000001, 6) AS mean_tok,
+       |  round(quantile_cont(n_tok, 0.5) + 0.000000001, 6) AS p50,
+       |  round(quantile_cont(n_tok, 0.9) + 0.000000001, 6) AS p90,
+       |  round(quantile_cont(n_tok, 0.99) + 0.000000001, 6) AS p99
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- №55 sequence_pack
   /** Training-sequence length in tokens (proof-sized; production uses the
     * model's context length). */

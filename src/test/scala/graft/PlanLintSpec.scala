@@ -11,7 +11,8 @@ class PlanLintSpec extends SparkSpec {
   // is an equi-join); domain_mix: single-ROW grand-total broadcasts (the
   // jsonl_snapshot summary class)
   private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall",
-    "jsonl_snapshot", "semantic_dedup", "domain_mix")
+    "jsonl_snapshot", "semantic_dedup", "domain_mix",
+    "mix_sample") // domain_mix's single-row totals feed its rate frame
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =

@@ -71,6 +71,20 @@ class PipelineQueriesSpec extends SparkSpec {
       s"kept token fraction $frac far from budget ${PipelineQueries.MixSampleFraction}")
   }
 
+  test("corpus_stats: percentiles ordered and bounded by the observed range") {
+    val out = PipelineQueries.corpusStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    val range = TextQueries.tokenCount(spark, sf)
+      .agg(min(col("ws_tokens")), max(col("ws_tokens"))).collect()(0)
+    val (lo, hi) = (range.getInt(0).toDouble, range.getInt(1).toDouble)
+    out.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(p50 <= p90 && p90 <= p99, s"${r.getString(0)}: percentiles out of order")
+      assert(p50 >= lo - 1 && p99 <= hi + 1, s"${r.getString(0)}: percentiles out of range")
+      assert(r.getDouble(3) > 0, "mean must be positive")
+    }
+  }
+
   test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {
     val out = PipelineQueries.vocabCoverage(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
