@@ -230,6 +230,32 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("corpus_stats is one bounded-key aggregation: no window, single hash exchange") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.corpusStats(spark, sf))
+    assert(!plan.toString.contains("Window"), s"corpus_stats planned a window:\n$plan")
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size <= 1, s"corpus_stats over-shuffled:\n$plan")
+  }
+
+  test("mix_sample: rate frame broadcast onto the corpus scan, one rollup") {
+    val plan = ExportQueriesPlanHelper.exec(PipelineQueries.mixSample(spark, sf))
+    // the #sources rate frame must reach the corpus as a broadcast — the
+    // corpus side joins without shuffling
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"rate frame not broadcast:\n$plan")
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // per-source weight agg + the final rollup; the corpus scan itself
+    // must not hash-exchange before the join
+    assert(hashExchanges.size <= 2, s"mix_sample over-shuffled:\n$plan")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("bucketed_join: co-located join plans with ZERO exchanges") {
     val df = graft.sources.Bucketing.bucketedJoinFrames(spark, sf)
     val plan = ExportQueriesPlanHelper.exec(df)
