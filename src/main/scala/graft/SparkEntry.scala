@@ -89,6 +89,7 @@ object SparkEntry {
     "corpus_stats" -> (PipelineQueries.corpusStats _),
     "vocab_coverage" -> (PipelineQueries.vocabCoverage _),
     "sequence_pack" -> (PipelineQueries.sequencePack _),
+    "sequence_manifest" -> (PipelineQueries.sequenceManifest _),
     "semantic_dedup" -> (VectorQueries.semanticDedup _),
     // Composed LLM-side flagship (№58)
     "pretrain_pipeline" -> (PipelineQueries.pretrainPipeline _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "corpus_stats" -> PipelineQueries.corpusStatsSql,
     "vocab_coverage" -> PipelineQueries.vocabCoverageSql,
     "sequence_pack" -> PipelineQueries.sequencePackSql,
+    "sequence_manifest" -> PipelineQueries.sequenceManifestSql,
     "semantic_dedup" -> VectorQueries.semanticDedupSql,
     "pretrain_pipeline" -> PipelineQueries.pretrainPipelineSql,
   )

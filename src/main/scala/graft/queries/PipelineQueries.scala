@@ -449,6 +449,46 @@ object PipelineQueries {
        |FROM pseq GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №63 sequence_manifest
+  /** The packing MANIFEST — what a training loader actually consumes: per
+    * (bin, sequence), the ordered list of documents that START in that
+    * sequence (consumption order = concatenation order). Shares
+    * [[sequencePack]]'s arithmetic verbatim (same window, same integer
+    * offsets), so the manifest can never disagree with the accounting;
+    * the ordered string_agg / sorted-struct-transform pair is the same
+    * cross-engine trick line_dedup's reassembly uses. */
+  def sequenceManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).documents
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        size(words($"text")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct($"start_off", $"doc_id"))),
+            s => s.getField("doc_id").cast("string"))).as("docs"))
+      .orderBy($"bin", $"seq_id")
+  }
+
+  val sequenceManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, bin, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |  FROM d)
+       |SELECT bin, start_off // $SeqLen AS seq_id, count(*) AS n_docs,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_off) AS docs
+       |FROM o GROUP BY bin, start_off // $SeqLen ORDER BY bin, seq_id""".stripMargin
+
   val sequencePackSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, doc_id % $PackBins AS bin,

@@ -122,6 +122,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(docs > out.length, "sequences average < 1 doc — packing degenerate")
   }
 
+  test("sequence_manifest: agrees with sequence_pack, partitions the corpus exactly once") {
+    val manifest = PipelineQueries.sequenceManifest(spark, sf).collect()
+    val pack = PipelineQueries.sequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(manifest.length == pack.size, "manifest and accounting disagree on sequences")
+    val seen = scala.collection.mutable.Set.empty[Long]
+    manifest.foreach { r =>
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ids.length == r.getLong(2).toInt, "docs list length != n_docs")
+      assert(pack((r.getLong(0), r.getLong(1))) == r.getLong(2),
+        s"bin ${r.getLong(0)} seq ${r.getLong(1)}: manifest vs accounting doc count")
+      ids.foreach(id => assert(seen.add(id), s"doc $id appears in two sequences"))
+    }
+    val total = graft.Tables(spark, sf).documents.count()
+    assert(seen.size == total, "manifest does not partition the corpus")
+  }
+
   test("pretrain_pipeline: equals the composition of dedup keepers + quality gate + packing") {
     val out = PipelineQueries.pretrainPipeline(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
