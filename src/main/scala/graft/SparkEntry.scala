@@ -52,6 +52,7 @@ object SparkEntry {
     // Hash dedup (№22-23)
     "dedup_minhash" -> (HashDedup.dedupMinhash _),
     "dedup_simhash" -> (HashDedup.dedupSimhash _),
+    "dedup_recall" -> (HashDedup.dedupRecall _),
     // Multimodal (№32)
     "multimodal_ingest" -> (MultimodalQueries.multimodalIngest _),
     "multimodal_transform" -> (MultimodalQueries.multimodalTransform _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "knn_recall" -> VectorQueries.knnRecallSql,
     "dedup_minhash" -> HashDedup.dedupMinhashSql,
     "dedup_simhash" -> HashDedup.dedupSimhashSql,
+    "dedup_recall" -> HashDedup.dedupRecallSql,
     "multimodal_ingest" -> MultimodalQueries.multimodalIngestSql,
     "multimodal_transform" -> MultimodalQueries.multimodalTransformSql,
     "stream_export" -> graft.streaming.StreamExport.streamExportSql,

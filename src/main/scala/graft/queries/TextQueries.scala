@@ -677,4 +677,51 @@ object HashDedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №64 dedup_recall
+  /** Precision/recall accounting for the hash-based pair-finders — the
+    * knn_recall ethos applied to the dedup family: grade the minhash-LSH
+    * candidates and the simhash-verified pairs against the EXACT
+    * ngram-Jaccard truth set (τ = 3/5 on 5-word grams, PPJoin-verified),
+    * all three over the same dup-injected corpus. This is the number a
+    * pipeline tunes (K, bands, hamming radius) on — measured, not
+    * asserted. Each side's pair frame is grade-time bounded (dup-pair
+    * proportional); the totals are single-row aggregations cross-joined
+    * (the domain_mix pattern), never a window. */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist())
+    def grade(method: String, pairs: DataFrame): DataFrame = {
+      val p = graft.CacheRegistry.track(
+        pairs.select(col("doc_a"), col("doc_b")).persist())
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(p.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_pairs") + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    }
+    grade("minhash", dedupMinhash(spark, dir))
+      .unionAll(grade("simhash", dedupSimhash(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  val dedupRecallSql: String =
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
+       |mh AS (SELECT doc_a, doc_b FROM (${dedupMinhashSql.replace("\n", "\n  ")})),
+       |sh AS (SELECT doc_a, doc_b FROM (${dedupSimhashSql.replace("\n", "\n  ")})),
+       |g AS (
+       |  SELECT 'minhash' AS method,
+       |    (SELECT count(*) FROM mh) AS n_pairs,
+       |    (SELECT count(*) FROM truth) AS n_true,
+       |    (SELECT count(*) FROM mh JOIN truth USING (doc_a, doc_b)) AS n_hit
+       |  UNION ALL
+       |  SELECT 'simhash',
+       |    (SELECT count(*) FROM sh),
+       |    (SELECT count(*) FROM truth),
+       |    (SELECT count(*) FROM sh JOIN truth USING (doc_a, doc_b)))
+       |SELECT method, n_pairs, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE)/n_pairs + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE)/n_true + 0.000000001, 6) AS rec
+       |FROM g ORDER BY method""".stripMargin
 }

@@ -12,7 +12,8 @@ class PlanLintSpec extends SparkSpec {
   // jsonl_snapshot summary class)
   private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall",
     "jsonl_snapshot", "semantic_dedup", "domain_mix",
-    "mix_sample") // domain_mix's single-row totals feed its rate frame
+    "mix_sample", // domain_mix's single-row totals feed its rate frame
+    "dedup_recall") // single-row count totals cross-joined
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =

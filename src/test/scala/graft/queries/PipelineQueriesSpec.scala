@@ -163,6 +163,22 @@ class PipelineQueriesSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(4) <= r.getLong(2)))
   }
 
+  test("dedup_recall: hit counts bounded, LSH banding beats the tight hamming radius") {
+    val out = HashDedup.dedupRecall(spark, sf).collect()
+    graft.CacheRegistry.releaseAll(spark)
+    assert(out.map(_.getString(0)).toSeq == Seq("minhash", "simhash"))
+    out.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)), "hits exceed a side")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.000001)
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1.000001)
+    }
+    val byM = out.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // 3-row minhash bands collide with high probability at J ≥ 3/5, while
+    // hamming ≤ 3 of 96 is a much tighter similarity notion — on the
+    // injected-dup corpus the banding recall must dominate
+    assert(byM("minhash") >= byM("simhash"), s"recall ordering inverted: $byM")
+  }
+
   test("semantic_dedup: injected copies drop, bases survive, join modes agree") {
     val out = VectorQueries.semanticDedup(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
