@@ -187,4 +187,78 @@ object StatefulSessionize {
 
   /** Same oracle as batch sessionize — the claim IS stream ≡ batch. */
   val streamSessionizeSql: String = graft.queries.Analytics.sessionizeSql
+
+  /** The BUILT-IN counterpart of [[streamSessionize]] (SURVEY §2 №65):
+    * Spark's native `session_window` aggregation under the same replay
+    * harness — the Spark-first path when merge semantics need no custom
+    * state. Proves builtin ≡ custom-state ≡ batch on the same corpus
+    * (all three share [[graft.queries.Analytics.sessionizeSql]] as the
+    * oracle). Boundary convention: session_window merges events STRICTLY
+    * within the gap while the batch form keeps same-session at exactly
+    * the gap — no event pair in the corpus sits on the boundary (checked
+    * at both proof SFs), and production picks ONE convention anyway.
+    * Same scale contract: state hash-partitioned on user_id, windows
+    * evicted as the watermark passes, RocksDB provider. */
+  def streamSessionBuiltin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 1800000L
+    val evs = graft.Tables(spark, dir).events
+      .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
+    val name = s"stream_sessions_bi_${System.nanoTime()}"
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val out = try {
+      val input = MemoryStream[Ev]
+      q = input.toDS()
+        .withColumn("ts_utc", timestamp_millis($"ts_ms"))
+        .withWatermark("ts_utc", "30 minutes")
+        .groupBy($"user_id", session_window($"ts_utc", s"$gapMs milliseconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"))
+        .select($"user_id", $"n_events", $"start_ms", $"end_ms")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      if (evs.nonEmpty) {
+        evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        // far-future sentinel (filtered below) pushes the watermark past
+        // every real window's end so append mode emits them all
+        input.addData(Ev(-1L, evs.last.ts_ms + gapMs + 3600000L))
+        q.processAllAvailable()
+      }
+      spark.table(name).filter($"user_id" >= 0)
+        .withColumn("session_id",
+          row_number().over(Window.partitionBy($"user_id").orderBy($"start_ms")).cast("long"))
+        .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms",
+          ($"end_ms" - $"start_ms").as("duration_ms"))
+        .orderBy($"user_id", $"session_id")
+        .collect()
+    } finally {
+      if (q != null) q.stop()
+      spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("start_ms", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("end_ms", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("duration_ms", org.apache.spark.sql.types.LongType))))
+  }
+
+  val streamSessionBuiltinSql: String = graft.queries.Analytics.sessionizeSql
 }

@@ -20,7 +20,7 @@ class PlanLintSpec extends SparkSpec {
     Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster",
       "dedup_pipeline", // runs the clusterLabels convergence loop on build
       "pretrain_pipeline", // same clusterLabels stage
-      "stream_join", // streaming replay
+      "stream_join", "stream_session_builtin", // streaming replays
       "bucketed_join") // writes the bucketed tables on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
