@@ -177,6 +177,45 @@ object TextQueries {
        |  len(list_distinct(sh)) AS n_shingles
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- №66 dedup_incremental
+  /** Incremental corpus maintenance — dedup a NEW batch against the
+    * historical corpus (the daily-crawl case; the corpus-side twin of the
+    * export side's `incremental_export`): exact-dedup WITHIN the batch
+    * (min-id per content hash), then anti-join the survivors against the
+    * base corpus's content hashes. The dup-injected ids ≥ 10⁶ play the
+    * "new day": byte-identical re-crawls (the +2·10⁶ copies) are dropped
+    * by the anti-join, near-copies (+10⁶, one appended token) survive
+    * exact hashing — chain the near-dup operators for those.
+    *
+    * Scale shape: both stages key on md5 (uniform 128-bit) — one hash agg
+    * within the (small) batch, one shuffle anti-join whose BIG side is the
+    * base corpus. For a DAILY run against a 100 TB base, pre-bucket the
+    * base by content hash (the [[graft.sources.Bucketing]] layout: the
+    * anti-join then reads co-located buckets with no base reshuffle) or
+    * front a bloom-filter membership pass; the batch side is always the
+    * small one and never broadcast-forces the base. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).documents.select(md5($"text").as("h"))
+    val batch = dupCorpus(spark, dir).filter($"doc_id" >= 1000000L)
+      .select($"doc_id", md5($"text").as("h"))
+    batch.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .join(base, Seq("h"), "left_anti")
+      .select($"doc_id", $"h")
+      .orderBy($"doc_id")
+  }
+
+  // lazy: declared above dupCorpusSql in the file — a strict val would
+  // splice null at object-init time
+  lazy val dedupIncrementalSql: String =
+    s"""WITH $dupCorpusSql,
+       |batch AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS doc_id
+       |  FROM corpus WHERE doc_id >= 1000000 GROUP BY md5(text))
+       |SELECT doc_id, h FROM batch
+       |WHERE h NOT IN (SELECT md5(text) FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dup-injected corpus
   /** documents ∪ noisy copies of every 10th doc (id+1000000, one appended
     * token) — a corpus with KNOWN near/exact dups, constructed identically by

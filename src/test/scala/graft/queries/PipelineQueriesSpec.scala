@@ -163,6 +163,18 @@ class PipelineQueriesSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(4) <= r.getLong(2)))
   }
 
+  test("dedup_incremental: exact re-crawls dropped against base, near-copies survive") {
+    val out = TextQueries.dedupIncremental(spark, sf).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // the +2e6 batch docs are byte-identical to base docs → anti-joined away
+    assert(ids.forall(id => id >= 1000000L && id < 2000000L),
+      s"an exact re-crawl survived: ${ids.filter(_ >= 2000000L)}")
+    // every +1e6 near-copy differs from base by one token → all survive
+    val expected = graft.Tables(spark, sf).documents
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(out.length == expected, s"${out.length} survivors, expected $expected")
+  }
+
   test("dedup_recall: hit counts bounded, LSH banding beats the tight hamming radius") {
     val out = HashDedup.dedupRecall(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)
