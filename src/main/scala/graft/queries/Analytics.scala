@@ -111,6 +111,32 @@ object Analytics {
       |  max(ts_ms) - min(ts_ms) AS duration_ms
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** №51 grouped_topk — the GroupedTopK whole-operator extension driven
+    * directly (logical node → pruning rule → strategy → two-phase exec,
+    * graft.plans.GroupedTopK): top-10 orders by price within each order
+    * priority. The custom plan's scale shape vs the window-function
+    * formulation the oracle uses: per-partition bounded heaps emit ≤k rows
+    * per (group, partition) into ONE hash exchange on the group — a
+    * row_number window would shuffle and sort EVERY order row. Plan-pinned
+    * (PlanRegressionSpec asserts GroupedTopKPartial/Final nodes). */
+  def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    graft.plans.GroupedTopK.rankedTopK(ord, "o_orderpriority", "o_totalprice", "o_orderkey", 10)
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** row_number QUALIFY oracle; rank CAST to INTEGER to match the exec's
+    * IntegerType rank (the driver hash is type-sensitive). */
+  val groupedTopKSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM r
+      |WHERE rank <= 10 ORDER BY o_orderpriority, rank""".stripMargin
+
   val q3Sql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS revenue

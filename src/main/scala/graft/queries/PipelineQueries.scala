@@ -53,13 +53,13 @@ object PipelineQueries {
   /** The four classifier features over (text, ws, n_tok) columns — the
     * Spark side of the feature definitions; [[featureSqlOf]] mirrors them. */
   private[queries] def featuresOf(text: Column, ws: Column, nTok: Column): Seq[Column] = Seq(
-    size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*))).cast("double") / nTok,
-    size(array_distinct(ws)).cast("double") / nTok,
+    size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*))).cast("double") / greatest(nTok, lit(1)),
+    size(array_distinct(ws)).cast("double") / greatest(nTok, lit(1)),
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / greatest(nTok, lit(1)),
     least(lit(1.0), length(text).cast("double") / 500.0))
   private[queries] def featureSqlOf(text: String, ws: String): Seq[String] = Seq(
-    s"CAST(len(list_filter($ws, w -> w IN (${inList(stopwords)}))) AS DOUBLE)/len($ws)",
-    s"CAST(len(list_distinct($ws)) AS DOUBLE)/len($ws)",
+    s"CAST(len(list_filter($ws, w -> w IN (${inList(stopwords)}))) AS DOUBLE)/greatest(len($ws),1)",
+    s"CAST(len(list_distinct($ws)) AS DOUBLE)/greatest(len($ws),1)",
     s"CAST(length(regexp_replace($text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/greatest(len($ws),1)",
     s"least(1.0, CAST(length($text) AS DOUBLE)/500.0)")
 
@@ -158,15 +158,15 @@ object PipelineQueries {
   private[queries] val mixWeightsSql: String =
     s"""per_source AS (
        |  SELECT source, count(*) AS n_docs,
-       |    sum(CAST(len(${wordsSql("text")}) AS BIGINT)) AS n_tokens
+       |    CAST(sum(CAST(len(${wordsSql("text")}) AS BIGINT)) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
-       |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_source),
        |scaled AS (
        |  SELECT source, n_docs, n_tokens, tot_tokens,
        |    round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6) AS token_share,
        |    CAST(round(sqrt(round(CAST(n_tokens AS DOUBLE)/tot_tokens + 0.000000001, 6))*1000000.0 + 0.000000001, 0) AS BIGINT) AS su
        |  FROM per_source CROSS JOIN tot),
-       |tot2 AS (SELECT sum(su) AS tot_su FROM scaled),
+       |tot2 AS (SELECT CAST(sum(su) AS BIGINT) AS tot_su FROM scaled),
        |mixw AS (
        |  SELECT source, n_docs, n_tokens, tot_tokens, token_share,
        |    round(CAST(su AS DOUBLE)/tot_su + 0.000000001, 6) AS weight,
@@ -307,15 +307,34 @@ object PipelineQueries {
     * fine for bounded metrics like token counts; for unbounded-cardinality
     * metrics swap in approx_percentile (mergeable t-digest sketch, same
     * plan shape, no oracle equality). */
-  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStatsWith(spark, dir, exact = true)
+
+  /** `exact = true` (the oracle-matched default) keeps the interpolated
+    * `percentile` — a per-group value map, fine for bounded metrics like
+    * token counts. `exact = false` is the UNBOUNDED-cardinality scale
+    * path: `approx_percentile` (mergeable KLL-style sketch, constant
+    * memory per group, same single-aggregation plan shape). Approx
+    * percentiles are integers drawn from the data (no interpolation), so
+    * no oracle equality — CorpusStatsApproxSpec bounds the drift vs exact
+    * instead. */
+  def corpusStatsWith(spark: SparkSession, dir: String, exact: Boolean): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
-      .select($"lang", size(words($"text")).cast("long").as("n_tok"))
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+    val acc = 10000 // approx_percentile accuracy: ~1/acc rank error per group
+    val pcts: Seq[Column] =
+      if (exact) Seq(
         expr("percentile(n_tok, 0.5)").as("p50"),
         expr("percentile(n_tok, 0.9)").as("p90"),
         expr("percentile(n_tok, 0.99)").as("p99"))
+      else Seq(
+        expr(s"approx_percentile(n_tok, 0.5, $acc)").cast("double").as("p50"),
+        expr(s"approx_percentile(n_tok, 0.9, $acc)").cast("double").as("p90"),
+        expr(s"approx_percentile(n_tok, 0.99, $acc)").cast("double").as("p99"))
+    Tables(spark, dir).documents
+      .select($"lang", size(words($"text")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens") +: pcts: _*)
       .select($"lang", $"n_docs", $"n_tokens",
         round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
         round($"p50" + 1e-9, 6).as("p50"),
@@ -328,7 +347,7 @@ object PipelineQueries {
     s"""WITH d AS (
        |  SELECT lang, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
        |  FROM documents)
-       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  round(CAST(sum(n_tok) AS DOUBLE)/count(*) + 0.000000001, 6) AS mean_tok,
        |  round(quantile_cont(n_tok, 0.5) + 0.000000001, 6) AS p50,
        |  round(quantile_cont(n_tok, 0.9) + 0.000000001, 6) AS p90,
@@ -437,14 +456,14 @@ object PipelineQueries {
        |  WHERE ${logitSqlOf(fs, fu, fp, fl)} >= 0.0),
        |poff AS (
        |  SELECT bin, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
        |  FROM surv),
        |pseq AS (
        |  SELECT bin, n_tok, start_off // $SeqLen AS seq_id,
        |    start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen AS spans
        |  FROM poff)
-       |SELECT bin, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |SELECT bin, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
        |FROM pseq GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
   }
@@ -482,11 +501,11 @@ object PipelineQueries {
        |  FROM documents),
        |o AS (
        |  SELECT doc_id, bin, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
        |  FROM d)
        |SELECT bin, start_off // $SeqLen AS seq_id, count(*) AS n_docs,
-       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_off) AS docs
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_off, doc_id) AS docs
        |FROM o GROUP BY bin, start_off // $SeqLen ORDER BY bin, seq_id""".stripMargin
 
   val sequencePackSql: String =
@@ -496,14 +515,14 @@ object PipelineQueries {
        |  FROM documents),
        |o AS (
        |  SELECT bin, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
        |  FROM d),
        |s AS (
        |  SELECT bin, n_tok, start_off // $SeqLen AS seq_id,
        |    start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen AS spans
        |  FROM o)
-       |SELECT bin, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |SELECT bin, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
        |FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
 }

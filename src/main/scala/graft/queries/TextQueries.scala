@@ -237,6 +237,19 @@ object TextQueries {
       |  UNION ALL SELECT doc_id + 1000000, text || ' zz9' FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5)""".stripMargin
 
+  /** Tokenized dup corpus (doc_id, ws) — the SHARED upstream of the three
+    * pair-finders (ngram-Jaccard truth, minhash, simhash). Callers persist
+    * it (via CacheRegistry) so (a) the regex word-split runs once per doc
+    * TOTAL across however many finders consume it — dedup_recall runs all
+    * three — and (b) the HOF shingle lambdas that index `ws` read a
+    * materialization boundary, not a projection alias CollapseProject
+    * would inline (the r5 dedup_substring lesson, SURVEY §9: inlining
+    * re-runs the split chain once per lambda element). */
+  private[queries] def dupCorpusTok(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dupCorpus(spark, dir).select($"doc_id", words($"text").as("ws"))
+  }
+
   // ---------------------------------------------------------------- №21 dedup_exact
   /** Exact dedup: hash-groupBy on md5(text). Single shuffle on a uniform
     * 128-bit key; keeper = min id. At 100 TB: partial agg does most of the
@@ -267,15 +280,21 @@ object TextQueries {
     * The DuckDB oracle deliberately uses the naive inverted-index
     * formulation — two independent constructions must agree.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardFrom(graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist()))
+
+  /** Body over a PERSISTED (doc_id, ws) frame — shared with
+    * [[HashDedup.dedupRecall]], which tokenizes once for all three
+    * finders. */
+  private[queries] def dedupNgramJaccardFrom(tok: DataFrame): DataFrame = {
+    val spark = tok.sparkSession
     import spark.implicits._
     // Persisted: this frame is consumed three times (prefix explode + two
     // join-backs). Without persist, CollapseProject inlines the whole
     // shingling chain into every consumer and the regex/sort/distinct work
     // runs ~10x per row. At cluster scale this is the classic
     // "cache the normalized corpus before a multi-consumer DAG" pattern.
-    val c = graft.CacheRegistry.track(dupCorpus(spark, dir)
-      .withColumn("ws", words($"text"))
+    val c = graft.CacheRegistry.track(tok
       // guard size(ws)>=5: Spark's sequence(0, n) with n<0 DESCENDS — short
       // docs must yield an empty shingle set (as DuckDB's range() does).
       .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN array_sort(array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) ELSE array() END"))
@@ -606,9 +625,12 @@ object HashDedup {
     * pairs. Band keys are high-cardinality md5s → even shuffle
     * distribution (SURVEY §4).
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = dupCorpus(spark, dir)
-      .withColumn("ws", words(col("text")))
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashFrom(graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist()))
+
+  /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
+  private[queries] def dedupMinhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = tok
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
@@ -661,12 +683,16 @@ object HashDedup {
     * cliff ~512× earlier). The oracle does the O(n²) scan over a 96-way
     * bit-join fingerprint — an independent formulation.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashFrom(graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist()))
+
+  /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
+  private[queries] def dedupSimhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // Fingerprint = ONE narrow projection via the native SimHash96
     // expression (vs. the oracle's explode + 96-way bit join — an
     // independent relational formulation of the same function).
-    val fp = graft.CacheRegistry.track(dupCorpus(spark, dir)
-      .select(col("doc_id"), graft.functions.SimHash96.simhash96(words(col("text"))).as("f"))
+    val fp = graft.CacheRegistry.track(tok
+      .select(col("doc_id"), graft.functions.SimHash96.simhash96(col("ws")).as("f"))
       .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"))
       .persist())
     val mask = (1L << BandBits) - 1
@@ -728,8 +754,12 @@ object HashDedup {
     * (the domain_mix pattern), never a window. */
   def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // ONE tokenization pass feeds all three finders (truth + minhash +
+    // simhash) — each used to re-segment the corpus independently, which
+    // tripled the dominant regex/shingle cost of this measurement query.
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
     val truth = graft.CacheRegistry.track(
-      TextQueries.dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b")).persist())
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
     def grade(method: String, pairs: DataFrame): DataFrame = {
       val p = graft.CacheRegistry.track(
         pairs.select(col("doc_a"), col("doc_b")).persist())
@@ -740,8 +770,8 @@ object HashDedup {
           round(col("n_hit").cast("double") / col("n_pairs") + 1e-9, 6).as("prec"),
           round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
     }
-    grade("minhash", dedupMinhash(spark, dir))
-      .unionAll(grade("simhash", dedupSimhash(spark, dir)))
+    grade("minhash", dedupMinhashFrom(tok))
+      .unionAll(grade("simhash", dedupSimhashFrom(tok)))
       .orderBy(col("method"))
   }
 

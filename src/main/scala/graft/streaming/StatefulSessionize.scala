@@ -193,12 +193,15 @@ object StatefulSessionize {
     * harness — the Spark-first path when merge semantics need no custom
     * state. Proves builtin ≡ custom-state ≡ batch on the same corpus
     * (all three share [[graft.queries.Analytics.sessionizeSql]] as the
-    * oracle). Boundary convention: session_window merges events STRICTLY
-    * within the gap while the batch form keeps same-session at exactly
-    * the gap — no event pair in the corpus sits on the boundary (checked
-    * at both proof SFs), and production picks ONE convention anyway.
-    * Same scale contract: state hash-partitioned on user_id, windows
-    * evicted as the watermark passes, RocksDB provider. */
+    * oracle). Boundary convention ALIGNED, not assumed: session_window
+    * merges events STRICTLY within its gap while the batch form keeps
+    * same-session at exactly the gap (`ts - prev > gap` starts a new
+    * one). Timestamps are integer milliseconds, so running the builtin
+    * with gap+1ms makes "strictly within gap+1" ≡ "within-or-equal gap" —
+    * the two conventions coincide for EVERY possible corpus, no
+    * at-the-boundary vacuity to police. Same scale contract: state
+    * hash-partitioned on user_id, windows evicted as the watermark
+    * passes, RocksDB provider. */
   def streamSessionBuiltin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -219,7 +222,9 @@ object StatefulSessionize {
       q = input.toDS()
         .withColumn("ts_utc", timestamp_millis($"ts_ms"))
         .withWatermark("ts_utc", "30 minutes")
-        .groupBy($"user_id", session_window($"ts_utc", s"$gapMs milliseconds"))
+        // gap+1ms: integer-ms events exactly gapMs apart MERGE, matching
+        // the batch `> gapMs` new-session rule (see scaladoc)
+        .groupBy($"user_id", session_window($"ts_utc", s"${gapMs + 1} milliseconds"))
         .agg(count(lit(1)).as("n_events"),
           min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"))
         .select($"user_id", $"n_events", $"start_ms", $"end_ms")

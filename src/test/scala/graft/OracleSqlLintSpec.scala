@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint over every DuckDB oracle in [[SparkEntry.oracleSql]]: the
+  * driver's result hash is TYPE-sensitive, and DuckDB types `sum(BIGINT)`
+  * (plain or windowed) as HUGEINT — a 128-bit type Spark never writes, so
+  * an un-cast sum in an oracle's output fails the driver compare even when
+  * every value matches (the round-5 regression class: domain_mix,
+  * corpus_stats, sequence_pack, sequence_manifest, pretrain_pipeline).
+  *
+  * Rule enforced here: every `sum(` in an oracle string that can reach the
+  * result (i.e. not inside ORDER BY) must have `CAST` or `round` somewhere
+  * in its chain of enclosing calls — CAST fixes the type explicitly;
+  * round() returns DOUBLE. The companion runtime gate is tools/check.py,
+  * which compares actual DuckDB column types of oracle vs Spark parquet.
+  */
+class OracleSqlLintSpec extends AnyFunSuite {
+
+  /** Identifiers of the calls enclosing position `pos` in `sql`, innermost
+    * first, found by a backward paren walk. */
+  private def enclosingCalls(sql: String, pos: Int): Seq[String] = {
+    val calls = Seq.newBuilder[String]
+    var depth = 0
+    var i = pos - 1
+    while (i >= 0) {
+      sql.charAt(i) match {
+        case ')' => depth += 1
+        case '(' if depth > 0 => depth -= 1
+        case '(' =>
+          // crossed an enclosing open paren — read the identifier before it
+          var j = i - 1
+          while (j >= 0 && sql.charAt(j).isWhitespace) j -= 1
+          val end = j + 1
+          while (j >= 0 && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j -= 1
+          if (end > j + 1) calls += sql.substring(j + 1, end).toLowerCase
+        case _ =>
+      }
+      i -= 1
+    }
+    calls.result()
+  }
+
+  /** The nearest clause keyword before `pos` — a sum under ORDER BY never
+    * reaches the output row, so it is exempt. */
+  private def inOrderBy(sql: String, pos: Int): Boolean = {
+    val upper = sql.substring(0, pos).toUpperCase
+    val lastSelect = upper.lastIndexOf("SELECT")
+    val lastOrder = upper.lastIndexOf("ORDER BY")
+    lastOrder > lastSelect
+  }
+
+  private val sumRe = "(?i)(?<![a-z0-9_])sum\\s*\\(".r
+
+  /** Sums PROVEN not to reach the result row (so their HUGEINT width is
+    * harmless): each entry is (query name, a context prefix at the sum
+    * site). Adding here requires the same proof — the driver compare
+    * passing with the sum in place. */
+  private val intermediateSums: Set[(String, String)] = Set(
+    // simhash sign accumulator `s`: consumed only by `s > 0` comparisons
+    // inside the fp CTE — boolean, never emitted (driver-green since r3)
+    "dedup_simhash" -> "sum(CASE WHEN (CASE WHEN b.b < 48",
+    "dedup_recall" -> "sum(CASE WHEN (CASE WHEN b.b < 48")
+
+  test("every output-reachable sum( in every oracle is CAST- or round-wrapped") {
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      m <- sumRe.findAllMatchIn(sql)
+      if !inOrderBy(sql, m.start)
+      ctx = sql.slice(m.start, math.min(sql.length, m.start + 60))
+      if !intermediateSums.exists { case (n, p) => n == name && ctx.startsWith(p) }
+      chain = enclosingCalls(sql, m.start)
+      if !chain.exists(c => c == "cast" || c == "round")
+    } yield s"$name: un-cast sum at offset ${m.start}: ...$ctx..."
+    assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
+  }
+
+  test("no oracle emits a raw window sum outside a CAST (HUGEINT via OVER)") {
+    // belt-and-braces for the window form: any "OVER" whose governing sum
+    // escaped the first test would be caught there; this asserts the lint
+    // actually sees every sum the oracles contain (sanity on the regex).
+    val total = SparkEntry.oracleSql.valuesIterator.map(sumRe.findAllMatchIn(_).size).sum
+    assert(total > 30, s"lint regex found only $total sum( occurrences — regex broken?")
+  }
+}

@@ -85,6 +85,34 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus_stats approx mode: sketch percentiles rank-agree with exact") {
+    import org.apache.spark.sql.functions._
+    // the t-digest-style scale path (corpusStatsWith exact=false) must
+    // land each percentile at a value whose TRUE rank in the group is
+    // within a loose band of the target p (approx_percentile's rank error
+    // is ~1/accuracy; the band is dominated by 1/n granularity at proof SF)
+    val approx = PipelineQueries.corpusStatsWith(spark, sf, exact = false).collect()
+    val toks = TextQueries.tokenCount(spark, sf)
+      .join(graft.Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("ws_tokens").cast("double").as("n_tok"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val vals = toks(r.getString(0))
+      val n = vals.length.toDouble
+      for ((p, idx) <- Seq(0.5 -> 4, 0.9 -> 5, 0.99 -> 6)) {
+        val v = r.getDouble(idx)
+        assert(vals.contains(v), s"${r.getString(0)} p$p=$v not an observed value")
+        // true rank band of v among the group's values
+        val lo = vals.count(_ < v) / n
+        val hi = vals.count(_ <= v) / n
+        val slack = 1.0 / n + 0.01
+        assert(p >= lo - slack && p <= hi + slack,
+          s"${r.getString(0)} p$p=$v has true rank [$lo,$hi], target $p")
+      }
+    }
+  }
+
   test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {
     val out = PipelineQueries.vocabCoverage(spark, sf).collect()
     graft.CacheRegistry.releaseAll(spark)

@@ -43,6 +43,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(countOccurrences(plan, "validate_record(") == 1)
   }
 
+  test("grouped_topk plans the custom two-phase operator, not an aggregate chain") {
+    val plan = executedPlan(Analytics.groupedTopK(spark, sf))
+    assert(plan.contains("GroupedTopKPartial"), s"partial exec missing:\n$plan")
+    assert(plan.contains("GroupedTopKFinal"), s"final exec missing:\n$plan")
+    // the pruning rule must narrow the scan to the three referenced columns
+    assert(!plan.contains("o_orderdate"), s"scan not pruned to 3 cols:\n$plan")
+  }
+
   test("q1 pushes the shipdate filter and prunes the scan schema") {
     val plan = executedPlan(Analytics.q1Agg(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -38,11 +38,34 @@ def main(sfdir, outdir):
             ocols = [d[0] for d in con.sql(sql).description]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        otypes = [str(t) for t in con.sql(sql).types]
         sdf_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
         scols = [d[0] for d in sdf_rel.description]
+        stypes = [str(t) for t in sdf_rel.types]
         sdf = sdf_rel.fetchall()
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}"); n_fail += 1; continue
+        # TYPE gate: the driver's hash is sensitive to types that change the
+        # VALUE representation (DuckDB sum(BIGINT) → HUGEINT lands as
+        # float64 in pandas, so 42 hashes as 42.0 — the r5 regression
+        # class), but tolerant of integer WIDTH (INTEGER vs BIGINT both
+        # hash as plain ints — 18 such drifts passed the r5 driver).
+        # Compare per-column type CLASSES; HUGEINT/DECIMAL never match.
+        def tclass(t):
+            if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+                return "exact128"        # repr-changing: always a drift vs Spark output
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t
+        tmap_o = dict(zip(ocols, otypes))
+        tmap_s = dict(zip(scols, stypes))
+        tbad = [(c, tmap_s[c], tmap_o[c]) for c in sorted(ocols)
+                if tclass(tmap_s[c]) != tclass(tmap_o[c])]
+        if tbad:
+            print(f"FAIL {name}: column TYPE drift (col, spark, oracle): {tbad}"); n_fail += 1; continue
         # reorder columns by sorted name, then sort rows
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
