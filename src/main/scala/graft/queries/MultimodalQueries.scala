@@ -72,6 +72,98 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- real codec path
+  final case class PngRow(doc_id: Long, width: Int, height: Int, png: Array[Byte])
+  final case class PngDecoded(doc_id: Long, in_width: Int, in_height: Int,
+                              out_width: Int, out_height: Int, px_sum: Long)
+
+  /** Deterministic grayscale pixel value — a pure function of
+    * (doc_id, x, y), so the DuckDB oracle can recompute the decoded
+    * checksum in closed form. */
+  private def pixel(d: Long, x: Int, y: Int): Int = ((13 * d + 31 * x + 17 * y) % 256).toInt
+
+  /** Synthetic REAL media: each doc renders a width×height grayscale
+    * image and encodes it through the JDK's actual PNG codec
+    * (`javax.imageio.ImageIO`) inside a mapPartitions encoder stage —
+    * the binary column carries genuine PNG bytes, not a byte-stub. */
+  private def pngFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (lit(8) + col("doc_id") % 32).cast("int").as("width"),
+      (lit(8) + col("doc_id") % 24).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        // per-partition encoder lifecycle (codec state init goes here)
+        rows.map { case (d, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = pixel(d, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(d, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** №32's transform side with a REAL decode: ImageIO parses the PNG
+    * bytes back to a raster, a nearest-neighbor half-resize walks the
+    * DECODED pixels, and the output checksum sums the resized RGB
+    * channels. PNG is lossless, so decode(encode(img)) is pixel-exact and
+    * the closed-form oracle ([[multimodalDecodeSql]]) reproduces `px_sum`
+    * arithmetically — the full codec round trip is oracle-verified, not
+    * just row-counted. Scale shape: two mapPartitions stages over the
+    * binary column (encode, decode+resize), each with a per-partition
+    * codec lifecycle; no shuffle until the final presentation sort. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngFrame(spark, dir).mapPartitions { rows =>
+      // per-partition decoder/scaler lifecycle
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        val (ow, oh) = (math.max(1, iw / 2), math.max(1, ih / 2))
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val rgb = img.getRGB(2 * x, 2 * y) // nearest-neighbor sample
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        PngDecoded(r.doc_id, iw, ih, ow, oh, sum)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Closed-form mirror of the decoded-resized checksum: the grayscale
+    * pixel is (13·doc_id + 31·x + 17·y) mod 256 and the resize samples
+    * (2x, 2y), so px_sum = Σ 3·pixel(2x, 2y) — if the codec round trip
+    * dropped or shifted one pixel anywhere, the hash would diverge. */
+  val multimodalDecodeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(8 + doc_id % 32 AS INT) AS in_width,
+       |         CAST(8 + doc_id % 24 AS INT) AS in_height
+       |  FROM documents)
+       |SELECT doc_id, in_width, in_height,
+       |  CAST(in_width // 2 AS INT) AS out_width,
+       |  CAST(in_height // 2 AS INT) AS out_height,
+       |  CAST(list_sum(flatten(list_transform(range(0, in_height // 2), y ->
+       |    list_transform(range(0, in_width // 2), x ->
+       |      3 * ((13*doc_id + 31*(2*x) + 17*(2*y)) % 256))))) AS BIGINT) AS px_sum
+       |FROM m ORDER BY doc_id""".stripMargin
+
   private def mediaFrame(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables(spark, dir).documents.select(
