@@ -129,7 +129,7 @@ object StatefulSessionize {
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
     val name = s"stream_sessions_${System.nanoTime()}"
     // production state store for the verified run (GraftSession.withRocksDbState)
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevProvider = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to STATE VOLUME, not cores: each state
@@ -211,7 +211,7 @@ object StatefulSessionize {
     val evs = graft.Tables(spark, dir).events
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
     val name = s"stream_sessions_bi_${System.nanoTime()}"
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevProvider = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -42,7 +42,7 @@ object StreamDedup {
       .map { case (id, text) => Doc(id, text, 1000000L + id % 1000000L) }
       .sortBy(d => (d.event_ms, d.doc_id))
     val name = s"stream_dedup_${System.nanoTime()}"
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to STATE VOLUME, not cores (see

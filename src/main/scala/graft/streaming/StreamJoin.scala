@@ -71,7 +71,7 @@ object StreamJoin {
     val clicks = side("click")
     val purchases = side("purchase")
     val name = s"stream_join_${System.nanoTime()}"
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to state volume, not cores (r3 rule shared
