@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.kv.{KvModel, KvSql}
+import graft.sources.KvSource
 import graft.operators.ExportOps
 import graft.operators.ExportOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -29,7 +30,7 @@ object ExportQueries {
     * scanning a topic and decrypting the table. */
   private def parsed(spark: SparkSession, dir: String,
                      kvPred: Column = lit(true)): DataFrame = {
-    val base = KvModel.withEnvelope(KvModel.kv(spark, dir).filter(kvPred))
+    val base = KvSource.envelopes(spark, dir, kvPred)
     extractEnvelope(base, col("envelope"), col("topic"))
   }
 
@@ -37,7 +38,7 @@ object ExportQueries {
     * Same `kvPred` contract as [[parsed]]. */
   private def records(spark: SparkSession, dir: String,
                       kvPred: Column = lit(true)): DataFrame =
-    recordsFromKv(KvModel.withEnvelope(KvModel.kv(spark, dir).filter(kvPred)))
+    recordsFromKv(KvSource.envelopes(spark, dir, kvPred))
 
   /** The full record pipeline over ANY envelope-bearing kv frame — batch or
     * streaming (all stages are per-row projections; see
@@ -67,7 +68,7 @@ object ExportQueries {
     * it into the parquet scan (`ms >= T1 ⇔ ts_ns >= T1e6` exactly, since
     * ms = floor(ns/1e6)); the derived key-byte filter runs post-scan. */
   def kvScan(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
       .filter(col("key_byte") >= 32 && col("key_byte") < 96)
       .select(col("eid"), col("key_hash"), col("ms"), col("topic"))
@@ -81,7 +82,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №2 keyspace_partition
   def keyspacePartition(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .groupBy(partitionLabel(col("key_byte")).as("partition"))
       .agg(count(lit(1)).as("n"), min("key_byte").as("min_kb"), max("key_byte").as("max_kb"))
       .orderBy(col("min_kb"))
@@ -94,7 +95,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №3 time_range_scan
   def timeRangeScan(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
       .groupBy(col("topic"))
       .agg(count(lit(1)).as("n"), min("ms").as("min_ms"), max("ms").as("max_ms"))
@@ -111,7 +112,7 @@ object ExportQueries {
     * is the per-user row key (users have many event versions).
     */
   def latestCell(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .groupBy(col("uid"))
       .agg(
         max_by(col("eid"), struct(col("ms"), col("eid"))).as("latest_eid"),
@@ -146,7 +147,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №6 topic_table_map
   def topicTableMap(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .select(col("topic"),
         regexp_extract(col("topic"), """^(?:\w+\.)?([-\w]+)\.([-\w]+)$""", 1).as("t_db"),
         regexp_extract(col("topic"), """^(?:\w+\.)?([-\w]+)\.([-\w]+)$""", 2).as("t_coll"))
@@ -162,7 +163,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №7 blocked_topics
   def blockedTopics(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .filter(!col("topic").isin(KvModel.BlockedTopics: _*))
       .groupBy(col("topic")).agg(count(lit(1)).as("n"))
       .orderBy(col("topic"))
@@ -400,7 +401,7 @@ object ExportQueries {
       .groupBy(col("topic"))
       .agg(countDistinct(col("object_key")).as("files_exported"),
         count(lit(1)).as("records_exported"))
-    val present = KvModel.kv(spark, dir).select(col("topic")).distinct()
+    val present = KvSource.kv(spark, dir).select(col("topic")).distinct()
       .withColumn("present", lit(true))
     val allTopics = KvModel.DeclaredTopics.toDF("topic")
     // Unpartitioned window BY DESIGN (WindowExec warns "No Partition
@@ -532,7 +533,7 @@ object ExportQueries {
 
   // -------------------------------------------------------------- №20 printable_key
   def printableKeyQ(spark: SparkSession, dir: String): DataFrame =
-    KvModel.kv(spark, dir)
+    KvSource.kv(spark, dir)
       .select(col("eid"), ExportOps.printableKey(col("key_hash"), col("id_json")).as("printable"))
       .orderBy(col("eid"))
 
@@ -563,7 +564,7 @@ object ExportQueries {
     * is the per-row projection pipeline — so an incremental export reads
     * only the time slice and shuffles once on the row key. */
   def incrementalExport(spark: SparkSession, dir: String): DataFrame = {
-    val kv = KvModel.kv(spark, dir)
+    val kv = KvSource.kv(spark, dir)
       .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
     val cols = kv.columns
     val latest = kv
