@@ -164,6 +164,89 @@ object MultimodalQueries {
        |      3 * ((13*doc_id + 31*(2*x) + 17*(2*y)) % 256))))) AS BIGINT) AS px_sum
        |FROM m ORDER BY doc_id""".stripMargin
 
+  final case class WavRow(doc_id: Long, n_samples: Int, wav: Array[Byte])
+  final case class WavDecoded(doc_id: Long, n_samples: Int, sample_rate: Int,
+                              sum_all: Long, sum_strided: Long)
+
+  /** Deterministic 16-bit signed PCM sample — pure fn of (doc_id, i) so
+    * the oracle recomputes decoded features in closed form. */
+  private def sample16(d: Long, i: Int): Int = (((7 * d + 13 * i) % 65536) - 32768).toInt
+
+  private val WavRate = 8000f
+
+  /** Synthetic REAL audio: deterministic PCM rendered through the JDK's
+    * actual WAV codec (`javax.sound.sampled.AudioSystem`) in a
+    * mapPartitions encoder stage — genuine RIFF/WAVE bytes in the binary
+    * column. */
+  private def wavFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (lit(64) + col("doc_id") % 128).cast("int").as("n_samples"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1, true, false) // 16-bit mono LE
+        rows.map { case (d, n) =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = sample16(d, i)
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(d, n, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Audio side of №32 with a REAL decode: AudioSystem parses the WAV
+    * container back to format + PCM, and the features are computed over
+    * the DECODED samples — total amplitude sum and an every-4th-sample
+    * "frame sample" stride. PCM is lossless, so both sums match the
+    * closed-form oracle exactly; a container or byte-order bug anywhere
+    * in the round trip diverges the hash. */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavFrame(spark, dir).mapPartitions { rows =>
+      // per-partition decoder lifecycle
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sumAll = 0L
+        var sumStrided = 0L
+        var i = 0
+        while (i < n) {
+          // decoded little-endian 16-bit signed sample
+          val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+          sumAll += s
+          if (i % 4 == 0) sumStrided += s
+          i += 1
+        }
+        WavDecoded(r.doc_id, n, fmt.getSampleRate.toInt, sumAll, sumStrided)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Closed-form mirror: sample(i) = ((7·doc_id + 13·i) mod 65536) −
+    * 32768 over n = 64 + doc_id mod 128 samples. */
+  val multimodalAudioSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(64 + doc_id % 128 AS INT) AS n_samples FROM documents)
+       |SELECT doc_id, n_samples, ${WavRate.toInt} AS sample_rate,
+       |  CAST(list_sum(list_transform(range(0, n_samples), i ->
+       |    (7*doc_id + 13*i) % 65536 - 32768)) AS BIGINT) AS sum_all,
+       |  CAST(list_sum(list_transform(range(0, n_samples), i ->
+       |    CASE WHEN i % 4 = 0 THEN (7*doc_id + 13*i) % 65536 - 32768 ELSE 0 END)) AS BIGINT) AS sum_strided
+       |FROM m ORDER BY doc_id""".stripMargin
+
   private def mediaFrame(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables(spark, dir).documents.select(

@@ -27,6 +27,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_audio: WAV round trip is sample-exact vs the closed form") {
+    val rows = MultimodalQueries.multimodalAudio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val n = r.getInt(1)
+      assert(n == (64 + d % 128).toInt, s"doc $d: decoded frame count $n != metadata")
+      assert(r.getInt(2) == 8000, s"doc $d: sample rate ${r.getInt(2)}")
+      def s16(i: Int): Long = (7 * d + 13 * i) % 65536 - 32768
+      val expAll = (0 until n).map(s16).sum
+      val expStr = (0 until n by 4).map(s16).sum
+      assert(r.getLong(3) == expAll, s"doc $d: sum_all ${r.getLong(3)} != $expAll — PCM round trip not lossless")
+      assert(r.getLong(4) == expStr, s"doc $d: sum_strided mismatch")
+    }
+  }
+
   test("multimodal_decode: blob column carries genuine PNG bytes (magic + codec parse)") {
     import spark.implicits._
     // pngFrame is private — drive one doc through the public query and
