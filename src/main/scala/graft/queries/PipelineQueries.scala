@@ -380,6 +380,14 @@ object PipelineQueries {
     * exactly. */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    packedSeqs(spark, dir).orderBy($"bin", $"seq_id")
+  }
+
+  /** The packed-sequence accounting frame (bin, seq_id, n_docs, n_tokens,
+    * n_spanning) — shared by [[sequencePack]] and [[sequenceShuffle]] so
+    * the shuffled training order can never disagree with the packing. */
+  private[queries] def packedSeqs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"bin")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -392,7 +400,60 @@ object PipelineQueries {
       .groupBy($"bin", $"seq_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"))
-      .orderBy($"bin", $"seq_id")
+  }
+
+  // ---------------------------------------------------------------- №67 sequence_shuffle
+  /** Data-parallel shards for the shuffled training order. */
+  val NShards = 4
+
+  /** Training-order shuffle — the step between packing and the loader: the
+    * packed sequences are dealt to [[NShards]] data-parallel shards by a
+    * deterministic hash (md5 of the sequence identity) and ordered WITHIN
+    * each shard by the same hash, decorrelating consumption order from
+    * packing order while staying run-reproducible.
+    *
+    * Scale shape — deliberately NOT a global permutation rank: each loader
+    * reads one shard, so only within-shard positions are needed. That
+    * makes the plan ONE hash shuffle on shard + a per-shard window
+    * (parallel across the cluster); a global row_number would funnel every
+    * sequence through a single ordered partition. Shard count is a
+    * constant (cluster data-parallelism), so per-shard windows scale. */
+  def sequenceShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedSeqs(spark, dir)
+      .withColumn("hk", md5(concat($"bin".cast("string"), lit(":"), $"seq_id".cast("string"))))
+      .withColumn("shard", pmod(conv(substring($"hk", 1, 8), 16, 10).cast("long"), lit(NShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"hk", $"bin", $"seq_id")).cast("long"))
+      .select($"shard", $"pos", $"bin", $"seq_id", $"n_tokens")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** Shares the packing CTEs verbatim; the 8-hex-digit shard hash is
+    * parsed with the same per-nibble shift trick the simhash oracle uses. */
+  val sequenceShuffleSql: String = {
+    val hex8 = "CAST(list_sum(list_transform(range(1, 9), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(hk, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (8 - CAST(i AS INT))))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT bin, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d),
+       |s AS (
+       |  SELECT bin, start_off // $SeqLen AS seq_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM o GROUP BY bin, start_off // $SeqLen),
+       |h AS (
+       |  SELECT bin, seq_id, n_tokens,
+       |    md5(CAST(bin AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)) AS hk
+       |  FROM s)
+       |SELECT CAST($hex8 % $NShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY $hex8 % $NShards ORDER BY hk, bin, seq_id) AS BIGINT) AS pos,
+       |  bin, seq_id, n_tokens
+       |FROM h ORDER BY shard, pos""".stripMargin
   }
 
   // ---------------------------------------------------------------- №58 pretrain_pipeline

@@ -85,6 +85,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sequence_shuffle: shards partition the packed sequences, positions contiguous") {
+    import org.apache.spark.sql.functions._
+    val packed = PipelineQueries.sequencePack(spark, sf).count()
+    val shuf = PipelineQueries.sequenceShuffle(spark, sf).collect()
+    assert(shuf.length == packed, "every packed sequence gets exactly one shuffle slot")
+    // within each shard, pos must be exactly 1..n (a loader reads it as a file order)
+    shuf.groupBy(_.getInt(0)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(1)).sorted
+      assert(ps.toSeq == (1L to ps.length).toSeq, s"shard $shard positions not contiguous: ${ps.take(5).toSeq}...")
+    }
+    // the shuffled order must not equal packing order within shards (the
+    // point of the hash): at least one shard consumes out of (bin, seq) order
+    val reordered = shuf.groupBy(_.getInt(0)).exists { case (_, rows) =>
+      val inPos = rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      inPos != inPos.sorted
+    }
+    assert(reordered, "hash order degenerated to packing order")
+    // plan shape: the row_number window is partitioned by shard (parallel),
+    // never a global (unpartitioned) running rank
+    val plan = PipelineQueries.sequenceShuffle(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"), s"shard-partitioned window missing:\n$plan")
+  }
+
   test("corpus_stats approx mode: sketch percentiles rank-agree with exact") {
     import org.apache.spark.sql.functions._
     // the t-digest-style scale path (corpusStatsWith exact=false) must
