@@ -50,7 +50,9 @@ class OracleSqlLintSpec extends AnyFunSuite {
     lastOrder > lastSelect
   }
 
-  private val sumRe = "(?i)(?<![a-z0-9_])sum\\s*\\(".r
+  // plain/window sum AND list_sum/list_aggregate — all return HUGEINT on
+  // integer inputs in DuckDB
+  private val sumRe = "(?i)(?<![a-z0-9_])(?:list_)?sum\\s*\\(".r
 
   /** Sums PROVEN not to reach the result row (so their HUGEINT width is
     * harmless): each entry is (query name, a context prefix at the sum
