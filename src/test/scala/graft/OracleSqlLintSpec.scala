@@ -77,6 +77,15 @@ class OracleSqlLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
   }
 
+  test("driver contract: queries and oracles are 1:1") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
+    // every query has an oracle (none of the current operators is
+    // SQL-inexpressible; if one ever is, list it here explicitly)
+    assert((q -- o).isEmpty, s"queries without an oracle (driver downgrades to rows-only): ${(q -- o).mkString(", ")}")
+  }
+
   test("no oracle emits a raw window sum outside a CAST (HUGEINT via OVER)") {
     // belt-and-braces for the window form: any "OVER" whose governing sum
     // escaped the first test would be caught there; this asserts the lint

@@ -51,6 +51,21 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("o_orderdate"), s"scan not pruned to 3 cols:\n$plan")
   }
 
+  test("multimodal codec paths are scan-bound: no data shuffle before the presentation sort") {
+    // the encode→decode mapPartitions chains must stay narrow; the ONLY
+    // exchange allowed is the final orderBy's range partitioning
+    for (q <- Seq(MultimodalQueries.multimodalDecode(spark, sf),
+                  MultimodalQueries.multimodalAudio(spark, sf))) {
+      val shuffles = ExportQueriesPlanHelper.exec(q).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size <= 1, s"codec path gained a data shuffle:\n${q.queryExecution.executedPlan}")
+      shuffles.foreach(e => assert(
+        e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"non-sort exchange in codec path: ${e.outputPartitioning}"))
+    }
+  }
+
   test("q1 pushes the shipdate filter and prunes the scan schema") {
     val plan = executedPlan(Analytics.q1Agg(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
