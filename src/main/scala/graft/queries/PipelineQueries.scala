@@ -429,6 +429,37 @@ object PipelineQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** Oracle for [[graft.sources.TrainShardSink.shardQuery]] (№68): the
+    * rows a lossless shard write + read-back must reproduce — packing
+    * CTEs + the manifest's ordered doc list + the shuffle's shard hash,
+    * all reconstructed relationally. */
+  val trainShardSinkSql: String = {
+    val hex8 = "CAST(list_sum(list_transform(range(1, 9), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(hk, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (8 - CAST(i AS INT))))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, bin, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d),
+       |s AS (
+       |  SELECT bin, start_off // $SeqLen AS seq_id,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_off, doc_id) AS docs
+       |  FROM o GROUP BY bin, start_off // $SeqLen),
+       |h AS (
+       |  SELECT bin, seq_id, n_tokens, docs,
+       |    md5(CAST(bin AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)) AS hk
+       |  FROM s)
+       |SELECT CAST($hex8 % $NShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY $hex8 % $NShards ORDER BY hk, bin, seq_id) AS BIGINT) AS pos,
+       |  bin, seq_id, n_tokens, docs
+       |FROM h ORDER BY shard, pos""".stripMargin
+  }
+
   /** Shares the packing CTEs verbatim; the 8-hex-digit shard hash is
     * parsed with the same per-nibble shift trick the simhash oracle uses. */
   val sequenceShuffleSql: String = {

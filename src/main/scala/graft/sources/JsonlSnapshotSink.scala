@@ -313,7 +313,7 @@ object JsonlSnapshotSink {
   def snapshotQuery(spark: SparkSession, dir: String): DataFrame = {
     val records = graft.queries.ExportQueries.pipelineRecords(spark, dir)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    registerScratch(spark, root)
+    registerScratchRoot(spark, root)
     write(records, root) // eager — the objects exist when this returns
     readBack(spark, root).orderBy(col("object_key"), col("record"))
   }
@@ -326,7 +326,8 @@ object JsonlSnapshotSink {
     * starts from a clean slate. */
   private val scratchRoots = scala.collection.mutable.HashSet.empty[String]
   private val listenerApps = scala.collection.mutable.HashSet.empty[String]
-  private def registerScratch(spark: SparkSession, root: String): Unit = synchronized {
+  /** Shared with [[TrainShardSink]] — same lifecycle for its scratch. */
+  private[sources] def registerScratchRoot(spark: SparkSession, root: String): Unit = synchronized {
     val ctx = spark.sparkContext
     val appId = ctx.applicationId
     if (listenerApps.add(appId)) {
