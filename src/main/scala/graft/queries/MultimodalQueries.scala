@@ -94,21 +94,32 @@ object MultimodalQueries {
       (lit(8) + col("doc_id") % 24).cast("int").as("height"))
       .as[(Long, Int, Int)]
       .mapPartitions { rows =>
-        // per-partition encoder lifecycle (codec state init goes here)
+        // per-partition ENCODER lifecycle: one ImageWriter for the whole
+        // partition — ImageIO.write's per-call writer lookup + stream
+        // construction dominates at thumbnail sizes
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
         rows.map { case (d, w, h) =>
           val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // write the packed RGB ints straight into the raster buffer —
+          // setRGB routes every pixel through the color model
+          val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val v = pixel(d, x, y)
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              buf(y * w + x) = (v << 16) | (v << 8) | v
               x += 1
             }
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           PngRow(d, w, h, bos.toByteArray)
         }
       }
@@ -126,9 +137,16 @@ object MultimodalQueries {
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pngFrame(spark, dir).mapPartitions { rows =>
-      // per-partition decoder/scaler lifecycle
+      // per-partition DECODER lifecycle: one ImageReader reused across
+      // the partition (ImageIO.read scans the reader registry per call)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(r.png))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
         val (iw, ih) = (img.getWidth, img.getHeight)
         val (ow, oh) = (math.max(1, iw / 2), math.max(1, ih / 2))
         var sum = 0L
