@@ -96,7 +96,11 @@ object MultimodalQueries {
       .mapPartitions { rows =>
         // per-partition ENCODER lifecycle: one ImageWriter for the whole
         // partition — ImageIO.write's per-call writer lookup + stream
-        // construction dominates at thumbnail sizes
+        // construction dominates at thumbnail sizes. useCache=false:
+        // image streams default to TEMP-FILE spooling (one file create +
+        // delete per image), which thrashes against the bench's other
+        // scratch IO; memory-backed streams are deterministic and fast.
+        javax.imageio.ImageIO.setUseCache(false)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
@@ -138,7 +142,9 @@ object MultimodalQueries {
     import spark.implicits._
     pngFrame(spark, dir).mapPartitions { rows =>
       // per-partition DECODER lifecycle: one ImageReader reused across
-      // the partition (ImageIO.read scans the reader registry per call)
+      // the partition (ImageIO.read scans the reader registry per call);
+      // useCache=false as in the encoder — no temp-file stream spooling
+      javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
