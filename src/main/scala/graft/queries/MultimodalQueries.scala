@@ -188,6 +188,126 @@ object MultimodalQueries {
        |      3 * ((13*doc_id + 31*(2*x) + 17*(2*y)) % 256))))) AS BIGINT) AS px_sum
        |FROM m ORDER BY doc_id""".stripMargin
 
+  final case class VideoRow(doc_id: Long, n_frames: Int, container: Array[Byte])
+  final case class VideoDecoded(doc_id: Long, n_frames: Int, n_sampled: Int,
+                                frame_w: Int, frame_h: Int, px_sum: Long)
+
+  val FrameW = 8
+  val FrameH = 8
+
+  /** Frame pixel — pure fn of (doc_id, frame, x, y), same oracle trick as
+    * the still-image path. */
+  private def vpixel(d: Long, f: Int, x: Int, y: Int): Int =
+    ((13 * d + 7 * f + 31 * x + 17 * y) % 256).toInt
+
+  /** Synthetic "video": a length-indexed container of REAL PNG frames —
+    * the fMP4-ish shape a frame-extraction stage parses. Layout:
+    * [int32 n_frames][int32 len_0..len_{n-1}][png_0..png_{n-1}], all
+    * big-endian. Frames are encoded through the real PNG codec (shared
+    * per-partition writer, memory-backed streams). */
+  private def videoFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (lit(2) + col("doc_id") % 3).cast("int").as("n_frames"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        rows.map { case (d, n) =>
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(FrameW, FrameH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+            var y = 0
+            while (y < FrameH) {
+              var x = 0
+              while (x < FrameW) { buf(y * FrameW + x) = { val v = vpixel(d, f, x, y); (v << 16) | (v << 8) | v }; x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(img)
+            ios.close()
+            bos.toByteArray
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          dos.writeInt(n)
+          frames.foreach(f => dos.writeInt(f.length))
+          frames.foreach(out.write)
+          VideoRow(d, n, out.toByteArray)
+        }
+      }
+  }
+
+  /** Video side of №32: parse the container index, FRAME-SAMPLE (every
+    * second frame — the standard extract-at-stride shape), PNG-decode the
+    * sampled frames for real, and checksum their decoded pixels. The
+    * closed-form oracle reproduces px_sum over the sampled frames, so a
+    * mis-parsed index, wrong frame boundary, or lossy decode all fail the
+    * driver hash. */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoFrame(spark, dir).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      rows.map { r =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(r.container))
+        val n = in.readInt()
+        val lens = Array.fill(n)(in.readInt())
+        var pxSum = 0L
+        var sampled = 0
+        var fw = 0; var fh = 0
+        var f = 0
+        while (f < n) {
+          val bytes = new Array[Byte](lens(f))
+          in.readFully(bytes)
+          if (f % 2 == 0) { // sample every second frame
+            val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis, true, true)
+            val img = reader.read(0)
+            iis.close()
+            fw = img.getWidth; fh = img.getHeight
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                val rgb = img.getRGB(x, y)
+                pxSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+          }
+          f += 1
+        }
+        VideoDecoded(r.doc_id, n, sampled, fw, fh, pxSum)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Closed-form mirror: sampled frames are f ∈ {0, 2, ...}; px_sum sums
+    * 3·vpixel over the 8×8 grid of each sampled frame. */
+  val multimodalVideoSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames FROM documents)
+       |SELECT doc_id, n_frames,
+       |  CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+       |  $FrameW AS frame_w, $FrameH AS frame_h,
+       |  CAST(list_sum(flatten(list_transform(range(0, n_frames), f ->
+       |    CASE WHEN f % 2 = 0 THEN
+       |      flatten(list_transform(range(0, $FrameH), y ->
+       |        list_transform(range(0, $FrameW), x ->
+       |          3 * ((13*doc_id + 7*f + 31*x + 17*y) % 256))))
+       |    ELSE [] END))) AS BIGINT) AS px_sum
+       |FROM m ORDER BY doc_id""".stripMargin
+
   final case class WavRow(doc_id: Long, n_samples: Int, wav: Array[Byte])
   final case class WavDecoded(doc_id: Long, n_samples: Int, sample_rate: Int,
                               sum_all: Long, sum_strided: Long)

@@ -43,6 +43,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_video: container parse + sampled-frame decode matches closed form") {
+    val rows = MultimodalQueries.multimodalVideo(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val n = r.getInt(1)
+      assert(n == (2 + d % 3).toInt, s"doc $d: frame count")
+      assert(r.getInt(2) == (n + 1) / 2, s"doc $d: sampled count")
+      assert(r.getInt(3) == 8 && r.getInt(4) == 8, s"doc $d: frame dims")
+      var expect = 0L
+      for (f <- 0 until n if f % 2 == 0; y <- 0 until 8; x <- 0 until 8)
+        expect += 3 * ((13 * d + 7 * f + 31 * x + 17 * y) % 256)
+      assert(r.getLong(5) == expect,
+        s"doc $d: px_sum ${r.getLong(5)} != $expect — container/frame decode drift")
+    }
+  }
+
   test("multimodal_decode: blob column carries genuine PNG bytes (magic + codec parse)") {
     import spark.implicits._
     // pngFrame is private — drive one doc through the public query and
