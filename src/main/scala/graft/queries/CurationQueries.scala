@@ -449,4 +449,57 @@ object CurationQueries {
        |  round(CAST(top_cnt AS DOUBLE)/n_2grams + 0.000000001, 6) AS top2_ratio,
        |  round(1.0 - CAST(n_uniq AS DOUBLE)/n_tok + 0.000000001, 6) AS dup_word_ratio
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №69 html_extract
+  /** Web-extraction stage — the FIRST step of a crawl pipeline, before
+    * any of the quality/dedup operators run: strip boilerplate BLOCKS
+    * (script/nav/aside/footer — the trafilatura-style structural cut),
+    * then strip remaining markup, then normalize whitespace. The corpus
+    * is plain text, so each doc is first wrapped in a deterministic page
+    * frame (title, nav menu, ad block, footer) CONSTRUCTED IDENTICALLY in
+    * both engines — extraction must recover exactly the original article
+    * body, which the md5 in the output proves per document.
+    *
+    * Scale shape: pure per-row regex projection, zero shuffle before the
+    * presentation sort; all three regex passes are RE2-safe (non-greedy
+    * block matches, no lookbehind) so the oracle runs them verbatim. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val page = concat(
+      lit("<html><head><title>Doc "), $"doc_id",
+      lit("</title><script>var x=1;</script></head><body><nav>home | about | contact</nav><aside>BUY NOW - LIMITED OFFER</aside><p>"),
+      $"text",
+      lit("</p><footer>copyright 2020 example corp</footer></body></html>"))
+    Tables(spark, dir).documents
+      .select($"doc_id", page.as("html"))
+      .withColumn("noblocks", regexp_replace($"html",
+        "<(script|nav|aside|footer|title)>.*?</(script|nav|aside|footer|title)>", ""))
+      .withColumn("notags", regexp_replace($"noblocks", "<[^>]*>", ""))
+      .withColumn("extracted", trim(regexp_replace($"notags", "\\s+", " ")))
+      .select($"doc_id",
+        length($"html").as("raw_len"),
+        length($"extracted").as("extract_len"),
+        md5($"extracted").as("extract_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val htmlExtractSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><script>var x=1;</script></head><body><nav>home | about | contact</nav><aside>BUY NOW - LIMITED OFFER</aside><p>' ||
+       |    text ||
+       |    '</p><footer>copyright 2020 example corp</footer></body></html>' AS html
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, html,
+       |    trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(html, '<(script|nav|aside|footer|title)>.*?</(script|nav|aside|footer|title)>', '', 'g'),
+       |        '<[^>]*>', '', 'g'),
+       |      '\\s+', ' ', 'g')) AS extracted
+       |  FROM h)
+       |SELECT doc_id, length(html) AS raw_len, length(extracted) AS extract_len,
+       |  md5(extracted) AS extract_md5
+       |FROM e ORDER BY doc_id""".stripMargin
 }

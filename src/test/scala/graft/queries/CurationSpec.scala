@@ -137,4 +137,24 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("html_extract recovers exactly the whitespace-normalized article body") {
+    import spark.implicits._
+    val out = CurationQueries.htmlExtract(spark, sf)
+      .select($"doc_id", $"extract_md5", $"raw_len", $"extract_len")
+    // ground truth: extraction must strip EVERY byte of page frame (title,
+    // script, nav, aside, footer, all tags) and return the original text,
+    // whitespace-collapsed — nothing more, nothing less
+    val expect = graft.Tables(spark, sf).documents
+      .select($"doc_id",
+        md5(trim(regexp_replace($"text", "\\s+", " "))).as("want_md5"))
+    val joined = out.join(expect, "doc_id").cache()
+    try {
+      assert(joined.count() > 0)
+      val bad = joined.filter($"extract_md5" =!= $"want_md5").count()
+      assert(bad == 0, s"$bad docs where extraction did not recover the body")
+      // the frame is actually non-trivial: raw page is strictly longer
+      assert(joined.filter($"raw_len" <= $"extract_len").count() == 0)
+    } finally { joined.unpersist(); () }
+  }
 }
