@@ -8,6 +8,23 @@ object Bench {
     // 1.9s query has benched at 12.6s on its first timed run) — the median
     // is the honest figure; min/max expose the spread.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // Contention defense (r6 lesson: two of three iterations landing in a
+    // contended window put a 4.5× phantom regression in the official
+    // artifact — dedup_minhash med 6.44s vs min 1.84s, max 22.26s):
+    //  1. ADAPTIVE RE-RUN — a query whose max/min exceeds SPREAD_TRIGGER
+    //     gets extra iterations (up to maxIters total), so a contended
+    //     window cannot own the majority of the sample.
+    //  2. TRIMMED MEDIAN — iterations slower than OUTLIER_X × the query's
+    //     own min are marked contended and excluded from the reported
+    //     median (contention only ever INFLATES; the min is the most
+    //     contamination-robust statistic available).
+    //  3. PER-ITERATION TIMESTAMPS — every iteration's start offset (sec
+    //     from bench start) and duration ship in the artifact, so a
+    //     machine-wide contended window is visible as a time-correlated
+    //     band across queries rather than inferred post hoc.
+    val SPREAD_TRIGGER = 3.0
+    val OUTLIER_X = 3.0
+    val maxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_N", "6").toInt.max(iters)
     // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=jsonl_snapshot,knn_ivf
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     only.foreach { names =>
@@ -55,38 +72,58 @@ object Bench {
         resetConfs("warmup")
       }
     }
+    val benchStart = System.currentTimeMillis()
+    // one iteration = (start offset sec from bench start, duration sec);
+    // None = crashed (dropped, not timed)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Option[(Double, Double)] = {
+      val off = (System.currentTimeMillis() - benchStart) / 1e3
+      val t0 = System.nanoTime()
+      // toRdd.count() materializes EVERY output column (count() alone lets
+      // Catalyst prune the projection — the string-building tail of the
+      // pipeline queries would go unmeasured).
+      val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((off, (System.nanoTime() - t0) / 1e9)) }
+        catch { case _: Throwable => None }
+      CacheRegistry.releaseAll(spark) // caches must not carry across iterations
+      resetConfs(name)                // nor conf drift (see baselineConf)
+      t
+    }
     val stats = selected.map { case (name, fn) =>
-      val times = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // toRdd.count() materializes EVERY output column (count() alone lets
-        // Catalyst prune the projection — the string-building tail of the
-        // pipeline queries would go unmeasured). A crashed iteration is
-        // dropped, not timed.
-        val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
-        CacheRegistry.releaseAll(spark) // caches must not carry across iterations
-        resetConfs(name)               // nor conf drift (see baselineConf)
-        t
-      }.sorted
-      name -> times
+      var runs = (1 to iters).flatMap(_ => runOnce(fn, name)).toVector
+      // adaptive re-run: spread beyond trigger → the sample is suspect;
+      // widen it until the trimmed median rests on a majority of clean runs
+      while (runs.nonEmpty && runs.size < maxIters && {
+        val ds = runs.map(_._2); ds.max / ds.min > SPREAD_TRIGGER
+      }) runs ++= runOnce(fn, name)
+      name -> runs
     }
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
-      else if (xs.size % 2 == 1) xs(xs.size / 2)
-      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+      else if (xs.size % 2 == 1) xs.sorted.apply(xs.size / 2)
+      else { val s = xs.sorted; (s(xs.size / 2 - 1) + s(xs.size / 2)) / 2 }
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = stats.filter(_._2.isEmpty).keys.toSeq.sorted
-    // headline per-query number = median; total = sum of medians over the
-    // queries that SUCCEEDED (a -1 sentinel must never deflate the total).
-    val qs = stats.map { case (k, v) => s"\"" + k + "\":" + (if (v.isEmpty) "-1.0" else f(median(v))) }
+    // headline per-query number = TRIMMED median (contended iterations —
+    // duration > OUTLIER_X × the query's min — excluded); total = sum of
+    // trimmed medians over the queries that SUCCEEDED (a -1 sentinel must
+    // never deflate the total).
+    def split(runs: Vector[(Double, Double)]): (Vector[(Double, Double)], Vector[(Double, Double)]) =
+      if (runs.isEmpty) (runs, runs)
+      else { val floor = runs.map(_._2).min; runs.partition(_._2 <= floor * OUTLIER_X) }
+    val trimmedMed = stats.map { case (k, runs) => k -> median(split(runs)._1.map(_._2)) }
+    val qs = trimmedMed.map { case (k, m) => s"\"" + k + "\":" + (if (m < 0) "-1.0" else f(m)) }
       .mkString("{", ",", "}")
-    val spread = stats.map { case (k, v) =>
-      val body = if (v.isEmpty) "\"failed\":true"
-        else s"""\"median\":${f(median(v))},\"min\":${f(v.head)},\"max\":${f(v.last)},\"n\":${v.size}"""
+    val spread = stats.map { case (k, runs) =>
+      val body = if (runs.isEmpty) "\"failed\":true"
+        else {
+          val (clean, contended) = split(runs)
+          val ds = runs.map(_._2).sorted
+          val itersJson = runs.map { case (off, d) => s"""{"t":${f(off)},"s":${f(d)}}""" }.mkString("[", ",", "]")
+          s""""median":${f(median(clean.map(_._2)))},"min":${f(ds.head)},"max":${f(ds.last)},"n":${runs.size},"contended":${contended.size},"iters":$itersJson"""
+        }
       s"\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
-    val total = stats.values.filter(_.nonEmpty).map(median).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val total = trimmedMed.values.filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.
