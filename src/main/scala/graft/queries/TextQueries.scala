@@ -339,13 +339,23 @@ object TextQueries {
     * ([[dedupNgramJaccard]]), labeling every duplicate doc with its
     * component's minimum doc_id and flagging the canonical keeper. Spark
     * shape: iterative min-label propagation — each round is ONE shuffle
-    * join (labels ⋈ symmetric edges) + a map-side-partial min aggregation,
-    * converging in O(component diameter) rounds (dedup graphs are
-    * stars/cliques around a canonical doc, so diameter is small; the
-    * large-star/small-star variant would cut rounds to O(log n) if ever
-    * needed). The driver-side loop holds only a changed-row COUNT per
-    * round — the labels stay distributed; lineage is cut by persisting
-    * each round's frame and releasing the previous one.
+    * join (labels ⋈ self-looped symmetric edges) + a map-side-partial min
+    * aggregation, converging in O(component diameter) rounds (dedup
+    * graphs are stars/cliques around a canonical doc — measured at sf0.1
+    * they converge in ONE effective round + one confirming round, which
+    * is why the large-star/small-star O(log n) variant stays a note: there
+    * is no round count to cut). The driver-side loop holds only a running
+    * label-sum per round — the labels stay distributed; lineage is cut by
+    * persisting each round's frame and releasing the previous one.
+    *
+    * r7 floor fix (the r6 regression root cause): `sym = edges ∪
+    * edges.swap` re-evaluated the whole pair-finding subtree once per
+    * union branch (and the loop's change-detection left-join added a
+    * second join per round). The symmetric+self-loop edge set is now ONE
+    * explode pass over the pair frame, and the self-loops make the round
+    * a single join + min agg (a node's own label rides the self edge, so
+    * no join-back against the previous labels is needed; duplicate self
+    * rows are absorbed by min). sf0.1 local: 3.7→2.6s.
     *
     * The DuckDB oracle is deliberately a DIFFERENT algorithm: a recursive
     * transitive-closure CTE with min aggregation — two independent
@@ -371,43 +381,54 @@ object TextQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopWidth = 8
     val edges = dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b")
-    // sym is hash-partitioned on the probe key `m` at the LOOP width once,
-    // at build time — every round's sym⋈labels join then reuses that
-    // partitioning instead of re-exchanging the (scale-dominant) edge set
-    // per round; only the label frame shuffles inside the loop.
+    // Symmetric + SELF-LOOP edges in ONE pass over the pair frame (a union
+    // of two selects would evaluate the whole pair-finding subtree once per
+    // branch — the r6 floor regression). Self-loops carry a node's own
+    // label through the round's join, so the update is one join + one min
+    // agg with no join-back; a node appearing in k pairs contributes k
+    // duplicate self rows, which the min aggregation absorbs. sym is
+    // hash-partitioned on the probe key `m` at the LOOP width once, at
+    // build time — every round's sym⋈labels join reuses that partitioning
+    // instead of re-exchanging the (scale-dominant) edge set per round;
+    // only the label frame shuffles inside the loop.
     val sym = graft.CacheRegistry.track(
-      edges.select($"doc_a".as("n"), $"doc_b".as("m"))
-        .unionAll(edges.select($"doc_b".as("n"), $"doc_a".as("m")))
+      edges.select(explode(array(
+          struct($"doc_a".as("n"), $"doc_b".as("m")),
+          struct($"doc_b".as("n"), $"doc_a".as("m")),
+          struct($"doc_a".as("n"), $"doc_a".as("m")),
+          struct($"doc_b".as("n"), $"doc_b".as("m")))).as("e"))
+        .select($"e.n".as("n"), $"e.m".as("m"))
         .repartition(loopWidth, $"m")
         .persist())
-    // Materialize the corpus-scale pair-finding (shingle self-join) at the
-    // session's NORMAL shuffle width before narrowing: persist() is lazy, so
-    // without this the heaviest stage would run under the iteration width.
-    sym.count()
     var cached = sym.select($"n".as("doc_id")).distinct()
       .withColumn("label", $"doc_id").persist()
     var labels = cached
-    labels.count() // reads the cached edge set; materialized pre-narrowing too
-    var changed = 1L
+    // Convergence detection: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any label changed — one mergeable agg per
+    // round instead of a change-flag join-back. decimal(38,0) cannot
+    // overflow below 10^19 rows of 64-bit ids. This single action also
+    // materializes the corpus-scale pair-finding (shingle self-join) at
+    // the session's NORMAL shuffle width before narrowing: persist() is
+    // lazy, so without it the heaviest stage would run at iteration width.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
+    var converged = prevSum == null // empty edge set: nothing to propagate
     spark.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
-    try while (changed > 0 && rounds < 50) {
-      val nbrMin = sym.join(labels.select($"doc_id".as("m"), $"label".as("ml")), "m")
-        .groupBy($"n").agg(min($"ml").as("nbr"))
-      // decrease-detection rides the SAME projection as the label update —
-      // one action per round runs two joins, not three (labels only ever
-      // decrease, so `nbr < label` is exactly "this round changed me")
-      val next = labels.join(nbrMin.select($"n".as("doc_id"), $"nbr"), Seq("doc_id"), "left")
-        .select($"doc_id", least($"label", coalesce($"nbr", $"label")).as("label"),
-          (coalesce($"nbr", $"label") < $"label").as("dec"))
+    try while (!converged && rounds < 50) {
+      val next = sym.join(labels.select($"doc_id".as("m"), $"label".as("ml")), "m")
+        .groupBy($"n".as("doc_id")).agg(min($"ml").as("label"))
         .persist()
-      changed = next.filter($"dec").count()
+      val s = labelSum(next)
       cached.unpersist()
       cached = next
-      labels = next.select($"doc_id", $"label")
+      labels = next
       rounds += 1
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(converged, s"label propagation did not converge in $rounds rounds")
     graft.CacheRegistry.track(cached)
     labels
   }
