@@ -188,6 +188,160 @@ object MultimodalQueries {
        |      3 * ((13*doc_id + 31*(2*x) + 17*(2*y)) % 256))))) AS BIGINT) AS px_sum
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- lossy codec path (JPEG)
+  final case class JpegRow(doc_id: Long, width: Int, height: Int, jpeg: Array[Byte])
+  final case class JpegVerified(doc_id: Long, in_width: Int, in_height: Int, bands: Int,
+                                out_width: Int, out_height: Int, mean_ok: Boolean, var_ok: Boolean)
+
+  /** Tolerance bands for the lossy round trip, calibrated against the
+    * JDK JPEG codec at quality 0.9 over the synthetic ramp corpus (image
+    * content is periodic in doc_id mod 48, so 600 docs covers EVERY
+    * distinct image any SF can produce): measured worst per-channel mean
+    * error 1.08 (band 2.0; an off-by-one resize sample shifts the mean by
+    * kx+ky = 8, a channel swap by ≥ 20 — both far outside the band), and
+    * worst luminance variance error 3.2% relative (band 8%; sampling the
+    * unscaled grid — crop instead of subsample — shifts variance ~75%). */
+  val JpegMeanTol = 2.0
+  val JpegVarRelTol = 0.08
+
+  /** Per-channel base offsets differ by ≥ 20 so a channel swap is far
+    * outside [[JpegMeanTol]]; the ramp (3·x + 5·y) never clamps at the
+    * corpus dimensions (width ≤ 23, height ≤ 19 → max value
+    * 80 + 15 + 3·22 + 5·18 = 251 < 255), and a smooth ramp is the
+    * JPEG-friendly signal that keeps decode error in the DC component.
+    * Pure fn of (channel, doc_id, x, y) — the oracle reproduces the
+    * metadata in closed form; the pixel STATS are verified Spark-side
+    * against this same function and shipped as verdicts. */
+  private def jpegPixel(c: Int, d: Long, x: Int, y: Int): Int =
+    Array(20, 60, 80)(c) + (d % 16).toInt + 3 * x + 5 * y
+
+  /** Synthetic LOSSY media: deterministic RGB ramps through the JDK's
+    * actual JPEG codec (quality 0.9, explicit) — genuine JFIF bytes whose
+    * decode is NOT bit-exact, the shape of a real crawl corpus. */
+  private def jpegFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (lit(8) + col("doc_id") % 16).cast("int").as("width"),
+      (lit(8) + col("doc_id") % 12).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        rows.map { case (d, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              buf(y * w + x) = (jpegPixel(0, d, x, y) << 16) | (jpegPixel(1, d, x, y) << 8) | jpegPixel(2, d, x, y)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          val p = writer.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(0.9f)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close()
+          JpegRow(d, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Decode + verify core behind [[multimodalJpeg]], parameterized so the
+    * spec can prove the tolerance bands are TIGHT, not vacuous:
+    * `(dx, dy)` offsets the nearest-neighbor resize sample to (2x+dx,
+    * 2y+dy) — (1, 1) must flip every mean verdict; `perm` permutes the
+    * decoded channels before comparison — a swap must flip every mean
+    * verdict; `stride = 1` samples the unscaled grid (crop, not resize) —
+    * it must flip every variance verdict. Defaults are the correct path. */
+  private[queries] def jpegVerify(spark: SparkSession, dir: String,
+                                  dx: Int = 0, dy: Int = 0,
+                                  perm: Seq[Int] = Seq(0, 1, 2),
+                                  stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (pdx, pdy, p0, p1, p2, st) = (dx, dy, perm(0), perm(1), perm(2), stride)
+    jpegFrame(spark, dir).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(r.jpeg))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        val bands = img.getRaster.getNumBands
+        val (ow, oh) = (math.max(1, iw / 2), math.max(1, ih / 2))
+        // decoded vs expected stats over the resized sample grid
+        val dSum = new Array[Long](3); val eSum = new Array[Long](3)
+        var dLum = 0L; var dLum2 = 0.0; var eLum = 0L; var eLum2 = 0.0
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val rgb = img.getRGB(st * x + pdx, st * y + pdy)
+            val ch = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            val dec = Array(ch(p0), ch(p1), ch(p2))
+            var c = 0
+            var dl = 0; var el = 0
+            while (c < 3) {
+              val e = jpegPixel(c, r.doc_id, 2 * x, 2 * y)
+              dSum(c) += dec(c); eSum(c) += e
+              dl += dec(c); el += e
+              c += 1
+            }
+            dLum += dl; dLum2 += dl.toDouble * dl
+            eLum += el; eLum2 += el.toDouble * el
+            x += 1
+          }
+          y += 1
+        }
+        val n = (ow * oh).toDouble
+        val meanOk = (0 until 3).forall(c => math.abs(dSum(c) / n - eSum(c) / n) <= JpegMeanTol)
+        val dVar = dLum2 / n - (dLum / n) * (dLum / n)
+        val eVar = eLum2 / n - (eLum / n) * (eLum / n)
+        val varOk = math.abs(dVar - eVar) <= JpegVarRelTol * math.max(eVar, 1.0)
+        JpegVerified(r.doc_id, iw, ih, bands, ow, oh, meanOk, varOk)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** №32's LOSSY leg: JPEG (quality 0.9) through the same ImageIO
+    * lifecycle as the PNG path — but decode(encode(img)) is NOT bit-exact,
+    * so the exact-hash oracle strategy of the lossless triad cannot carry
+    * over. Verification strategy for lossy corpora: the oracle pins exact
+    * METADATA (decoded dimensions, band count, resize dimensions) in
+    * closed form, and the decoded-pixel STATISTICS are tolerance-banded
+    * verdicts computed Spark-side against the closed-form source signal
+    * (per-channel mean within ±[[JpegMeanTol]], luminance variance within
+    * ±[[JpegVarRelTol]] relative). The bands are calibrated tight (see
+    * constants) and the spec proves they catch an off-by-one resize, a
+    * channel swap, and a crop-for-resize geometry bug. */
+  def multimodalJpeg(spark: SparkSession, dir: String): DataFrame = jpegVerify(spark, dir)
+
+  /** Closed-form mirror: metadata exactly; verdict columns must be
+    * uniformly true — a decode landing outside the calibrated band
+    * anywhere in the corpus fails the driver hash. */
+  val multimodalJpegSql: String =
+    s"""SELECT doc_id,
+       |  CAST(8 + doc_id % 16 AS INT) AS in_width,
+       |  CAST(8 + doc_id % 12 AS INT) AS in_height,
+       |  3 AS bands,
+       |  CAST(greatest(1, (8 + doc_id % 16) // 2) AS INT) AS out_width,
+       |  CAST(greatest(1, (8 + doc_id % 12) // 2) AS INT) AS out_height,
+       |  true AS mean_ok,
+       |  true AS var_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   final case class VideoRow(doc_id: Long, n_frames: Int, container: Array[Byte])
   final case class VideoDecoded(doc_id: Long, n_frames: Int, n_sampled: Int,
                                 frame_w: Int, frame_h: Int, px_sum: Long)

@@ -60,6 +60,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_jpeg: lossy round trip lands inside the calibrated tolerance bands") {
+    val rows = MultimodalQueries.multimodalJpeg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getInt(1) == (8 + d % 16).toInt && r.getInt(2) == (8 + d % 12).toInt,
+        s"doc $d: decoded dims != metadata")
+      assert(r.getInt(3) == 3, s"doc $d: band count ${r.getInt(3)} != 3")
+      assert(r.getInt(4) == r.getInt(1) / 2 && r.getInt(5) == r.getInt(2) / 2, s"doc $d: resize dims")
+      assert(r.getBoolean(6), s"doc $d: decoded channel means outside ±${MultimodalQueries.JpegMeanTol}")
+      assert(r.getBoolean(7), s"doc $d: decoded variance outside ${MultimodalQueries.JpegVarRelTol * 100}%")
+    }
+  }
+
+  test("multimodal_jpeg: tolerance bands are tight — geometry and channel bugs all flip verdicts") {
+    // off-by-one resize sample (2x+1, 2y+1): the ramp shifts every mean by
+    // kx+ky = 8 ≫ band, but translation preserves variance (var_ok stays)
+    val shifted = MultimodalQueries.jpegVerify(spark, sf, dx = 1, dy = 1).collect()
+    assert(shifted.nonEmpty && shifted.forall(r => !r.getBoolean(6)),
+      "an off-by-one resize sample must flip every mean verdict")
+    assert(shifted.forall(_.getBoolean(7)),
+      "translation on a linear ramp must NOT flip variance — if it does, the var band is noise-tight")
+    // channel swap (decoded g read as r): base offsets differ by ≥ 20 ≫ band
+    val swapped = MultimodalQueries.jpegVerify(spark, sf, perm = Seq(1, 0, 2)).collect()
+    assert(swapped.nonEmpty && swapped.forall(r => !r.getBoolean(6)),
+      "a channel swap must flip every mean verdict")
+    // crop-instead-of-resize (stride 1): the sampled ramp spans half the
+    // range, collapsing variance ~4x — outside the relative band everywhere
+    val cropped = MultimodalQueries.jpegVerify(spark, sf, stride = 1).collect()
+    assert(cropped.nonEmpty && cropped.forall(r => !r.getBoolean(7)),
+      "crop-for-resize must flip every variance verdict")
+  }
+
   test("multimodal_decode: blob column carries genuine PNG bytes (magic + codec parse)") {
     import spark.implicits._
     // pngFrame is private — drive one doc through the public query and
