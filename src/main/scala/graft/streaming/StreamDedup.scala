@@ -82,4 +82,99 @@ object StreamDedup {
     s"""WITH ${graft.queries.TextQueries.dupCorpusSql}
        |SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
        |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Micro-batch count of the last [[streamDedupFiles]] run — spec hook
+    * proving the file replay actually exercised MULTIPLE micro-batches
+    * (one per file under maxFilesPerTrigger=1), not one big swallow. */
+  @volatile private[streaming] var lastFileBatches: Int = -1
+
+  /** PRODUCTION-SHAPED ingestion for the same operator: the corpus
+    * arrives as parquet FILES in a watched directory and enters through
+    * `readStream.format("parquet")` — no driver-side collect anywhere on
+    * the data path (the MemoryStream replay above stays as the
+    * deterministic multi-batch proof; this is the scalable entry a
+    * cluster actually runs, where the source lists files and executors
+    * read them).
+    *
+    * Determinism contract (same oracle as [[streamDedup]]): the corpus is
+    * written in three id-band file groups — originals (< 1e6), near-copies
+    * (+1e6, distinct hashes), exact copies (+2e6) — every hash appears at
+    * most ONCE per band, and band file modification times strictly
+    * increase, so under maxFilesPerTrigger=1 (oldest-first file order +
+    * Trigger.AvailableNow) an exact copy is always preceded by its
+    * original in an EARLIER micro-batch and first-arrival ⇔ minimum
+    * doc_id — the relational oracle. Event times reuse the +1e6 base (an
+    * epoch-0 event would be late vs the initial watermark). */
+  def streamDedupFiles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_files_")
+    val inDir = scratch.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val corpus = graft.queries.TextQueries.dupCorpus(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (lit(1000000L) + col("doc_id") % 1000000L).as("event_ms"))
+    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"stream_dedup_files_${System.nanoTime()}"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    val out = try {
+      // land each id band as parquet files with strictly increasing mod
+      // times — a DISTRIBUTED write (2 files per band keeps the replay
+      // multi-file within bands too)
+      Seq(0L, 1000000L, 2000000L).zipWithIndex.foreach { case (band, i) =>
+        val bandDir = scratch.resolve(s"band$i")
+        corpus.filter(col("doc_id") >= band && col("doc_id") < band + 1000000L)
+          .coalesce(2).write.parquet(bandDir.toString)
+        val parts = java.nio.file.Files.list(bandDir).iterator()
+        var j = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
+            val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
+            java.nio.file.Files.move(p, dst)
+            dst.toFile.setLastModified(60000L * (i + 1) + j) // bands strictly ordered
+            j += 1
+          }
+        }
+      }
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, event_ms LONG")
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch: the state path crosses batches
+        .parquet(inDir.toString)
+        .as[Doc]
+      q = dedup(stream, "7 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .start()
+      q.awaitTermination()
+      lastFileBatches = q.recentProgress.count(_.numInputRows > 0)
+      spark.table(name).select(col("doc_id"), col("text_hash"))
+        .orderBy(col("text_hash")).collect()
+    } finally {
+      if (q != null) q.stop()
+      spark.catalog.dropTempView(name)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // scratch (input files + checkpoint) is per-run; remove eagerly
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val it = java.nio.file.Files.list(p).iterator()
+          while (it.hasNext) rm(it.next())
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(scratch)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text_hash", org.apache.spark.sql.types.StringType))))
+  }
 }

@@ -141,6 +141,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(1L, 3L, 5L))
   }
 
+  test("file-backed streaming dedup: parquet source replay is multi-batch and matches the batch oracle") {
+    import spark.implicits._
+    // the production-shaped entry: readStream.format("parquet") over landed
+    // files — result must equal the batch first-seen formulation, and the
+    // replay must actually cross micro-batches (state path exercised)
+    val out = StreamDedup.streamDedupFiles(spark, sf)
+      .as[(Long, String)].collect().sortBy(_._2)
+    val expect = graft.queries.TextQueries.dupCorpus(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"text_hash")
+      .as[(Long, String)].collect().sortBy(_._2)
+    assert(out.length == expect.length && out.sameElements(expect),
+      "file-fed streaming dedup diverged from the batch first-seen oracle")
+    assert(StreamDedup.lastFileBatches >= 3,
+      s"replay ran ${StreamDedup.lastFileBatches} data batches — the multi-batch state path was not exercised")
+  }
+
   test("stream-stream interval join: boundary inclusion and cross-batch matching") {
     import spark.implicits._
     import graft.streaming.StreamJoin
