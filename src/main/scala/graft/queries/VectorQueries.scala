@@ -230,6 +230,10 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- №27 knn_ivf
+  /** Session conf exposing the IVF probe width as the QUERY parameter it
+    * is internally ([[knnIvfWith]]); default = [[Probe]]. */
+  val ProbeConfKey = "spark.graft.knn.probe"
+
   /** IVF: FIXED-C deterministic centroids (hash-ordered sample of the
     * corpus — constant-size broadcast at any corpus size), cells = nearest
     * centroid per corpus vector, probe = top-P cells per query, search only
@@ -237,9 +241,21 @@ object VectorQueries {
     * pass at O(n·C); probing prunes the search to ~P/C of the corpus. The
     * sample itself is a TakeOrderedAndProject (per-partition top-C, no full
     * sort shuffle).
-    */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    knnIvfWith(spark, dir, Probe)
+    *
+    * Probe width comes from `spark.graft.knn.probe` (default [[Probe]]) —
+    * the recall/cost dial a user turns WITHOUT changing the plan shape.
+    * Recall contract at the default: [[knnRecall]] MEASURES recall@[[K]]
+    * per probe width on the live corpus (sf0.01 curve: 0.18 / 0.60 / 0.94
+    * at probe 2 / 8 / 32 of [[Centroids]]=64 cells); QuerySpecs pins the default's
+    * floor and that the conf actually moves the dial (probe=[[Centroids]] ≡
+    * exhaustive ⇒ recall 1.0). On an isotropic random corpus low-probe
+    * recall is intrinsically poor — production picks the probe from the
+    * measured curve, which is exactly what this parameter feeds. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val probe = spark.conf.get(ProbeConfKey, Probe.toString).toInt
+    require(probe >= 1, s"$ProbeConfKey must be >= 1, got $probe")
+    knnIvfWith(spark, dir, probe)
+  }
 
   /** [[knnIvf]] with an explicit probe width — the recall/cost knob
     * ([[knnRecall]] measures the curve: more probed cells → more of the

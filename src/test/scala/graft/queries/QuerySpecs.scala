@@ -96,6 +96,30 @@ class VectorQueriesSpec extends SparkSpec {
     val recall = ivf.count(brute.contains).toDouble / brute.size
     assert(recall > 0.2, s"IVF recall unexpectedly low: $recall")
   }
+
+  test("knn_ivf probe conf moves the recall dial; default floor pinned") {
+    val brute = VectorQueries.knnBrute(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(conf: Option[Int]): Double = {
+      conf match {
+        case Some(p) => spark.conf.set(VectorQueries.ProbeConfKey, p.toString)
+        case None => spark.conf.unset(VectorQueries.ProbeConfKey)
+      }
+      try {
+        val ivf = VectorQueries.knnIvf(spark, sf).select("q_id", "vec_id").as[(Long, Long)].collect()
+        ivf.count(brute.contains).toDouble / brute.size
+      } finally spark.conf.unset(VectorQueries.ProbeConfKey)
+    }
+    // default (conf unset) ≡ the documented Probe constant — the driver row
+    val dflt = recallAt(None)
+    val atConst = recallAt(Some(VectorQueries.Probe))
+    assert(dflt == atConst, s"default recall $dflt != explicit Probe recall $atConst")
+    assert(dflt > 0.2, s"default-probe recall floor broken: $dflt")
+    // probe = Centroids probes every cell — exhaustive search, recall must be 1.0
+    val exhaustive = recallAt(Some(VectorQueries.Centroids))
+    assert(exhaustive == 1.0, s"probe=Centroids must equal brute force, got $exhaustive")
+    assert(exhaustive > dflt, "widening the probe must not lower recall")
+  }
 }
 
 class PipelineSpec extends SparkSpec {
