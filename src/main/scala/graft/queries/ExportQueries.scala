@@ -129,6 +129,20 @@ object ExportQueries {
        |SELECT uid, eid AS latest_eid, ms AS latest_ms, n_versions
        |FROM ranked WHERE rn = 1 ORDER BY uid""".stripMargin
 
+  // -------------------------------------------------------------- №4b latest_cell_salted
+  /** [[latestCell]] through the two-phase SALTED aggregation
+    * ([[graft.operators.Salting.latestCellSalted]]) — the skew machinery
+    * exercised on a driver row with the SAME oracle as latest_cell (the
+    * two plans must agree on every row). The salted path's domain is a hot
+    * row key holding a large share of all versions (HBase timeline skew):
+    * phase 1 shuffles on (uid, salt) so the hot key spreads over 8
+    * reducers, phase 2 re-aggregates the tiny partials on uid alone.
+    * SaltingSpec proves equality under an injected hot key and pins the
+    * two-exchange plan; this row proves it on the live corpus. */
+  def latestCellSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.latestCellSalted(KvSource.kv(spark, dir), salts = 8)
+      .orderBy(col("uid"))
+
   // -------------------------------------------------------------- №5 envelope_extract
   def envelopeExtract(spark: SparkSession, dir: String): DataFrame =
     parsed(spark, dir)
