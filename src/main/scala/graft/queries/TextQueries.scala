@@ -192,15 +192,42 @@ object TextQueries {
     * base corpus. For a DAILY run against a 100 TB base, pre-bucket the
     * base by content hash (the [[graft.sources.Bucketing]] layout: the
     * anti-join then reads co-located buckets with no base reshuffle) or
-    * front a bloom-filter membership pass; the batch side is always the
-    * small one and never broadcast-forces the base. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    * run mode="bloom": a [[graft.functions.BloomMembership]] sketch of the
+    * BATCH keys pre-filters the base SCAN, so the base is read once but
+    * never shuffled — only ~|batch| + false-positive base rows enter the
+    * join exchange. Bloom false positives cannot change the answer (rows
+    * the sketch drops are provably absent from the batch, so they could
+    * never anti-match); the mode-equality spec pins result identity. The
+    * batch side is always the small one and never broadcast-forces the
+    * base. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalWith(spark, dir, mode = "anti")
+
+  /** Proof-scale sketch budget for mode="bloom" (production sizes these to
+    * the daily batch's cardinality: n items, ~10 bits/item → ~1% fp). */
+  private val BloomItems = 1L << 16
+  private val BloomBits = 8L * BloomItems
+
+  /** [[dedupIncremental]] with the base-side pre-pass mode explicit:
+    * "anti" = plain shuffle anti-join (the proof-scale default),
+    * "bloom" = bloom-membership pre-filter on the base scan, then the same
+    * anti-join over the pruned side. */
+  def dedupIncrementalWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
     import spark.implicits._
     val base = Tables(spark, dir).documents.select(md5($"text").as("h"))
     val batch = dupCorpus(spark, dir).filter($"doc_id" >= 1000000L)
       .select($"doc_id", md5($"text").as("h"))
-    batch.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-      .join(base, Seq("h"), "left_anti")
+    val batchDedup = batch.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    val baseSide = mode match {
+      case "anti" => base
+      case "bloom" =>
+        val bf = graft.functions.BloomMembership.buildBloom(
+          batch.select($"h"), $"h", BloomItems, BloomBits)
+        base.filter(graft.functions.BloomMembership.mightContain(bf, $"h"))
+      case other => throw new IllegalArgumentException(s"dedup_incremental mode: $other")
+    }
+    batchDedup
+      .join(baseSide, Seq("h"), "left_anti")
       .select($"doc_id", $"h")
       .orderBy($"doc_id")
   }

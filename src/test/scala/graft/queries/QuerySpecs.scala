@@ -34,6 +34,25 @@ class TextQueriesSpec extends SparkSpec {
     assert(sizes(0) == 0 && sizes(1) == 0 && sizes(2) == 16)
   }
 
+  test("dedup_incremental: bloom pre-pass prunes the base scan and changes nothing") {
+    val anti = TextQueries.dedupIncrementalWith(spark, sf, "anti")
+      .as[(Long, String)].collect()
+    val bloom = TextQueries.dedupIncrementalWith(spark, sf, "bloom")
+      .as[(Long, String)].collect()
+    assert(anti.nonEmpty && anti.sameElements(bloom),
+      "bloom membership pre-pass must be result-identical to the plain anti-join (no false negatives)")
+    // the pre-pass must actually PRUNE: only base rows colliding with a
+    // batch hash (true hits + bloom fps) may survive the probe filter
+    val base = graft.Tables(spark, sf).documents.select(md5($"text").as("h"))
+    val batch = TextQueries.dupCorpus(spark, sf).filter($"doc_id" >= 1000000L).select(md5($"text").as("h"))
+    val bf = graft.functions.BloomMembership.buildBloom(batch, $"h", 1L << 16, 8L << 16)
+    val survivors = base.filter(graft.functions.BloomMembership.mightContain(bf, $"h")).count()
+    val trueHits = base.join(batch, Seq("h"), "left_semi").count()
+    assert(survivors < base.count() / 2,
+      s"bloom pre-filter kept $survivors of ${base.count()} base rows — no pruning happened")
+    assert(survivors >= trueHits, "bloom dropped a true member (false negative!)")
+  }
+
   test("lang_id predicts a language for every doc, priority-deterministic") {
     val out = TextQueries.langId(spark, sf).select("pred_lang").as[String].collect()
     assert(out.forall(l => Set("en", "de", "es", "fr", "zh", "und").contains(l)))
