@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Injectable versioned-KV source — the explicit seam where a production
   * deployment plugs the REAL table read under the export operators. The
@@ -36,6 +36,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait KvSource {
   def kv(spark: SparkSession, dir: String): DataFrame
   def envelopes(spark: SparkSession, dir: String): DataFrame
+
+  /** [[envelopes]] restricted by a pre-envelope predicate over the
+    * contract's cheap columns (topic / ts_ns / key_byte). The DEFAULT is a
+    * post-hoc DataFrame filter — whether that reaches the store depends
+    * entirely on the connector's Catalyst pushdown, and a source that
+    * COMPUTES its envelope column defeats it. A real connector should
+    * override this and translate the predicate into its scan (the
+    * reference's Scan.setTimeRange / setStartRow), which is the only way
+    * a 100 TB table is range-read rather than fully scanned. */
+  def envelopes(spark: SparkSession, dir: String, kvPred: Column): DataFrame =
+    envelopes(spark, dir).filter(kvPred)
 }
 
 /** Default source: the deterministic parquet-backed KV view. `envelopes`
@@ -46,20 +57,33 @@ final class SyntheticKvSource extends KvSource {
     graft.kv.KvModel.kv(spark, dir)
   override def envelopes(spark: SparkSession, dir: String): DataFrame =
     graft.kv.KvModel.withEnvelope(graft.kv.KvModel.kv(spark, dir))
+  /** Predicate BEFORE the envelope construction: the filter lands on the
+    * raw parquet columns (plan-pinned pushdown — PlanRegressionSpec), the
+    * synthetic stand-in for a connector translating it into its scan. */
+  override def envelopes(spark: SparkSession, dir: String, kvPred: Column): DataFrame =
+    graft.kv.KvModel.withEnvelope(kv(spark, dir).filter(kvPred))
 }
 
 object KvSource {
   val ConfKey = "spark.graft.kvSource"
 
   /** Resolve the configured source (reflective, zero-arg constructor) —
-    * cached per class name; the default synthetic source is a singleton. */
+    * cached per class name; the default synthetic source is a singleton.
+    * Loads via the thread's context classloader first: a production
+    * connector shipped with --jars / spark.jars lives in Spark's
+    * session-isolated classloader, which the defining loader of this
+    * class cannot see; the defining loader stays as the fallback for
+    * bare-classpath runs (tests, tools/run.sh). */
   @volatile private var cached: (String, KvSource) = null
   def resolve(spark: SparkSession): KvSource = {
     val cn = spark.conf.get(ConfKey, classOf[SyntheticKvSource].getName)
     val c = cached
     if (c != null && c._1 == cn) c._2
     else {
-      val src = Class.forName(cn).getDeclaredConstructor().newInstance().asInstanceOf[KvSource]
+      val cls =
+        try Class.forName(cn, true, Thread.currentThread().getContextClassLoader)
+        catch { case _: ClassNotFoundException | _: NullPointerException => Class.forName(cn) }
+      val src = cls.getDeclaredConstructor().newInstance().asInstanceOf[KvSource]
       cached = (cn, src)
       src
     }
@@ -68,13 +92,8 @@ object KvSource {
   def kv(spark: SparkSession, dir: String): DataFrame = resolve(spark).kv(spark, dir)
   def envelopes(spark: SparkSession, dir: String): DataFrame = resolve(spark).envelopes(spark, dir)
 
-  /** [[envelopes]] with a pre-envelope predicate: pushed into the source
-    * scan (key-range / time-range selection happens AT the store, the
-    * reference's Scan.setTimeRange — not after a full read). */
-  def envelopes(spark: SparkSession, dir: String, kvPred: org.apache.spark.sql.Column): DataFrame = {
-    resolve(spark) match {
-      case s: SyntheticKvSource => graft.kv.KvModel.withEnvelope(s.kv(spark, dir).filter(kvPred))
-      case s => s.envelopes(spark, dir).filter(kvPred)
-    }
-  }
+  /** [[KvSource.envelopes(spark,dir,kvPred)]] on the configured source —
+    * see the trait method for the pushdown contract. */
+  def envelopes(spark: SparkSession, dir: String, kvPred: Column): DataFrame =
+    resolve(spark).envelopes(spark, dir, kvPred)
 }

@@ -60,6 +60,13 @@ object TrainShardSink {
         else {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confEntries.foreach { case (k, v) => conf.set(k, v) }
+          // PRIVATE FileSystem instance: the global cache is keyed by
+          // (scheme, authority, ugi) — NOT conf — so mutating checksum
+          // flags on the cached instance would disable .crc sidecars for
+          // every other writer in this JVM for the session's remainder.
+          // Closed in the finally below.
+          val scheme = Option(new java.net.URI(root).getScheme).getOrElse("file")
+          conf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
           val fs = new Path(root).getFileSystem(conf)
           fs.setWriteChecksum(false)
           val attempt = Option(org.apache.spark.TaskContext.get())
@@ -97,6 +104,9 @@ object TrainShardSink {
           } catch { case e: Throwable =>
             try { if (gz != null) gz.close() } catch { case _: Throwable => () }
             throw e
+          } finally {
+            // uncached instances leak connection/thread pools if not closed
+            try fs.close() catch { case _: Throwable => () }
           }
           out.iterator
         }

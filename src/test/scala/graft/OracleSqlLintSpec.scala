@@ -42,11 +42,27 @@ class OracleSqlLintSpec extends AnyFunSuite {
   }
 
   /** The nearest clause keyword before `pos` — a sum under ORDER BY never
-    * reaches the output row, so it is exempt. */
+    * reaches the output row, so it is exempt. Clause keywords only count
+    * at the SAME paren depth as the sum site: an aggregate-internal
+    * `ORDER BY` (string_agg(x ORDER BY y) — one level deeper) must not
+    * exempt a later output-reachable sum in the same SELECT list, and a
+    * subquery's clauses must not leak into the outer query's scan. */
   private def inOrderBy(sql: String, pos: Int): Boolean = {
-    val upper = sql.substring(0, pos).toUpperCase
-    val lastSelect = upper.lastIndexOf("SELECT")
-    val lastOrder = upper.lastIndexOf("ORDER BY")
+    val depth = new Array[Int](sql.length + 1)
+    var d = 0
+    var k = 0
+    while (k < sql.length) {
+      depth(k) = d
+      val ch = sql.charAt(k)
+      if (ch == '(') d += 1 else if (ch == ')') d -= 1
+      k += 1
+    }
+    val target = depth(pos)
+    def lastAt(re: scala.util.matching.Regex): Int =
+      re.findAllMatchIn(sql).map(_.start).filter(i => i < pos && depth(i) == target)
+        .foldLeft(-1)(math.max)
+    val lastSelect = lastAt("(?i)(?<![a-z0-9_])SELECT(?![a-z0-9_])".r)
+    val lastOrder = lastAt("(?i)(?<![a-z0-9_])ORDER\\s+BY(?![a-z0-9_])".r)
     lastOrder > lastSelect
   }
 

@@ -62,8 +62,19 @@ def main(sfdir, outdir):
             return t
         tmap_o = dict(zip(ocols, otypes))
         tmap_s = dict(zip(scols, stypes))
-        tbad = [(c, tmap_s[c], tmap_o[c]) for c in sorted(ocols)
-                if tclass(tmap_s[c]) != tclass(tmap_o[c])]
+        def drift(c):
+            st, ot = tmap_s[c], tmap_o[c]
+            # Spark never writes int128: an oracle HUGEINT always degrades
+            # to float64 in the driver's pandas hash, even if the Python
+            # row compare here would pass (Decimal(42) == 42)
+            if ot in ("HUGEINT", "UHUGEINT") or st in ("HUGEINT", "UHUGEINT"):
+                return True
+            # DECIMALs must match EXACTLY: a scale drift (or DECIMAL vs
+            # HUGEINT) changes the value repr the driver hashes
+            if tclass(st) == "exact128" or tclass(ot) == "exact128":
+                return st != ot
+            return tclass(st) != tclass(ot)
+        tbad = [(c, tmap_s[c], tmap_o[c]) for c in sorted(ocols) if drift(c)]
         if tbad:
             print(f"FAIL {name}: column TYPE drift (col, spark, oracle): {tbad}"); n_fail += 1; continue
         # reorder columns by sorted name, then sort rows
