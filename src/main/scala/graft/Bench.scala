@@ -11,14 +11,26 @@ object Bench {
     // Contention defense (r6 lesson: two of three iterations landing in a
     // contended window put a 4.5× phantom regression in the official
     // artifact — dedup_minhash med 6.44s vs min 1.84s, max 22.26s):
-    //  1. ADAPTIVE RE-RUN — a query whose max/min exceeds SPREAD_TRIGGER
+    //  1. INTERLEAVED PASSES (opt-in: SPARK_GRAFT_BENCH_INTERLEAVE=1) —
+    //     iteration k of every query runs in pass k (full sweeps over the
+    //     query list) instead of back-to-back, so a query's samples are
+    //     minutes apart: a contended window can touch at most ONE of them,
+    //     and slow JVM-age drift spreads across all queries instead of
+    //     concentrating on whichever sit late in map order. Not the
+    //     default because denying back-to-back cache/JIT reuse inflates
+    //     every number ~30% (measured 109→143s total) and breaks
+    //     round-over-round comparability; the default defense against
+    //     late-run degradation is at the SOURCE instead (each streaming
+    //     replay unloads its state-store providers — StateStoreBridge —
+    //     and iterations GC outside the timed window).
+    //  2. ADAPTIVE RE-RUN — a query whose max/min exceeds SPREAD_TRIGGER
     //     gets extra iterations (up to maxIters total), so a contended
     //     window cannot own the majority of the sample.
-    //  2. TRIMMED MEDIAN — iterations slower than OUTLIER_X × the query's
+    //  3. TRIMMED MEDIAN — iterations slower than OUTLIER_X × the query's
     //     own min are marked contended and excluded from the reported
     //     median (contention only ever INFLATES; the min is the most
     //     contamination-robust statistic available).
-    //  3. PER-ITERATION TIMESTAMPS — every iteration's start offset (sec
+    //  4. PER-ITERATION TIMESTAMPS — every iteration's start offset (sec
     //     from bench start) and duration ship in the artifact, so a
     //     machine-wide contended window is visible as a time-correlated
     //     band across queries rather than inferred post hoc.
@@ -85,17 +97,35 @@ object Bench {
         catch { case _: Throwable => None }
       CacheRegistry.releaseAll(spark) // caches must not carry across iterations
       resetConfs(name)                // nor conf drift (see baselineConf)
+      // NO System.gc() here: an explicit full GC between iterations was
+      // measured to INFLATE the total 109→125s — it clears the JVM's
+      // soft-referenced caches (codegen classes, file footers) that
+      // back-to-back steady-state numbers legitimately reuse.
       t
     }
-    val stats = selected.map { case (name, fn) =>
-      var runs = (1 to iters).flatMap(_ => runOnce(fn, name)).toVector
-      // adaptive re-run: spread beyond trigger → the sample is suspect;
-      // widen it until the trimmed median rests on a majority of clean runs
+    // defense #1 (opt-in): pass k runs iteration k of EVERY query before
+    // any query sees iteration k+1; default = back-to-back iterations
+    // (steady-state numbers, comparable across rounds)
+    val interleave = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
+    val order = selected.toSeq
+    val acc = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]](
+      order.map { case (n, _) => n -> Vector.empty[(Double, Double)] }: _*)
+    if (interleave)
+      for (_ <- 1 to iters; (name, fn) <- order)
+        acc(name) = acc(name) ++ runOnce(fn, name)
+    else
+      for ((name, fn) <- order; _ <- 1 to iters)
+        acc(name) = acc(name) ++ runOnce(fn, name)
+    // adaptive re-run (defense #2): spread beyond trigger → the sample is
+    // suspect; widen it until the trimmed median rests on a clean majority
+    for ((name, fn) <- order) {
+      var runs = acc(name)
       while (runs.nonEmpty && runs.size < maxIters && {
         val ds = runs.map(_._2); ds.max / ds.min > SPREAD_TRIGGER
       }) runs ++= runOnce(fn, name)
-      name -> runs
+      acc(name) = runs
     }
+    val stats = acc
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
       else if (xs.size % 2 == 1) xs.sorted.apply(xs.size / 2)

@@ -168,6 +168,7 @@ object StatefulSessionize {
         .collect()
     } finally {
       if (q != null) q.stop() // a failed replay must not leak the query + state
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
       spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {
@@ -248,6 +249,7 @@ object StatefulSessionize {
         .collect()
     } finally {
       if (q != null) q.stop()
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
       spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {

@@ -64,6 +64,7 @@ object StreamDedup {
         .orderBy(col("text_hash")).collect()
     } finally {
       if (q != null) q.stop() // a failed replay must not leak the query + state
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
       spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
@@ -156,6 +157,7 @@ object StreamDedup {
         .orderBy(col("text_hash")).collect()
     } finally {
       if (q != null) q.stop()
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
       spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {

@@ -47,6 +47,7 @@ object StreamExport {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // session-window state providers (see bridge scaladoc)
     spark.table(name).orderBy(col("topic"), col("window_start_ms"))
   }
 
@@ -74,6 +75,7 @@ object StreamExport {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     written.get()
   }
 

@@ -104,6 +104,7 @@ object StreamJoin {
         .orderBy(col("click_id"), col("purchase_id")).collect()
     } finally {
       if (q != null) q.stop()
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
       spark.catalog.dropTempView(name)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
