@@ -483,6 +483,71 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- №70 url_dedup
+  /** URL canonicalization + dedup — the crawl pipeline's STEP ZERO, before
+    * fetch/extract (RefinedWeb §3.1 dedups by normalized URL before any
+    * content processing): lowercase scheme+host, strip default ports and a
+    * `www.` prefix, drop the fragment, remove tracking params
+    * (utm_* / fbclid / gclid), SORT the surviving query params, strip
+    * trailing slashes — then exact-dedup on the canonical form. The
+    * corpus has no URL column, so each doc derives one of four surface
+    * variants of a shared canonical target (mixed-case host, explicit
+    * :443, tracking params, param order, fragment), constructed
+    * IDENTICALLY in both engines; canonicalization must collapse each
+    * 4-variant group to one row.
+    *
+    * Scale shape: pure per-row regex/array projection, then ONE hash agg
+    * on the canonical string (uniform key; the same md5-groupBy shape as
+    * dedup_exact) — no join, no window. All patterns RE2-safe, run
+    * verbatim in the oracle. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('https://www.example.com/articles/item', CAST(doc_id DIV 4 AS STRING), '?a=1&b=2')
+          |  WHEN 1 THEN concat('https://WWW.Example.COM:443/articles/item', CAST(doc_id DIV 4 AS STRING), '/?b=2&a=1')
+          |  WHEN 2 THEN concat('https://example.com/articles/item', CAST(doc_id DIV 4 AS STRING), '?utm_source=rss&b=2&utm_campaign=fall&a=1')
+          |  ELSE concat('https://www.example.com:443/articles/item', CAST(doc_id DIV 4 AS STRING), '?b=2&a=1#section-2')
+          |END""".stripMargin).as("url"))
+      .withColumn("scheme", lower(regexp_extract($"url", "^([a-zA-Z]+)://", 1)))
+      .withColumn("host", regexp_replace(regexp_replace(
+        lower(regexp_extract($"url", "^[a-zA-Z]+://([^/?#]+)", 1)),
+        ":(443|80)$", ""), "^www\\.", ""))
+      .withColumn("path", regexp_replace(
+        regexp_extract($"url", "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/+$", ""))
+      .withColumn("params", expr(
+        "array_join(array_sort(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p != '' AND NOT p rlike '^(utm_|fbclid|gclid)')), '&')"))
+      .select($"doc_id", concat($"scheme", lit("://"), $"host", $"path",
+        when($"params" =!= "", concat(lit("?"), $"params")).otherwise(lit(""))).as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+      .orderBy($"canonical_url")
+  }
+
+  val urlDedupSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'https://www.example.com/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+       |      WHEN 1 THEN 'https://WWW.Example.COM:443/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1'
+       |      WHEN 2 THEN 'https://example.com/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=rss&b=2&utm_campaign=fall&a=1'
+       |      ELSE 'https://www.example.com:443/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section-2'
+       |    END AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$$', ''), '^www\\.', '') AS host,
+       |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path,
+       |    array_to_string(list_sort(list_filter(str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&') AS params
+       |  FROM u)
+       |SELECT scheme || '://' || host || path ||
+       |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url,
+       |  min(doc_id) AS keeper, count(*) AS n_variants
+       |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
   val htmlExtractSql: String =
     s"""WITH h AS (
        |  SELECT doc_id,

@@ -138,6 +138,25 @@ class CurationSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("url_dedup: every 4-variant surface group collapses to one canonical row") {
+    val rows = CurationQueries.urlDedup(spark, sf).collect()
+    // 500 docs / 4 variants per canonical target
+    assert(rows.length == 125, s"${rows.length} groups")
+    rows.foreach { r =>
+      val url = r.getString(0)
+      // canonical form: lowercase bare host, no port, no fragment, no
+      // tracking params, params sorted, no trailing slash
+      assert(url.startsWith("https://example.com/articles/item"), url)
+      assert(url.endsWith("?a=1&b=2"), s"params not sorted/cleaned: $url")
+      assert(!url.contains("utm_") && !url.contains("#") && !url.contains(":443"), url)
+      assert(r.getLong(2) == 4L, s"group size ${r.getLong(2)} for $url")
+      // keeper = minimum doc id = the %4==0 member of the group
+      assert(r.getLong(1) % 4 == 0, s"keeper ${r.getLong(1)} not the v0 variant")
+      val item = url.stripPrefix("https://example.com/articles/item").takeWhile(_.isDigit).toLong
+      assert(r.getLong(1) == item * 4, s"keeper ${r.getLong(1)} != ${item * 4}")
+    }
+  }
+
   test("html_extract recovers exactly the whitespace-normalized article body") {
     import spark.implicits._
     val out = CurationQueries.htmlExtract(spark, sf)
