@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search + embedding-dedup operators (SURVEY §2 №25-27).
@@ -580,4 +580,112 @@ object VectorQueries {
        |  FROM cells JOIN probes p USING (cell))
        |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №71 embedding_quantize
+  /** Int8 scalar quantization for the vector corpus — the 4× memory /
+    * bandwidth lever a 100 TB embedding store actually pulls (float32 →
+    * int8 per dimension, one float scale per vector), with the retrieval
+    * cost MEASURED instead of asserted: per query, top-[[K]] under
+    * int8-cosine is graded against the float top-[[K]] (agreement@K), and
+    * the worst score distortion over the float top-K pairs is reported.
+    *
+    * Quantization is exact-arithmetic cross-engine: scale = max|x|/127
+    * (max is order-independent), q = round(x/scale + 1e-9) — both engines
+    * round half-away-from-zero and the 1e-9 nudge resolves exact halves
+    * identically (the §5 rounding rule); int dot products are exact
+    * BIGINTs, so the quantized cosine is bit-identical in both engines.
+    *
+    * Scale shape: quantization is one narrow projection (persisted
+    * BARRIER between the scale aggregation and the per-element lambda —
+    * CollapseProject would otherwise inline the array_max once per
+    * element, §9); search is the knn_brute shape (queries broadcast,
+    * corpus scanned once, bounded-heap top-k). At 100 TB the quantized
+    * corpus is what sits in memory/cache; this operator is the measured
+    * go/no-go for that swap. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    // barrier: scale must not be inlined into the per-element lambda
+    val scaled = graft.CacheRegistry.track(v.select(col("vec_id"), col("emb"),
+      greatest(expr("array_max(transform(emb, x -> abs(CAST(x AS DOUBLE))))") / 127.0, lit(1e-12)).as("scale"))
+      .persist())
+    val qv = graft.CacheRegistry.track(scaled.select(col("vec_id"), col("emb"),
+      expr("transform(emb, x -> CAST(round(CAST(x AS DOUBLE) / scale + 0.000000001, 0) AS INT))").as("qemb"))
+      .persist())
+    def qcos(a: String, b: String): Column = {
+      def dot(x: String, y: String) =
+        s"CAST(aggregate(zip_with($x, $y, (p, q) -> CAST(p AS BIGINT) * q), 0L, (acc, e) -> acc + e) AS DOUBLE)"
+      expr(s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) + 0.000000001, 6)")
+    }
+    val queries = qv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"))
+    val corpus = qv.filter(col("vec_id") >= NQueries)
+    val scoredQ = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), qcos("qemb", "q_qemb").as("qcos"))
+    val topQ = topKRanked(scoredQ, "q_id", "qcos", "vec_id", K)
+      .select(col("q_id"), col("vec_id"))
+    // float ground truth: the knn_brute operator verbatim
+    val topF = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id"), col("cos")).persist())
+    val hits = topF.join(topQ, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    // score distortion over the float top-K pairs: |cos_int8 − cos_float|
+    val qerr = topF
+      .join(qv.select(col("vec_id").as("q_id"), col("qemb").as("q_qemb")), "q_id")
+      .join(qv.select(col("vec_id"), col("qemb")), "vec_id")
+      .select(col("q_id"), (qcos("qemb", "q_qemb") - col("cos")).as("err"))
+      .groupBy(col("q_id")).agg(round(max(abs(col("err"))) + lit(1e-9), 6).as("max_qerr"))
+    topF.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .join(qerr, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / K + 1e-9, 6).as("agreement"),
+        col("max_qerr"))
+      .orderBy(col("q_id"))
+  }
+
+  val embeddingQuantizeSql: String = {
+    def qdot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS BIGINT) * $b[i])) AS DOUBLE)"
+    def qcos(a: String, b: String): String =
+      s"round(${qdot(a, b)} / (sqrt(${qdot(a, a)}) * sqrt(${qdot(b, b)})) + 0.000000001, 6)"
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, emb,
+       |    greatest(list_max(list_transform(emb, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+       |  FROM v),
+       |qv AS (
+       |  SELECT vec_id, emb,
+       |    list_transform(emb, x -> CAST(round(CAST(x AS DOUBLE) / scale + 0.000000001, 0) AS INT)) AS qemb
+       |  FROM sc),
+       |q AS (SELECT vec_id AS q_id, qemb AS q_qemb FROM qv WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, qemb FROM qv WHERE vec_id >= $NQueries),
+       |rankedq AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${qcos("qemb", "q_qemb")} DESC, vec_id) AS rank
+       |  FROM c, q),
+       |topq AS (SELECT q_id, vec_id FROM rankedq WHERE rank <= $K),
+       |fq AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |fc AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |rankedf AS (
+       |  SELECT q_id, vec_id, ${cos6Sql("emb", "q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${cos6Sql("emb", "q_emb")} DESC, vec_id) AS rank
+       |  FROM fc, fq),
+       |topf AS (SELECT q_id, vec_id, cos FROM rankedf WHERE rank <= $K),
+       |hits AS (
+       |  SELECT f.q_id, count(*) AS n_hits
+       |  FROM topf f JOIN topq USING (q_id, vec_id) GROUP BY f.q_id),
+       |qerr AS (
+       |  SELECT f.q_id, round(max(abs(${qcos("cv.qemb", "qq.q_qemb")} - f.cos)) + 0.000000001, 6) AS max_qerr
+       |  FROM topf f
+       |  JOIN q qq ON qq.q_id = f.q_id
+       |  JOIN (SELECT vec_id, qemb FROM qv) cv ON cv.vec_id = f.vec_id
+       |  GROUP BY f.q_id)
+       |SELECT b.q_id, coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $K + 0.000000001, 6) AS agreement,
+       |  e.max_qerr
+       |FROM (SELECT DISTINCT q_id FROM topf) b
+       |LEFT JOIN hits h USING (q_id)
+       |LEFT JOIN qerr e USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
 }

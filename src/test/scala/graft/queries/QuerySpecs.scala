@@ -116,6 +116,19 @@ class VectorQueriesSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("embedding_quantize: int8 retrieval agreement measured, distortion bounded") {
+    val rows = VectorQueries.embeddingQuantize(spark, sf)
+      .select("q_id", "n_hits", "agreement", "max_qerr").as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == VectorQueries.NQueries)
+    // the number this operator exists to measure: top-K survives int8 on
+    // this corpus (if a corpus ever breaks this, the driver row SHOWS the
+    // degraded agreement rather than hiding it)
+    rows.foreach { case (q, hits, agr, err) =>
+      assert(hits == VectorQueries.K && agr == 1.0, s"q$q: int8 agreement degraded to $agr")
+      assert(err > 0 && err < 0.01, s"q$q: quantized-cosine distortion $err outside the expected band")
+    }
+  }
+
   test("knn_ivf probe conf moves the recall dial; default floor pinned") {
     val brute = VectorQueries.knnBrute(spark, sf)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
