@@ -581,6 +581,50 @@ object VectorQueries {
        |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- №72 knn_graph_indexed
+  /** PERSISTED IVF index — build once, query many: the cell assignment
+    * ([[cellsOf]]) is written as a bucketed+sorted table on the cell id
+    * ([[graft.sources.Bucketing]] layout), so every subsequent search
+    * workload joins probes against the index with NO exchange and no sort
+    * on the index side — only the (workload-sized) probe side shuffles to
+    * the bucket partitioning. This is the economics of ANN at 100 TB: the
+    * corpus-wide assignment pass is paid once, and each of the many query
+    * workloads that follow (per-experiment graph builds, dedup sweeps,
+    * retrieval evals) re-reads the co-located layout instead of
+    * re-shuffling a 100 TB cells frame per run (knn_graph's shape pays
+    * that co-partitioning shuffle on BOTH sides every time).
+    *
+    * Same search semantics as [[knnGraph]], same oracle — the layout
+    * changes the PLAN (pinned exchange-free on the index side in
+    * PlanRegressionSpec), never the answer. */
+  def knnGraphIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val centroids = refinedCentroids(spark, v)
+    // BUILD (once per corpus version): assignment written bucketed on cell
+    val index = graft.sources.Bucketing.writeBucketedBy(
+      cellsOf(v, centroids).select(col("vec_id"), col("emb"), col("cell")),
+      "graft_ivf_cells", "cell")
+    // QUERY: the workload's probes; MERGE pins the co-located join (at
+    // proof scale AQE would broadcast and never exercise the layout — at
+    // 100 TB the index side is never broadcastable)
+    val probes = v.join(broadcast(centroids))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("c_id"),
+        cosine6(col("emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val scored = index.hint("MERGE").join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+    topKRanked(scored, "q_id", "cos", "vec_id", GraphK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("neighbor"), col("cos"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** The index is an ACCESS PATH, not a semantic: same oracle as knn_graph. */
+  val knnGraphIndexedSql: String = knnGraphSql
+
   // ---------------------------------------------------------------- №71 embedding_quantize
   /** Int8 scalar quantization for the vector corpus — the 4× memory /
     * bandwidth lever a 100 TB embedding store actually pulls (float32 →

@@ -25,11 +25,13 @@ object Bucketing {
     * (buckets are the unit of join parallelism for bucketed reads). */
   val NumBuckets = 8
 
-  /** Idempotent bucketed materialization of (docs, features) as EXTERNAL
-    * tables under the JVM tmpdir; re-runs overwrite (bench runs the query
-    * 3×), and a stale location from a previous JVM is removed first —
-    * `overwrite` alone refuses to claim an existing unregistered path. */
-  private def writeBucketed(df: DataFrame, table: String): DataFrame = {
+  /** Idempotent bucketed materialization as an EXTERNAL table under the
+    * JVM tmpdir; re-runs overwrite (bench runs a query 3×), and a stale
+    * location from a previous JVM is removed first — `overwrite` alone
+    * refuses to claim an existing unregistered path. Shared by the
+    * doc-warehouse layout here and the persisted IVF index
+    * ([[graft.queries.VectorQueries.knnGraphIndexed]]). */
+  private[graft] def writeBucketedBy(df: DataFrame, table: String, key: String): DataFrame = {
     val spark = df.sparkSession
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_bucketed", table)
@@ -40,11 +42,14 @@ object Bucketing {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     df.write.mode("overwrite")
-      .bucketBy(NumBuckets, "doc_id").sortBy("doc_id")
+      .bucketBy(NumBuckets, key).sortBy(key)
       .option("path", path.toString)
       .saveAsTable(table)
     spark.table(table)
   }
+
+  private def writeBucketed(df: DataFrame, table: String): DataFrame =
+    writeBucketedBy(df, table, "doc_id")
 
   private def materialize(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = writeBucketed(Tables(spark, dir).documents

@@ -295,6 +295,30 @@ class PlanRegressionSpec extends SparkSpec {
     assert(plan.toString.contains("Bucketed: true"), s"scan did not use the bucket layout:\n$plan")
   }
 
+  test("knn_graph_indexed: index side reads the bucket layout with no exchange") {
+    val df = VectorQueries.knnGraphIndexed(spark, sf)
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // the persisted index must flow into the probe join straight from its
+    // bucketed scan: the join child holding the index scan must contain NO
+    // shuffle (exchanges above the join — top-k, presentation sort — are
+    // downstream of the layout and expected)
+    val joinIndexSides = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.children.filter(_.toString.contains("graft_ivf_cells"))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.children.filter(_.toString.contains("graft_ivf_cells"))
+    }.flatten
+    assert(joinIndexSides.nonEmpty, s"no join over the index scan found:\n$plan")
+    joinIndexSides.foreach { side =>
+      val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"index side re-shuffled:\n$plan")
+    }
+    assert(plan.toString.contains("Bucketed: true"),
+      s"index scan did not use the bucket layout:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin") || plan.toString.contains("ShuffledHashJoin"),
+      s"expected the co-located join path:\n$plan")
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,
