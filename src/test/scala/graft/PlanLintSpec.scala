@@ -13,7 +13,8 @@ class PlanLintSpec extends SparkSpec {
   private val intendedCrossJoins = Set("knn_brute", "knn_ivf", "knn_graph", "knn_recall",
     "jsonl_snapshot", "semantic_dedup", "domain_mix",
     "mix_sample", // domain_mix's single-row totals feed its rate frame
-    "dedup_recall") // single-row count totals cross-joined
+    "dedup_recall", // single-row count totals cross-joined
+    "embedding_quantize") // the knn_brute broadcast-scan shape over quantized vectors
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
@@ -21,7 +22,10 @@ class PlanLintSpec extends SparkSpec {
       "dedup_pipeline", // runs the clusterLabels convergence loop on build
       "pretrain_pipeline", // same clusterLabels stage
       "stream_join", "stream_session_builtin", // streaming replays
-      "bucketed_join") // writes the bucketed tables on build
+      "stream_dedup_files", // file-backed replay runs on build
+      "dedup_incremental_bloom", // bloom sketch aggregation collects on build
+      "bucketed_join", // writes the bucketed tables on build
+      "knn_graph_indexed") // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
