@@ -545,6 +545,112 @@ object MultimodalQueries {
        |    CASE WHEN i % 4 = 0 THEN (7*doc_id + 13*i) % 65536 - 32768 ELSE 0 END)) AS BIGINT) AS sum_strided
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- lossy codec path (μ-law)
+  final case class UlawRow(doc_id: Long, n_samples: Int, ulaw: Array[Byte])
+  final case class UlawDecoded(doc_id: Long, n_samples: Int, sample_rate: Int,
+                               sum_decoded: Long, max_abs_err: Int)
+
+  /** Deterministic 16-bit sample for the μ-law path, domain ±32500 — the
+    * JDK codec and closed-form G.711 agree EXACTLY everywhere except the
+    * clip zones |s| > 32635 (the JDK wraps its segment table instead of
+    * clipping; UlawSpec proves bit-equality over the entire used domain),
+    * so the sample generator simply never enters them. */
+  private def usample(d: Long, i: Int): Int = (((7 * d + 13 * i) % 65000) - 32500).toInt
+
+  /** Synthetic real-LOSSY audio #2: PCM16 through the JDK's actual G.711
+    * μ-law codec (8-bit companded — a genuinely lossy format the JDK can
+    * both encode and decode). Unlike JPEG, μ-law loss is DETERMINISTIC
+    * (pure companding quantization), so the oracle verifies the decoded
+    * samples EXACTLY via integer G.711 arithmetic — the second lossy
+    * verification strategy: deterministic-lossy → exact closed form;
+    * nondeterministic-lossy (JPEG) → tolerance-banded verdicts. */
+  private def ulawFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (lit(64) + col("doc_id") % 128).cast("int").as("n_samples"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        val srcFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, WavRate, 16, 1, 2, WavRate, false)
+        val ulawFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW, WavRate, 8, 1, 1, WavRate, false)
+        rows.map { case (d, n) =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = usample(d, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val enc = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt,
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong))
+          UlawRow(d, n, enc.readAllBytes())
+        }
+      }
+  }
+
+  /** №32's second lossy leg: μ-law decode through the real codec, features
+    * over the DECODED (quantized) samples — exact-hash verified because
+    * companding loss is deterministic. max_abs_err is the measured
+    * quantization error the format trades for 2× compression (grows with
+    * segment: ~1 near zero, ~1024 near full scale). */
+  def multimodalUlaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ulawFrame(spark, dir).mapPartitions { rows =>
+      val srcFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, WavRate, 16, 1, 2, WavRate, false)
+      val ulawFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW, WavRate, 8, 1, 1, WavRate, false)
+      rows.map { r =>
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(srcFmt,
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(r.ulaw), ulawFmt, r.n_samples.toLong))
+        val pcm = dec.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L
+        var maxErr = 0
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+          sum += s
+          val e = math.abs(s - usample(r.doc_id, i))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        UlawDecoded(r.doc_id, n, WavRate.toInt, sum, maxErr)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Closed-form G.711 mirror: per sample, encode (sign/clip/bias 132,
+    * segment ladder, mantissa) then decode (((mant·8)+132)·2^e − 132) in
+    * EXACT integer arithmetic — bit-equal to the JDK codec over the
+    * sample domain (UlawSpec proves it exhaustively). The CASE ladder
+    * avoids floating log2 at segment boundaries. */
+  val multimodalUlawSql: String = {
+    val s = s"((7*doc_id + 13*i) % 65000) - 32500"
+    val m = s"(least(abs(sv), 32635) + 132)"
+    val dv = s"""CASE WHEN $m < 256 THEN 8 WHEN $m < 512 THEN 16 WHEN $m < 1024 THEN 32
+                 WHEN $m < 2048 THEN 64 WHEN $m < 4096 THEN 128 WHEN $m < 8192 THEN 256
+                 WHEN $m < 16384 THEN 512 ELSE 1024 END"""
+    val mag = s"(((($m // $dv) % 16) * 8 + 132) * ($dv // 8) - 132)"
+    val decoded = s"(CASE WHEN sv < 0 THEN -$mag ELSE $mag END)"
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(64 + doc_id % 128 AS INT) AS n_samples FROM documents),
+       |d AS (
+       |  SELECT doc_id, n_samples,
+       |    list_transform(list_transform(range(0, n_samples), i -> $s), sv -> $decoded) AS dec,
+       |    list_transform(range(0, n_samples), i -> $s) AS orig
+       |  FROM m)
+       |SELECT doc_id, n_samples, ${WavRate.toInt} AS sample_rate,
+       |  CAST(list_sum(dec) AS BIGINT) AS sum_decoded,
+       |  CAST(list_max(list_transform(range(1, n_samples + 1), j -> abs(dec[j] - orig[j]))) AS INT) AS max_abs_err
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   private def mediaFrame(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables(spark, dir).documents.select(

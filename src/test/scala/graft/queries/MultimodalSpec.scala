@@ -93,6 +93,40 @@ class MultimodalSpec extends SparkSpec {
       "crop-for-resize must flip every variance verdict")
   }
 
+  test("multimodal_ulaw: JDK codec round trip is bit-equal to closed-form G.711 over the whole sample domain") {
+    import javax.sound.sampled._
+    // exhaustive: every 16-bit value the generator can produce (±32500)
+    val lo = -32500; val hi = 32500
+    val n = hi - lo + 1
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) { val s = lo + i; pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+    val srcFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val enc = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong)).readAllBytes()
+    val dec = AudioSystem.getAudioInputStream(srcFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(enc), ulawFmt, n.toLong)).readAllBytes()
+    // the oracle's integer G.711 (same ladder as multimodalUlawSql)
+    def g711(s: Int): Int = {
+      val m = math.min(math.abs(s), 32635) + 132
+      val div = if (m < 256) 8 else if (m < 512) 16 else if (m < 1024) 32 else if (m < 2048) 64
+        else if (m < 4096) 128 else if (m < 8192) 256 else if (m < 16384) 512 else 1024
+      val mag = ((m / div) % 16) * 8 * (div / 8) + 132 * (div / 8) - 132
+      if (s < 0) -mag else mag
+    }
+    var i = 0
+    while (i < n) {
+      val s = lo + i
+      val jd = ((dec(2 * i + 1) << 8) | (dec(2 * i) & 0xff)).toShort.toInt
+      assert(jd == g711(s), s"s=$s: JDK decoded $jd != closed-form ${g711(s)}")
+      i += 1
+    }
+    // and the quantization error behaves like mu-law: tiny near zero,
+    // segment-sized near full scale
+    assert(math.abs(g711(10) - 10) <= 4, "near-zero error not tight")
+    assert(math.abs(g711(32000) - 32000) <= 1024, "full-scale error outside the top segment width")
+  }
+
   test("multimodal_decode: blob column carries genuine PNG bytes (magic + codec parse)") {
     import spark.implicits._
     // pngFrame is private — drive one doc through the public query and
