@@ -358,8 +358,19 @@ object CurationQueries {
     * no 2-grams and are excluded in both engines (the corpus has none). */
   def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    gopherVerdictFrom(Tables(spark, dir).documents).orderBy($"doc_id")
+  }
+
+  /** The Gopher verdict over ANY (doc_id, text) frame — the SHARED
+    * fragment [[gopherFilter]] and [[crawlPipeline]] both consume, so the
+    * composed pipeline cannot drift from the standalone gate. Docs with
+    * fewer than 2 tokens drop here (no 2-grams); compositional callers
+    * LEFT-join and coalesce to (keep=false, 'word_count'). Unordered. */
+  private[queries] def gopherVerdictFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val stops = TextQueries.stopwords
-    val grams = Tables(spark, dir).documents
+    val grams = docs
       .withColumn("ws", words($"text"))
       .withColumn("n_tok", size($"ws"))
       .withColumn("n_uniq", size(array_distinct($"ws")))
@@ -391,25 +402,28 @@ object CurationQueries {
       when(!$"r_wc", "word_count").when(!$"r_mwl", "mean_word_length")
         .when(!$"r_stop", "stopwords").when(!$"r_dup", "dup_words")
         .when(!$"r_top2", "top_2gram").otherwise("kept").as("reason"))
-      .orderBy($"doc_id")
   }
 
-  val gopherFilterSql: String = {
+  /** Gopher verdict CTE chain over `src(doc_id, <textCol>)` with prefix
+    * `p` — the SQL twin of [[gopherVerdictFrom]], shared by
+    * [[gopherFilterSql]] and [[crawlPipelineSql]]. Final relation `${p}f`
+    * (docs with <2 tokens drop, as in the Spark fragment). */
+  private def gopherCtesSql(src: String, textCol: String, p: String): String = {
     val stops = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
-       |t AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
+    s"""${p}d AS (SELECT doc_id, ${wordsSql(textCol)} AS ws FROM $src),
+       |${p}t AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_wlen,
        |  len(list_filter(list_distinct(ws), w -> w IN ($stops))) AS n_stop,
        |  unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
-       |  FROM d WHERE len(ws) >= 2),
-       |c AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop, gram, count(*) AS cnt
-       |      FROM t GROUP BY 1, 2, 3, 4, 5, 6),
-       |r AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop,
+       |  FROM ${p}d WHERE len(ws) >= 2),
+       |${p}c AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop, gram, count(*) AS cnt
+       |      FROM ${p}t GROUP BY 1, 2, 3, 4, 5, 6),
+       |${p}r AS (SELECT doc_id, n_tok, n_uniq, sum_wlen, n_stop,
        |        CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_2grams,
        |        cnt AS top_cnt,
        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
-       |      FROM c),
-       |f AS (SELECT doc_id, n_tok,
+       |      FROM ${p}c),
+       |${p}f AS (SELECT doc_id, n_tok,
        |        CAST(sum_wlen AS DOUBLE)/n_tok AS mwl, n_stop,
        |        1.0 - CAST(n_uniq AS DOUBLE)/n_tok AS dupr,
        |        CAST(top_cnt AS DOUBLE)/n_2grams AS top2,
@@ -418,20 +432,27 @@ object CurationQueries {
        |        n_stop >= $GfMinStops AS r_stop,
        |        1.0 - CAST(n_uniq AS DOUBLE)/n_tok <= $GfMaxDupWord AS r_dup,
        |        CAST(top_cnt AS DOUBLE)/n_2grams <= $GfMaxTop2 AS r_top2
-       |      FROM r WHERE rn = 1)
+       |      FROM ${p}r WHERE rn = 1)""".stripMargin
+  }
+
+  /** The verdict + first-failure-reason projection over `${p}f`. */
+  private def gopherVerdictCols(p: String): String =
+    s"""${p}f.r_wc AND ${p}f.r_mwl AND ${p}f.r_stop AND ${p}f.r_dup AND ${p}f.r_top2 AS keep,
+       |  CASE WHEN NOT ${p}f.r_wc THEN 'word_count'
+       |       WHEN NOT ${p}f.r_mwl THEN 'mean_word_length'
+       |       WHEN NOT ${p}f.r_stop THEN 'stopwords'
+       |       WHEN NOT ${p}f.r_dup THEN 'dup_words'
+       |       WHEN NOT ${p}f.r_top2 THEN 'top_2gram'
+       |       ELSE 'kept' END AS reason""".stripMargin
+
+  val gopherFilterSql: String =
+    s"""WITH ${gopherCtesSql("documents", "text", "g")}
        |SELECT doc_id, n_tok,
        |  round(mwl + 0.000000001, 6) AS mean_wlen, n_stop,
        |  round(dupr + 0.000000001, 6) AS dup_word_ratio,
        |  round(top2 + 0.000000001, 6) AS top2_ratio,
-       |  r_wc AND r_mwl AND r_stop AND r_dup AND r_top2 AS keep,
-       |  CASE WHEN NOT r_wc THEN 'word_count'
-       |       WHEN NOT r_mwl THEN 'mean_word_length'
-       |       WHEN NOT r_stop THEN 'stopwords'
-       |       WHEN NOT r_dup THEN 'dup_words'
-       |       WHEN NOT r_top2 THEN 'top_2gram'
-       |       ELSE 'kept' END AS reason
-       |FROM f ORDER BY doc_id""".stripMargin
-  }
+       |  ${gopherVerdictCols("g").replace("gf.", "")}
+       |FROM gf ORDER BY doc_id""".stripMargin
 
   val docRepetitionSql: String =
     s"""WITH d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
@@ -465,22 +486,32 @@ object CurationQueries {
     * block matches, no lookbehind) so the oracle runs them verbatim. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val page = concat(
-      lit("<html><head><title>Doc "), $"doc_id",
-      lit("</title><script>var x=1;</script></head><body><nav>home | about | contact</nav><aside>BUY NOW - LIMITED OFFER</aside><p>"),
-      $"text",
-      lit("</p><footer>copyright 2020 example corp</footer></body></html>"))
-    Tables(spark, dir).documents
-      .select($"doc_id", page.as("html"))
-      .withColumn("noblocks", regexp_replace($"html",
-        "<(script|nav|aside|footer|title)>.*?</(script|nav|aside|footer|title)>", ""))
-      .withColumn("notags", regexp_replace($"noblocks", "<[^>]*>", ""))
-      .withColumn("extracted", trim(regexp_replace($"notags", "\\s+", " ")))
+    htmlExtractFrom(Tables(spark, dir).documents)
       .select($"doc_id",
         length($"html").as("raw_len"),
         length($"extracted").as("extract_len"),
         md5($"extracted").as("extract_md5"))
       .orderBy($"doc_id")
+  }
+
+  /** Page-frame construction + extraction over ANY (doc_id, text) frame —
+    * the SHARED fragment behind [[htmlExtract]] and [[crawlPipeline]].
+    * Returns (doc_id, html, extracted), unordered. */
+  private[queries] def htmlExtractFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val page = concat(
+      lit("<html><head><title>Doc "), $"doc_id",
+      lit("</title><script>var x=1;</script></head><body><nav>home | about | contact</nav><aside>BUY NOW - LIMITED OFFER</aside><p>"),
+      $"text",
+      lit("</p><footer>copyright 2020 example corp</footer></body></html>"))
+    docs
+      .select($"doc_id", page.as("html"))
+      .withColumn("noblocks", regexp_replace($"html",
+        "<(script|nav|aside|footer|title)>.*?</(script|nav|aside|footer|title)>", ""))
+      .withColumn("notags", regexp_replace($"noblocks", "<[^>]*>", ""))
+      .withColumn("extracted", trim(regexp_replace($"notags", "\\s+", " ")))
+      .select($"doc_id", $"html", $"extracted")
   }
 
   // ---------------------------------------------------------------- №70 url_dedup
@@ -502,7 +533,19 @@ object CurationQueries {
     * verbatim in the oracle. */
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    urlCanonicalFrom(Tables(spark, dir).documents)
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"))
+      .orderBy($"canonical_url")
+  }
+
+  /** Surface-URL derivation + canonicalization over ANY (doc_id, ...)
+    * frame — the SHARED fragment behind [[urlDedup]] and
+    * [[crawlPipeline]]. Returns (doc_id, canonical_url), unordered. */
+  private[queries] def urlCanonicalFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .select($"doc_id", expr(
         """CASE CAST(doc_id % 4 AS INT)
           |  WHEN 0 THEN concat('https://www.example.com/articles/item', CAST(doc_id DIV 4 AS STRING), '?a=1&b=2')
@@ -520,13 +563,13 @@ object CurationQueries {
         "array_join(array_sort(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p != '' AND NOT p rlike '^(utm_|fbclid|gclid)')), '&')"))
       .select($"doc_id", concat($"scheme", lit("://"), $"host", $"path",
         when($"params" =!= "", concat(lit("?"), $"params")).otherwise(lit(""))).as("canonical_url"))
-      .groupBy($"canonical_url")
-      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"))
-      .orderBy($"canonical_url")
   }
 
-  val urlDedupSql: String =
-    s"""WITH u AS (
+  /** Surface-URL + canonicalization CTE chain over `src(doc_id, ...)` —
+    * the SQL twin of [[urlCanonicalFrom]]; final relation `canon(doc_id,
+    * canonical_url)`. Shared by [[urlDedupSql]] and [[crawlPipelineSql]]. */
+  private def urlCanonCtesSql(src: String): String =
+    s"""u AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 4 AS INT)
        |      WHEN 0 THEN 'https://www.example.com/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
@@ -534,28 +577,36 @@ object CurationQueries {
        |      WHEN 2 THEN 'https://example.com/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=rss&b=2&utm_campaign=fall&a=1'
        |      ELSE 'https://www.example.com:443/articles/item' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#section-2'
        |    END AS url
-       |  FROM documents),
-       |c AS (
+       |  FROM $src),
+       |uc AS (
        |  SELECT doc_id,
        |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
        |    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$$', ''), '^www\\.', '') AS host,
        |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path,
        |    array_to_string(list_sort(list_filter(str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&') AS params
-       |  FROM u)
-       |SELECT scheme || '://' || host || path ||
-       |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url,
-       |  min(doc_id) AS keeper, count(*) AS n_variants
-       |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin
+       |  FROM u),
+       |canon AS (
+       |  SELECT doc_id, scheme || '://' || host || path ||
+       |    CASE WHEN params <> '' THEN '?' || params ELSE '' END AS canonical_url
+       |  FROM uc)""".stripMargin
 
-  val htmlExtractSql: String =
-    s"""WITH h AS (
+  val urlDedupSql: String =
+    s"""WITH ${urlCanonCtesSql("documents")}
+       |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_variants
+       |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
+  /** Page-frame + extraction CTE chain over `src(doc_id, text)` — the
+    * SQL twin of [[htmlExtractFrom]]; final relation `e(doc_id, html,
+    * extracted)`. Shared by [[htmlExtractSql]] and [[crawlPipelineSql]]. */
+  private def htmlCtesSql(src: String): String =
+    s"""h AS (
        |  SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
        |    '</title><script>var x=1;</script></head><body><nav>home | about | contact</nav><aside>BUY NOW - LIMITED OFFER</aside><p>' ||
        |    text ||
        |    '</p><footer>copyright 2020 example corp</footer></body></html>' AS html
-       |  FROM documents),
+       |  FROM $src),
        |e AS (
        |  SELECT doc_id, html,
        |    trim(regexp_replace(
@@ -563,8 +614,69 @@ object CurationQueries {
        |        regexp_replace(html, '<(script|nav|aside|footer|title)>.*?</(script|nav|aside|footer|title)>', '', 'g'),
        |        '<[^>]*>', '', 'g'),
        |      '\\s+', ' ', 'g')) AS extracted
-       |  FROM h)
+       |  FROM h)""".stripMargin
+
+  val htmlExtractSql: String =
+    s"""WITH ${htmlCtesSql("documents")}
        |SELECT doc_id, length(html) AS raw_len, length(extracted) AS extract_len,
        |  md5(extracted) AS extract_md5
        |FROM e ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №73 crawl_pipeline
+  /** The crawl-side composed FLAGSHIP — the pipeline a web corpus actually
+    * runs, end to end: URL canonicalization + dedup (№70, keep one fetch
+    * per canonical target) → page extraction (№69, boilerplate cut on the
+    * kept pages) → the Gopher quality gate (№59) over the EXTRACTED text.
+    * Every stage consumes the standalone operator's SHARED fragment
+    * ([[urlCanonicalFrom]] / [[htmlExtractFrom]] / [[gopherVerdictFrom]]),
+    * so the composition cannot drift from the operators it composes — the
+    * export_records / corpus_curate / pretrain_pipeline discipline applied
+    * to the crawl stages.
+    *
+    * Scale shape: canonicalization + extraction are per-row projections;
+    * the only shuffles are the keeper min-agg on the canonical string and
+    * the gopher gram aggs — all on uniform keys. Docs whose extracted body
+    * has <2 tokens LEFT-join to (keep=false, 'word_count'), identically in
+    * both engines. */
+  def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val keepers = urlCanonicalFrom(docs)
+      .groupBy($"canonical_url").agg(min($"doc_id").as("doc_id"))
+    val pages = htmlExtractFrom(docs.join(keepers.select($"doc_id"), "doc_id"))
+    val extracted = graft.CacheRegistry.track(
+      pages.select($"doc_id", $"extracted".as("text")).persist())
+    val verdicts = gopherVerdictFrom(extracted)
+      .select($"doc_id", $"n_tok", $"keep", $"reason")
+    extracted
+      .join(keepers, "doc_id")
+      .join(verdicts, Seq("doc_id"), "left")
+      .select($"doc_id", $"canonical_url", length($"text").as("extract_len"),
+        coalesce($"n_tok", lit(0)).as("n_tok"),
+        coalesce($"keep", lit(false)).as("keep"),
+        coalesce($"reason", lit("word_count")).as("reason"))
+      .orderBy($"doc_id")
+  }
+
+  val crawlPipelineSql: String =
+    s"""WITH ${urlCanonCtesSql("documents")},
+       |keepers AS (SELECT canonical_url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
+       |surv AS (SELECT k.doc_id, k.canonical_url, d.text
+       |         FROM keepers k JOIN documents d ON d.doc_id = k.doc_id),
+       |${htmlCtesSql("surv")},
+       |ex AS (SELECT doc_id, extracted AS text FROM e),
+       |${gopherCtesSql("ex", "text", "g")}
+       |SELECT s.doc_id, s.canonical_url, length(ex.text) AS extract_len,
+       |  coalesce(gf.n_tok, 0) AS n_tok,
+       |  coalesce(gf.r_wc AND gf.r_mwl AND gf.r_stop AND gf.r_dup AND gf.r_top2, false) AS keep,
+       |  coalesce(CASE WHEN NOT gf.r_wc THEN 'word_count'
+       |       WHEN NOT gf.r_mwl THEN 'mean_word_length'
+       |       WHEN NOT gf.r_stop THEN 'stopwords'
+       |       WHEN NOT gf.r_dup THEN 'dup_words'
+       |       WHEN NOT gf.r_top2 THEN 'top_2gram'
+       |       ELSE 'kept' END, 'word_count') AS reason
+       |FROM surv s
+       |JOIN ex ON ex.doc_id = s.doc_id
+       |LEFT JOIN gf ON gf.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 }

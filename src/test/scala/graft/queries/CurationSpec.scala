@@ -157,6 +157,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("crawl_pipeline: composition equals its standalone stages") {
+    import spark.implicits._
+    val crawl = CurationQueries.crawlPipeline(spark, sf).collect()
+    // stage 1: survivors are exactly url_dedup's keepers
+    val keepers = CurationQueries.urlDedup(spark, sf)
+      .select("keeper").as[Long].collect().toSet
+    assert(crawl.map(_.getLong(0)).toSet == keepers, "survivor set != url_dedup keepers")
+    // stage 2+3: because extraction provably recovers the ws-normalized
+    // body (html_extract's md5 proof) and the gopher gate tokenizes on
+    // whitespace, the composed verdict must equal the standalone gate run
+    // directly on the raw documents
+    val gopher = CurationQueries.gopherFilter(spark, sf)
+      .select("doc_id", "n_tok", "keep", "reason")
+      .as[(Long, Int, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    crawl.foreach { r =>
+      val d = r.getLong(0)
+      gopher.get(d) match {
+        case Some((_, nTok, keep, reason)) =>
+          assert(r.getInt(3) == nTok && r.getBoolean(4) == keep && r.getString(5) == reason,
+            s"doc $d: composed verdict (${r.getInt(3)}, ${r.getBoolean(4)}, ${r.getString(5)}) != standalone ($nTok, $keep, $reason)")
+        case None => // <2 tokens: dropped by the gate, composed must mark word_count
+          assert(!r.getBoolean(4) && r.getString(5) == "word_count", s"doc $d: short-doc fallback wrong")
+      }
+    }
+  }
+
   test("html_extract recovers exactly the whitespace-normalized article body") {
     import spark.implicits._
     val out = CurationQueries.htmlExtract(spark, sf)
