@@ -610,6 +610,64 @@ object TextQueries {
        |GROUP BY g.doc_id, g.n_sh ORDER BY g.doc_id""".stripMargin
 
 
+  // ---------------------------------------------------------------- №74 decontaminate
+  /** Benchmark decontamination APPLIED — the step a pipeline actually
+    * runs after [[contaminationCheck]] measures: EVERY non-benchmark doc
+    * gets a verdict (zero-hit docs included, unlike the check's hits-only
+    * accounting), keep = rounded contamination < [[DecontamTau]]. The
+    * injected copies of benchmark docs land at contamination ≈ 1.0 and
+    * drop; unrelated docs keep. Same fixed-size eval-gram broadcast as
+    * №44 (eval suites do not grow with the corpus); the only additions
+    * are one bounded hash agg and a left join back to the corpus — scan +
+    * two small shuffles at any scale. Both engines compare the SAME
+    * 6dp-rounded value against τ, so threshold ties cannot drift. */
+  val DecontamTau = 0.05
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = graft.CacheRegistry.track(dupCorpus(spark, dir)
+      .withColumn("ws", words($"text"))
+      .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) ELSE array() END"))
+      .withColumn("n_sh", size($"sh"))
+      .select($"doc_id", $"sh", $"n_sh")
+      .persist())
+    val isBench = ($"doc_id" % 50 === 0) && ($"doc_id" < 1000000)
+    val benchGrams = c.filter(isBench).select(explode($"sh").as("gram")).distinct()
+    val hits = c.filter(!isBench && $"n_sh" > 0)
+      .select($"doc_id", explode($"sh").as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    c.filter(!isBench)
+      .select($"doc_id", $"n_sh")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_sh", coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / greatest($"n_sh", lit(1)) + 1e-9, 6).as("contamination"))
+      .withColumn("keep", $"contamination" < DecontamTau)
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM d),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |g AS (
+       |  SELECT doc_id, unnest(sh) AS gram FROM s
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000) AND len(sh) > 0),
+       |h AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM g JOIN bench USING (gram) GROUP BY doc_id),
+       |a AS (
+       |  SELECT doc_id, len(sh) AS n_sh FROM s
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000))
+       |SELECT a.doc_id, a.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / greatest(a.n_sh, 1) + 0.000000001, 6) AS contamination,
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / greatest(a.n_sh, 1) + 0.000000001, 6) < $DecontamTau AS keep
+       |FROM a LEFT JOIN h USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- №45 corpus_curate
   /** The curation pipeline composed END-TO-END — the LLM-side twin of
     * `export_records`: NFC/case/whitespace normalization → exact dedup on

@@ -319,6 +319,24 @@ class PlanRegressionSpec extends SparkSpec {
       s"expected the co-located join path:\n$plan")
   }
 
+  test("dedup_incremental bloom mode: membership probe prunes the base SCAN, below the join") {
+    val df = TextQueries.dedupIncrementalWith(spark, sf, "bloom")
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // the bloom probe must sit on the base-side scan path (a FilterExec
+    // with the might_contain expression whose subtree is the file scan),
+    // NOT above the join — that placement is what keeps the 100 TB base
+    // out of the exchange
+    val probeFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, s"no bloom membership probe in the plan:\n$plan")
+    assert(probeFilters.exists(_.collectLeaves().exists(_.toString.contains("Scan"))),
+      s"bloom probe not on a scan path:\n$plan")
+    val joins = plan.collect { case j if j.nodeName.contains("Join") => j }
+    assert(joins.exists(_.toString.contains("LeftAnti")), s"anti-join missing:\n$plan")
+  }
+
   test("knn_ivf centroids are a constant local relation; sample is TakeOrdered") {
     // refined centroids: the k-means sample collect runs as its own tiny
     // job whose plan must be a bounded TakeOrdered (per-partition top-M,

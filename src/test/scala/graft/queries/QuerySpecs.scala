@@ -53,6 +53,29 @@ class TextQueriesSpec extends SparkSpec {
     assert(survivors >= trueHits, "bloom dropped a true member (false negative!)")
   }
 
+  test("decontaminate: benchmark copies drop, clean docs keep, every non-bench doc gets a verdict") {
+    val rows = TextQueries.decontaminate(spark, sf)
+      .select("doc_id", "contamination", "keep").as[(Long, Double, Boolean)].collect()
+    graft.CacheRegistry.releaseAll(spark)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every non-bench corpus doc appears exactly once (zero-hit docs included)
+    val corpusIds = TextQueries.dupCorpus(spark, sf)
+      .filter(!(($"doc_id" % 50 === 0) && ($"doc_id" < 1000000)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == corpusIds && rows.length == corpusIds.size)
+    // near-copies of benchmark docs (base id%50==0, +1e6, one appended
+    // token) are ~fully contaminated → dropped (exact +2e6 copies need
+    // base%10==5, which never coincides with %50==0)
+    val benchCopies = corpusIds.filter(d => d >= 1000000 && d < 2000000 && (d - 1000000) % 50 == 0)
+    assert(benchCopies.nonEmpty)
+    benchCopies.foreach { d =>
+      val (_, c, keep) = byId(d)
+      assert(!keep && c > 0.9, s"bench copy $d survived decontamination (c=$c)")
+    }
+    // the gate must not annihilate: most docs are clean and kept
+    assert(rows.count(_._3) > rows.length / 2)
+  }
+
   test("lang_id predicts a language for every doc, priority-deterministic") {
     val out = TextQueries.langId(spark, sf).select("pred_lang").as[String].collect()
     assert(out.forall(l => Set("en", "de", "es", "fr", "zh", "und").contains(l)))
