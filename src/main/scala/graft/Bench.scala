@@ -120,9 +120,13 @@ object Bench {
     // suspect; widen it until the trimmed median rests on a clean majority
     for ((name, fn) <- order) {
       var runs = acc(name)
-      while (runs.nonEmpty && runs.size < maxIters && {
+      // attempts (not runs.size) bounds the loop: a re-run that CRASHES
+      // returns None and leaves runs unchanged — counting successes only
+      // would spin forever on a query that started failing deterministically
+      var attempts = runs.size
+      while (runs.nonEmpty && attempts < maxIters && {
         val ds = runs.map(_._2); ds.max / ds.min > SPREAD_TRIGGER
-      }) runs ++= runOnce(fn, name)
+      }) { runs ++= runOnce(fn, name); attempts += 1 }
       acc(name) = runs
     }
     val stats = acc

@@ -641,8 +641,11 @@ object CurationQueries {
   def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
-    val keepers = urlCanonicalFrom(docs)
-      .groupBy($"canonical_url").agg(min($"doc_id").as("doc_id"))
+    // persisted: consumed by BOTH the pages branch and the final
+    // canonical_url recovery join — unpersisted, the corpus-wide
+    // canonicalization projection + min-agg shuffle would run twice
+    val keepers = graft.CacheRegistry.track(urlCanonicalFrom(docs)
+      .groupBy($"canonical_url").agg(min($"doc_id").as("doc_id")).persist())
     val pages = htmlExtractFrom(docs.join(keepers.select($"doc_id"), "doc_id"))
     val extracted = graft.CacheRegistry.track(
       pages.select($"doc_id", $"extracted".as("text")).persist())

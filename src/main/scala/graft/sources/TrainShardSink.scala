@@ -65,7 +65,10 @@ object TrainShardSink {
           // flags on the cached instance would disable .crc sidecars for
           // every other writer in this JVM for the session's remainder.
           // Closed in the finally below.
-          val scheme = Option(new java.net.URI(root).getScheme).getOrElse("file")
+          // Path.toUri, not new URI(root): Path percent-encodes, so roots
+          // that are valid Hadoop paths but invalid raw URIs (spaces, ...)
+          // don't throw URISyntaxException inside every task
+          val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
           conf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
           val fs = new Path(root).getFileSystem(conf)
           fs.setWriteChecksum(false)

@@ -128,17 +128,26 @@ object StreamDedup {
         val bandDir = scratch.resolve(s"band$i")
         corpus.filter(col("doc_id") >= band && col("doc_id") < band + 1000000L)
           .coalesce(2).write.parquet(bandDir.toString)
-        val parts = java.nio.file.Files.list(bandDir).iterator()
-        var j = 0
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
-            val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
-            java.nio.file.Files.move(p, dst)
-            dst.toFile.setLastModified(60000L * (i + 1) + j) // bands strictly ordered
-            j += 1
+        val listing = java.nio.file.Files.list(bandDir)
+        try {
+          val parts = listing.iterator()
+          var j = 0
+          while (parts.hasNext) {
+            val p = parts.next()
+            if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
+              val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
+              java.nio.file.Files.move(p, dst)
+              // bands strictly ordered BY MTIME — the whole determinism
+              // contract (original precedes its exact copy under
+              // maxFilesPerTrigger=1) rides on this succeeding, so a
+              // filesystem that rejects/coarsens setLastModified must fail
+              // the replay loudly, not silently reorder micro-batches
+              require(dst.toFile.setLastModified(60000L * (i + 1) + j),
+                s"setLastModified failed for $dst — file-order determinism contract broken")
+              j += 1
+            }
           }
-        }
+        } finally listing.close()
       }
       val stream = spark.readStream
         .schema("doc_id LONG, text STRING, event_ms LONG")
@@ -167,8 +176,16 @@ object StreamDedup {
       // scratch (input files + checkpoint) is per-run; remove eagerly
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {
-          val it = java.nio.file.Files.list(p).iterator()
-          while (it.hasNext) rm(it.next())
+          // close the DirectoryStream before deleting children — Files.list
+          // holds a directory fd open until closed
+          val s = java.nio.file.Files.list(p)
+          val children = try {
+            val b = Vector.newBuilder[java.nio.file.Path]
+            val it = s.iterator()
+            while (it.hasNext) b += it.next()
+            b.result()
+          } finally s.close()
+          children.foreach(rm)
         }
         java.nio.file.Files.deleteIfExists(p)
       }

@@ -46,8 +46,10 @@ object StreamExport {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // session-window state providers (see bridge scaladoc)
+    // unload in finally: a FAILED replay is exactly when leaked providers
+    // (+ their maintenance threads) would degrade every later query
+    try q.awaitTermination()
+    finally org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // session-window state providers (see bridge scaladoc)
     spark.table(name).orderBy(col("topic"), col("window_start_ms"))
   }
 
@@ -74,8 +76,8 @@ object StreamExport {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    try q.awaitTermination()
+    finally org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     written.get()
   }
 

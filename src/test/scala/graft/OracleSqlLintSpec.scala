@@ -17,6 +17,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleSqlLintSpec extends AnyFunSuite {
 
+  /** `sql` with every single-quoted literal's CONTENT blanked to spaces
+    * (same length, so offsets stay valid): parens inside literals — e.g.
+    * regexp_replace(x, '[(]', '') or a label 'a) b' — must not corrupt the
+    * depth scans below. Handles the '' escape (stays inside the literal). */
+  private def blankLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var inLit = false
+    while (i < out.length) {
+      if (out(i) == '\'') {
+        if (inLit && i + 1 < out.length && out(i + 1) == '\'') { out(i + 1) = ' '; i += 1 }
+        else inLit = !inLit
+      } else if (inLit) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Identifiers of the calls enclosing position `pos` in `sql`, innermost
     * first, found by a backward paren walk. */
   private def enclosingCalls(sql: String, pos: Int): Seq[String] = {
@@ -82,10 +100,11 @@ class OracleSqlLintSpec extends AnyFunSuite {
 
   test("every output-reachable sum( in every oracle is CAST- or round-wrapped") {
     val offenders = for {
-      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      (name, raw) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      sql = blankLiterals(raw) // paren/keyword scans must not see literal content
       m <- sumRe.findAllMatchIn(sql)
       if !inOrderBy(sql, m.start)
-      ctx = sql.slice(m.start, math.min(sql.length, m.start + 60))
+      ctx = raw.slice(m.start, math.min(raw.length, m.start + 60))
       if !intermediateSums.exists { case (n, p) => n == name && ctx.startsWith(p) }
       chain = enclosingCalls(sql, m.start)
       if !chain.exists(c => c == "cast" || c == "round")
