@@ -137,6 +137,128 @@ object Analytics {
       |SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM r
       |WHERE rank <= 10 ORDER BY o_orderpriority, rank""".stripMargin
 
+  // ---------------------------------------------------------------- №75 asof_join
+  /** As-of join — the time-series operator Spark has no native form of
+    * (DuckDB/kdb/Flink all ship one): for each `purchase` event, the same
+    * user's LATEST `view` event at-or-before it (last-touch attribution).
+    *
+    * Spark-first shape — the MERGE formulation, not per-probe lookup:
+    * union both sides with a side tag, ONE shuffle on user_id, one
+    * window sort by (ts_ms, side, event_id), and a running
+    * `last(..., ignoreNulls)` carries the latest build row forward into
+    * every probe row. Cost at 100 TB: exactly one exchange + sort over
+    * probe+build (the sessionize shape) — never the per-key all-pairs
+    * join a correlated-subquery formulation implies, and no state beyond
+    * the sort. Ties: a view in the SAME millisecond as the purchase
+    * sorts first (side 0 < 1) and is therefore visible, matching ASOF's
+    * `<=`; among equal-ts views the highest event_id wins — fully
+    * deterministic. Purchases with no prior view keep null view columns
+    * (left as-of).
+    */
+  /** Composable as-of core over (user_id, ts_ms, event_id) frames: each
+    * probe row gains the latest build row (max (ts_ms, event_id)) with
+    * build.ts_ms <= probe.ts_ms for the same user_id, as
+    * (view_event_id, view_ms) — null when no build row qualifies. */
+  private[queries] def asofCore(build: DataFrame, probe: DataFrame): DataFrame = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tagged = build
+      .select($"user_id", $"ts_ms", $"event_id", lit(0).as("side"))
+      .unionByName(probe.select($"user_id", $"ts_ms", $"event_id", lit(1).as("side")))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_event_id", last(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("view_ms", last(when($"side" === 0, $"ts_ms"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .drop("side")
+  }
+
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+    asofCore(
+      e.filter($"event_type" === "view").select($"user_id", $"ts_ms", $"event_id"),
+      e.filter($"event_type" === "purchase").select($"user_id", $"ts_ms", $"event_id"))
+      .select($"event_id", $"user_id", $"ts_ms".as("purchase_ms"),
+        $"view_event_id", $"view_ms", ($"ts_ms" - $"view_ms").as("gap_ms"))
+      .orderBy($"event_id")
+  }
+
+  /** Independent oracle formulation: per-probe arg-max over an inequality
+    * join (fine at oracle SF; the Spark impl above is the scalable shape). */
+  val asofJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts_ms AS purchase_ms,
+      |    v.event_id AS view_event_id, v.ts_ms AS view_ms,
+      |    row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts_ms DESC, v.event_id DESC) AS rn
+      |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts_ms <= p.ts_ms)
+      |SELECT event_id, user_id, purchase_ms, view_event_id, view_ms,
+      |  purchase_ms - view_ms AS gap_ms
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- №76 range_join
+  /** Interval (range) join via time-axis BINNING — the 100 TB lever for a
+    * join whose only predicate is a range: campaign windows [start_ms,
+    * end_ms] (overlapping, closed-form in both engines) joined to the
+    * events they contain, aggregated per campaign.
+    *
+    * A pure inequality join gives Spark no equi-key, so Catalyst plans a
+    * nested-loop join — broadcastable only while one side stays small,
+    * quadratic the moment both sides are corpus-scale. Binning converts
+    * it: each interval EXPLODES into the 6h bins it overlaps (bounded:
+    * ≤ dur/bin+1 rows), each event maps to exactly ONE bin, and the join
+    * becomes an equi-join on bin + residual BETWEEN filter — hash/SMJ
+    * shuffles both sides by bin, no nested loop anywhere (plan-pinned in
+    * the spec with broadcast disabled). Because an event lives in one
+    * bin, a (campaign, event) pair meets at most once: no post-join
+    * dedup. Campaigns with no events LEFT-join back in (zero counts).
+    */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binMs = 21600000L // 6h — sized so an interval explodes into ≤ 6 bins
+    val campaigns = spark.range(40).select(
+      $"id".as("campaign_id"),
+      (lit(1704067200000L) + $"id" * 57600000L).as("start_ms"))
+      .withColumn("end_ms", $"start_ms" + lit(21600000L) + ($"campaign_id" % 8) * 10800000L)
+    val binned = campaigns.withColumn("bin",
+      explode(expr(s"sequence(start_ms DIV $binMs, end_ms DIV $binMs)")))
+    val ev = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"value", $"ts_ms")
+      .withColumn("bin", expr(s"ts_ms DIV $binMs"))
+    val agg = ev.join(binned, Seq("bin"))
+      .filter($"ts_ms" >= $"start_ms" && $"ts_ms" <= $"end_ms")
+      .groupBy($"campaign_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum(round($"value", 2).cast("decimal(20,2)")).as("sv"))
+    campaigns.join(agg, Seq("campaign_id"), "left")
+      .select($"campaign_id", $"start_ms", $"end_ms",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"n_users", lit(0L)).as("n_users"),
+        coalesce($"sv".cast("double"), lit(0.0)).as("sum_value"))
+      .orderBy($"campaign_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH c AS (
+      |  SELECT range AS campaign_id,
+      |    1704067200000 + range*57600000 AS start_ms,
+      |    1704067200000 + range*57600000 + 21600000 + (range%8)*10800000 AS end_ms
+      |  FROM range(40)),
+      |e AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms FROM events)
+      |SELECT c.campaign_id, c.start_ms, c.end_ms,
+      |  count(e.event_id) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(coalesce(sum(CAST(round(e.value, 2) AS DECIMAL(20,2))), 0) AS DOUBLE) AS sum_value
+      |FROM c LEFT JOIN e ON e.ts_ms >= c.start_ms AND e.ts_ms <= c.end_ms
+      |GROUP BY 1, 2, 3 ORDER BY campaign_id""".stripMargin
+
   val q3Sql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS revenue

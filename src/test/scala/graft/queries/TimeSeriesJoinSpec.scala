@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan contracts for the time-series joins (SURVEY §2 №75-76).
+  * Cross-engine value equality is covered by the DuckDB oracle in Verify;
+  * these pin the SEMANTICS (arg-max choice, tie visibility, left-join
+  * nulls, binned ≡ naive) and the SCALE SHAPE (no nested-loop join, no
+  * join operator at all in the as-of plan). */
+class TimeSeriesJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof_join equals the naive per-probe arg-max on the real corpus") {
+    val e = graft.Tables(spark, sf).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts_ms".as("vts"), $"event_id".as("vid"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_ms", $"event_id")
+    // naive: inequality join + max(struct) arg-max — the formulation the
+    // merge implementation must reproduce exactly
+    val naive = p.join(v, $"vu" === $"user_id" && $"vts" <= $"ts_ms", "left")
+      .groupBy($"event_id", $"user_id", $"ts_ms")
+      .agg(max(when($"vid".isNotNull, struct($"vts", $"vid"))).as("m"))
+      .select($"event_id", $"m.vid".as("view_event_id"), $"m.vts".as("view_ms"))
+    val merge = Analytics.asofJoin(spark, sf)
+      .select($"event_id", $"view_event_id", $"view_ms")
+    assert(merge.collect().toSet == naive.collect().toSet)
+  }
+
+  test("asof_join tie semantics: same-ms build visible, max event_id wins, no-match is null") {
+    val build = Seq(
+      (2L, 10L, 1L), (2L, 10L, 2L), // equal-ts views: highest event_id must win
+      (1L, 100L, 10L)               // same-ms as user 1's purchase: visible (<=)
+    ).toDF("user_id", "ts_ms", "event_id")
+    val probe = Seq(
+      (1L, 100L, 11L), // same-ms view 10 qualifies
+      (1L, 50L, 5L),   // before any view: nulls
+      (2L, 20L, 3L)    // two equal-ts views: id 2 wins
+    ).toDF("user_id", "ts_ms", "event_id")
+    val out = Analytics.asofCore(build, probe)
+      .select($"event_id", $"view_event_id", $"view_ms")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (11L, Some(10L), Some(100L)),
+      (5L, None, None),
+      (3L, Some(2L), Some(10L))))
+  }
+
+  test("asof_join plan: ONE hash exchange, no join operator anywhere") {
+    // the merge formulation's whole point: union + window = a single
+    // shuffle on user_id — no join node (a correlated/inequality plan
+    // would show BroadcastNestedLoopJoin or an all-pairs equi-join)
+    val plan = ExportQueriesPlanHelper.exec(Analytics.asofJoin(spark, sf))
+    assert(plan.collect { case j if j.nodeName.contains("Join") => j }.isEmpty,
+      s"as-of planned a join:\n$plan")
+    val hashExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1, s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("range_join binned equals the naive inequality join") {
+    val binned = Analytics.rangeJoinBinned(spark, sf).collect().toSeq
+    // naive: the range predicate joined directly (fine here — the campaign
+    // side is tiny, so Spark broadcasts the nested loop; the binned form
+    // exists for when BOTH sides are corpus-scale)
+    val campaigns = spark.range(40).select(
+      $"id".as("campaign_id"),
+      (lit(1704067200000L) + $"id" * 57600000L).as("start_ms"))
+      .withColumn("end_ms", $"start_ms" + lit(21600000L) + ($"campaign_id" % 8) * 10800000L)
+    val ev = graft.Tables(spark, sf).events.select($"event_id", $"user_id", $"value", $"ts_ms")
+    val naive = campaigns.join(ev, $"ts_ms" >= $"start_ms" && $"ts_ms" <= $"end_ms", "left")
+      .groupBy($"campaign_id", $"start_ms", $"end_ms")
+      .agg(count($"event_id").as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        coalesce(sum(round($"value", 2).cast("decimal(20,2)")).cast("double"), lit(0.0)).as("sum_value"))
+      .orderBy($"campaign_id").collect().toSeq
+    assert(binned == naive)
+  }
+
+  test("range_join plan: equi-join on bin, never a nested loop (broadcast disabled)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ExportQueriesPlanHelper.exec(Analytics.rangeJoinBinned(spark, sf))
+      val txt = plan.toString
+      assert(!txt.contains("NestedLoop"),
+        s"range join fell back to a nested loop:\n$txt")
+      assert(txt.contains("SortMergeJoin") || txt.contains("ShuffledHashJoin"),
+        s"bin equi-join missing:\n$txt")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
