@@ -679,6 +679,183 @@ object MultimodalQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №77 multimodal_phash
+  final case class PHashed(doc_id: Long, hi: Long, lo: Long)
+
+  /** Near-dup radius + LSH geometry. With 4 bands over 64 bits, ANY pair
+    * at Hamming ≤ 3 touches at most 3 bands, so at least one band is
+    * identical — the band join is LOSSLESS by pigeonhole, and the oracle
+    * can use the independent exhaustive formulation. */
+  val PHashHammingMax = 3
+
+  /** Corpus for the perceptual-hash dedup: every document's grayscale
+    * image (the [[pixel]] formula, REAL PNG encode), plus an injected
+    * near-duplicate per %10==0 doc at +1e6 — the SAME image pushed +4
+    * brighter with saturation clamp (min(255, v+4)): the canonical
+    * "re-exported with slightly different levels" near-dup a 100 TB image
+    * corpus is full of. Lossless codec → decoded pixels are closed-form
+    * in both engines. */
+  private def phashFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+      .unionAll(Tables(spark, dir).documents
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id")))
+    ids.select(
+      col("doc_id"),
+      (col("doc_id") % 1000000L).as("b"),
+      (lit(8) + (col("doc_id") % 1000000L) % 32).cast("int").as("width"),
+      (lit(8) + (col("doc_id") % 1000000L) % 24).cast("int").as("height"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions { rows =>
+        // same per-partition encoder lifecycle as pngFrame
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        rows.map { case (d, b, w, h) =>
+          val bright = d >= 1000000L
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v0 = pixel(b, x, y)
+              val v = if (bright) math.min(255, v0 + 4) else v0
+              buf(y * w + x) = (v << 16) | (v << 8) | v
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          PngRow(d, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Perceptual-hash (aHash) image near-dup — the image-side twin of
+    * dedup_simhash, over REAL decoded pixels: decode the PNG, sample an
+    * 8×8 grid nearest-neighbor, threshold each sample against the integer
+    * mean → a 64-bit fingerprint in two 32-bit halves (integer arithmetic
+    * end to end, so the lossless codec makes the hash bit-exact
+    * cross-engine).
+    *
+    * Scale shape — collapse FIRST, search SECOND: identical fingerprints
+    * collapse in ONE corpus-wide hash shuffle (the dedup_exact shape);
+    * the banded LSH self-join then runs over DISTINCT fingerprints only —
+    * a set bounded by image-content diversity, not corpus size (at 100 TB
+    * the representative frame is orders of magnitude smaller than the
+    * corpus; re-exported/brightness-shifted duplicates never reach the
+    * join). With Hamming ≤ [[PHashHammingMax]] and 4×16-bit bands the
+    * band join is provably lossless (pigeonhole), which is why the oracle
+    * may use the exhaustive pair formulation independently of the LSH.
+    */
+  /** Fingerprint stage alone (spec hook): (doc_id, hi, lo) from REAL
+    * decoded pixels. */
+  private[queries] def phashFingerprints(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    phashFrame(spark, dir).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(r.png))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight) // decoded dims, not metadata
+        val s = new Array[Int](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          val gx = ((i % 8) * w) / 8
+          val gy = ((i / 8) * h) / 8
+          s(i) = img.getRGB(gx, gy) & 0xff // grayscale: any channel
+          sum += s(i)
+          i += 1
+        }
+        val mean = sum / 64
+        var hi = 0L; var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (s(i) > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        PHashed(r.doc_id, hi, lo)
+      }
+    }
+  }
+
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = graft.CacheRegistry.track(phashFingerprints(spark, dir)
+      .groupBy($"hi", $"lo")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n"))
+      .persist())
+    val bands = (0 until 4).map { i =>
+      val key = if (i < 2) expr(s"(lo >> ${16 * i}) & 65535")
+                else expr(s"(hi >> ${16 * (i - 2)}) & 65535")
+      groups.select($"rep", lit(i).as("band"), key.as("band_key"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b")).distinct()
+    cand
+      .join(groups.select($"rep".as("doc_a"), $"hi".as("hi_a"), $"lo".as("lo_a"), $"n".as("n_a")), "doc_a")
+      .join(groups.select($"rep".as("doc_b"), $"hi".as("hi_b"), $"lo".as("lo_b"), $"n".as("n_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .filter($"hamming" <= PHashHammingMax)
+      .select($"doc_a", $"doc_b", $"hamming", $"n_a", $"n_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Closed-form mirror (PNG is lossless, aHash is integer): samples are
+    * the pixel formula at the 8×8 grid points, mean is the floor average,
+    * halves pack bits 0-31 / 32-63. The pair join is EXHAUSTIVE over
+    * distinct-fingerprint groups — independent of the Spark side's band
+    * LSH, valid because Hamming ≤ 3 with 4 bands is pigeonhole-lossless. */
+  val multimodalPhashSql: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0),
+       |dims AS (
+       |  SELECT doc_id, doc_id % 1000000 AS b,
+       |    8 + (doc_id % 1000000) % 32 AS w, 8 + (doc_id % 1000000) % 24 AS h
+       |  FROM ids),
+       |smp AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), i ->
+       |      CASE WHEN doc_id >= 1000000
+       |        THEN least(255, (13*b + 31*(((i % 8) * w) // 8) + 17*(((i // 8) * h) // 8)) % 256 + 4)
+       |        ELSE (13*b + 31*(((i % 8) * w) // 8) + 17*(((i // 8) * h) // 8)) % 256 END) AS s
+       |  FROM dims),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(32, 64), i ->
+       |      CASE WHEN s[i + 1] > CAST(list_sum(s) AS BIGINT) // 64
+       |        THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END)) AS BIGINT) AS hi,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN s[i + 1] > CAST(list_sum(s) AS BIGINT) // 64
+       |        THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS lo
+       |  FROM smp),
+       |grp AS (
+       |  SELECT hi, lo, min(doc_id) AS rep, count(*) AS n FROM fp GROUP BY hi, lo)
+       |SELECT a.rep AS doc_a, b.rep AS doc_b,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming,
+       |  a.n AS n_a, b.n AS n_b
+       |FROM grp a JOIN grp b ON a.rep < b.rep
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $PHashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Oracle recomputes features from the md5 hex strings (no blob type
     * gymnastics needed: nibble arithmetic over the 64 hex chars). */
   val multimodalIngestSql: String = {

@@ -142,4 +142,44 @@ class MultimodalSpec extends SparkSpec {
     assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)) != null)
     assert(d >= 0)
   }
+
+  test("multimodal_phash: every injected brightness variant is recalled (same group or paired)") {
+    import spark.implicits._
+    val fp = MultimodalQueries.phashFingerprints(spark, sf)
+      .collect().map(p => p.doc_id -> (p.hi, p.lo)).toMap
+    val variants = fp.keys.filter(_ >= 1000000L).toSeq
+    assert(variants.nonEmpty)
+    val missed = variants.filterNot { v =>
+      val (hiV, loV) = fp(v)
+      val (hiB, loB) = fp(v - 1000000L)
+      java.lang.Long.bitCount(hiV ^ hiB) + java.lang.Long.bitCount(loV ^ loB) <=
+        MultimodalQueries.PHashHammingMax
+    }
+    assert(missed.isEmpty,
+      s"brightness near-dups beyond Hamming ${MultimodalQueries.PHashHammingMax}: $missed")
+    // and the radius is TIGHT on this corpus: at least one variant
+    // actually needs the near-dup path (not all collapse to hash equality)
+    assert(variants.exists { v =>
+      val (hiV, loV) = fp(v); val (hiB, loB) = fp(v - 1000000L)
+      (hiV, loV) != (hiB, loB)
+    }, "all variants hash-identical — the Hamming radius is untested by this corpus")
+  }
+
+  test("multimodal_phash: 4x16-bit band join is lossless at Hamming <= 3 (pigeonhole, verified)") {
+    import spark.implicits._
+    // exhaustive pairs over distinct-fingerprint groups, computed here
+    // independently of the production band join
+    val groups = MultimodalQueries.phashFingerprints(spark, sf)
+      .groupBy($"hi", $"lo").agg(min($"doc_id").as("rep"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    val exhaustive = (for {
+      (ra, hiA, loA) <- groups; (rb, hiB, loB) <- groups if ra < rb
+      h = java.lang.Long.bitCount(hiA ^ hiB) + java.lang.Long.bitCount(loA ^ loB)
+      if h <= MultimodalQueries.PHashHammingMax
+    } yield (ra, rb, h)).toSet
+    val banded = MultimodalQueries.multimodalPhash(spark, sf)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == exhaustive)
+  }
 }
