@@ -617,4 +617,76 @@ object PipelineQueries {
        |SELECT bin, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
        |FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
+
+  // ---------------------------------------------------------------- №78 lm_score
+  /** Unigram-LM quality gate (the CCNet idea: score text by how surprising
+    * its tokens are under a corpus LM; gibberish and rare-token soup score
+    * high and drop) — in the INTEGER-EXACT form the §5 determinism rules
+    * demand: real log-probabilities would drag in libm log() whose
+    * last-ulp behavior differs across engines (the same reason
+    * quality_classifier stays in logit space), so token surprisal is the
+    * BIT-LENGTH of the inverse frequency, `length(bin(N DIV c(w)))` —
+    * ⌊log2⌋+1 computed exactly via the binary string in BOTH engines.
+    * Doc score = mean surprisal bits; keep = score ≤ τ with both engines
+    * comparing the SAME 6dp-rounded value (threshold ties cannot drift).
+    *
+    * Scale shape: ONE tokenization pass persisted (fed to the vocab count
+    * AND the score join); the vocab frame is corpus-vocabulary-sized so
+    * it joins the token stream by equi-key (AQE-planned, never broadcast
+    * — the r4 broadcast discipline); the single-row total N is the only
+    * broadcast. Two data shuffles at any scale (vocab count, per-doc
+    * rollup) — the token⋈vocab join reuses the count's partitioning on
+    * tok. Docs with NO alphanumeric tokens carry no signal and drop
+    * (keep=false, score 0), mirrored identically in the oracle. */
+  // τ sits at the sf0.01 corpus's median mean-bits: the gate FILTERS
+  // (sf0.01: 254 keep / 246 drop; sf0.1: 4750/250 — the bigger corpus
+  // deepens the vocab so most docs score under the same τ), it does not
+  // rubber-stamp
+  val LmTau = 5.03
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFrom(Tables(spark, dir).documents)
+
+  /** Body over any (doc_id, text) frame (spec hook for edge corpora). */
+  private[queries] def lmScoreFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = graft.CacheRegistry.track(docs
+      .select($"doc_id", explode(TextQueries.words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .persist())
+    val counts = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").as("n")) // single row — the only broadcast
+    val perDoc = tok
+      .join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", length(expr("bin(n DIV c)")).as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"bits").as("sum_bits"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tok", lit(0L)).as("n_tok"),
+        round(coalesce($"sum_bits", lit(0L)).cast("double") / greatest($"n_tok", lit(1L)) + 1e-9, 6).as("mean_bits"))
+      .withColumn("keep", $"n_tok" > 0 && $"mean_bits" <= LmTau)
+      .orderBy($"doc_id")
+  }
+
+  val lmScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
+       |tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+       |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |s AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    CAST(sum(length(bin(n.n // c.c))) AS BIGINT) AS sum_bits
+       |  FROM tk JOIN c USING (tok), n GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_tok, 0) AS n_tok,
+       |  round(CAST(coalesce(s.sum_bits, 0) AS DOUBLE) / greatest(coalesce(s.n_tok, 0), 1) + 0.000000001, 6) AS mean_bits,
+       |  coalesce(s.n_tok, 0) > 0 AND
+       |    round(CAST(coalesce(s.sum_bits, 0) AS DOUBLE) / greatest(coalesce(s.n_tok, 0), 1) + 0.000000001, 6) <= $LmTau AS keep
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -267,4 +267,33 @@ class PipelineQueriesSpec extends SparkSpec {
       VectorQueries.semanticDedupWith(spark, sf, "bogus")
     }
   }
+
+  test("lm_score: exact bit-length surprisal, rare tokens score higher, empty docs drop") {
+    import spark.implicits._
+    // 8 'common' + 1 'rare' + 1 alnum-free doc: N=9 tokens, c(common)=8,
+    // c(rare)=1 → bits(common)=len(bin(9/8))=1, bits(rare)=len(bin(9))=4
+    val docs = ((0L until 8L).map(i => (i, "common")) ++
+      Seq((8L, "rare"), (9L, "!!! ...")))
+      .toDF("doc_id", "text")
+    val out = PipelineQueries.lmScoreFrom(docs)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    def row(id: Long) = out(id)
+    (0L until 8L).foreach { i =>
+      assert(row(i) == (1L, 1.0, true), s"common doc $i: ${row(i)}")
+    }
+    assert(row(8L) == (1L, 4.0, true), s"rare doc: ${row(8L)}")
+    // no alphanumeric tokens → no signal → dropped, score 0
+    assert(row(9L) == (0L, 0.0, false), s"empty doc: ${row(9L)}")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
+  test("lm_score gate actually filters the real corpus (both verdicts present)") {
+    import spark.implicits._
+    val keeps = PipelineQueries.lmScore(spark, sf)
+      .groupBy($"keep").count().as[(Boolean, Long)].collect().toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
+      s"lm_score gate is degenerate: $keeps")
+    graft.CacheRegistry.releaseAll(spark)
+  }
 }
