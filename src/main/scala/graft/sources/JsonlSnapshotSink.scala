@@ -147,7 +147,10 @@ object JsonlSnapshotSink {
           // chunks the create overhead DOMINATES the write stage. Remote
           // filesystems (hdfs://, s3a://) go through the Hadoop API, where
           // per-object latency is network-bound anyway.
-          val rootUri = new java.net.URI(root)
+          // Path.toUri, not new URI(root): Path percent-encodes, so roots
+          // with spaces etc. don't throw URISyntaxException per task
+          // (getPath below still returns the decoded form)
+          val rootUri = new Path(root).toUri
           val rawLocal = rootUri.getScheme == null || rootUri.getScheme == "file"
           val localRoot = if (rootUri.getScheme == null) root else rootUri.getPath
           var fsRef: org.apache.hadoop.fs.FileSystem = null
