@@ -185,4 +185,40 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 100L, 200L, w)),
       s"expected exactly the boundary match, got $out")
   }
+
+  test("stream_asof replay equals the batch as-of join row for row") {
+    val stream = graft.streaming.StreamAsof.streamAsof(spark, sf).collect().toSeq
+    val batch = graft.queries.Analytics.asofJoin(spark, sf).collect().toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream/batch as-of diverged: ${stream.take(3)} vs ${batch.take(3)}")
+  }
+
+  test("stream_asof state is one row per user: same-ms view visible across a batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamAsof.{TEv, asof}
+    val input = MemoryStream[TEv]
+    val name = s"asof_edge_${System.nanoTime()}"
+    val q = asof(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: view at ts 100; batch 2: purchase at the SAME ts —
+      // visibility must survive the state round trip
+      input.addData(TEv(1L, 100L, 10L, is_probe = false)); q.processAllAvailable()
+      input.addData(TEv(1L, 100L, 11L, is_probe = true)); q.processAllAvailable()
+      // batch 3: later view supersedes, next purchase sees it
+      input.addData(TEv(1L, 150L, 12L, is_probe = false),
+        TEv(1L, 160L, 13L, is_probe = true)); q.processAllAvailable()
+      val out = spark.table(name)
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(out == Set(
+        (11L, 1L, 100L, Some(10L), Some(100L)),
+        (13L, 1L, 160L, Some(12L), Some(150L))), s"got $out")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    }
+  }
 }
