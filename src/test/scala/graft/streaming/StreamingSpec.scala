@@ -186,6 +186,95 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the boundary match, got $out")
   }
 
+  test("checkpoint recovery: dedup state survives a query restart (exactly-once across runs)") {
+    import spark.implicits._
+    // The production crash-recovery contract: run 1 drains two files and
+    // STOPS; run 2 is a NEW query on the SAME checkpoint over two more
+    // files whose contents duplicate run 1's — those rows can only be
+    // dropped if the RocksDB state store restored from the checkpoint.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_recovery_")
+    val inDir = scratch.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    def landFile(idx: Int, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = scratch.resolve(s"tmp$idx")
+      rows.toDF("doc_id", "text", "event_ms").coalesce(1).write.parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dst = inDir.resolve(f"f$idx%02d.parquet")
+            java.nio.file.Files.move(p, dst)
+            require(dst.toFile.setLastModified(60000L * (idx + 1)))
+          }
+        }
+      } finally listing.close()
+    }
+    def drain(name: String): Seq[(Long, String)] = {
+      // foreachBatch, not the memory sink: memory does not support
+      // checkpoint recovery — recovery IS the thing under test
+      val buf = java.util.Collections.synchronizedList(new java.util.ArrayList[(Long, String)]())
+      val q = StreamDedup.dedup(
+        spark.readStream.schema("doc_id LONG, text STRING, event_ms LONG")
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString).as[StreamDedup.Doc],
+        "7 days")
+        .writeStream.queryName(name).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.select($"doc_id", $"text_hash").as[(Long, String)].collect().foreach(buf.add)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    try {
+      val t = (i: Long) => s"checkpoint recovery doc $i"
+      landFile(0, (0L until 10L).map(i => (i, t(i), 1000000L + i)))
+      landFile(1, (10L until 20L).map(i => (i, t(i), 1000000L + i)))
+      val run1 = drain(s"ckpt_run1_${System.nanoTime()}")
+      assert(run1.map(_._1).sorted == (0L until 20L), s"run 1 should emit all 20 originals: $run1")
+      // run 2: 18 duplicates of run-1 docs + 2 genuinely new — state must
+      // have survived the restart for the 18 to be dropped
+      landFile(2, (100L until 110L).map(i => (i, t(i - 100L), 1000000L + (i - 100L))))
+      landFile(3, ((110L until 118L).map(i => (i, t(i - 100L), 1000000L + (i - 100L)))
+        ++ Seq((118L, t(900L), 1000018L), (119L, t(901L), 1000019L))))
+      val run2 = drain(s"ckpt_run2_${System.nanoTime()}")
+      assert(run2.map(_._1).sorted == Seq(118L, 119L),
+        s"state lost across restart — duplicates re-emitted: ${run2.sortBy(_._1)}")
+      // and the union equals the batch first-seen oracle over all 40 rows
+      assert((run1 ++ run2).map(_._1).toSet == ((0L until 20L) ++ Seq(118L, 119L)).toSet)
+    } finally {
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          val children = try {
+            val b = Vector.newBuilder[java.nio.file.Path]
+            val it = s.iterator()
+            while (it.hasNext) b += it.next()
+            b.result()
+          } finally s.close()
+          children.foreach(rm)
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(scratch)
+    }
+  }
+
   test("stream_asof replay equals the batch as-of join row for row") {
     val stream = graft.streaming.StreamAsof.streamAsof(spark, sf).collect().toSeq
     val batch = graft.queries.Analytics.asofJoin(spark, sf).collect().toSeq
