@@ -689,4 +689,76 @@ object PipelineQueries {
        |    round(CAST(coalesce(s.sum_bits, 0) AS DOUBLE) / greatest(coalesce(s.n_tok, 0), 1) + 0.000000001, 6) <= $LmTau AS keep
        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №80 corpus_split
+  /** Leakage-safe train/valid/test split — the assignment step an
+    * evaluation-honest pipeline runs AFTER near-dup clustering: the split
+    * is keyed on the duplicate CLUSTER label (dedup_cluster's connected
+    * components; singletons key on themselves), so every member of a
+    * near-dup family lands in the SAME split and no verified near-dup
+    * pair can cross a split boundary — eval contamination by
+    * near-duplicate is structurally impossible, not just unlikely. Both
+    * leakage numbers ship in the output, measured: `leak_cluster_split`
+    * (0 by construction — and the oracle recomputes it independently)
+    * vs `leak_doc_split`, the SAME corpus naively split by doc hash,
+    * which leaks dozens of pairs — the measured motivation for
+    * cluster-keyed splitting. Assignment is the stratified_sample hex
+    * trick (first 4 md5 chars vs thresholds ≈ 90/5/5): deterministic,
+    * reproducible, engine-identical.
+    *
+    * Scale shape: ONE tokenization + ONE pair-finding pass shared
+    * between the label loop and the leakage audit (both persisted); the
+    * split assignment is a narrow projection; stats are a 3-key agg and
+    * the leak counts a single-row broadcast. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val edges = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select($"doc_a", $"doc_b").persist())
+    val labels = TextQueries.clusterLabelsFrom(spark, edges)
+    def splitOf(c: Column): Column = {
+      val b = substring(md5(c.cast("string")), 1, 4)
+      when(b < "e666", "train").when(b < "f333", "valid").otherwise("test")
+    }
+    val assigned = graft.CacheRegistry.track(tok.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster"))
+      .withColumn("split", splitOf($"cluster"))
+      .withColumn("doc_split", splitOf($"doc_id"))
+      .persist())
+    val leaks = edges
+      .join(assigned.select($"doc_id".as("doc_a"), $"split".as("split_a"), $"doc_split".as("dsplit_a")), "doc_a")
+      .join(assigned.select($"doc_id".as("doc_b"), $"split".as("split_b"), $"doc_split".as("dsplit_b")), "doc_b")
+      .agg(count(when($"split_a" =!= $"split_b", 1)).as("leak_cluster_split"),
+        count(when($"dsplit_a" =!= $"dsplit_b", 1)).as("leak_doc_split"))
+    assigned.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"cluster").as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .select($"split", $"n_docs", $"n_clusters", $"leak_cluster_split", $"leak_doc_split")
+      .orderBy($"split")
+  }
+
+  private def splitCaseSql(key: String): String =
+    s"""CASE WHEN substr(md5(CAST($key AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+       |     WHEN substr(md5(CAST($key AS VARCHAR)), 1, 4) < 'f333' THEN 'valid'
+       |     ELSE 'test' END""".stripMargin
+
+  val corpusSplitSql: String =
+    s"""WITH RECURSIVE ${TextQueries.clusterCteSql},
+       |lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY doc_id),
+       |asg AS (
+       |  SELECT c.doc_id, coalesce(l.lbl, c.doc_id) AS cluster,
+       |    ${splitCaseSql("coalesce(l.lbl, c.doc_id)")} AS split,
+       |    ${splitCaseSql("c.doc_id")} AS doc_split
+       |  FROM corpus c LEFT JOIN lab l ON c.doc_id = l.doc_id),
+       |lk AS (
+       |  SELECT
+       |    count(*) FILTER (WHERE a1.split <> a2.split) AS leak_cluster_split,
+       |    count(*) FILTER (WHERE a1.doc_split <> a2.doc_split) AS leak_doc_split
+       |  FROM e JOIN asg a1 ON a1.doc_id = e.doc_a JOIN asg a2 ON a2.doc_id = e.doc_b)
+       |SELECT asg.split, count(*) AS n_docs, count(DISTINCT asg.cluster) AS n_clusters,
+       |  lk.leak_cluster_split, lk.leak_doc_split
+       |FROM asg, lk
+       |GROUP BY asg.split, lk.leak_cluster_split, lk.leak_doc_split
+       |ORDER BY asg.split""".stripMargin
 }

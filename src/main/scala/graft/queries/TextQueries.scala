@@ -401,13 +401,20 @@ object TextQueries {
     * only docs that appear in a verified near-dup pair. */
   def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    clusterLabelsFrom(spark, dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b"))
+  }
+
+  /** Label-propagation body over an already-built (doc_a, doc_b) edge
+    * frame — callers that also consume the edges directly (corpus_split's
+    * leakage audit) persist it once and share. */
+  private[queries] def clusterLabelsFrom(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
     // iteration frames are component-count-sized (hundreds of rows), not
     // corpus-sized: run the loop at a narrow shuffle width — 32 partitions
     // of ~10 rows each just pays scheduler overhead per round. Production
     // sizes this to |dup pairs|, which is orders below the corpus.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopWidth = 8
-    val edges = dedupNgramJaccard(spark, dir).select($"doc_a", $"doc_b")
     // Symmetric + SELF-LOOP edges in ONE pass over the pair frame (a union
     // of two selects would evaluate the whole pair-finding subtree once per
     // branch — the r6 floor regression). Self-loops carry a node's own

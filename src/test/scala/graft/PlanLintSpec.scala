@@ -14,7 +14,8 @@ class PlanLintSpec extends SparkSpec {
     "jsonl_snapshot", "semantic_dedup", "domain_mix",
     "mix_sample", // domain_mix's single-row totals feed its rate frame
     "dedup_recall", // single-row count totals cross-joined
-    "embedding_quantize") // the knn_brute broadcast-scan shape over quantized vectors
+    "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
+    "lm_score") // single-row total-N broadcast (the domain_mix class)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
@@ -25,7 +26,9 @@ class PlanLintSpec extends SparkSpec {
       "stream_dedup_files", // file-backed replay runs on build
       "dedup_incremental_bloom", // bloom sketch aggregation collects on build
       "bucketed_join", // writes the bucketed tables on build
-      "knn_graph_indexed") // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
+      "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
+      "stream_asof", // streaming replay runs on build
+      "corpus_split") // runs the clusterLabels convergence loop on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>

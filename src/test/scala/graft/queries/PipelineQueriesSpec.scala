@@ -288,6 +288,23 @@ class PipelineQueriesSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("corpus_split: clusters never straddle splits; the doc-hash baseline measurably leaks") {
+    import spark.implicits._
+    val out = PipelineQueries.corpusSplit(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq("test", "train", "valid"))
+    val (leakCluster, leakDoc) = (out.head._4, out.head._5)
+    assert(leakCluster == 0L,
+      s"cluster-keyed split leaked $leakCluster near-dup pairs across boundaries")
+    assert(leakDoc > 0L,
+      "doc-hash baseline leaked nothing — the corpus exercises no cross-boundary pairs, weakening the zero-leak claim")
+    // train must dominate (~90/5/5 expected from the hex thresholds)
+    val byName = out.map(r => r._1 -> r._2).toMap
+    assert(byName("train") > 5 * (byName("valid") + byName("test")),
+      s"split proportions off: $byName")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("lm_score gate actually filters the real corpus (both verdicts present)") {
     import spark.implicits._
     val keeps = PipelineQueries.lmScore(spark, sf)
