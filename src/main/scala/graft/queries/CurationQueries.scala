@@ -408,7 +408,7 @@ object CurationQueries {
     * `p` — the SQL twin of [[gopherVerdictFrom]], shared by
     * [[gopherFilterSql]] and [[crawlPipelineSql]]. Final relation `${p}f`
     * (docs with <2 tokens drop, as in the Spark fragment). */
-  private def gopherCtesSql(src: String, textCol: String, p: String): String = {
+  private[queries] def gopherCtesSql(src: String, textCol: String, p: String): String = {
     val stops = TextQueries.stopwords.map(s => s"'$s'").mkString(", ")
     s"""${p}d AS (SELECT doc_id, ${wordsSql(textCol)} AS ws FROM $src),
        |${p}t AS (SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
@@ -436,7 +436,7 @@ object CurationQueries {
   }
 
   /** The verdict + first-failure-reason projection over `${p}f`. */
-  private def gopherVerdictCols(p: String): String =
+  private[queries] def gopherVerdictCols(p: String): String =
     s"""${p}f.r_wc AND ${p}f.r_mwl AND ${p}f.r_stop AND ${p}f.r_dup AND ${p}f.r_top2 AS keep,
        |  CASE WHEN NOT ${p}f.r_wc THEN 'word_count'
        |       WHEN NOT ${p}f.r_mwl THEN 'mean_word_length'

@@ -672,22 +672,33 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
-  val lmScoreSql: String =
-    s"""WITH t AS (
+  /** lm CTE chain over `documents` — final relation `lms(doc_id, n_tok,
+    * sum_bits)`; `lm`-prefixed names so composers (filter_agreement)
+    * cannot collide. Shared by [[lmScoreSql]] and
+    * [[filterAgreementSql]] so the gate cannot drift. */
+  private[queries] val lmCtesSql: String =
+    s"""lmt AS (
        |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
-       |tk AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
-       |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
-       |s AS (
+       |lmtk AS (SELECT doc_id, tok FROM lmt WHERE tok <> ''),
+       |lmc AS (SELECT tok, count(*) AS c FROM lmtk GROUP BY tok),
+       |lmn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lmc),
+       |lms AS (
        |  SELECT doc_id, count(*) AS n_tok,
-       |    CAST(sum(length(bin(n.n // c.c))) AS BIGINT) AS sum_bits
-       |  FROM tk JOIN c USING (tok), n GROUP BY doc_id)
+       |    CAST(sum(length(bin(lmn.n // lmc.c))) AS BIGINT) AS sum_bits
+       |  FROM lmtk JOIN lmc USING (tok), lmn GROUP BY doc_id)""".stripMargin
+
+  /** The gate verdict over a (possibly-missing) `lms` row aliased `s`. */
+  private[queries] def lmKeepSql(s: String): String =
+    s"""coalesce($s.n_tok, 0) > 0 AND
+       |    round(CAST(coalesce($s.sum_bits, 0) AS DOUBLE) / greatest(coalesce($s.n_tok, 0), 1) + 0.000000001, 6) <= $LmTau""".stripMargin
+
+  val lmScoreSql: String =
+    s"""WITH $lmCtesSql
        |SELECT d.doc_id,
        |  coalesce(s.n_tok, 0) AS n_tok,
        |  round(CAST(coalesce(s.sum_bits, 0) AS DOUBLE) / greatest(coalesce(s.n_tok, 0), 1) + 0.000000001, 6) AS mean_bits,
-       |  coalesce(s.n_tok, 0) > 0 AND
-       |    round(CAST(coalesce(s.sum_bits, 0) AS DOUBLE) / greatest(coalesce(s.n_tok, 0), 1) + 0.000000001, 6) <= $LmTau AS keep
-       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+       |  ${lmKeepSql("s")} AS keep
+       |FROM documents d LEFT JOIN lms s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- №80 corpus_split
@@ -761,4 +772,59 @@ object PipelineQueries {
        |FROM asg, lk
        |GROUP BY asg.split, lk.leak_cluster_split, lk.leak_doc_split
        |ORDER BY asg.split""".stripMargin
+
+  // ---------------------------------------------------------------- №81 filter_agreement
+  /** Quality-gate ABLATION diagnostic — the agreement matrix between the
+    * three independent quality filters (№52 quality_classifier, №59
+    * gopher_filter, №78 lm_score) over the same corpus: one row per
+    * verdict combination with its doc count. This is the table a pipeline
+    * owner reads before composing gates: how much do they overlap, which
+    * docs does exactly one gate drop, is a gate redundant. Every verdict
+    * comes from the operator's OWN shared fragment (logitOf/featuresOf,
+    * gopherVerdictFrom/gopherCtesSql, lmScoreFrom/lmCtesSql), so the
+    * diagnostic cannot drift from the gates it diagnoses — the
+    * crawl_pipeline discipline. Docs too short for the gopher gram stats
+    * LEFT-join to keep=false in both engines (its standalone convention).
+    *
+    * Scale shape: clf is a zero-shuffle projection; gopher two bounded
+    * hash aggs; lm two shuffles over the shared tokenization; the final
+    * agreement agg groups on three booleans (8 rows max). */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val base = docs.withColumn("ws", words($"text")).withColumn("n_tok", size($"ws"))
+    val Seq(fStop, fUniq, fPunct, fLen) = featuresOf($"text", $"ws", $"n_tok")
+    val clf = base.select($"doc_id", (logitOf(fStop, fUniq, fPunct, fLen) >= 0.0).as("keep_clf"))
+    val gopher = CurationQueries.gopherVerdictFrom(docs.select($"doc_id", $"text"))
+      .select($"doc_id", $"keep".as("keep_gopher"))
+    val lm = lmScoreFrom(docs).select($"doc_id", $"keep".as("keep_lm"))
+    clf
+      .join(gopher, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"))
+      .select($"keep_clf", coalesce($"keep_gopher", lit(false)).as("keep_gopher"), $"keep_lm")
+      .groupBy($"keep_clf", $"keep_gopher", $"keep_lm")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"keep_clf", $"keep_gopher", $"keep_lm")
+  }
+
+  val filterAgreementSql: String = {
+    val Seq(fs, fu, fp, fl) = featureSqlOf("text", "ws")
+    s"""WITH $lmCtesSql,
+       |${CurationQueries.gopherCtesSql("documents", "text", "g")},
+       |cw AS (SELECT doc_id, text, ${TextQueries.wordsSql("text")} AS ws FROM documents),
+       |cf AS (SELECT doc_id,
+       |  ${logitSqlOf(fs, fu, fp, fl)} AS logit
+       |  FROM cw),
+       |a AS (
+       |  SELECT d.doc_id,
+       |    cf.logit >= 0.0 AS keep_clf,
+       |    coalesce(gf.r_wc AND gf.r_mwl AND gf.r_stop AND gf.r_dup AND gf.r_top2, false) AS keep_gopher,
+       |    ${lmKeepSql("lms")} AS keep_lm
+       |  FROM documents d
+       |  JOIN cf ON cf.doc_id = d.doc_id
+       |  LEFT JOIN gf ON gf.doc_id = d.doc_id
+       |  LEFT JOIN lms ON lms.doc_id = d.doc_id)
+       |SELECT keep_clf, keep_gopher, keep_lm, count(*) AS n_docs
+       |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 }

@@ -15,7 +15,8 @@ class PlanLintSpec extends SparkSpec {
     "mix_sample", // domain_mix's single-row totals feed its rate frame
     "dedup_recall", // single-row count totals cross-joined
     "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
-    "lm_score") // single-row total-N broadcast (the domain_mix class)
+    "lm_score", // single-row total-N broadcast (the domain_mix class)
+    "filter_agreement") // composes lm_score's total-N broadcast
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =

@@ -305,6 +305,24 @@ class PipelineQueriesSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("filter_agreement marginals equal each standalone gate's keep count") {
+    import spark.implicits._
+    val cells = PipelineQueries.filterAgreement(spark, sf)
+      .as[(Boolean, Boolean, Boolean, Long)].collect()
+    val total = cells.map(_._4).sum
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    assert(total == nDocs, s"agreement cells cover $total of $nDocs docs")
+    val clfKeep = PipelineQueries.qualityClassifier(spark, sf)
+      .filter($"keep").count()
+    val gopherKeep = CurationQueries.gopherFilter(spark, sf)
+      .filter($"keep").count()
+    val lmKeep = PipelineQueries.lmScore(spark, sf).filter($"keep").count()
+    assert(cells.filter(_._1).map(_._4).sum == clfKeep, "clf marginal drifted from the standalone gate")
+    assert(cells.filter(_._2).map(_._4).sum == gopherKeep, "gopher marginal drifted from the standalone gate")
+    assert(cells.filter(_._3).map(_._4).sum == lmKeep, "lm marginal drifted from the standalone gate")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("lm_score gate actually filters the real corpus (both verdicts present)") {
     import spark.implicits._
     val keeps = PipelineQueries.lmScore(spark, sf)
