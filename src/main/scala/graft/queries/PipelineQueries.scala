@@ -827,4 +827,74 @@ object PipelineQueries {
        |SELECT keep_clf, keep_gopher, keep_lm, count(*) AS n_docs
        |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №82 doc_embed
+  /** Feature-hashed document embeddings (the hashing trick — Weinberger
+    * et al. 2009, the embedding a pipeline computes when no model is in
+    * the loop yet) in EXACT integer arithmetic: token t contributes a
+    * 16-dim vector whose j-th component is `2·nibble_j(md5(t)) − 15`
+    * (odd integers in [−15, 15], zero-mean over the nibble alphabet);
+    * the document embedding is the sum over token OCCURRENCES — exact,
+    * associative, order-independent, so partial aggregation commutes and
+    * the DuckDB oracle reproduces every component bit-for-bit. Output:
+    * the embedding as a canonical comma-joined string (dimension order),
+    * its exact squared L2 norm, and the token count; alnum-free docs
+    * carry the empty embedding. This is the bridge from the text side to
+    * the vector operators: a corpus with no model embeddings can still
+    * run №25-27/№56 over these.
+    *
+    * Scale shape: tokenize → 16-way dim explode (narrow) → ONE
+    * (doc, dim) hash agg with map-side partials → per-doc rollup
+    * reusing the doc prefix — two bounded shuffles at any scale, no
+    * broadcast, no window. */
+  val EmbDims = 16
+
+  def docEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tok = docs
+      .select($"doc_id", explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .withColumn("h", md5($"tok"))
+    val dims = tok.select($"doc_id",
+      posexplode(expr(s"transform(sequence(0, ${EmbDims - 1}), j -> " +
+        "2*(instr('0123456789abcdef', substring(h, j+1, 1))-1)-15)")).as(Seq("dim", "v")))
+    val perDim = dims.groupBy($"doc_id", $"dim")
+      .agg(sum($"v").as("e"), count(lit(1)).as("cnt"))
+    val emb = perDim.groupBy($"doc_id")
+      .agg(max($"cnt").as("n_tok"), // every occurrence feeds every dim
+        concat_ws(",", transform(array_sort(collect_list(struct($"dim", $"e"))),
+          s => s.getField("e").cast("string"))).as("emb"),
+        sum($"e" * $"e").as("norm_sq"))
+    docs.select($"doc_id")
+      .join(emb, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tok", lit(0L)).as("n_tok"),
+        coalesce($"emb", lit("")).as("emb"),
+        coalesce($"norm_sq", lit(0L)).as("norm_sq"))
+      .orderBy($"doc_id")
+  }
+
+  val docEmbedSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
+       |tk AS (SELECT doc_id, tok, md5(tok) AS h FROM t WHERE tok <> ''),
+       |x AS (
+       |  SELECT doc_id, dims.j,
+       |    2*(strpos('0123456789abcdef', substr(h, CAST(dims.j + 1 AS INT), 1))-1)-15 AS v
+       |  FROM tk, (SELECT unnest(range(0, $EmbDims)) AS j) dims),
+       |e AS (
+       |  SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS e, count(*) AS cnt
+       |  FROM x GROUP BY 1, 2),
+       |p AS (
+       |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS n_tok,
+       |    string_agg(CAST(e AS VARCHAR), ',' ORDER BY j) AS emb,
+       |    CAST(sum(e*e) AS BIGINT) AS norm_sq
+       |  FROM e GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_tok, 0) AS n_tok,
+       |  coalesce(p.emb, '') AS emb,
+       |  coalesce(p.norm_sq, 0) AS norm_sq
+       |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

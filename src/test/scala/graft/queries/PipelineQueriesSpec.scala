@@ -305,6 +305,31 @@ class PipelineQueriesSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("doc_embed: exact hashing-trick arithmetic and occurrence linearity") {
+    import spark.implicits._
+    val out = PipelineQueries.docEmbed(spark, sf)
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.length == graft.Tables(spark, sf).documents.count())
+    // recompute one doc's embedding directly from its tokens in plain Scala
+    val doc0 = graft.Tables(spark, sf).documents
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val toks = doc0.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def vec(t: String): Array[Long] = {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until PipelineQueries.EmbDims).map(j =>
+        2L * Integer.parseInt(hex.substring(j, j + 1), 16) - 15L).toArray
+    }
+    val expect = toks.map(vec).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+    val row0 = out.find(_._1 == 0L).get
+    assert(row0._2 == toks.length)
+    assert(row0._3 == expect.mkString(","), s"embedding mismatch: ${row0._3} vs ${expect.mkString(",")}")
+    assert(row0._4 == expect.map(e => e * e).sum)
+    // embeddings are discriminative: overwhelmingly distinct across docs
+    assert(out.map(_._3).distinct.length > out.length * 9 / 10)
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("filter_agreement marginals equal each standalone gate's keep count") {
     import spark.implicits._
     val cells = PipelineQueries.filterAgreement(spark, sf)
