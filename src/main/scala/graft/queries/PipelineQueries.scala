@@ -849,28 +849,34 @@ object PipelineQueries {
     * broadcast, no window. */
   val EmbDims = 16
 
-  def docEmbed(spark: SparkSession, dir: String): DataFrame = {
+  /** Vector form behind [[docEmbed]] (and [[VectorQueries.embedKnn]]'s
+    * input): (doc_id, n_tok, emb_arr array<long> in dimension order,
+    * norm_sq). Covers only docs with ≥1 token. */
+  private[queries] def docEmbedVectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-    val tok = docs
+    val tok = Tables(spark, dir).documents
       .select($"doc_id", explode(words($"text")).as("tok"))
       .filter($"tok" =!= "")
       .withColumn("h", md5($"tok"))
     val dims = tok.select($"doc_id",
       posexplode(expr(s"transform(sequence(0, ${EmbDims - 1}), j -> " +
         "2*(instr('0123456789abcdef', substring(h, j+1, 1))-1)-15)")).as(Seq("dim", "v")))
-    val perDim = dims.groupBy($"doc_id", $"dim")
+    dims.groupBy($"doc_id", $"dim")
       .agg(sum($"v").as("e"), count(lit(1)).as("cnt"))
-    val emb = perDim.groupBy($"doc_id")
+      .groupBy($"doc_id")
       .agg(max($"cnt").as("n_tok"), // every occurrence feeds every dim
-        concat_ws(",", transform(array_sort(collect_list(struct($"dim", $"e"))),
-          s => s.getField("e").cast("string"))).as("emb"),
+        transform(array_sort(collect_list(struct($"dim", $"e"))),
+          s => s.getField("e")).as("emb_arr"),
         sum($"e" * $"e").as("norm_sq"))
-    docs.select($"doc_id")
-      .join(emb, Seq("doc_id"), "left")
+  }
+
+  def docEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents.select($"doc_id")
+      .join(docEmbedVectors(spark, dir), Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_tok", lit(0L)).as("n_tok"),
-        coalesce($"emb", lit("")).as("emb"),
+        coalesce(concat_ws(",", transform($"emb_arr", _.cast("string"))), lit("")).as("emb"),
         coalesce($"norm_sq", lit(0L)).as("norm_sq"))
       .orderBy($"doc_id")
   }

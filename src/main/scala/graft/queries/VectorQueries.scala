@@ -732,4 +732,71 @@ object VectorQueries {
        |LEFT JOIN qerr e USING (q_id)
        |ORDER BY q_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №83 embed_knn
+  /** Retrieval over the MODEL-FREE embeddings (№82 doc_embed) — the
+    * text→vector bridge driven end to end: top-[[K]] cosine neighbours
+    * for every doc_id ≡ 0 (mod [[EmbedQEvery]]) query doc over the rest
+    * of the corpus, on the feature-hashed integer vectors. The dot
+    * products are EXACT 64-bit integer arithmetic (components bounded by
+    * 15·n_tok, far under 2^53), so unlike float embeddings the score
+    * needs no fold-order discipline — any summation order is bit-equal,
+    * and only the final cosine division/sqrt touch floating point
+    * (IEEE-identical in both engines, rounded to 6dp before ranking,
+    * doc_id tiebreak). Same scale shape as knn_brute: queries broadcast
+    * (workload-sized), corpus scanned once, native bounded-heap top-k —
+    * ≤K rows per (query, partition) reach the shuffle. */
+  val EmbedQEvery = 97
+
+  def embedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted barrier before the HOF dot-product lambda (§9
+    // CollapseProject rule) — also shares the one embedding pass between
+    // the query and corpus sides
+    val v = graft.CacheRegistry.track(
+      PipelineQueries.docEmbedVectors(spark, dir)
+        .filter($"n_tok" > 0)
+        .select($"doc_id", $"emb_arr", $"norm_sq")
+        .persist())
+    val queries = v.filter($"doc_id" % EmbedQEvery === 0)
+      .select($"doc_id".as("q_id"), $"emb_arr".as("q_emb"), $"norm_sq".as("q_norm"))
+    val corpus = v.filter($"doc_id" % EmbedQEvery =!= 0)
+    val scored = corpus.join(broadcast(queries))
+      .select($"q_id", $"doc_id",
+        round(
+          aggregate(zip_with($"emb_arr", $"q_emb", (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+            .cast("double") /
+            (sqrt($"norm_sq".cast("double")) * sqrt($"q_norm".cast("double"))), 6).as("cos"))
+    topKRanked(scored, "q_id", "cos", "doc_id", K)
+      .select($"q_id", $"doc_id", $"cos", $"rank".cast("int").as("rank"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val embedKnnSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
+       |tk AS (SELECT doc_id, tok, md5(tok) AS h FROM t WHERE tok <> ''),
+       |x AS (
+       |  SELECT doc_id, dims.j,
+       |    2*(strpos('0123456789abcdef', substr(h, CAST(dims.j + 1 AS INT), 1))-1)-15 AS v
+       |  FROM tk, (SELECT unnest(range(0, ${PipelineQueries.EmbDims})) AS j) dims),
+       |e AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS e FROM x GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, CAST(sum(e*e) AS BIGINT) AS norm_sq FROM e GROUP BY doc_id),
+       |dot AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id, CAST(sum(c.e * q.e) AS BIGINT) AS dot
+       |  FROM e c JOIN e q ON c.j = q.j
+       |  WHERE q.doc_id % $EmbedQEvery = 0 AND c.doc_id % $EmbedQEvery <> 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.doc_id,
+       |    round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(cn.norm_sq AS DOUBLE)) * sqrt(CAST(qn.norm_sq AS DOUBLE))), 6) AS cos
+       |  FROM dot d
+       |  JOIN nrm cn ON cn.doc_id = d.doc_id
+       |  JOIN nrm qn ON qn.doc_id = d.q_id),
+       |ranked AS (
+       |  SELECT q_id, doc_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, doc_id, cos, rank FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
 }

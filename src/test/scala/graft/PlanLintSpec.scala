@@ -16,7 +16,8 @@ class PlanLintSpec extends SparkSpec {
     "dedup_recall", // single-row count totals cross-joined
     "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
     "lm_score", // single-row total-N broadcast (the domain_mix class)
-    "filter_agreement") // composes lm_score's total-N broadcast
+    "filter_agreement", // composes lm_score's total-N broadcast
+    "embed_knn") // the knn_brute broadcast-scan shape over hashed embeddings
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =

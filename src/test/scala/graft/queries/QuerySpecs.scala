@@ -111,6 +111,26 @@ class VectorQueriesSpec extends SparkSpec {
     assert(out(0) == 0.0 && out(1) == 1.0 && out(2) == 0.96)
   }
 
+  test("embed_knn: exact-integer cosine ranking over hashed embeddings, bounded-heap plan") {
+    val df = VectorQueries.embedKnn(spark, sf)
+    // the custom two-phase top-k must carry this query too (no window sort)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"), s"embed_knn lost the bounded-heap plan:\n$plan")
+    val out = df.as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"ranks not dense for query $q")
+      // scores non-increasing in rank, all within [-1, 1]
+      val sorted = rows.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }, s"scores not sorted for $q")
+      assert(sorted.forall(c => c >= -1.0 && c <= 1.0))
+      // a query doc never retrieves itself (it is excluded from the corpus side)
+      assert(rows.forall(_._2 != q))
+    }
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("dedup_embedding finds exactly the injected near-dup pairs") {
     val out = VectorQueries.dedupEmbedding(spark, sf)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
