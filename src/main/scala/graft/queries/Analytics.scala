@@ -80,7 +80,10 @@ object Analytics {
     * user_id only; per-user ordering by (ts, event_id) is fully
     * deterministic under timestamp ties).
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-EVENT session assignment — the fragment behind [[sessionize]]
+    * and [[sessionFunnel]]: every event row tagged with its 30-min-gap
+    * session_id (one window pass, shuffle on user_id only). */
+  private[queries] def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val gapMs = 1800000L
@@ -89,6 +92,12 @@ object Analytics {
       .withColumn("prev_ms", lag($"ts_ms", 1).over(wOrd))
       .withColumn("new_sess", when($"prev_ms".isNull || $"ts_ms" - $"prev_ms" > gapMs, 1L).otherwise(0L))
       .withColumn("session_id", sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"session_id", $"event_id", $"event_type", $"ts_ms")
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionAssigned(spark, dir)
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"), min($"ts_ms").as("start_ms"), max($"ts_ms").as("end_ms"))
       .withColumn("duration_ms", $"end_ms" - $"start_ms")
@@ -136,6 +145,70 @@ object Analytics {
       |  FROM orders)
       |SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM r
       |WHERE rank <= 10 ORDER BY o_orderpriority, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №84 session_funnel
+  /** Ordered conversion funnel per session — the event-analytics step
+    * after sessionization: how deep into view → click → purchase does
+    * each session get, with STRICT ordering (the click must follow the
+    * session's first view; the purchase must follow that click). Events
+    * order by the packed key `(ts_ms − epoch2024)·10^7 + event_id` —
+    * exact 64-bit integer arithmetic (rebased millis keep the product
+    * under 2^55), deterministic under same-ms ties in both engines.
+    *
+    * Scale shape: ONE session-assignment window pass (shared fragment
+    * with №35), persisted; the three stage aggregations are bounded
+    * per-session min-reductions with map-side partials, each joined back
+    * session-co-partitioned — shuffle keys are (user, session)
+    * throughout, so AQE reuses the partitioning; no corpus-wide sort. */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.CacheRegistry.track(sessionAssigned(spark, dir)
+      .withColumn("k", ($"ts_ms" - lit(1704067200000L)) * 10000000L + $"event_id")
+      .persist())
+    val sk = Seq("user_id", "session_id")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy(sk.map(col): _*).agg(min($"k").as("vk"))
+    val c = ev.filter($"event_type" === "click").join(v, sk)
+      .filter($"k" > $"vk").groupBy(sk.map(col): _*).agg(min($"k").as("ck"))
+    val p = ev.filter($"event_type" === "purchase").join(c, sk)
+      .filter($"k" > $"ck").groupBy(sk.map(col): _*).agg(min($"k").as("pk"))
+    ev.groupBy(sk.map(col): _*).agg(count(lit(1)).as("n_events"))
+      .join(v, sk, "left").join(c, sk, "left").join(p, sk, "left")
+      .select($"user_id", $"session_id", $"n_events",
+        when($"pk".isNotNull, 3).when($"ck".isNotNull, 2)
+          .when($"vk".isNotNull, 1).otherwise(0).cast("int").as("depth"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    (ts_ms - 1704067200000) * 10000000 + event_id AS k,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |v AS (SELECT user_id, session_id, min(k) AS vk FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT s.user_id, s.session_id, min(s.k) AS ck
+      |      FROM sess s JOIN v USING (user_id, session_id)
+      |      WHERE s.event_type = 'click' AND s.k > v.vk GROUP BY 1, 2),
+      |p AS (SELECT s.user_id, s.session_id, min(s.k) AS pk
+      |      FROM sess s JOIN c USING (user_id, session_id)
+      |      WHERE s.event_type = 'purchase' AND s.k > c.ck GROUP BY 1, 2),
+      |n AS (SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2)
+      |SELECT n.user_id, n.session_id, n.n_events,
+      |  CAST(CASE WHEN p.pk IS NOT NULL THEN 3 WHEN c.ck IS NOT NULL THEN 2
+      |       WHEN v.vk IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth
+      |FROM n
+      |LEFT JOIN v USING (user_id, session_id)
+      |LEFT JOIN c USING (user_id, session_id)
+      |LEFT JOIN p USING (user_id, session_id)
+      |ORDER BY n.user_id, n.session_id""".stripMargin
 
   // ---------------------------------------------------------------- №75 asof_join
   /** As-of join — the time-series operator Spark has no native form of

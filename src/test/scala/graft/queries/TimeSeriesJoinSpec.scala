@@ -62,6 +62,36 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(hashExchanges.size == 1, s"expected exactly one hash exchange:\n$plan")
   }
 
+  test("session_funnel equals a plain-Scala recomputation (strict ordering honored)") {
+    val events = graft.Tables(spark, sf).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+      .as[(Long, Long, String, Long)].collect()
+    val gap = 1800000L
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      // assign 30-min-gap sessions
+      var sid = 0L; var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > gap) sid += 1
+        prev = e._4
+        (sid, e)
+      }
+      tagged.groupBy(_._1).toSeq.map { case (s, rows) =>
+        def key(e: (Long, Long, String, Long)) = (e._4 - 1704067200000L) * 10000000L + e._1
+        val ks = rows.map(_._2).sortBy(key)
+        val vk = ks.filter(_._3 == "view").map(key).minOption
+        val ck = vk.flatMap(v => ks.filter(e => e._3 == "click" && key(e) > v).map(key).minOption)
+        val pk = ck.flatMap(c => ks.filter(e => e._3 == "purchase" && key(e) > c).map(key).minOption)
+        val depth = if (pk.isDefined) 3 else if (ck.isDefined) 2 else if (vk.isDefined) 1 else 0
+        (uid, s, rows.size.toLong, depth)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Analytics.sessionFunnel(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == expected)
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("range_join binned equals the naive inequality join") {
     val binned = Analytics.rangeJoinBinned(spark, sf).collect().toSeq
     // naive: the range predicate joined directly (fine here — the campaign
