@@ -210,6 +210,53 @@ object Analytics {
       |LEFT JOIN p USING (user_id, session_id)
       |ORDER BY n.user_id, n.session_id""".stripMargin
 
+  // ---------------------------------------------------------------- №85 retention_cohort
+  /** Weekly cohort retention — the classic product-analytics matrix over
+    * the events stream: users cohort by their FIRST-event week (integer
+    * weeks since the 2024-01-01 epoch, exact `DIV` arithmetic), and each
+    * (cohort, week-offset) cell counts the cohort's users active that
+    * week. Cells where offset = 0 equal the cohort size by construction
+    * (a user is active in their first week), giving the matrix its
+    * denominator column; rate = 6dp-rounded cell/cohort.
+    *
+    * Scale shape: first-week per user is ONE hash agg on user_id
+    * (map-side min partials); the activity frame dedups (user, week) in
+    * the same shuffle family; the cell rollup groups on the bounded
+    * (cohort_week, offset) key — weeks are a calendar dimension, so the
+    * output is bounded however big the corpus. No window, no broadcast
+    * beyond AQE's own choice on the user-keyed join. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", expr("(ts_ms - 1704067200000) DIV 604800000").as("week"))
+    val active = ev.distinct() // (user, week) activity
+    val cohorts = active.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val cells = active.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val sizes = cohorts.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select($"cohort_week", $"offset", $"n_active", $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size" + 1e-9, 6).as("rate"))
+      .orderBy($"cohort_week", $"offset")
+  }
+
+  val retentionCohortSql: String =
+    """WITH e AS (
+      |  SELECT user_id, (epoch_ms(ts) - 1704067200000) // 604800000 AS week FROM events),
+      |active AS (SELECT DISTINCT user_id, week FROM e),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id),
+      |cells AS (
+      |  SELECT c.cohort_week, a.week - c.cohort_week AS offset,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM active a JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1)
+      |SELECT cells.cohort_week, cells.offset, cells.n_active, sizes.cohort_size,
+      |  round(CAST(cells.n_active AS DOUBLE) / sizes.cohort_size + 0.000000001, 6) AS rate
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cells.cohort_week, cells.offset""".stripMargin
+
   // ---------------------------------------------------------------- №75 asof_join
   /** As-of join — the time-series operator Spark has no native form of
     * (DuckDB/kdb/Flink all ship one): for each `purchase` event, the same

@@ -92,6 +92,19 @@ class TimeSeriesJoinSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("retention_cohort: offset-0 cells are the cohort itself; cells stay in-matrix") {
+    val rows = Analytics.retentionCohort(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1.0, s"offset-0 cell != cohort size: $r")
+    }
+    rows.foreach { r =>
+      assert(r._2 >= 0 && r._3 <= r._4, s"cell outside the matrix: $r")
+    }
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("range_join binned equals the naive inequality join") {
     val binned = Analytics.rangeJoinBinned(spark, sf).collect().toSeq
     // naive: the range predicate joined directly (fine here — the campaign
