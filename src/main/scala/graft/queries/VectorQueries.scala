@@ -799,4 +799,78 @@ object VectorQueries {
        |  FROM scored)
        |SELECT q_id, doc_id, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №86 graph_centrality
+  /** PageRank over the kNN similarity graph (№27b's edges) — the
+    * coreset-selection signal: central vectors are the corpus's
+    * representatives, peripheral ones its outliers (what a curation
+    * pipeline keeps/drops when subsampling a 100 TB embedding corpus).
+    *
+    * Determinism: the entire iteration runs in SCALED 64-bit INTEGER
+    * arithmetic — rank unit = 10¹²/N, per-edge contribution `r DIV deg`,
+    * damping 0.85 as `(·85) DIV 100` — so sums are exact and
+    * order-independent (no float fold anywhere) and the oracle unrolls
+    * the SAME [[PrIters]] iterations as plain CTEs, bit-equal. Dangling
+    * mass is dropped (standard centrality simplification; scores, not
+    * probabilities). Scale shape: the edge frame (+out-degree) is built
+    * once and persisted; each iteration is ONE join (edges ⋈ ranks on
+    * src, both shuffle-keyed on the join key) + one hash agg on dst +
+    * the node left-join — O(iters) bounded shuffles over edge-sized
+    * frames, the dedup_cluster loop discipline. */
+  val PrIters = 5
+  val PrScale = 1000000000000L
+
+  def graphCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = graft.CacheRegistry.track(
+      knnGraph(spark, dir).select(col("vec_id").as("src"), col("neighbor").as("dst")).persist())
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val e = graft.CacheRegistry.track(edges.join(deg, "src").persist())
+    val nodes = graft.CacheRegistry.track(
+      Tables(spark, dir).embeddings.select($"vec_id".as("node")).persist())
+    val n = nodes.count() // one scalar job; the loop below stays distributed
+    val r0 = PrScale / n
+    val base = r0 * 15 / 100
+    var rank = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(rank, $"src" === $"node")
+        .select($"dst", expr("r DIV deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("m"))
+      rank = nodes.join(contrib, $"node" === $"dst", "left")
+        .select($"node", expr(s"$base + (coalesce(m, 0) * 85) DIV 100").as("r"))
+    }
+    rank.select($"node".as("vec_id"), $"r".as("rank_scaled"))
+      .orderBy($"vec_id")
+  }
+
+  /** The oracle unrolls the same [[PrIters]] integer iterations as plain
+    * CTEs (m_i = incoming contributions, r_i = damped update) — generated
+    * by the loop below so Spark and SQL can never disagree on the count. */
+  val graphCentralitySql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH g AS (SELECT vec_id AS src, neighbor AS dst FROM (
+         |  ${knnGraphSql.replace("\n", "\n  ")})),
+         |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+         |e AS (SELECT g.src, g.dst, deg.deg FROM g JOIN deg USING (src)),
+         |nodes AS (SELECT vec_id AS node FROM embeddings),
+         |params AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, $PrScale // p.n AS r FROM nodes, params p)""".stripMargin)
+    for (i <- 1 to PrIters) {
+      sb.append(
+        s""",
+           |m$i AS (
+           |  SELECT e.dst, CAST(sum(r${i - 1}.r // e.deg) AS BIGINT) AS m
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT n.node,
+           |    (($PrScale // p.n) * 15) // 100 + (coalesce(m$i.m, 0) * 85) // 100 AS r
+           |  FROM nodes n CROSS JOIN params p
+           |  LEFT JOIN m$i ON m$i.dst = n.node)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT node AS vec_id, r AS rank_scaled FROM r$PrIters ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
 }

@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSpec {
       "bucketed_join", // writes the bucketed tables on build
       "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
       "stream_asof", // streaming replay runs on build
-      "corpus_split") // runs the clusterLabels convergence loop on build
+      "corpus_split", // runs the clusterLabels convergence loop on build
+      "graph_centrality") // runs the N-count job + unrolled iterations on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -131,6 +131,22 @@ class VectorQueriesSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("graph_centrality: integer PageRank invariants (base floor, mass bound, discrimination)") {
+    val n = graft.Tables(spark, sf).embeddings.count()
+    val base = VectorQueries.PrScale / n * 15 / 100
+    val ranks = VectorQueries.graphCentrality(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(ranks.length == n)
+    // every node keeps at least the damped teleport base
+    assert(ranks.forall(_._2 >= base), "a node fell below the teleport base")
+    // dropped dangling mass means total never exceeds the injected scale
+    assert(ranks.map(_._2).sum <= VectorQueries.PrScale)
+    // centrality discriminates: in-degree hubs rise above the floor
+    assert(ranks.count(_._2 > base * 2) > n / 20,
+      "centrality degenerate — almost no node above 2x base")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("dedup_embedding finds exactly the injected near-dup pairs") {
     val out = VectorQueries.dedupEmbedding(spark, sf)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
