@@ -151,9 +151,10 @@ object Analytics {
     * after sessionization: how deep into view → click → purchase does
     * each session get, with STRICT ordering (the click must follow the
     * session's first view; the purchase must follow that click). Events
-    * order by the packed key `(ts_ms − epoch2024)·10^7 + event_id` —
-    * exact 64-bit integer arithmetic (rebased millis keep the product
-    * under 2^55), deterministic under same-ms ties in both engines.
+    * order by the LEXICOGRAPHIC (ts_ms, event_id) struct — both engines
+    * compare and min() structs field-by-field, so ordering is exact,
+    * deterministic under same-ms ties, and free of the overflow a
+    * packed integer key would hit once event_id outgrows its slot.
     *
     * Scale shape: ONE session-assignment window pass (shared fragment
     * with №35), persisted; the three stage aggregations are bounded
@@ -163,7 +164,7 @@ object Analytics {
   def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.CacheRegistry.track(sessionAssigned(spark, dir)
-      .withColumn("k", ($"ts_ms" - lit(1704067200000L)) * 10000000L + $"event_id")
+      .withColumn("k", struct($"ts_ms", $"event_id"))
       .persist())
     val sk = Seq("user_id", "session_id")
     val v = ev.filter($"event_type" === "view")
@@ -189,7 +190,7 @@ object Analytics {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
       |sess AS (
       |  SELECT user_id, event_id, event_type, ts_ms,
-      |    (ts_ms - 1704067200000) * 10000000 + event_id AS k,
+      |    row(ts_ms, event_id) AS k,
       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged),
@@ -229,8 +230,11 @@ object Analytics {
     import spark.implicits._
     val ev = Tables(spark, dir).events
       .select($"user_id", expr("(ts_ms - 1704067200000) DIV 604800000").as("week"))
-    val active = ev.distinct() // (user, week) activity
-    val cohorts = active.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    // both frames feed two consumers each — persist so the events scan +
+    // (user, week) distinct run once, not per branch
+    val active = graft.CacheRegistry.track(ev.distinct().persist())
+    val cohorts = graft.CacheRegistry.track(
+      active.groupBy($"user_id").agg(min($"week").as("cohort_week")).persist())
     val cells = active.join(cohorts, "user_id")
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("offset"))
       .agg(countDistinct($"user_id").as("n_active"))

@@ -694,7 +694,13 @@ object MultimodalQueries {
     * brighter with saturation clamp (min(255, v+4)): the canonical
     * "re-exported with slightly different levels" near-dup a 100 TB image
     * corpus is full of. Lossless codec → decoded pixels are closed-form
-    * in both engines. */
+    * in both engines.
+    *
+    * Id convention: variants live at +1e6, relying on the testdata
+    * invariant doc_id < 1e6 at every generated SF — the SAME contract
+    * every dup-injected corpus in this repo uses
+    * ([[TextQueries.dupCorpus]]'s +1e6/+2e6 bands); if the generator
+    * ever crosses 1e6 ids, ALL injection corpora move together. */
   private def phashFrame(spark: SparkSession, dir: String) = {
     import spark.implicits._
     val ids = Tables(spark, dir).documents.select(col("doc_id"))

@@ -811,6 +811,8 @@ object PipelineQueries {
     val Seq(fs, fu, fp, fl) = featureSqlOf("text", "ws")
     s"""WITH $lmCtesSql,
        |${CurationQueries.gopherCtesSql("documents", "text", "g")},
+       |gv AS (SELECT gf.doc_id, ${CurationQueries.gopherVerdictCols("g")}
+       |  FROM gf),
        |cw AS (SELECT doc_id, text, ${TextQueries.wordsSql("text")} AS ws FROM documents),
        |cf AS (SELECT doc_id,
        |  ${logitSqlOf(fs, fu, fp, fl)} AS logit
@@ -818,11 +820,11 @@ object PipelineQueries {
        |a AS (
        |  SELECT d.doc_id,
        |    cf.logit >= 0.0 AS keep_clf,
-       |    coalesce(gf.r_wc AND gf.r_mwl AND gf.r_stop AND gf.r_dup AND gf.r_top2, false) AS keep_gopher,
+       |    coalesce(gv.keep, false) AS keep_gopher,
        |    ${lmKeepSql("lms")} AS keep_lm
        |  FROM documents d
        |  JOIN cf ON cf.doc_id = d.doc_id
-       |  LEFT JOIN gf ON gf.doc_id = d.doc_id
+       |  LEFT JOIN gv ON gv.doc_id = d.doc_id
        |  LEFT JOIN lms ON lms.doc_id = d.doc_id)
        |SELECT keep_clf, keep_gopher, keep_lm, count(*) AS n_docs
        |FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin

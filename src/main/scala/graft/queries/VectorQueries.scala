@@ -753,9 +753,10 @@ object VectorQueries {
     // persisted barrier before the HOF dot-product lambda (§9
     // CollapseProject rule) — also shares the one embedding pass between
     // the query and corpus sides
+    // docEmbedVectors only emits docs with >= 1 token (empty docs are
+    // excluded upstream), so no zero-norm guard is needed here
     val v = graft.CacheRegistry.track(
       PipelineQueries.docEmbedVectors(spark, dir)
-        .filter($"n_tok" > 0)
         .select($"doc_id", $"emb_arr", $"norm_sq")
         .persist())
     val queries = v.filter($"doc_id" % EmbedQEvery === 0)

@@ -63,6 +63,7 @@ class TimeSeriesJoinSpec extends SparkSpec {
   }
 
   test("session_funnel equals a plain-Scala recomputation (strict ordering honored)") {
+    import scala.math.Ordering.Implicits._
     val events = graft.Tables(spark, sf).events
       .select($"event_id", $"user_id", $"event_type", $"ts_ms")
       .as[(Long, Long, String, Long)].collect()
@@ -77,7 +78,7 @@ class TimeSeriesJoinSpec extends SparkSpec {
         (sid, e)
       }
       tagged.groupBy(_._1).toSeq.map { case (s, rows) =>
-        def key(e: (Long, Long, String, Long)) = (e._4 - 1704067200000L) * 10000000L + e._1
+        def key(e: (Long, Long, String, Long)) = (e._4, e._1) // lexicographic (ts, event_id)
         val ks = rows.map(_._2).sortBy(key)
         val vk = ks.filter(_._3 == "view").map(key).minOption
         val ck = vk.flatMap(v => ks.filter(e => e._3 == "click" && key(e) > v).map(key).minOption)
