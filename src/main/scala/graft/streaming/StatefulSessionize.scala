@@ -128,23 +128,18 @@ object StatefulSessionize {
     val evs = graft.Tables(spark, dir).events
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
     val name = s"stream_sessions_${System.nanoTime()}"
-    // production state store for the verified run (GraftSession.withRocksDbState)
-    val prevProvider = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // state partitions sized to STATE VOLUME, not cores: each state
-    // partition opens its own RocksDB instance per micro-batch, and at
-    // proof-size state that per-instance overhead dominates (32 partitions
-    // x ~7 batches was ~1.5x slower than 8). Production sizes this at
-    // checkpoint creation against expected keys/executor.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    // production state store for the verified run; state partitions sized
+    // to STATE VOLUME, not cores: each state partition opens its own
+    // RocksDB instance per micro-batch, and at proof-size state that
+    // per-instance overhead dominates (32 partitions x ~7 batches was
+    // ~1.5x slower than 8). Production sizes this at checkpoint creation
+    // against expected keys/executor. ReplayHarness pins + restores.
+    val out = ReplayHarness.replay(spark, 8, name) { register =>
       val input = MemoryStream[Ev]
-      q = sessionizeIncremental(input.toDS(), gapMs, delay)
+      val q = sessionizeIncremental(input.toDS(), gapMs, delay)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      register(q)
       if (evs.nonEmpty) {
         // 4 contiguous ts-ordered chunks → separate micro-batches, watermark
         // advancing between them (mid-stream sessions close by TIMEOUT here,
@@ -166,15 +161,6 @@ object StatefulSessionize {
           ($"end_ms" - $"start_ms").as("duration_ms"))
         .orderBy($"user_id", $"session_id")
         .collect()
-    } finally {
-      if (q != null) q.stop() // a failed replay must not leak the query + state
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -212,15 +198,9 @@ object StatefulSessionize {
     val evs = graft.Tables(spark, dir).events
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
     val name = s"stream_sessions_bi_${System.nanoTime()}"
-    val prevProvider = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    val out = ReplayHarness.replay(spark, 8, name) { register =>
       val input = MemoryStream[Ev]
-      q = input.toDS()
+      val q = input.toDS()
         .withColumn("ts_utc", timestamp_millis($"ts_ms"))
         .withWatermark("ts_utc", "30 minutes")
         // gap+1ms: integer-ms events exactly gapMs apart MERGE, matching
@@ -231,6 +211,7 @@ object StatefulSessionize {
         .select($"user_id", $"n_events", $"start_ms", $"end_ms")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      register(q)
       if (evs.nonEmpty) {
         evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { chunk =>
           input.addData(chunk.toSeq); q.processAllAvailable()
@@ -247,15 +228,6 @@ object StatefulSessionize {
           ($"end_ms" - $"start_ms").as("duration_ms"))
         .orderBy($"user_id", $"session_id")
         .collect()
-    } finally {
-      if (q != null) q.stop()
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(

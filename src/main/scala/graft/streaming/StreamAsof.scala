@@ -65,17 +65,13 @@ object StreamAsof {
       .as[TEv].collect()
       .sortBy(t => (t.ts_ms, if (t.is_probe) 1 else 0, t.event_id))
     val name = s"stream_asof_${System.nanoTime()}"
-    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only (see streamSessionize)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8") // state partitions sized to state volume
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    // state partitions sized to state volume (ReplayHarness pins + restores)
+    val out = ReplayHarness.replay(spark, 8, name) { register =>
       val input = MemoryStream[TEv]
-      q = asof(input.toDS())
+      val q = asof(input.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      register(q)
       e.grouped(math.max(1, e.length / 4 + 1)).foreach { chunk =>
         input.addData(chunk.toSeq); q.processAllAvailable()
       }
@@ -84,15 +80,6 @@ object StreamAsof {
           ($"purchase_ms" - $"view_ms").as("gap_ms"))
         .orderBy($"event_id")
         .collect()
-    } finally {
-      if (q != null) q.stop() // a failed replay must not leak the query + state
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(

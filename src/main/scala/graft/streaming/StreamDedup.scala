@@ -42,35 +42,21 @@ object StreamDedup {
       .map { case (id, text) => Doc(id, text, 1000000L + id % 1000000L) }
       .sortBy(d => (d.event_ms, d.doc_id))
     val name = s"stream_dedup_${System.nanoTime()}"
-    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to STATE VOLUME, not cores (see
     // StatefulSessionize.streamSessionize — same RocksDB-per-partition-
-    // per-batch overhead)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    // per-batch overhead); ReplayHarness pins + restores the confs
+    val out = ReplayHarness.replay(spark, 8, name) { register =>
       val input = MemoryStream[Doc]
-      q = dedup(input.toDS(), "7 days")
+      val q = dedup(input.toDS(), "7 days")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      register(q)
       docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
         input.addData(chunk.toSeq); q.processAllAvailable()
       }
       // materialize, then drop the memory sink (see streamSessionize)
       spark.table(name).select(col("doc_id"), col("text_hash"))
         .orderBy(col("text_hash")).collect()
-    } finally {
-      if (q != null) q.stop() // a failed replay must not leak the query + state
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -113,14 +99,25 @@ object StreamDedup {
     val corpus = graft.queries.TextQueries.dupCorpus(spark, dir)
       .select(col("doc_id"), col("text"),
         (lit(1000000L) + col("doc_id") % 1000000L).as("event_ms"))
-    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"stream_dedup_files_${System.nanoTime()}"
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    // scratch (input files + checkpoint) is per-run; removed AFTER the
+    // query stops (ReplayHarness runs andThen last)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        // close the DirectoryStream before deleting children — Files.list
+        // holds a directory fd open until closed
+        val s = java.nio.file.Files.list(p)
+        val children = try {
+          val b = Vector.newBuilder[java.nio.file.Path]
+          val it = s.iterator()
+          while (it.hasNext) b += it.next()
+          b.result()
+        } finally s.close()
+        children.foreach(rm)
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val out = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
       // land each id band as parquet files with strictly increasing mod
       // times — a DISTRIBUTED write (2 files per band keeps the replay
       // multi-file within bands too)
@@ -154,42 +151,17 @@ object StreamDedup {
         .option("maxFilesPerTrigger", "1") // one file per micro-batch: the state path crosses batches
         .parquet(inDir.toString)
         .as[Doc]
-      q = dedup(stream, "7 days")
+      val q = dedup(stream, "7 days")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", scratch.resolve("ckpt").toString)
         .start()
+      register(q)
       q.awaitTermination()
       lastFileBatches = q.recentProgress.count(_.numInputRows > 0)
       spark.table(name).select(col("doc_id"), col("text_hash"))
         .orderBy(col("text_hash")).collect()
-    } finally {
-      if (q != null) q.stop()
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      // scratch (input files + checkpoint) is per-run; remove eagerly
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          // close the DirectoryStream before deleting children — Files.list
-          // holds a directory fd open until closed
-          val s = java.nio.file.Files.list(p)
-          val children = try {
-            val b = Vector.newBuilder[java.nio.file.Path]
-            val it = s.iterator()
-            while (it.hasNext) b += it.next()
-            b.result()
-          } finally s.close()
-          children.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(scratch)
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -71,23 +71,19 @@ object StreamJoin {
     val clicks = side("click")
     val purchases = side("purchase")
     val name = s"stream_join_${System.nanoTime()}"
-    val prev = spark.conf.getAll.get("spark.sql.streaming.stateStore.providerClass") // getAll = EXPLICIT entries only; getOption would return the registered default and turn the finally-restore into an explicit pin
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state partitions sized to state volume, not cores (r3 rule shared
     // with StreamDedup/StatefulSessionize) — and a stream-stream join runs
     // FOUR state stores per partition (left/right × two indexes), so the
     // per-batch store overhead is 4x a dedup's at the same width: 4
-    // partitions is plenty for the proof corpus's ~4k buffered events
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    val out = try {
+    // partitions is plenty for the proof corpus's ~4k buffered events.
+    // ReplayHarness pins + restores the confs.
+    val out = ReplayHarness.replay(spark, 4, name) { register =>
       val cIn = MemoryStream[Ev]
       val pIn = MemoryStream[Ev]
-      q = attribute(cIn.toDS(), pIn.toDS(), "7 days")
+      val q = attribute(cIn.toDS(), pIn.toDS(), "7 days")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
+      register(q)
       // interleave time-aligned chunks: both sides advance together, the
       // realistic arrival pattern (and the one that exercises BOTH
       // buffer-then-match directions of the join state)
@@ -102,15 +98,6 @@ object StreamJoin {
       spark.table(name)
         .select(col("user_id"), col("click_id"), col("purchase_id"), col("lag_ms"))
         .orderBy(col("click_id"), col("purchase_id")).collect()
-    } finally {
-      if (q != null) q.stop()
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll() // drop this replay's RocksDB providers (see bridge scaladoc)
-      spark.catalog.dropTempView(name)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(
