@@ -226,13 +226,20 @@ object Analytics {
     * (cohort_week, offset) key — weeks are a calendar dimension, so the
     * output is bounded however big the corpus. No window, no broadcast
     * beyond AQE's own choice on the user-keyed join. */
+  /** (user_id, week) activity frame — weeks since the 2024-01-01 epoch,
+    * exact integer DIV. Shared by [[retentionCohort]] / [[eventsPipeline]]. */
+  private[queries] def weeklyActive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"user_id", expr("(ts_ms - 1704067200000) DIV 604800000").as("week"))
+      .distinct()
+  }
+
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables(spark, dir).events
-      .select($"user_id", expr("(ts_ms - 1704067200000) DIV 604800000").as("week"))
     // both frames feed two consumers each — persist so the events scan +
     // (user, week) distinct run once, not per branch
-    val active = graft.CacheRegistry.track(ev.distinct().persist())
+    val active = graft.CacheRegistry.track(weeklyActive(spark, dir).persist())
     val cohorts = graft.CacheRegistry.track(
       active.groupBy($"user_id").agg(min($"week").as("cohort_week")).persist())
     val cells = active.join(cohorts, "user_id")
@@ -382,6 +389,60 @@ object Analytics {
       |  CAST(coalesce(sum(CAST(round(e.value, 2) AS DECIMAL(20,2))), 0) AS DOUBLE) AS sum_value
       |FROM c LEFT JOIN e ON e.ts_ms >= c.start_ms AND e.ts_ms <= c.end_ms
       |GROUP BY 1, 2, 3 ORDER BY campaign_id""".stripMargin
+
+  // ---------------------------------------------------------------- №87 events_pipeline
+  /** The analytics-family composed FLAGSHIP — the per-user summary a
+    * product team actually reads, every column produced by the
+    * STANDALONE operator it summarizes (the export_records /
+    * crawl_pipeline composition discipline): sessions from №35's shared
+    * assignment, funnel depth from №84, cohort week from №85's shared
+    * activity fragment, attributed purchases from №75's as-of output —
+    * so the summary cannot drift from the operators it composes (the
+    * spec checks each column against the standalone query).
+    *
+    * Scale shape: every stage is user-keyed, so all four aggregations
+    * shuffle on user_id and the final joins co-partition; output is one
+    * row per user — workload-bounded. */
+  def eventsPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = sessionize(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    val depth = sessionFunnel(spark, dir)
+      .groupBy($"user_id").agg(max($"depth").as("best_depth"))
+    val cohort = weeklyActive(spark, dir)
+      .groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val attributed = asofJoin(spark, dir)
+      .filter($"view_event_id".isNotNull)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_attributed"))
+    sessions
+      .join(depth, Seq("user_id"))
+      .join(cohort, Seq("user_id"))
+      .join(attributed, Seq("user_id"), "left")
+      .select($"user_id", $"n_sessions", $"best_depth", $"cohort_week",
+        coalesce($"n_attributed", lit(0L)).as("n_attributed"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle composes the standalone oracles as subselects — the same
+    * no-drift discipline on the SQL side. */
+  val eventsPipelineSql: String =
+    s"""WITH s AS (SELECT user_id, count(*) AS n_sessions
+       |  FROM (${sessionizeSql.replace("\n", "\n  ")}) GROUP BY user_id),
+       |f AS (SELECT user_id, CAST(max(depth) AS INTEGER) AS best_depth
+       |  FROM (${sessionFunnelSql.replace("\n", "\n  ")}) GROUP BY user_id),
+       |w AS (SELECT user_id,
+       |    min((epoch_ms(ts) - 1704067200000) // 604800000) AS cohort_week
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT user_id, count(*) AS n_attributed
+       |  FROM (${asofJoinSql.replace("\n", "\n  ")})
+       |  WHERE view_event_id IS NOT NULL GROUP BY user_id)
+       |SELECT s.user_id, s.n_sessions, f.best_depth, w.cohort_week,
+       |  coalesce(a.n_attributed, 0) AS n_attributed
+       |FROM s
+       |JOIN f USING (user_id)
+       |JOIN w USING (user_id)
+       |LEFT JOIN a USING (user_id)
+       |ORDER BY s.user_id""".stripMargin
 
   val q3Sql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -106,6 +106,26 @@ class TimeSeriesJoinSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("events_pipeline columns equal their standalone operators (no composition drift)") {
+    val out = Analytics.eventsPipeline(spark, sf)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val sessions = Analytics.sessionize(spark, sf)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    val depth = Analytics.sessionFunnel(spark, sf)
+      .groupBy($"user_id").agg(max($"depth")).as[(Long, Int)].collect().toMap
+    val attributed = Analytics.asofJoin(spark, sf)
+      .filter($"view_event_id".isNotNull)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    assert(out.keySet == sessions.keySet)
+    out.foreach { case (u, (n, d, _, a)) =>
+      assert(n == sessions(u), s"user $u session count drifted")
+      assert(d == depth(u), s"user $u funnel depth drifted")
+      assert(a == attributed.getOrElse(u, 0L), s"user $u attribution drifted")
+    }
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("range_join binned equals the naive inequality join") {
     val binned = Analytics.rangeJoinBinned(spark, sf).collect().toSeq
     // naive: the range predicate joined directly (fine here — the campaign
