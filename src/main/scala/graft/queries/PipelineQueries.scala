@@ -905,4 +905,55 @@ object PipelineQueries {
        |  coalesce(p.norm_sq, 0) AS norm_sq
        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №88 source_drift
+  /** Per-source distribution-drift monitor — the data-quality check a
+    * pipeline runs per ingest batch: each source's document-length
+    * histogram (10 fixed bins, `least(9, n_chars DIV 60)`) compared to
+    * the whole corpus's, as the L1 distance between the two
+    * distributions in EXACT integer ppm (`Σ |c·10⁶ DIV n − g·10⁶ DIV N|`
+    * — floor-divided per bin identically in both engines, so the
+    * statistic is bit-exact where a chi-square's float division would
+    * not be). A source whose content shifts (truncation bug, new
+    * sub-corpus, encoding break) moves its histogram and the ppm jumps.
+    *
+    * Scale shape: ONE corpus pass → (source, bin) counts; everything
+    * after is arithmetic over #sources×10 rows (global bins derived by
+    * summing the per-source counts — no second scan); missing
+    * (source, bin) cells materialize at c=0 via the tiny
+    * sources×bins frame so absent mass is counted as drift. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sb = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"source", expr("least(9, n_chars DIV 60)").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+      .persist())
+    val global = sb.groupBy($"bin").agg(sum($"c").as("g"))
+    val totals = sb.groupBy($"source").agg(sum($"c").as("n"))
+    val grand = sb.agg(sum($"c").as("nn")) // single row
+    val cells = totals.crossJoin(global) // #sources × 10 — every cell exists
+      .join(sb, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(grand))
+      .select($"source", $"n",
+        expr("abs(coalesce(c, 0) * 1000000 DIV n - g * 1000000 DIV nn)").as("term"))
+    cells.groupBy($"source")
+      .agg(max($"n").as("n_docs"), sum($"term").as("drift_ppm"))
+      .orderBy($"source")
+  }
+
+  val sourceDriftSql: String =
+    """WITH sb AS (
+      |  SELECT source, least(9, n_chars // 60) AS bin, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM sb GROUP BY bin),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sb GROUP BY source),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM sb),
+      |cells AS (
+      |  SELECT t.source, t.n,
+      |    abs(coalesce(sb.c, 0) * 1000000 // t.n - g.g * 1000000 // nn.nn) AS term
+      |  FROM t CROSS JOIN g CROSS JOIN nn
+      |  LEFT JOIN sb ON sb.source = t.source AND sb.bin = g.bin)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(sum(term) AS BIGINT) AS drift_ppm
+      |FROM cells GROUP BY source ORDER BY source""".stripMargin
 }

@@ -17,7 +17,8 @@ class PlanLintSpec extends SparkSpec {
     "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
     "lm_score", // single-row total-N broadcast (the domain_mix class)
     "filter_agreement", // composes lm_score's total-N broadcast
-    "embed_knn") // the knn_brute broadcast-scan shape over hashed embeddings
+    "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
+    "source_drift") // #sources x 10-bin cell frame + single-row grand total
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =

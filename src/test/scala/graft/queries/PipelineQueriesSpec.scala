@@ -330,6 +330,29 @@ class PipelineQueriesSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("source_drift equals a plain-Scala recomputation; L1 stays in [0, 2e6] ppm") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf).documents
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val byBin = docs.map { case (s, n) => (s, math.min(9L, n / 60)) }
+    val global = byBin.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = docs.length.toLong
+    val expected = byBin.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val cnt = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val drift = (0L to 9L).map { b =>
+        math.abs(cnt.getOrElse(b, 0L) * 1000000 / n - global.getOrElse(b, 0L) * 1000000 / nn)
+      }.sum
+      src -> ((n, drift))
+    }
+    val got = PipelineQueries.sourceDrift(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    assert(got.values.forall { case (_, d) => d >= 0 && d <= 2000000 })
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("filter_agreement marginals equal each standalone gate's keep count") {
     import spark.implicits._
     val cells = PipelineQueries.filterAgreement(spark, sf)
