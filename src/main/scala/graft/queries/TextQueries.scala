@@ -714,6 +714,165 @@ object TextQueries {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №89 bpe_pairs
+  /** Tokenizer-training pair counting — the first BPE merge step (Sennrich
+    * et al. 2016): frequency of every adjacent CHARACTER pair across the
+    * corpus, each word's pairs weighted by the word's corpus count. The
+    * highest-count pair is the pair a BPE trainer would merge first.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * corpus collapses to its VOCABULARY first (one token-explode hash agg
+    * with map-side partials; vocab cardinality ≪ corpus size), and pair
+    * mining then runs over DISTINCT words only, weighted by count — the
+    * pair scan is vocab-bounded no matter how large the corpus. Adjacent
+    * pairs are 2-char substrings (`substring(w, i, 2)` — identical
+    * 1-based semantics in both engines), overlapping occurrences counted
+    * as BPE does ("aaa" → "aa" twice). Top-100 via TakeOrdered with the
+    * token_histogram tiebreak (count DESC, pair ASC) — never a global
+    * sort of the pair table. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .filter(length($"tok") >= 2)
+      .select($"n", explode(expr(
+        "transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(sum($"n").as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"pair")
+      .limit(100)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH t AS (SELECT unnest(${wordsSql("text")}) AS tok FROM documents),
+       |v AS (SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY tok),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, length(tok)),
+       |    i -> substr(tok, CAST(i AS INT), 2))) AS pair, n
+       |  FROM v WHERE length(tok) >= 2)
+       |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
+       |FROM p GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------- №90/91 tf-idf retrieval
+  /** Shared TF-IDF frame: (doc_id, tok, tf, idf_bits). idf in the
+    * lm_score integer-exact form — `length(bin(N DIV df))` is ⌊log₂⌋+1 of
+    * the inverse document frequency, computed bit-identically in both
+    * engines (libm log() would break §5 determinism). Feeds
+    * [[keywordExtract]] and [[bm25Search]] so extraction and retrieval
+    * can never disagree on a weight. Shape: token explode → ONE
+    * (doc, tok) hash agg; df derived FROM tf (vocab-bounded second agg);
+    * N a single-row broadcast; the df attach is an equi-join on tok —
+    * vocabulary grows with the corpus, so it is never force-broadcast. */
+  private[queries] def tfIdfOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tf = docs.select($"doc_id", explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfr, "tok")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"tok", $"tf",
+        length(expr("bin(n_docs DIV df)")).cast("long").as("idf_bits"))
+  }
+
+  /** Same frame as DuckDB CTEs, ending in `tfx(doc_id, tok, tf, idf_bits)`. */
+  private[queries] val tfIdfCtesSql: String =
+    s"""tfx_t AS (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents),
+       |tfx_tf AS (SELECT doc_id, tok, count(*) AS tf FROM tfx_t WHERE tok <> '' GROUP BY 1, 2),
+       |tfx_df AS (SELECT tok, count(*) AS df FROM tfx_tf GROUP BY tok),
+       |tfx_n AS (SELECT count(*) AS n_docs FROM documents),
+       |tfx AS (
+       |  SELECT doc_id, tok, tf, length(bin(n_docs // df)) AS idf_bits
+       |  FROM tfx_tf JOIN tfx_df USING (tok) CROSS JOIN tfx_n)""".stripMargin
+
+  /** Keywords per doc = top-[[KwK]] tokens by tf·idf_bits (score DESC,
+    * token ASC tiebreak) — exact integer scores, engine-independent. */
+  val KwK = 5
+
+  // ---------------------------------------------------------------- №90 keyword_extract
+  /** Per-document TF-IDF keyword extraction — the classic "what is this
+    * document about" signal (tagging, index building, near-dup triage).
+    * Score = tf · idf_bits, exact BIGINT both engines. Ranking is a
+    * window PARTITIONED BY doc — per-doc partitions sort at most the
+    * doc's distinct-token count (vocab-bounded), parallelize across the
+    * corpus, and never become a global sort. */
+  def keywordExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tfIdfOf(spark, dir)
+      .withColumn("score", $"tf" * $"idf_bits")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= KwK)
+      .select($"doc_id", $"rank", $"tok", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val keywordExtractSql: String =
+    s"""WITH $tfIdfCtesSql,
+       |r AS (
+       |  SELECT doc_id, tok, CAST(tf * idf_bits AS BIGINT) AS score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, tok) AS rank
+       |  FROM tfx)
+       |SELECT doc_id, rank, tok, score FROM r WHERE rank <= $KwK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №91 bm25_search
+  /** Inverted-index keyword retrieval (the BM25 shape with the integer-
+    * exact idf of [[tfIdfOf]]): each query doc (doc_id ≡ 0 mod [[QMod]])
+    * queries the corpus with its own top-[[QTerms]] keywords; candidate
+    * score = Σ tf(t,d) · idf_bits(t) over the query's terms; top-[[SearchK]]
+    * docs per query (score DESC, doc_id ASC).
+    *
+    * Scale shape: ONE persisted tf-idf pass feeds query-term extraction
+    * AND retrieval (they cannot drift); the probe is an EQUI-JOIN on the
+    * term — the relational form of an inverted-index posting-list lookup,
+    * no broadcast of any corpus-proportional set; ranking via the
+    * GroupedTopK physical operator (bounded per-partition heaps → one
+    * hash exchange on q_doc), where a window would shuffle and sort every
+    * candidate row. Self-retrieval is the built-in sanity signal: the
+    * query doc itself scores its own keywords' full tf·idf mass. */
+  val QMod = 61
+  val QTerms = 3
+  val SearchK = 10
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ti = graft.CacheRegistry.track(tfIdfOf(spark, dir).persist())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy(($"tf" * $"idf_bits").desc, $"tok")
+    val qt = ti.filter($"doc_id" % QMod === 0)
+      .withColumn("kr", row_number().over(w))
+      .filter($"kr" <= QTerms)
+      .select($"doc_id".as("q_doc"), $"tok", $"idf_bits".as("w_bits"))
+    val scored = ti.join(qt, "tok")
+      .groupBy($"q_doc", $"doc_id")
+      .agg(sum($"tf" * $"w_bits").cast("double").as("score"))
+    graft.plans.GroupedTopK.rankedTopK(scored, "q_doc", "score", "doc_id", SearchK)
+      .select($"q_doc", $"rank", $"doc_id", $"score".cast("long").as("score"))
+      .orderBy($"q_doc", $"rank")
+  }
+
+  val bm25SearchSql: String =
+    s"""WITH $tfIdfCtesSql,
+       |qr AS (
+       |  SELECT doc_id, tok, idf_bits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, tok) AS kr
+       |  FROM tfx WHERE doc_id % $QMod = 0),
+       |qt AS (SELECT doc_id AS q_doc, tok, idf_bits AS w_bits FROM qr WHERE kr <= $QTerms),
+       |sc AS (
+       |  SELECT qt.q_doc, tfx.doc_id, CAST(sum(tfx.tf * qt.w_bits) AS BIGINT) AS score
+       |  FROM tfx JOIN qt USING (tok) GROUP BY 1, 2),
+       |r AS (
+       |  SELECT q_doc, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT q_doc, rank, doc_id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY q_doc, rank""".stripMargin
+
 }
 
 /** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own

@@ -97,6 +97,87 @@ class TextQueriesSpec extends SparkSpec {
     assert(exact.length == 50 && exact.forall(_._3 == 0))
     assert(out.forall(p => p._1 < p._2))
   }
+
+  private def corpusTokens: Seq[String] =
+    graft.Tables(spark, sf).documents.select("text").as[String].collect().toSeq
+      .flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" "))
+      .filter(_.nonEmpty)
+
+  test("bpe_pairs ≡ plain-Scala recomputation (weighted overlapping char pairs, top-100)") {
+    val vocab = corpusTokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = vocab.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (w, n) => (0 until w.length - 1).map(i => w.substring(i, i + 2) -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(100)
+    val got = TextQueries.bpePairs(spark, sf)
+      .select("pair", "n_pairs").as[(String, Long)].collect().toSeq
+    assert(got == expected, "pair mining must equal the closed-form recomputation")
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
+  test("keyword_extract: integer tf·idf_bits scores, per-doc ranks contiguous from 1") {
+    val rows = TextQueries.keywordExtract(spark, sf)
+      .select("doc_id", "rank", "tok", "score").as[(Long, Int, String, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rs) =>
+      val ranks = rs.map(_._2).sorted
+      assert(ranks.toSeq == (1 to rs.length), s"doc $d ranks not contiguous: ${ranks.toSeq}")
+      assert(rs.length <= TextQueries.KwK)
+      // scores non-increasing in rank, token ASC on equal scores
+      val inOrder = rs.sortBy(_._2)
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"doc $d rank order violated: $a then $b")
+        case _ => ()
+      }
+    }
+    // spot-recompute one doc against the closed form
+    val toks = corpusTokens
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    val docToks = graft.Tables(spark, sf).documents.filter($"doc_id" === 7L)
+      .select("text").as[String].head()
+      .toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    val dfMap = graft.Tables(spark, sf).documents
+      .select($"doc_id", explode(TextQueries.words($"text")).as("t")).filter($"t" =!= "")
+      .distinct().groupBy("t").count()
+      .as[(String, Long)].collect().toMap
+    val expect7 = docToks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (t, tf) => (t, tf * java.lang.Long.toBinaryString(nDocs / dfMap(t)).length) }
+      .sortBy { case (t, s) => (-s, t) }.take(TextQueries.KwK)
+      .zipWithIndex.map { case ((t, s), i) => (7L, i + 1, t, s) }
+    assert(byDoc(7L).sortBy(_._2).toSeq == expect7)
+  }
+
+  test("bm25_search ≡ plain-Scala recomputation of every query's top-k") {
+    val rows = TextQueries.bm25Search(spark, sf)
+      .select("q_doc", "rank", "doc_id", "score").as[(Long, Int, Long, Long)].collect()
+    graft.CacheRegistry.releaseAll(spark)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet.forall(_ % TextQueries.QMod == 0) && byQ.nonEmpty)
+    // closed-form model: tf per (doc, tok), df from tf, idf = bit length
+    val docToks = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (d, t) =>
+        d -> t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq }
+    val tf = docToks.flatMap { case (d, ts) => ts.map(d -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfm = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nDocs = docToks.size.toLong
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    for (q <- byQ.keys) {
+      val qToks = docToks.find(_._1 == q).get._2.distinct
+      val qTerms = qToks.map(t => (t, tf((q, t)) * bits(nDocs / dfm(t))))
+        .sortBy { case (t, s) => (-s, t) }.take(TextQueries.QTerms).map(_._1)
+      val expected = docToks.map { case (d, ts) =>
+        d -> qTerms.filter(ts.contains).map(t => tf((d, t)) * bits(nDocs / dfm(t))).sum
+      }.filter(_._2 > 0L)
+        .sortBy { case (d, s) => (-s, d) }.take(TextQueries.SearchK)
+        .zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+      assert(byQ(q).sortBy(_._2).toSeq == expected, s"query $q top-k mismatch")
+    }
+  }
 }
 
 class VectorQueriesSpec extends SparkSpec {
