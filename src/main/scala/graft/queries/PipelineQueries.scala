@@ -851,10 +851,12 @@ object PipelineQueries {
     * broadcast, no window. */
   val EmbDims = 16
 
-  /** Vector form behind [[docEmbed]] (and [[VectorQueries.embedKnn]]'s
-    * input): (doc_id, n_tok, emb_arr array<long> in dimension order,
-    * norm_sq). Covers only docs with ≥1 token. */
-  private[queries] def docEmbedVectors(spark: SparkSession, dir: String): DataFrame = {
+  /** LONG form of the embedding: one row per (doc_id, dim) with the exact
+    * integer component `e` and the occurrence count `cnt` (= n_tok, same
+    * for every dim). Shared by [[docEmbedVectors]] and
+    * [[VectorQueries.textCluster]] so clustering runs over the identical
+    * vectors doc_embed publishes. Covers only docs with ≥1 token. */
+  private[queries] def docEmbedDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables(spark, dir).documents
       .select($"doc_id", explode(words($"text")).as("tok"))
@@ -865,6 +867,26 @@ object PipelineQueries {
         "2*(instr('0123456789abcdef', substring(h, j+1, 1))-1)-15)")).as(Seq("dim", "v")))
     dims.groupBy($"doc_id", $"dim")
       .agg(sum($"v").as("e"), count(lit(1)).as("cnt"))
+  }
+
+  /** The same long form as DuckDB CTEs ending in `e(doc_id, j, e)` —
+    * shared verbatim by the embed_knn and text_cluster oracles. */
+  private[queries] val embDimsCtesSql: String =
+    s"""t AS (
+       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
+       |tk AS (SELECT doc_id, tok, md5(tok) AS h FROM t WHERE tok <> ''),
+       |x AS (
+       |  SELECT doc_id, dims.j,
+       |    2*(strpos('0123456789abcdef', substr(h, CAST(dims.j + 1 AS INT), 1))-1)-15 AS v
+       |  FROM tk, (SELECT unnest(range(0, $EmbDims)) AS j) dims),
+       |e AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS e FROM x GROUP BY 1, 2)""".stripMargin
+
+  /** Vector form behind [[docEmbed]] (and [[VectorQueries.embedKnn]]'s
+    * input): (doc_id, n_tok, emb_arr array<long> in dimension order,
+    * norm_sq). Covers only docs with ≥1 token. */
+  private[queries] def docEmbedVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docEmbedDims(spark, dir)
       .groupBy($"doc_id")
       .agg(max($"cnt").as("n_tok"), // every occurrence feeds every dim
         transform(array_sort(collect_list(struct($"dim", $"e"))),

@@ -774,14 +774,7 @@ object VectorQueries {
   }
 
   val embedKnnSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
-       |tk AS (SELECT doc_id, tok, md5(tok) AS h FROM t WHERE tok <> ''),
-       |x AS (
-       |  SELECT doc_id, dims.j,
-       |    2*(strpos('0123456789abcdef', substr(h, CAST(dims.j + 1 AS INT), 1))-1)-15 AS v
-       |  FROM tk, (SELECT unnest(range(0, ${PipelineQueries.EmbDims})) AS j) dims),
-       |e AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS e FROM x GROUP BY 1, 2),
+    s"""WITH ${PipelineQueries.embDimsCtesSql},
        |nrm AS (SELECT doc_id, CAST(sum(e*e) AS BIGINT) AS norm_sq FROM e GROUP BY doc_id),
        |dot AS (
        |  SELECT q.doc_id AS q_id, c.doc_id, CAST(sum(c.e * q.e) AS BIGINT) AS dot
@@ -800,6 +793,85 @@ object VectorQueries {
        |  FROM scored)
        |SELECT q_id, doc_id, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №92 text_cluster
+  /** K-means document clustering over the №82 feature-hashed embeddings —
+    * the corpus-organization operator (topic buckets, per-cluster
+    * curation quotas, diversity sampling for training mixes): [[KmK]]
+    * clusters, [[KmIters]] Lloyd iterations, ENTIRELY in exact 64-bit
+    * integer arithmetic so both engines agree bit-for-bit:
+    * distances are integer Σ(e−c)² (components bounded by 15·n_tok —
+    * far under overflow), assignment tiebreak = lowest cluster id on
+    * equal distance, and centroid components use FLOOR division realized
+    * as `(s − pmod(s, n)) DIV n` — Spark's `DIV` truncates toward zero
+    * and DuckDB's `//` floors, so the pmod form is the one integer-mean
+    * both engines compute identically on negative sums. Seeds = the
+    * embeddings of doc_id < K (deterministic); an emptied cluster drops
+    * out of later iterations in both engines (standard k-means
+    * degeneracy, identical handling). The oracle unrolls the SAME
+    * iterations as generated CTEs — one Scala loop emits both sides'
+    * iteration count (the graph_centrality discipline).
+    *
+    * Scale shape: the (doc, dim) frame is persisted ONCE; per iteration
+    * the centroid set is a CONSTANT-SIZE broadcast (K×dims rows — the
+    * knn_ivf centroid justification), distances are one hash agg on
+    * (doc, cluster), assignment one agg on doc, the centroid update one
+    * bounded-key agg — O(iters) bounded shuffles, no window over the
+    * corpus, nothing corpus-proportional broadcast. */
+  val KmK = 8
+  val KmIters = 3
+
+  def textCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = graft.CacheRegistry.track(
+      PipelineQueries.docEmbedDims(spark, dir).select($"doc_id", $"dim", $"e").persist())
+    var cent = dims.filter($"doc_id" < KmK)
+      .select($"doc_id".as("cl"), $"dim", $"e".as("c"))
+    var assign: DataFrame = null
+    for (i <- 1 to KmIters) {
+      val d = dims.join(broadcast(cent), "dim")
+        .groupBy($"doc_id", $"cl")
+        .agg(sum(($"e" - $"c") * ($"e" - $"c")).as("d"))
+      assign = d.groupBy($"doc_id").agg(min(struct($"d", $"cl")).as("m"))
+        .select($"doc_id", $"m.cl".as("cl"), $"m.d".as("d"))
+      if (i < KmIters)
+        cent = assign.join(dims, "doc_id")
+          .groupBy($"cl", $"dim")
+          .agg(sum($"e").as("s"), count(lit(1)).as("nc"))
+          .select($"cl", $"dim", expr("(s - pmod(s, nc)) DIV nc").as("c"))
+    }
+    assign.select($"doc_id", $"cl".as("cluster"), $"d".as("dist")).orderBy($"doc_id")
+  }
+
+  /** Oracle: the same [[KmIters]] integer Lloyd iterations unrolled as
+    * CTEs over the SHARED embedding fragment ([[PipelineQueries.embDimsCtesSql]]). */
+  val textClusterSql: String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH ${PipelineQueries.embDimsCtesSql},\n")
+    sb.append(s"cent0 AS (SELECT doc_id AS cl, j, e AS c FROM e WHERE doc_id < $KmK)")
+    for (i <- 1 to KmIters) {
+      sb.append(
+        s""",
+           |d$i AS (
+           |  SELECT e.doc_id, c.cl, CAST(sum((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d
+           |  FROM e JOIN cent${i - 1} c USING (j) GROUP BY 1, 2),
+           |a$i AS (
+           |  SELECT doc_id, cl, d FROM (
+           |    SELECT doc_id, cl, d, row_number() OVER (PARTITION BY doc_id ORDER BY d, cl) AS rn
+           |    FROM d$i) t WHERE rn = 1)""".stripMargin)
+      if (i < KmIters) sb.append(
+        s""",
+           |cent$i AS (
+           |  SELECT a.cl, e.j,
+           |    (CAST(sum(e.e) AS BIGINT)
+           |      - ((CAST(sum(e.e) AS BIGINT) % count(*)) + count(*)) % count(*)) // count(*) AS c
+           |  FROM a$i a JOIN e ON e.doc_id = a.doc_id GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT doc_id, cl AS cluster, d AS dist FROM a$KmIters ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
 
   // ---------------------------------------------------------------- №86 graph_centrality
   /** PageRank over the kNN similarity graph (№27b's edges) — the

@@ -296,6 +296,52 @@ class VectorQueriesSpec extends SparkSpec {
     assert(exhaustive == 1.0, s"probe=Centroids must equal brute force, got $exhaustive")
     assert(exhaustive > dflt, "widening the probe must not lower recall")
   }
+
+  test("text_cluster ≡ plain-Scala integer Lloyd iterations (floor-div centroids, id tiebreak)") {
+    val got = VectorQueries.textCluster(spark, sf)
+      .select("doc_id", "cluster", "dist").as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    graft.CacheRegistry.releaseAll(spark)
+    // model: md5-nibble hashed embeddings, exactly doc_embed's definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val emb: Map[Long, Array[Long]] = graft.Tables(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.map { case (d, t) =>
+        val toks = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+        val v = new Array[Long](PipelineQueries.EmbDims)
+        toks.foreach { tok =>
+          val h = md5hex(tok)
+          for (j <- 0 until PipelineQueries.EmbDims)
+            v(j) += 2L * "0123456789abcdef".indexOf(h.charAt(j)) - 15L
+        }
+        d -> v
+      }.toMap
+    val withToks = emb.filter { case (d, _) =>
+      got.exists(_._1 == d) } // docs with >= 1 token (empty docs excluded upstream)
+    def floorDiv(s: Long, n: Long): Long = (s - (((s % n) + n) % n)) / n
+    var cent: Map[Long, Array[Long]] =
+      (0L until VectorQueries.KmK.toLong).map(c => c -> withToks(c)).toMap
+    var assign: Map[Long, (Long, Long)] = Map.empty
+    for (i <- 1 to VectorQueries.KmIters) {
+      assign = withToks.map { case (d, v) =>
+        val scored = cent.toSeq.map { case (c, cv) =>
+          (c, v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy { case (c, dist) => (dist, c) }
+        d -> (scored.head._1, scored.head._2)
+      }
+      if (i < VectorQueries.KmIters)
+        cent = assign.groupBy(_._2._1).map { case (c, docs) =>
+          val members = docs.keys.map(withToks).toSeq
+          val s = new Array[Long](PipelineQueries.EmbDims)
+          members.foreach(v => for (j <- s.indices) s(j) += v(j))
+          c -> s.map(floorDiv(_, members.size.toLong))
+        }
+    }
+    val expected = assign.toSeq.map { case (d, (c, dist)) => (d, c, dist) }.sortBy(_._1)
+    assert(got == expected, "k-means must equal the closed-form integer recomputation")
+    // the clustering must do real work: several populated clusters
+    assert(got.map(_._2).distinct.size >= 3, s"degenerate clustering: ${got.map(_._2).distinct}")
+  }
 }
 
 class PipelineSpec extends SparkSpec {
