@@ -444,6 +444,94 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №93 zorder_layout
+  /** Z-order (Morton-curve) layout planning with the file-skipping gain
+    * MEASURED — the data-layout lever behind Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`: when queries filter on TWO dimensions, a linear sort
+    * co-locates only the leading one, while bit-interleaving both keeps
+    * each file's (min,max) envelope tight on BOTH axes, so footer-stats
+    * pruning skips far more files. Model: events mapped to an 8-bit
+    * (x = user bucket, y = minute-of-epoch bucket) grid; file id =
+    * z DIV [[ZCell]] (a 16×16 tile) for the z-order layout vs x (sorted
+    * by user) for the linear one; per-file stats = min/max per axis (the
+    * parquet footer model); the probe rectangle [[ZRect]] touches a file
+    * iff its envelope intersects. Everything is exact integer arithmetic
+    * — the interleave is an UNROLLED shift/mask sum generated by one
+    * Scala loop for both engines (no string hex tricks, no floats).
+    *
+    * Scale shape: one narrow projection + ONE bounded hash agg per
+    * layout (≤256 file cells), then a constant-size rollup — no window,
+    * no global sort; `rows_matched` must agree across layouts (layout
+    * never changes answers — the bucketed_join ethos), which the oracle
+    * and spec both pin. Assigning by z-RANGE rather than a global
+    * row_number rank is deliberate: at 100 TB a rank would funnel the
+    * corpus through one ordered partition, while z-range cells need
+    * only the per-row interleave. */
+  val ZBits = 8
+  val ZCell = 256L
+  // x0..x1 must be populated at every SF (sf0.001 has users 0..14 only)
+  val ZRect: (Long, Long, Long, Long) = (8L, 15L, 64L, 95L) // x0,x1,y0,y1
+
+  /** The unrolled Morton interleave Σ bits — identical text modulo each
+    * engine's shift syntax (Spark: shiftleft/shiftright fns; DuckDB:
+    * operators), generated by the same loop. */
+  private def zExpr(shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { j =>
+      Seq(shl(s"(${shr("x", j)} & 1)", 2 * j), shl(s"(${shr("y", j)} & 1)", 2 * j + 1))
+    }.mkString(" + ")
+  private val zSpark = zExpr((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+  private val zDuck = zExpr((e, n) => s"(($e) << $n)", (e, n) => s"(($e) >> $n)")
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (x0, x1, y0, y1) = ZRect
+    val base = graft.CacheRegistry.track(Tables(spark, dir).events
+      .select(expr("user_id % 256").as("x"), expr("(ts_ms DIV 60000) % 256").as("y"))
+      .persist())
+    val inRect = $"x" >= x0 && $"x" <= x1 && $"y" >= y0 && $"y" <= y1
+    def layoutStats(fileId: org.apache.spark.sql.Column, layout: String): DataFrame = {
+      val touched = !($"max_x" < x0 || $"min_x" > x1 || $"max_y" < y0 || $"min_y" > y1)
+      base.groupBy(fileId.as("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"),
+          sum(when(inRect, 1L).otherwise(0L)).as("m"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+          sum($"n").as("n_rows"),
+          sum(when(touched, $"n").otherwise(0L)).as("rows_scanned"),
+          sum($"m").as("rows_matched"))
+        .select(lit(layout).as("layout"), $"n_files", $"files_touched",
+          $"n_rows", $"rows_scanned", $"rows_matched")
+    }
+    layoutStats(expr(s"($zSpark) DIV $ZCell"), "zorder")
+      .unionAll(layoutStats($"x", "linear"))
+      .orderBy($"layout")
+  }
+
+  val zorderLayoutSql: String = {
+    val (x0, x1, y0, y1) = ZRect
+    val touched = s"NOT (max_x < $x0 OR min_x > $x1 OR max_y < $y0 OR min_y > $y1)"
+    def statsSql(fileExpr: String, layout: String): String =
+      s"""SELECT '$layout' AS layout, count(*) AS n_files,
+         |    CAST(sum(CASE WHEN $touched THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN $touched THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |    CAST(sum(m) AS BIGINT) AS rows_matched
+         |  FROM (
+         |    SELECT $fileExpr AS file_id, count(*) AS n,
+         |      min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |      sum(CASE WHEN x BETWEEN $x0 AND $x1 AND y BETWEEN $y0 AND $y1
+         |        THEN 1 ELSE 0 END) AS m
+         |    FROM ev GROUP BY 1) f""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id % 256 AS x, (epoch_ms(ts) // 60000) % 256 AS y FROM events)
+       |${statsSql(s"($zDuck) // $ZCell", "zorder")}
+       |UNION ALL
+       |${statsSql("x", "linear")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val q3Sql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) AS DOUBLE) AS revenue

@@ -157,4 +157,37 @@ class TimeSeriesJoinSpec extends SparkSpec {
         s"bin equi-join missing:\n$txt")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("zorder_layout ≡ plain-Scala recomputation; interleaving prunes strictly better") {
+    val rows = Analytics.zorderLayout(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    graft.CacheRegistry.releaseAll(spark)
+    // closed-form model over the same (x, y) grid
+    val (x0, x1, y0, y1) = Analytics.ZRect
+    val xy = graft.Tables(spark, sf).events.select($"user_id", $"ts_ms")
+      .as[(Long, Long)].collect().toSeq
+      .map { case (u, ms) => (u % 256, (ms / 60000) % 256) }
+    def interleave(x: Long, y: Long): Long =
+      (0 until Analytics.ZBits).foldLeft(0L) { (acc, j) =>
+        acc + (((x >> j) & 1) << (2 * j)) + (((y >> j) & 1) << (2 * j + 1))
+      }
+    def model(fileOf: ((Long, Long)) => Long, layout: String): (String, Long, Long, Long, Long, Long) = {
+      val byFile = xy.groupBy(fileOf)
+      val touched = byFile.filter { case (_, ps) =>
+        !(ps.map(_._1).max < x0 || ps.map(_._1).min > x1 ||
+          ps.map(_._2).max < y0 || ps.map(_._2).min > y1)
+      }
+      val matched = xy.count { case (x, y) => x >= x0 && x <= x1 && y >= y0 && y <= y1 }
+      (layout, byFile.size.toLong, touched.size.toLong, xy.size.toLong,
+        touched.values.map(_.size.toLong).sum, matched.toLong)
+    }
+    val expected = Seq(
+      model({ case (x, _) => x }, "linear"),
+      model({ case (x, y) => interleave(x, y) / Analytics.ZCell }, "zorder")).sortBy(_._1)
+    assert(rows == expected, "layout stats must equal the closed-form model")
+    val Seq(linear, zorder) = rows
+    assert(zorder._6 == linear._6, "layout must never change answers (rows_matched)")
+    assert(zorder._3 < linear._3 && zorder._5 < linear._5,
+      s"z-order must prune strictly better: z=${zorder._3}/${zorder._5} files/rows vs linear=${linear._3}/${linear._5}")
+  }
 }
