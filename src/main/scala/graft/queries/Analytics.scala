@@ -211,6 +211,61 @@ object Analytics {
       |LEFT JOIN p USING (user_id, session_id)
       |ORDER BY n.user_id, n.session_id""".stripMargin
 
+  // ---------------------------------------------------------------- №95 event_transitions
+  /** Within-session event-type transition edges — the "path / flow
+    * analysis" table (which step follows which, where do sessions leak):
+    * for every consecutive same-session event pair, the (from, to) type
+    * edge with its count and share of all transitions in EXACT integer
+    * ppm (`n·10⁶ DIV total`, the source_drift discipline). This is the
+    * first-order Markov model of user behavior a product pipeline feeds
+    * into funnel design; the output is type²-bounded however large the
+    * corpus.
+    *
+    * Scale shape: reuses the №35 session-assignment fragment, and the
+    * lag runs over the SAME (user ordered by ts, event_id) window — the
+    * session boundary is enforced by comparing the lagged session_id,
+    * not by re-partitioning per session, so the single user-keyed
+    * exchange+sort of the fragment serves both windows. One bounded
+    * (from, to) hash agg + a single-row total broadcast after that. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val edges = sessionAssigned(spark, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(wUser))
+      .withColumn("prev_sess", lag($"session_id", 1).over(wUser))
+      .filter($"prev_sess" === $"session_id")
+      .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n_trans"))
+    val total = edges.agg(sum($"n_trans").as("t"))
+    edges.crossJoin(broadcast(total))
+      .select($"prev_type".as("from_type"), $"event_type".as("to_type"), $"n_trans",
+        expr("n_trans * 1000000 DIV t").as("share_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |tr AS (
+      |  SELECT lag(event_type) OVER w AS from_type,
+      |    lag(session_id) OVER w AS prev_sess, event_type, session_id
+      |  FROM sess WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |edges AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM tr WHERE prev_sess = session_id GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_trans) AS BIGINT) AS t FROM edges)
+      |SELECT from_type, to_type, n_trans, n_trans * 1000000 // t AS share_ppm
+      |FROM edges CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
+
   // ---------------------------------------------------------------- №85 retention_cohort
   /** Weekly cohort retention — the classic product-analytics matrix over
     * the events stream: users cohort by their FIRST-event week (integer

@@ -858,15 +858,25 @@ object PipelineQueries {
     * vectors doc_embed publishes. Covers only docs with ≥1 token. */
   private[queries] def docEmbedDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables(spark, dir).documents
+    // tf-first: collapse occurrences to (doc, tok, tf) before anything
+    // touches md5, then hash each DISTINCT token exactly once into its
+    // 16 dim values (the token-dim map is vocab-sized — the explode and
+    // md5 cost scale with the vocabulary, not the corpus) and join it
+    // back equi-keyed (AQE-decided side; the vocab grows with the corpus,
+    // so it is never force-broadcast). Σ tf·v per (doc, dim) is the same
+    // exact integer as the per-occurrence sum — addition commutes.
+    val tf = Tables(spark, dir).documents
       .select($"doc_id", explode(words($"text")).as("tok"))
       .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val tokDims = tf.select($"tok").distinct()
       .withColumn("h", md5($"tok"))
-    val dims = tok.select($"doc_id",
-      posexplode(expr(s"transform(sequence(0, ${EmbDims - 1}), j -> " +
-        "2*(instr('0123456789abcdef', substring(h, j+1, 1))-1)-15)")).as(Seq("dim", "v")))
-    dims.groupBy($"doc_id", $"dim")
-      .agg(sum($"v").as("e"), count(lit(1)).as("cnt"))
+      .select($"tok",
+        posexplode(expr(s"transform(sequence(0, ${EmbDims - 1}), j -> " +
+          "2*(instr('0123456789abcdef', substring(h, j+1, 1))-1)-15)")).as(Seq("dim", "v")))
+    tf.join(tokDims, "tok")
+      .groupBy($"doc_id", $"dim")
+      .agg(sum($"tf" * $"v").as("e"), sum($"tf").as("cnt"))
   }
 
   /** The same long form as DuckDB CTEs ending in `e(doc_id, j, e)` —
@@ -927,6 +937,68 @@ object PipelineQueries {
        |  coalesce(p.norm_sq, 0) AS norm_sq
        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №94 corpus_overlap
+  /** Pairwise inter-SOURCE content overlap — the corpus-level dedup
+    * triage a pipeline runs before mixing sources (which crawls/dumps
+    * duplicate each other, where does a new source sit vs the existing
+    * mix): for every source pair, the Jaccard similarity of their
+    * distinct 5-gram shingle sets, in EXACT integer ppm
+    * (`n_common·10⁶ DIV (n_a + n_b − n_common)` — same floor-div
+    * discipline as source_drift, bit-identical both engines). Every
+    * pair appears, including zero-overlap ones (absent overlap IS the
+    * signal that two sources are independent).
+    *
+    * Scale shape: corpus → DISTINCT (source, gram) in one shuffle
+    * (gram-cardinality-bounded, the contamination_check shingle
+    * convention); the pair counts come from a self-join on gram whose
+    * per-gram fan-out is bounded by the SOURCE count, not the corpus
+    * (≤ S² rows per gram, S = #sources — bounded metadata cardinality);
+    * totals are an S-row agg; the final pair frame is S²/2 rows. No
+    * window, nothing corpus-proportional broadcast. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sg = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"source", words($"text").as("ws"))
+      .select($"source", explode(expr(
+        "CASE WHEN size(ws) >= 5 THEN array_distinct(transform(sequence(0, size(ws)-5), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) ELSE array() END")).as("gram"))
+      .distinct()
+      .persist())
+    val t = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    val c = sg.as("a").join(sg.as("b"),
+        $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("nc"))
+    t.as("ta").join(t.as("tb"), $"ta.source" < $"tb.source")
+      .select($"ta.source".as("src_a"), $"tb.source".as("src_b"),
+        $"ta.n".as("n_a"), $"tb.n".as("n_b"))
+      .join(c, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        coalesce($"nc", lit(0L)).as("n_common"),
+        expr("coalesce(nc, 0) * 1000000 DIV (n_a + n_b - coalesce(nc, 0))").as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val corpusOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, ${TextQueries.wordsSql("text")} AS ws FROM documents),
+       |sg AS (
+       |  SELECT DISTINCT source, gram FROM (
+       |    SELECT source, unnest(list_distinct(list_transform(range(1, len(ws)-3),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS gram
+       |    FROM d WHERE len(ws) >= 5) x),
+       |t AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+       |c AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+       |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ta.source AS src_a, tb.source AS src_b, ta.n AS n_a, tb.n AS n_b,
+       |  coalesce(c.n_common, 0) AS n_common,
+       |  coalesce(c.n_common, 0) * 1000000 // (ta.n + tb.n - coalesce(c.n_common, 0)) AS jaccard_ppm
+       |FROM t ta JOIN t tb ON ta.source < tb.source
+       |LEFT JOIN c ON c.src_a = ta.source AND c.src_b = tb.source
+       |ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------- №88 source_drift
   /** Per-source distribution-drift monitor — the data-quality check a

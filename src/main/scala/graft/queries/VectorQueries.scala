@@ -823,24 +823,40 @@ object VectorQueries {
 
   def textCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dims = graft.CacheRegistry.track(
-      PipelineQueries.docEmbedDims(spark, dir).select($"doc_id", $"dim", $"e").persist())
-    var cent = dims.filter($"doc_id" < KmK)
-      .select($"doc_id".as("cl"), $"dim", $"e".as("c"))
-    var assign: DataFrame = null
-    for (i <- 1 to KmIters) {
-      val d = dims.join(broadcast(cent), "dim")
-        .groupBy($"doc_id", $"cl")
-        .agg(sum(($"e" - $"c") * ($"e" - $"c")).as("d"))
-      assign = d.groupBy($"doc_id").agg(min(struct($"d", $"cl")).as("m"))
-        .select($"doc_id", $"m.cl".as("cl"), $"m.d".as("d"))
-      if (i < KmIters)
-        cent = assign.join(dims, "doc_id")
-          .groupBy($"cl", $"dim")
-          .agg(sum($"e").as("s"), count(lit(1)).as("nc"))
-          .select($"cl", $"dim", expr("(s - pmod(s, nc)) DIV nc").as("c"))
-    }
-    assign.select($"doc_id", $"cl".as("cluster"), $"d".as("dist")).orderBy($"doc_id")
+    // Centroid state lives on the DRIVER between iterations — the standard
+    // distributed-Lloyd formulation (Spark MLlib's KMeans does the same):
+    // the state is CONSTANT-SIZE (K×dims longs, corpus-independent, the
+    // knn_ivf centroid-broadcast justification). With centroids as plain
+    // constants, every assignment pass is a NARROW projection over the
+    // persisted per-doc arrays — argmin over K literal arrays, zero
+    // shuffle — and each centroid update is one bounded (cl, dim) hash
+    // agg. Everything corpus-sized stays distributed; a recursive frame
+    // lineage (whose every reference re-evaluates all earlier
+    // iterations) never forms.
+    val docArr = graft.CacheRegistry.track(
+      PipelineQueries.docEmbedVectors(spark, dir).select($"doc_id", $"emb_arr").persist())
+    // (cluster, distance) argmin as one expression over K literal centroids
+    def assignCol(cents: Seq[(Long, Seq[Long])]): Column =
+      array_min(array(cents.map { case (cl, arr) =>
+        struct(
+          aggregate(zip_with($"emb_arr", lit(arr.toArray), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, p) => acc + p).as("d"),
+          lit(cl).as("cl"))
+      }: _*))
+    var cents: Seq[(Long, Seq[Long])] = docArr.filter($"doc_id" < KmK)
+      .as[(Long, Seq[Long])].collect().toSeq
+    for (_ <- 1 until KmIters)
+      cents = docArr.select(assignCol(cents).getField("cl").as("cl"), $"emb_arr")
+        .select($"cl", posexplode($"emb_arr").as(Seq("dim", "e")))
+        .groupBy($"cl", $"dim")
+        .agg(sum($"e").as("s"), count(lit(1)).as("nc"))
+        .select($"cl", $"dim", expr("(s - pmod(s, nc)) DIV nc").as("c"))
+        .as[(Long, Int, Long)].collect().toSeq
+        .groupBy(_._1).toSeq
+        .map { case (cl, rs) => cl -> rs.sortBy(_._2).map(_._3).toSeq }
+    docArr.select($"doc_id", assignCol(cents).as("m"))
+      .select($"doc_id", $"m.cl".as("cluster"), $"m.d".as("dist"))
+      .orderBy($"doc_id")
   }
 
   /** Oracle: the same [[KmIters]] integer Lloyd iterations unrolled as

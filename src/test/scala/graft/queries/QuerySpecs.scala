@@ -98,6 +98,33 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.forall(p => p._1 < p._2))
   }
 
+  test("corpus_overlap ≡ plain-Scala recomputation; full pair coverage; symmetric-free") {
+    val rows = PipelineQueries.corpusOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    // closed-form model: distinct 5-gram sets per source
+    val bySource = graft.Tables(spark, sf).documents
+      .select("source", "text").as[(String, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues { docs =>
+        docs.flatMap { case (_, t) =>
+          val ws = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+          if (ws.length >= 5) (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" "))
+          else Seq.empty
+        }.toSet
+      }.toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = for {
+      a <- srcs; b <- srcs if a < b
+      ga = bySource(a); gb = bySource(b)
+      nc = ga.intersect(gb).size.toLong
+    } yield (a, b, ga.size.toLong, gb.size.toLong, nc,
+      nc * 1000000L / (ga.size + gb.size - nc))
+    assert(rows == expected.sortBy(p => (p._1, p._2)), "overlap must equal the closed-form model")
+    // every unordered pair exactly once, zero-overlap pairs included
+    assert(rows.size == srcs.size * (srcs.size - 1) / 2)
+    assert(rows.forall(r => r._1 < r._2))
+  }
+
   private def corpusTokens: Seq[String] =
     graft.Tables(spark, sf).documents.select("text").as[String].collect().toSeq
       .flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" "))

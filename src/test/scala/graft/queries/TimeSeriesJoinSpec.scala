@@ -158,6 +158,32 @@ class TimeSeriesJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("event_transitions ≡ plain-Scala recomputation (session-bounded lag, exact ppm)") {
+    val rows = Analytics.eventTransitions(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // closed-form model: 30-min-gap sessions, per-user (ts, event_id) order
+    val evs = graft.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val edges = evs.groupBy(_._1).values.flatMap { userEvs =>
+      val ordered = userEvs.sortBy(e => (e._4, e._2))
+      val sessIds = ordered.scanLeft((0L, Option.empty[Long])) {
+        case ((sid, prevMs), e) =>
+          (if (prevMs.forall(p => e._4 - p > 1800000L)) sid + 1 else sid, Some(e._4))
+      }.tail.map(_._1)
+      ordered.zip(sessIds).sliding(2).collect {
+        case Seq((a, sa), (b, sb)) if sa == sb => (a._3, b._3)
+      }
+    }.toSeq
+    val counts = edges.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val total = counts.map(_._2).sum
+    val expected = counts
+      .map { case ((f, t), n) => (f, t, n, n * 1000000L / total) }
+      .sortBy(e => (e._1, e._2))
+    assert(rows == expected, "transition edges must equal the closed-form model")
+    assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
+  }
+
   test("zorder_layout ≡ plain-Scala recomputation; interleaving prunes strictly better") {
     val rows = Analytics.zorderLayout(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
