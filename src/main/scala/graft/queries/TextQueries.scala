@@ -754,6 +754,95 @@ object TextQueries {
        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
        |FROM p GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- №96 quota_sample
+  /** Fixed-QUOTA deterministic sampling per stratum — the curation twin
+    * of stratified_sample when the contract is "exactly N docs per
+    * language" (eval-set carving, per-domain caps) rather than a rate:
+    * rank docs inside each language by the 48-bit integer value of their
+    * md5(doc_id) prefix (engine-independent, run-reproducible,
+    * decorrelated from doc order) and keep the first [[QuotaN]].
+    *
+    * Scale shape: ranking via the №51 GroupedTopK physical operator —
+    * bounded per-partition heaps emit ≤N rows per (language, partition)
+    * into ONE hash exchange on the language, where a window row_number
+    * would shuffle and sort the whole corpus. Score is the NEGATED hash
+    * (the heap keeps the largest scores; 48 bits is exact in the
+    * operator's double heap layout), doc_id tiebreak. */
+  val QuotaN = 20
+
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir).documents.select($"lang", $"doc_id",
+      (-conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+        .cast("double")).as("nscore"))
+    graft.plans.GroupedTopK.rankedTopK(scored, "lang", "nscore", "doc_id", QuotaN)
+      .select($"lang", $"rank", $"doc_id")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** 48-bit hex-prefix parse, nibble by nibble (DuckDB has no conv()). */
+  private def hex48Sql(c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 13), i -> " +
+      s"CAST(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), i, 1)) - 1 AS BIGINT)" +
+      s" << (4 * (12 - i)))) AS BIGINT)"
+
+  val quotaSampleSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${hex48Sql("doc_id")} ASC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM documents)
+       |SELECT lang, rank, doc_id FROM r WHERE rank <= $QuotaN
+       |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №97 bigram_lm
+  /** Conditional bigram LM build — the n-gram model the lm_score idea
+    * extends to (CCNet trains Kneser-Ney LMs; this is the count
+    * backbone): every adjacent word pair's corpus count plus the
+    * conditional P(w2|w1) in EXACT integer ppm, with the denominator
+    * the PREFIX count (occurrences of w1 that have a successor) derived
+    * from the pair aggregation itself — Σ cond_ppm per w1 ≤ 10⁶ by
+    * construction, no second corpus pass.
+    *
+    * Scale shape: one pair-explode → ONE (w1, w2) hash agg with
+    * map-side partials (output vocab²-bounded, not corpus-bounded); the
+    * prefix totals are a vocab-bounded re-agg of the pair frame joined
+    * back equi-key (vocabulary grows with the corpus — never
+    * force-broadcast). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, dir).documents
+      .select(words($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter($"w1" =!= "" && $"w2" =!= "")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+    val prefix = pairs.groupBy($"w1").agg(sum($"n_pair").as("c1"))
+    pairs.join(prefix, "w1")
+      .select($"w1", $"w2", $"n_pair",
+        expr("n_pair * 1000000 DIV c1").as("cond_ppm"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH d AS (SELECT ${wordsSql("text")} AS ws FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS pr
+       |  FROM d WHERE len(ws) >= 2),
+       |pc AS (
+       |  SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+       |    count(*) AS n_pair
+       |  FROM p
+       |  WHERE split_part(pr, ' ', 1) <> '' AND split_part(pr, ' ', 2) <> ''
+       |  GROUP BY 1, 2),
+       |pre AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1 FROM pc GROUP BY w1)
+       |SELECT pc.w1, pc.w2, pc.n_pair, pc.n_pair * 1000000 // pre.c1 AS cond_ppm
+       |FROM pc JOIN pre USING (w1)
+       |ORDER BY pc.w1, pc.w2""".stripMargin
+
   // ------------------------------------------------------- №90/91 tf-idf retrieval
   /** Shared TF-IDF frame: (doc_id, tok, tf, idf_bits). idf in the
     * lm_score integer-exact form — `length(bin(N DIV df))` is ⌊log₂⌋+1 of

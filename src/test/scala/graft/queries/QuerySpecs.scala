@@ -142,6 +142,48 @@ class TextQueriesSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 >= got.last._2)
   }
 
+  test("quota_sample: exact per-language quotas, md5-rank deterministic, bounded-heap plan") {
+    val df = TextQueries.quotaSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"), s"quota_sample lost the bounded-heap plan:\n$plan")
+    val rows = df.as[(String, Int, Long)].collect().toSeq
+    // closed-form: rank docs per lang by 48-bit md5(doc_id) prefix, doc_id tiebreak
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(d: Long): Long = java.lang.Long.parseLong(
+      md.digest(d.toString.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val expected = graft.Tables(spark, sf).documents
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+        ds.map(_._2).sortBy(d => (h48(d), d)).take(TextQueries.QuotaN)
+          .zipWithIndex.map { case (d, i) => (lang, i + 1, d) }
+      }.sortBy(r => (r._1, r._2))
+    assert(rows == expected, "quota sampling must equal the closed-form md5 ranking")
+    val perLang = rows.groupBy(_._1).view.mapValues(_.size)
+    val langSizes = expected.groupBy(_._1).view.mapValues(_.size)
+    perLang.foreach { case (l, n) => assert(n == langSizes(l) && n <= TextQueries.QuotaN) }
+  }
+
+  test("bigram_lm ≡ plain-Scala recomputation; conditional mass per prefix bounded") {
+    val rows = TextQueries.bigramLm(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val docs = graft.Tables(spark, sf).documents.select("text").as[String].collect().toSeq
+    val pairs = docs.flatMap { t =>
+      val ws = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+      ws.sliding(2).collect { case Array(a, b) => (a, b) }
+    }
+    val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pre = pc.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = pc.toSeq
+      .map { case ((a, b), n) => (a, b, n, n * 1000000L / pre(a)) }
+      .sortBy(r => (r._1, r._2))
+    assert(rows == expected, "bigram table must equal the closed-form recomputation")
+    rows.groupBy(_._1).foreach { case (w1, rs) =>
+      val mass = rs.map(_._4).sum
+      assert(mass <= 1000000L, s"conditional mass for '$w1' exceeds 1: $mass ppm")
+      assert(mass > 1000000L - rs.size, s"floor-div mass for '$w1' leaks: $mass ppm")
+    }
+  }
+
   test("keyword_extract: integer tf·idf_bits scores, per-doc ranks contiguous from 1") {
     val rows = TextQueries.keywordExtract(spark, sf)
       .select("doc_id", "rank", "tok", "score").as[(Long, Int, String, Long)].collect()
