@@ -576,8 +576,8 @@ object Analytics {
          |  FROM (
          |    SELECT $fileExpr AS file_id, count(*) AS n,
          |      min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
-         |      sum(CASE WHEN x BETWEEN $x0 AND $x1 AND y BETWEEN $y0 AND $y1
-         |        THEN 1 ELSE 0 END) AS m
+         |      CAST(sum(CASE WHEN x BETWEEN $x0 AND $x1 AND y BETWEEN $y0 AND $y1
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS m
          |    FROM ev GROUP BY 1) f""".stripMargin
     s"""WITH ev AS (
        |  SELECT user_id % 256 AS x, (epoch_ms(ts) // 60000) % 256 AS y FROM events)

@@ -18,7 +18,10 @@ class PlanLintSpec extends SparkSpec {
     "lm_score", // single-row total-N broadcast (the domain_mix class)
     "filter_agreement", // composes lm_score's total-N broadcast
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
-    "source_drift") // #sources x 10-bin cell frame + single-row grand total
+    "source_drift", // #sources x 10-bin cell frame + single-row grand total
+    "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
+    "event_transitions", // single-row transition-total broadcast
+    "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
@@ -32,7 +35,8 @@ class PlanLintSpec extends SparkSpec {
       "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
       "stream_asof", // streaming replay runs on build
       "corpus_split", // runs the clusterLabels convergence loop on build
-      "graph_centrality") // runs the N-count job + unrolled iterations on build
+      "graph_centrality", // runs the N-count job + unrolled iterations on build
+      "text_cluster") // collects the constant-size centroids per Lloyd iteration on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
