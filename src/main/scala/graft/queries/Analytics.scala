@@ -499,6 +499,90 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №98 skew_profile
+  /** Join-key skew diagnostic — the table an operator reads BEFORE
+    * deciding to salt (№4b latest_cell_salted is the cure; this is the
+    * diagnosis): the top-[[SkewK]] heaviest keys of a prospective join/
+    * aggregation key with each key's share of all rows (exact ppm) and
+    * its ratio to the mean key load (exact ×1000:
+    * `n·n_keys·1000 DIV total` — a uniform key sits at 1000). A key at
+    * 50× mean is the partition that straggles a 1000-executor shuffle.
+    *
+    * Scale shape: ONE hash agg on the key (map-side partials), a 3-field
+    * single-row total, and the №51 GroupedTopK bounded-heap ranking over
+    * a constant group — ≤K rows per partition reach the driver-side
+    * exchange, never a global sort of the key histogram. */
+  val SkewK = 20
+
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.CacheRegistry.track(Tables(spark, dir).events
+      .groupBy($"user_id").agg(count(lit(1)).as("n")).persist())
+    val tot = counts.agg(sum($"n").as("t"), count(lit(1)).as("n_keys"))
+    val ranked = graft.plans.GroupedTopK.rankedTopK(
+      counts.select(lit(0).as("g"), $"user_id", $"n".cast("double").as("score")),
+      "g", "score", "user_id", SkewK)
+    ranked.crossJoin(broadcast(tot))
+      .select($"rank", $"user_id", $"score".cast("long").as("n_events"),
+        expr("CAST(score AS BIGINT) * 1000000 DIV t").as("share_ppm"),
+        expr("CAST(score AS BIGINT) * n_keys * 1000 DIV t").as("skew_x1000"))
+      .orderBy($"rank")
+  }
+
+  val skewProfileSql: String =
+    s"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS n_keys FROM c),
+       |r AS (
+       |  SELECT user_id, n,
+       |    CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank
+       |  FROM c)
+       |SELECT rank, user_id, n AS n_events,
+       |  n * 1000000 // t AS share_ppm,
+       |  n * n_keys * 1000 // t AS skew_x1000
+       |FROM r CROSS JOIN tot WHERE rank <= $SkewK ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- №99 compact_plan
+  /** Small-file compaction planning — the maintenance operator behind
+    * `OPTIMIZE`/compaction jobs (the small-files problem is THE classic
+    * 100 TB operational failure: a million 1 MB files make every scan
+    * driver-bound): given the per-file metadata frame (modeled here as
+    * one file per source: doc count + byte size), assign files to
+    * compaction bins by first-fit in deterministic file order — bin =
+    * running-bytes-before DIV [[CompactTarget]] — so every bin lands
+    * within one file of the target size and the plan is reproducible.
+    *
+    * Scale shape: the input is the FILE-METADATA frame, not the data —
+    * files ≪ rows by construction (that is the point of compaction), so
+    * the single-partition running-sum window over it is bounded metadata
+    * work (the train_shard_sink manifest class), and the data itself is
+    * never touched until the plan executes. */
+  val CompactTarget = 50000L
+
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables(spark, dir).documents
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_bytes"))
+    val w = Window.orderBy($"source").rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
+      .select($"source", $"n_docs", $"n_bytes",
+        expr(s"cum_before DIV $CompactTarget").as("bin"))
+      .orderBy($"source")
+  }
+
+  val compactPlanSql: String =
+    s"""WITH f AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+       |  FROM documents GROUP BY source),
+       |c AS (
+       |  SELECT source, n_docs, n_bytes,
+       |    CAST(coalesce(sum(n_bytes) OVER (ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM f)
+       |SELECT source, n_docs, n_bytes, cum_before // $CompactTarget AS bin
+       |FROM c ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- №93 zorder_layout
   /** Z-order (Morton-curve) layout planning with the file-skipping gain
     * MEASURED — the data-layout lever behind Delta/Iceberg `OPTIMIZE

@@ -20,6 +20,7 @@ class PlanLintSpec extends SparkSpec {
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
+    "skew_profile", // single-row total + key-count broadcast
     "event_transitions", // single-row transition-total broadcast
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 

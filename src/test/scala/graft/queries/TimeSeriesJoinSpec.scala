@@ -184,6 +184,45 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
   }
 
+  test("skew_profile ≡ plain-Scala recomputation; bounded-heap plan; uniform keys near 1000") {
+    val df = Analytics.skewProfile(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"), s"skew_profile lost the bounded-heap plan:\n$plan")
+    val rows = df.select("rank", "user_id", "n_events", "share_ppm", "skew_x1000")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val counts = graft.Tables(spark, sf).events.select("user_id").as[Long].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = counts.values.sum; val nKeys = counts.size.toLong
+    val expected = counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(Analytics.SkewK)
+      .zipWithIndex.map { case ((u, n), i) =>
+        (i + 1, u, n, n * 1000000L / t, n * nKeys * 1000L / t) }
+    assert(rows == expected, "skew profile must equal the closed-form recomputation")
+    // synthetic events are near-uniform per user: the top key should sit
+    // within a small factor of the mean, and every ratio is >= the last's
+    assert(rows.head._5 >= 1000L && rows.head._5 < 10000L, s"top skew ${rows.head._5}")
+    assert(rows.sliding(2).forall { case Seq(a, b) => a._5 >= b._5; case _ => true })
+  }
+
+  test("compact_plan: first-fit bins in deterministic order, sizes near target") {
+    val rows = Analytics.compactPlan(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // closed-form: running bytes before, in source order
+    val expected = rows.sortBy(_._1).scanLeft(("", 0L, 0L, 0L, 0L)) {
+      case ((_, _, _, _, cum), (s, nd, nb, _)) => (s, nd, nb, cum / Analytics.CompactTarget, cum + nb)
+    }.tail.map { case (s, nd, nb, bin, _) => (s, nd, nb, bin) }
+    assert(rows == expected, "bin assignment must equal the running-sum model")
+    // bins contiguous from 0; each bin's payload stays within target + one file
+    val bins = rows.groupBy(_._4)
+    assert(bins.keySet == (0L until bins.size.toLong).toSet)
+    bins.foreach { case (b, fs) =>
+      val bytes = fs.map(_._3).sum
+      val maxFile = fs.map(_._3).max
+      assert(bytes <= Analytics.CompactTarget + maxFile,
+        s"bin $b overshoots: $bytes vs target ${Analytics.CompactTarget}")
+    }
+  }
+
   test("zorder_layout ≡ plain-Scala recomputation; interleaving prunes strictly better") {
     val rows = Analytics.zorderLayout(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
