@@ -499,6 +499,81 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №100 rollup_report
+  /** Hierarchical subtotal reporting via ROLLUP — the OLAP grouping-sets
+    * surface (year × priority order totals with per-year subtotals and a
+    * grand total in ONE pass): Spark's `rollup()` and DuckDB's `ROLLUP`
+    * compute the same lattice, and Catalyst plans it as a single Expand +
+    * hash aggregate — one scan, one shuffle, NOT one job per level.
+    * Revenue sums ride the q3_join DECIMAL discipline (round → DECIMAL
+    * accumulate → DOUBLE once at the end) so the fold order can't drift;
+    * subtotal rows surface with explicit `grouping()` flags and sentinel
+    * labels (`-1` / `'ALL'`) instead of engine-spaced NULLs. */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(year($"o_orderdate").as("o_year"), $"o_orderpriority",
+        round($"o_totalprice", 2).cast("decimal(24,2)").as("p"))
+      .rollup($"o_year", $"o_orderpriority")
+      .agg(grouping($"o_year").cast("int").as("g_year"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        sum($"p").cast("double").as("revenue"))
+      .select(coalesce($"o_year", lit(-1)).as("o_year"),
+        coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        $"g_year", $"g_prio", $"n_orders", $"revenue")
+      .orderBy($"g_year", $"g_prio", $"o_year", $"o_orderpriority")
+  }
+
+  val rollupReportSql: String =
+    """WITH o AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |    CAST(round(o_totalprice, 2) AS DECIMAL(24,2)) AS p
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_year, o_orderpriority,
+      |    CAST(grouping(o_year) AS INT) AS g_year,
+      |    CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |    count(*) AS n_orders,
+      |    CAST(sum(p) AS DOUBLE) AS revenue
+      |  FROM o GROUP BY ROLLUP (o_year, o_orderpriority))
+      |SELECT coalesce(o_year, -1) AS o_year,
+      |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  g_year, g_prio, n_orders, revenue
+      |FROM r
+      |ORDER BY g_year, g_prio, o_year, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- №101 pivot_matrix
+  /** Wide-format reporting via PIVOT — the per-entity feature matrix
+    * (each user's event-type mix as columns, the frame handed to a BI
+    * tool or a feature store): Spark's `pivot()` with an EXPLICIT value
+    * list — never the value-discovering overload, which runs an extra
+    * distinct scan and breaks column determinism when types drift; the
+    * oracle is the equivalent CASE-sum projection, so both engines
+    * produce the identical wide schema. One hash agg on user_id; the
+    * pivot adds zero extra shuffles (it is a pivoted aggregate, not a
+    * join). */
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .select($"user_id" +: PivotTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
+  val pivotMatrixSql: String = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- №98 skew_profile
   /** Join-key skew diagnostic — the table an operator reads BEFORE
     * deciding to salt (№4b latest_cell_salted is the cure; this is the

@@ -184,6 +184,44 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
   }
 
+  test("rollup_report: one-pass Expand plan; subtotal lattice internally consistent") {
+    val df = Analytics.rollupReport(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must plan a single Expand, not per-level jobs:\n$plan")
+    val rows = df.as[(Int, String, Int, Int, Long, Double)].collect().toSeq
+    val leaves = rows.filter(r => r._3 == 0 && r._4 == 0)
+    val yearSub = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val grand = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.size == 1 && grand.head._1 == -1 && grand.head._2 == "ALL")
+    // counts roll up exactly at every level
+    assert(grand.head._5 == leaves.map(_._5).sum)
+    yearSub.foreach { ys =>
+      assert(ys._5 == leaves.filter(_._1 == ys._1).map(_._5).sum,
+        s"year ${ys._1} subtotal count drifts")
+    }
+    // revenue rolls up within DECIMAL-exact arithmetic (sums are exact,
+    // only the final DOUBLE conversion differs per row — compare at 1e-6)
+    yearSub.foreach { ys =>
+      val leafSum = leaves.filter(_._1 == ys._1).map(_._6).sum
+      assert(math.abs(ys._6 - leafSum) < 1e-4, s"year ${ys._1} revenue drifts")
+    }
+  }
+
+  test("pivot_matrix ≡ per-user event-type counts; explicit column set") {
+    val df = Analytics.pivotMatrix(spark, sf)
+    assert(df.columns.toSeq == "user_id" +: Analytics.PivotTypes.map(t => s"n_$t"))
+    val rows = df.as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byUser = graft.Tables(spark, sf).events
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    assert(rows.map(_._1).toSet == byUser.keySet)
+    rows.foreach { case (u, c, e, p, s, v) =>
+      val m = byUser(u)
+      val expect = Seq("click", "error", "purchase", "signup", "view").map(m.getOrElse(_, 0L))
+      assert(Seq(c, e, p, s, v) == expect, s"user $u pivot row drifts")
+    }
+  }
+
   test("skew_profile ≡ plain-Scala recomputation; bounded-heap plan; uniform keys near 1000") {
     val df = Analytics.skewProfile(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
