@@ -499,6 +499,48 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №102 json_metrics
+  /** Semi-structured column analytics — aggregating over a JSON payload
+    * without a pre-flattening ETL step (the shape every event pipeline
+    * with a `properties` blob needs): extract `props.k` per row
+    * (`get_json_object` — a codegen'd path expression, no UDF) and roll
+    * up per event type with EXACT arithmetic: BIGINT sum/min/max, the
+    * mean as `sum·1000 DIV n` (integer ×1000 — float division would
+    * drift), and the non-null extraction count reported separately from
+    * the row count (absent keys are data, not errors).
+    *
+    * Scale shape: a pure per-row projection feeding ONE bounded hash agg
+    * on event_type — the JSON parse rides the scan, map-side partials
+    * collapse to #types rows. At 100 TB the right move is still this
+    * (parse-on-scan), with the projection pushed next to the reader;
+    * repeated full-document parses of LARGE payloads would instead
+    * warrant `from_json` with an explicit schema into a struct column
+    * once, then column pruning — noted, not needed for a one-key probe. */
+  def jsonMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), count($"k").as("n_k"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .select($"event_type", $"n_events", $"n_k", $"sum_k",
+        expr("sum_k * 1000 DIV n_k").as("mean_k_x1000"), $"min_k", $"max_k")
+      .orderBy($"event_type")
+  }
+
+  val jsonMetricsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_events, count(k) AS n_k,
+      |    CAST(sum(k) AS BIGINT) AS sum_k,
+      |    CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n_events, n_k, sum_k,
+      |  sum_k * 1000 // n_k AS mean_k_x1000, min_k, max_k
+      |FROM a ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- №100 rollup_report
   /** Hierarchical subtotal reporting via ROLLUP — the OLAP grouping-sets
     * surface (year × priority order totals with per-year subtotals and a

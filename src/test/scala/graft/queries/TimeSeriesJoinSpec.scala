@@ -184,6 +184,20 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
   }
 
+  test("json_metrics ≡ plain-Scala recomputation over parsed props") {
+    val rows = Analytics.jsonMetrics(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.Tables(spark, sf).events
+      .select("event_type", "props").as[(String, String)].collect().toSeq
+    val kOf = """"k"\s*:\s*(-?\d+)""".r
+    val expected = evs.groupBy(_._1).toSeq.map { case (t, es) =>
+      val ks = es.flatMap(e => kOf.findFirstMatchIn(e._2).map(_.group(1).toLong))
+      (t, es.size.toLong, ks.size.toLong, ks.sum, ks.sum * 1000 / ks.size, ks.min, ks.max)
+    }.sortBy(_._1)
+    assert(rows == expected, "json metrics must equal the closed-form parse")
+    assert(rows.map(_._2).sum == evs.size)
+  }
+
   test("rollup_report: one-pass Expand plan; subtotal lattice internally consistent") {
     val df = Analytics.rollupReport(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
