@@ -499,6 +499,99 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №103 time_downsample
+  /** Time-series downsampling to OHLC bars — the Grafana/monitoring
+    * primitive (a 100 TB event store renders dashboards from bars, not
+    * raw points): per (event_type, 6h bucket): count, open/close (first/
+    * last value in deterministic (ts, event_id) order via lexicographic
+    * STRUCT min/max — the session_funnel ordering discipline; event_id
+    * uniqueness means the value field never decides), low/high, and the
+    * value sum under the q3_join DECIMAL discipline. Open/close/low/high
+    * pass through unchanged doubles (comparisons only, no arithmetic) so
+    * both engines emit bit-identical bars.
+    *
+    * Scale shape: one narrow projection → ONE hash agg on the bounded
+    * (type, bucket) key with map-side partials; output is
+    * dashboard-sized however large the corpus. */
+  val BarMs = 21600000L // 6h
+
+  def timeDownsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_type", expr(s"ts_ms DIV $BarMs").as("bucket"),
+        $"ts_ms", $"event_id", $"value")
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct($"ts_ms", $"event_id", $"value")).as("o"),
+        max(struct($"ts_ms", $"event_id", $"value")).as("c"),
+        min($"value").as("low"), max($"value").as("high"),
+        sum(round($"value", 2).cast("decimal(24,2)")).cast("double").as("vsum"))
+      .select($"event_type", $"bucket", $"n_events",
+        $"o.value".as("open"), $"high", $"low", $"c.value".as("close"), $"vsum")
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val timeDownsampleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_ms(ts) // $BarMs AS bucket,
+       |    struct_pack(ts_ms := epoch_ms(ts), eid := event_id, v := "value") AS k,
+       |    "value" AS v
+       |  FROM events),
+       |a AS (
+       |  SELECT event_type, bucket, count(*) AS n_events,
+       |    (min(k)).v AS open, max(v) AS high, min(v) AS low, (max(k)).v AS close,
+       |    CAST(sum(CAST(round(v, 2) AS DECIMAL(24,2))) AS DOUBLE) AS vsum
+       |  FROM e GROUP BY 1, 2)
+       |SELECT event_type, bucket, n_events, open, high, low, close, vsum
+       |FROM a ORDER BY event_type, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- №104 incremental_agg
+  /** Incremental view maintenance via MERGEABLE partial aggregates — the
+    * pattern behind every incremental ETL at 100 TB (yesterday's
+    * materialized aggregate + today's delta, never a full rescan): the
+    * maintained view (per (returnflag, linestatus): count, sum qty, sum
+    * revenue, min/max ship date) is computed here as TWO independent
+    * partial aggregations (the standing "base" and an arriving "delta" —
+    * modeled as the l_orderkey % 10 == 0 slice) whose states are then
+    * MERGED by re-aggregation of the unioned partials. Counts/sums add,
+    * min/min and max/max fold — every measure is chosen from the
+    * mergeable lattice (an avg would be carried as sum+count). The
+    * oracle computes the view DIRECTLY from the full table: merge ≡
+    * full is the driver-checked contract, and the spec additionally
+    * proves it in-engine.
+    *
+    * Scale shape: each partial is one hash agg; the merge re-agg runs
+    * over 2×|groups| partial rows — group-cardinality-bounded, the
+    * whole point of the pattern. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(24,2)")).as("qty"),
+          sum(round($"l_extendedprice", 2).cast("decimal(24,2)")).as("rev"),
+          min($"l_shipdate").as("first_ship"), max($"l_shipdate").as("last_ship"))
+    val li = Tables(spark, dir).lineitem
+    val base = partial(li.filter($"l_orderkey" % 10 =!= 0))
+    val delta = partial(li.filter($"l_orderkey" % 10 === 0))
+    base.unionAll(delta)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n").as("n_rows"),
+        sum($"qty").cast("double").as("sum_qty"),
+        sum($"rev").cast("double").as("sum_rev"),
+        min($"first_ship").as("first_ship"), max($"last_ship").as("last_ship"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(24,2))) AS DOUBLE) AS sum_rev,
+      |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- №102 json_metrics
   /** Semi-structured column analytics — aggregating over a JSON payload
     * without a pre-flattening ETL step (the shape every event pipeline

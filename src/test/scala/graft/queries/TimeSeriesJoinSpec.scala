@@ -184,6 +184,40 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
   }
 
+  test("time_downsample ≡ plain-Scala OHLC recomputation; bars internally consistent") {
+    val rows = Analytics.timeDownsample(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)].collect().toSeq
+    val evs = graft.Tables(spark, sf).events
+      .select("event_type", "ts_ms", "event_id", "value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val expected = evs.groupBy(e => (e._1, e._2 / Analytics.BarMs)).toSeq.map {
+      case ((t, b), es) =>
+        val ordered = es.sortBy(e => (e._2, e._3))
+        val vsum = es.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        (t, b, es.size.toLong, ordered.head._4, es.map(_._4).max, es.map(_._4).min,
+          ordered.last._4, vsum.toDouble)
+    }.sortBy(r => (r._1, r._2))
+    assert(rows == expected, "bars must equal the closed-form recomputation")
+    rows.foreach { case (t, b, _, o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h, s"bar ($t,$b) violates OHLC bounds")
+    }
+  }
+
+  test("incremental_agg: merged partials ≡ direct full aggregation") {
+    val merged = Analytics.incrementalAgg(spark, sf).collect().toSeq
+    val li = graft.Tables(spark, sf).lineitem
+    val full = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(24,2)")).cast("double").as("sum_qty"),
+        sum(round($"l_extendedprice", 2).cast("decimal(24,2)")).cast("double").as("sum_rev"),
+        min($"l_shipdate").as("first_ship"), max($"l_shipdate").as("last_ship"))
+      .orderBy($"l_returnflag", $"l_linestatus").collect().toSeq
+    assert(merged == full, "merge of base+delta partial states must equal the full recompute")
+    // the delta slice is non-trivial (the merge actually merged something)
+    assert(li.filter($"l_orderkey" % 10 === 0).count() > 0)
+    assert(li.filter($"l_orderkey" % 10 =!= 0).count() > 0)
+  }
+
   test("json_metrics ≡ plain-Scala recomputation over parsed props") {
     val rows = Analytics.jsonMetrics(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
