@@ -83,10 +83,32 @@ object Analytics {
   /** Per-EVENT session assignment — the fragment behind [[sessionize]]
     * and [[sessionFunnel]]: every event row tagged with its 30-min-gap
     * session_id (one window pass, shuffle on user_id only). */
+  /** 30-min session gap, shared by the Spark fragment and every oracle. */
+  val SessionGapMs = 1800000L
+
+  /** Shared session-assignment CTE chain (`e` → `flagged` → `sess`,
+    * ending in `sess(user_id, event_id, event_type, ts_ms, k,
+    * session_id)`) — the SQL twin of [[sessionAssigned]]. All session
+    * oracles (№35/84/95) compose THIS text, so the session definition
+    * (gap, ordering tiebreak) can never de-sync between them. */
+  private[queries] val sessionCtesSql: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, event_type, ts_ms,
+       |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, ts_ms,
+       |    row(ts_ms, event_id) AS k,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)""".stripMargin
+
   private[queries] def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val gapMs = 1800000L
+    val gapMs = SessionGapMs
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
     Tables(spark, dir).events
       .withColumn("prev_ms", lag($"ts_ms", 1).over(wOrd))
@@ -105,20 +127,10 @@ object Analytics {
   }
 
   val sessionizeSql: String =
-    """WITH e AS (
-      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
-      |flagged AS (
-      |  SELECT user_id, event_id, ts_ms,
-      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-      |sess AS (
-      |  SELECT user_id, ts_ms,
-      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM flagged)
-      |SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-      |  max(ts_ms) - min(ts_ms) AS duration_ms
-      |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+    s"""WITH $sessionCtesSql
+       |SELECT user_id, session_id, count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       |  max(ts_ms) - min(ts_ms) AS duration_ms
+       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   /** №51 grouped_topk — the GroupedTopK whole-operator extension driven
     * directly (logical node → pruning rule → strategy → two-phase exec,
@@ -182,18 +194,7 @@ object Analytics {
   }
 
   val sessionFunnelSql: String =
-    """WITH e AS (
-      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-      |flagged AS (
-      |  SELECT user_id, event_id, event_type, ts_ms,
-      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-      |sess AS (
-      |  SELECT user_id, event_id, event_type, ts_ms,
-      |    row(ts_ms, event_id) AS k,
-      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM flagged),
+    s"""WITH $sessionCtesSql,
       |v AS (SELECT user_id, session_id, min(k) AS vk FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
       |c AS (SELECT s.user_id, s.session_id, min(s.k) AS ck
       |      FROM sess s JOIN v USING (user_id, session_id)
@@ -244,17 +245,7 @@ object Analytics {
   }
 
   val eventTransitionsSql: String =
-    """WITH e AS (
-      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-      |flagged AS (
-      |  SELECT user_id, event_id, event_type, ts_ms,
-      |    CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-      |sess AS (
-      |  SELECT user_id, event_id, event_type, ts_ms,
-      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM flagged),
+    s"""WITH $sessionCtesSql,
       |tr AS (
       |  SELECT lag(event_type) OVER w AS from_type,
       |    lag(session_id) OVER w AS prev_sess, event_type, session_id
@@ -600,7 +591,11 @@ object Analytics {
     * up per event type with EXACT arithmetic: BIGINT sum/min/max, the
     * mean as `sum·1000 DIV n` (integer ×1000 — float division would
     * drift), and the non-null extraction count reported separately from
-    * the row count (absent keys are data, not errors).
+    * the row count (absent keys are data, not errors). The extracted
+    * string passes an explicit integer-format regexp gate BEFORE the
+    * cast in BOTH engines — bare casts diverge on non-integer payloads
+    * (Spark's string→long cast nulls "12.5" where DuckDB's rounds it to
+    * 13), so the shared gate is what makes the parse engine-identical.
     *
     * Scale shape: a pure per-row projection feeding ONE bounded hash agg
     * on event_type — the JSON parse rides the scan, map-side partials
@@ -612,7 +607,9 @@ object Analytics {
   def jsonMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).events
-      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .select($"event_type", get_json_object($"props", "$.k").as("ks"))
+      .select($"event_type",
+        when($"ks".rlike("^-?[0-9]+$"), $"ks".cast("long")).as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"), count($"k").as("n_k"),
         sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
@@ -622,9 +619,12 @@ object Analytics {
   }
 
   val jsonMetricsSql: String =
-    """WITH e AS (
-      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      |  FROM events),
+    """WITH x AS (
+      |  SELECT event_type, json_extract_string(props, '$.k') AS ks FROM events),
+      |e AS (
+      |  SELECT event_type,
+      |    CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN CAST(ks AS BIGINT) END AS k
+      |  FROM x),
       |a AS (
       |  SELECT event_type, count(*) AS n_events, count(k) AS n_k,
       |    CAST(sum(k) AS BIGINT) AS sum_k,
@@ -757,9 +757,12 @@ object Analytics {
     * 100 TB operational failure: a million 1 MB files make every scan
     * driver-bound): given the per-file metadata frame (modeled here as
     * one file per source: doc count + byte size), assign files to
-    * compaction bins by first-fit in deterministic file order — bin =
-    * running-bytes-before DIV [[CompactTarget]] — so every bin lands
-    * within one file of the target size and the plan is reproducible.
+    * compaction bins by first-fit in deterministic file order — the raw
+    * boundary is running-bytes-before DIV [[CompactTarget]], then
+    * dense_rank compacts the ids so bins number 0..n−1 with no gaps
+    * even when an oversized file (> target) skips quotient values and
+    * becomes its own single-file bin. Files at or under the target pack
+    * to within one file of it; the plan is reproducible either way.
     *
     * Scale shape: the input is the FILE-METADATA frame, not the data —
     * files ≪ rows by construction (that is the point of compaction), so
@@ -776,8 +779,10 @@ object Analytics {
     val w = Window.orderBy($"source").rowsBetween(Window.unboundedPreceding, -1)
     files
       .withColumn("cum_before", coalesce(sum($"n_bytes").over(w), lit(0L)))
-      .select($"source", $"n_docs", $"n_bytes",
-        expr(s"cum_before DIV $CompactTarget").as("bin"))
+      .withColumn("raw_bin", expr(s"cum_before DIV $CompactTarget"))
+      .withColumn("bin",
+        (dense_rank().over(Window.orderBy($"raw_bin")) - 1).cast("long"))
+      .select($"source", $"n_docs", $"n_bytes", $"bin")
       .orderBy($"source")
   }
 
@@ -789,9 +794,12 @@ object Analytics {
        |  SELECT source, n_docs, n_bytes,
        |    CAST(coalesce(sum(n_bytes) OVER (ORDER BY source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-       |  FROM f)
-       |SELECT source, n_docs, n_bytes, cum_before // $CompactTarget AS bin
-       |FROM c ORDER BY source""".stripMargin
+       |  FROM f),
+       |b AS (
+       |  SELECT source, n_docs, n_bytes,
+       |    CAST(dense_rank() OVER (ORDER BY cum_before // $CompactTarget) - 1 AS BIGINT) AS bin
+       |  FROM c)
+       |SELECT source, n_docs, n_bytes, bin FROM b ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- №93 zorder_layout
   /** Z-order (Morton-curve) layout planning with the file-skipping gain

@@ -965,7 +965,13 @@ object PipelineQueries {
           "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) ELSE array() END")).as("gram"))
       .distinct()
       .persist())
-    val t = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    // totals from the SOURCE list, not the gram frame — a source whose
+    // docs are all shorter than the shingle width still appears in every
+    // pair (with n = 0); the greatest() guard keeps the empty-vs-empty
+    // Jaccard at 0 instead of dividing by zero
+    val t = Tables(spark, dir).documents.select($"source").distinct()
+      .join(sg.groupBy($"source").agg(count(lit(1)).as("ng")), Seq("source"), "left")
+      .select($"source", coalesce($"ng", lit(0L)).as("n"))
     val c = sg.as("a").join(sg.as("b"),
         $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
       .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
@@ -976,7 +982,8 @@ object PipelineQueries {
       .join(c, Seq("src_a", "src_b"), "left")
       .select($"src_a", $"src_b", $"n_a", $"n_b",
         coalesce($"nc", lit(0L)).as("n_common"),
-        expr("coalesce(nc, 0) * 1000000 DIV (n_a + n_b - coalesce(nc, 0))").as("jaccard_ppm"))
+        expr("coalesce(nc, 0) * 1000000 DIV greatest(n_a + n_b - coalesce(nc, 0), 1)")
+          .as("jaccard_ppm"))
       .orderBy($"src_a", $"src_b")
   }
 
@@ -988,14 +995,17 @@ object PipelineQueries {
        |    SELECT source, unnest(list_distinct(list_transform(range(1, len(ws)-3),
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS gram
        |    FROM d WHERE len(ws) >= 5) x),
-       |t AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+       |t AS (
+       |  SELECT s.source, coalesce(g.ng, 0) AS n
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  LEFT JOIN (SELECT source, count(*) AS ng FROM sg GROUP BY source) g USING (source)),
        |c AS (
        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
        |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
        |  GROUP BY 1, 2)
        |SELECT ta.source AS src_a, tb.source AS src_b, ta.n AS n_a, tb.n AS n_b,
        |  coalesce(c.n_common, 0) AS n_common,
-       |  coalesce(c.n_common, 0) * 1000000 // (ta.n + tb.n - coalesce(c.n_common, 0)) AS jaccard_ppm
+       |  coalesce(c.n_common, 0) * 1000000 // greatest(ta.n + tb.n - coalesce(c.n_common, 0), 1) AS jaccard_ppm
        |FROM t ta JOIN t tb ON ta.source < tb.source
        |LEFT JOIN c ON c.src_a = ta.source AND c.src_b = tb.source
        |ORDER BY src_a, src_b""".stripMargin

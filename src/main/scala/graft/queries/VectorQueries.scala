@@ -803,9 +803,11 @@ object VectorQueries {
     * distances are integer Σ(e−c)² (components bounded by 15·n_tok —
     * far under overflow), assignment tiebreak = lowest cluster id on
     * equal distance, and centroid components use FLOOR division realized
-    * as `(s − pmod(s, n)) DIV n` — Spark's `DIV` truncates toward zero
-    * and DuckDB's `//` floors, so the pmod form is the one integer-mean
-    * both engines compute identically on negative sums. Seeds = the
+    * as `(s − pmod(s, n)) DIV n` — the subtraction makes the dividend
+    * exactly divisible, so the quotient is the floor mean regardless of
+    * either engine's truncate-vs-floor convention (both installed
+    * engines truncate toward zero on negatives; the pmod form pins the
+    * semantics rather than trusting that). Seeds = the
     * embeddings of doc_id < K (deterministic); an emptied cluster drops
     * out of later iterations in both engines (standard k-means
     * degeneracy, identical handling). The oracle unrolls the SAME

@@ -123,7 +123,7 @@ object StatefulSessionize {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val gapMs = 1800000L
+    val gapMs = graft.queries.Analytics.SessionGapMs
     val delay = "30 minutes"
     val evs = graft.Tables(spark, dir).events
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
@@ -194,7 +194,7 @@ object StatefulSessionize {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val gapMs = 1800000L
+    val gapMs = graft.queries.Analytics.SessionGapMs
     val evs = graft.Tables(spark, dir).events
       .select($"user_id", $"ts_ms").as[Ev].orderBy($"ts_ms").collect()
     val name = s"stream_sessions_bi_${System.nanoTime()}"

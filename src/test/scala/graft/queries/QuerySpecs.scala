@@ -118,7 +118,7 @@ class TextQueriesSpec extends SparkSpec {
       ga = bySource(a); gb = bySource(b)
       nc = ga.intersect(gb).size.toLong
     } yield (a, b, ga.size.toLong, gb.size.toLong, nc,
-      nc * 1000000L / (ga.size + gb.size - nc))
+      nc * 1000000L / math.max(ga.size + gb.size - nc, 1))
     assert(rows == expected.sortBy(p => (p._1, p._2)), "overlap must equal the closed-form model")
     // every unordered pair exactly once, zero-overlap pairs included
     assert(rows.size == srcs.size * (srcs.size - 1) / 2)
@@ -203,7 +203,6 @@ class TextQueriesSpec extends SparkSpec {
       }
     }
     // spot-recompute one doc against the closed form
-    val toks = corpusTokens
     val nDocs = graft.Tables(spark, sf).documents.count()
     val docToks = graft.Tables(spark, sf).documents.filter($"doc_id" === 7L)
       .select("text").as[String].head()

@@ -293,11 +293,14 @@ class TimeSeriesJoinSpec extends SparkSpec {
   test("compact_plan: first-fit bins in deterministic order, sizes near target") {
     val rows = Analytics.compactPlan(spark, sf)
       .as[(String, Long, Long, Long)].collect().toSeq
-    // closed-form: running bytes before, in source order
-    val expected = rows.sortBy(_._1).scanLeft(("", 0L, 0L, 0L, 0L)) {
+    // closed-form: running bytes before in source order, then dense ids
+    // (an oversized file skips raw quotients; the operator densifies)
+    val raw = rows.sortBy(_._1).scanLeft(("", 0L, 0L, 0L, 0L)) {
       case ((_, _, _, _, cum), (s, nd, nb, _)) => (s, nd, nb, cum / Analytics.CompactTarget, cum + nb)
-    }.tail.map { case (s, nd, nb, bin, _) => (s, nd, nb, bin) }
-    assert(rows == expected, "bin assignment must equal the running-sum model")
+    }.tail
+    val dense = raw.map(_._4).distinct.sorted.zipWithIndex.toMap
+    val expected = raw.map { case (s, nd, nb, bin, _) => (s, nd, nb, dense(bin).toLong) }
+    assert(rows == expected, "bin assignment must equal the densified running-sum model")
     // bins contiguous from 0; each bin's payload stays within target + one file
     val bins = rows.groupBy(_._4)
     assert(bins.keySet == (0L until bins.size.toLong).toSet)
