@@ -490,6 +490,107 @@ object Analytics {
        |LEFT JOIN a USING (user_id)
        |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №105 scd2_intervals
+  /** Slowly-changing-dimension type-2 build — the warehouse temporal-
+    * modeling primitive (attribute history as validity intervals, the
+    * table every "state as of time T" join reads): each user's event
+    * type stream collapses to its CHANGE points (state ≠ previous
+    * state), and each change opens an interval closed by the next
+    * change — `valid_to` = the next change's timestamp, the open
+    * current row carried at the [[Scd2HighMs]] high-date sentinel
+    * (9999-12-31; an explicit `is_current` flag travels with it —
+    * sentinels sort/hash deterministically where NULL conventions
+    * differ by engine).
+    *
+    * Scale shape: two window passes over the SAME (user ordered by
+    * ts, event_id) partitioning — change detection (lag) and interval
+    * close (lead on the filtered change rows) — so there is ONE
+    * user-keyed exchange+sort and the second window reuses it; output
+    * is change-point-proportional, smaller than the input. */
+  val Scd2HighMs = 253402300799000L // 9999-12-31T23:59:59.999Z
+
+  /** 6h bar width, shared by time_downsample (№103) and gap_fill (№106).
+    * Declared BEFORE both SQL vals — a forward reference from a val
+    * initializer would silently interpolate 0. */
+  val BarMs = 21600000L
+
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val changes = Tables(spark, dir).events
+      .select($"user_id", $"event_type".as("state"), $"ts_ms", $"event_id")
+      .withColumn("prev_state", lag($"state", 1).over(wOrd))
+      .filter($"prev_state".isNull || $"prev_state" =!= $"state")
+    changes
+      .withColumn("valid_to", coalesce(lead($"ts_ms", 1).over(wOrd), lit(Scd2HighMs)))
+      .select($"user_id", $"state", $"ts_ms".as("valid_from"), $"valid_to",
+        ($"valid_to" === Scd2HighMs).as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val scd2IntervalsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type AS state, epoch_ms(ts) AS ts_ms, event_id FROM events),
+       |ch AS (
+       |  SELECT user_id, state, ts_ms, event_id,
+       |    lag(state) OVER w AS prev_state
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |iv AS (
+       |  SELECT user_id, state, ts_ms AS valid_from,
+       |    coalesce(lead(ts_ms) OVER w, $Scd2HighMs) AS valid_to
+       |  FROM ch WHERE prev_state IS NULL OR prev_state <> state
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+       |SELECT user_id, state, valid_from, valid_to,
+       |  valid_to = $Scd2HighMs AS is_current
+       |FROM iv ORDER BY user_id, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- №106 gap_fill
+  /** Calendar densification (gap-filling) — the time-series resample
+    * step dashboards and forecasting features need (a bucket with no
+    * events must EXIST at zero, not be silently absent): per event
+    * type, generate the full 6h-bucket spine from the type's first to
+    * last active bucket (`sequence()` + explode — the spine is
+    * time-span-proportional, never corpus-proportional) and left-join
+    * the actual bucket counts, materializing missing buckets at n=0
+    * with a `filled` marker.
+    *
+    * Scale shape: one bounded (type, bucket) hash agg for the counts,
+    * a #types-row bounds agg, the generated spine, and one equi-join
+    * on (type, bucket) — output is calendar-sized however large the
+    * corpus. Bars are 1h ([[GapMs]], finer than №103's 6h) so empty
+    * buckets actually occur at the proof densities. */
+  val GapMs = 3600000L
+
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.CacheRegistry.track(Tables(spark, dir).events
+      .select($"event_type", expr(s"ts_ms DIV $GapMs").as("bucket"))
+      .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("n"))
+      .persist())
+    val spine = counts.groupBy($"event_type")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"event_type", explode(expr("sequence(b0, b1)")).as("bucket"))
+    spine.join(counts, Seq("event_type", "bucket"), "left")
+      .select($"event_type", $"bucket",
+        coalesce($"n", lit(0L)).as("n_events"),
+        $"n".isNull.as("filled"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val gapFillSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_ms(ts) // $GapMs AS bucket, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM c GROUP BY event_type),
+       |spine AS (
+       |  SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket FROM b)
+       |SELECT s.event_type, s.bucket,
+       |  coalesce(c.n, 0) AS n_events,
+       |  c.n IS NULL AS filled
+       |FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.bucket = s.bucket
+       |ORDER BY s.event_type, s.bucket""".stripMargin
+
   // ---------------------------------------------------------------- №103 time_downsample
   /** Time-series downsampling to OHLC bars — the Grafana/monitoring
     * primitive (a 100 TB event store renders dashboards from bars, not
@@ -503,9 +604,7 @@ object Analytics {
     *
     * Scale shape: one narrow projection → ONE hash agg on the bounded
     * (type, bucket) key with map-side partials; output is
-    * dashboard-sized however large the corpus. */
-  val BarMs = 21600000L // 6h
-
+    * dashboard-sized however large the corpus. Bar width = [[BarMs]]. */
   def timeDownsample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).events

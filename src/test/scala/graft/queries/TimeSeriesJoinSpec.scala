@@ -184,6 +184,57 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(rows.map(_._4).sum <= 1000000L && rows.nonEmpty)
   }
 
+  test("scd2_intervals ≡ plain-Scala recomputation; per-user history contiguous, one current") {
+    val rows = Analytics.scd2Intervals(spark, sf)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    val evs = graft.Tables(spark, sf).events
+      .select("user_id", "event_type", "ts_ms", "event_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      val changes = ordered.headOption.toSeq ++
+        ordered.sliding(2).collect { case Seq(a, b) if a._2 != b._2 => b }
+      changes.zipAll(changes.drop(1).map(c => Some(c._3)), null, None).map {
+        case (c, next) =>
+          val to = next.getOrElse(Analytics.Scd2HighMs)
+          (u, c._2, c._3, to, to == Analytics.Scd2HighMs)
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(rows == expected, "SCD2 intervals must equal the closed-form recomputation")
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val inOrder = ivs.sortBy(_._3)
+      assert(inOrder.count(_._5) == 1, s"user $u must have exactly one current row")
+      inOrder.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 == b._3, s"user $u history not contiguous at ${b._3}")
+          assert(a._2 != b._2, s"user $u consecutive intervals share state ${a._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("gap_fill ≡ plain-Scala recomputation; missing buckets materialize at zero") {
+    val rows = Analytics.gapFill(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val evs = graft.Tables(spark, sf).events
+      .select("event_type", "ts_ms").as[(String, Long)].collect().toSeq
+    val counts = evs.map { case (t, ms) => (t, ms / Analytics.GapMs) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.keys.toSeq.groupBy(_._1).toSeq.flatMap { case (t, bs) =>
+      val (b0, b1) = (bs.map(_._2).min, bs.map(_._2).max)
+      (b0 to b1).map(b => (t, b, counts.getOrElse((t, b), 0L), !counts.contains((t, b))))
+    }.sortBy(r => (r._1, r._2))
+    assert(rows == expected, "densified calendar must equal the closed-form model")
+    assert(rows.exists(_._4), "the proof corpus must actually have gaps to fill")
+    assert(rows.filter(_._4).forall(_._3 == 0L), "filled buckets must be zero-count")
+    // the spine is complete: per type, buckets are contiguous
+    rows.groupBy(_._1).foreach { case (t, bs) =>
+      val sorted = bs.map(_._2).sorted
+      assert(sorted == (sorted.head to sorted.last), s"type $t spine has holes")
+    }
+  }
+
   test("time_downsample ≡ plain-Scala OHLC recomputation; bars internally consistent") {
     val rows = Analytics.timeDownsample(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double, Double)].collect().toSeq
