@@ -94,7 +94,13 @@ object Bench {
       // Catalyst prune the projection — the string-building tail of the
       // pipeline queries would go unmeasured).
       val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); Some((off, (System.nanoTime() - t0) / 1e9)) }
-        catch { case _: Throwable => None }
+        catch { case e: Throwable =>
+          // a crashed iteration must be DIAGNOSABLE from the log (r7 lesson:
+          // 44 silent failures shipped in the official artifact with rc=0)
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          e.getStackTrace.take(8).foreach(fr => System.err.println(s"[bench]   at $fr"))
+          None
+        }
       CacheRegistry.releaseAll(spark) // caches must not carry across iterations
       resetConfs(name)                // nor conf drift (see baselineConf)
       // NO System.gc() here: an explicit full GC between iterations was
@@ -165,5 +171,8 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // a run with failed queries must not report success (r7: 44 failures
+    // under rc=0 and a '[success]' trailer)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

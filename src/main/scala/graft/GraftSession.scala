@@ -28,8 +28,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // the corpus writes ns-precision timestamps; Spark reads them as longs
+      // the corpus's `events.ts` arrives as ns-precision longs (legacy
+      // layouts) or timestamp[us] (driver corpora since r7) — both confs
+      // here so Tables.normalizeTs sees one stable read shape and the
+      // bench's conf-drift sentinel has them in its baseline
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** Streaming-state confs for production state sizes: the default
     * HDFS-backed state store holds every key in executor heap — fine for

@@ -35,19 +35,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    * GraftSession/Verify/Bench). Normalized here: `ts` stays raw nanos,
-    * `ts_ms` is epoch millis, `ts_utc` a microsecond TimestampType.
+  /** `events.ts` arrives in one of two physical layouts depending on the
+    * corpus generation: raw nanosecond LONGs (readable only under
+    * spark.sql.legacy.parquet.nanosAsLong=true) or timestamp[us]. Both are
+    * normalized to ONE logical contract so every consumer stays
+    * layout-blind — see [[Tables.normalizeTs]].
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions._
     // runtime-settable; makes events readable from ANY session (e.g. the
     // driver's), not just ones built by GraftSession/Verify/Bench
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+    // timestamp[us] must arrive as an INSTANT (TimestampType), never
+    // TIMESTAMP_NTZ: sessions run UTC and the DuckDB oracle's epoch_ms(ts)
+    // reads the same stored microseconds, so the engines agree exactly
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    Tables.normalizeTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -55,6 +57,46 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   import org.apache.spark.sql.types._
+
+  /** Normalizes either physical `ts` layout to the logical contract:
+    *   - `ts`     LONG epoch-nanos (the arithmetic column — every
+    *              downstream ts_ms/window/session derivation reads this)
+    *   - `ts_ms`  LONG epoch-millis
+    *   - `ts_utc` TimestampType instant (microsecond precision)
+    *   - `ts_raw` the UNTOUCHED physical column — range predicates built
+    *     against it (type-aware: see ExportQueries.tsNsRange) reach the
+    *     storage scan as parquet/ORC pushdown, which predicates on the
+    *     derived columns never can.
+    * Shared by the batch loader and the streaming source so the two paths
+    * cannot drift.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case LongType => // raw nanosecond longs
+        raw.withColumn("ts_raw", col("ts"))
+          .withColumn("ts_ms", expr("ts DIV 1000000"))
+          .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // timestamp[us]; the cast is a no-op for TimestampType and
+        // pins any exotic NTZ read to the UTC wall clock all entry
+        // points (GraftSession/Verify/Bench) run under
+        raw.withColumn("ts_raw", col("ts"))
+          .withColumn("ts_utc", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts_utc")) * lit(1000L))
+          .withColumn("ts_ms", expr("ts DIV 1000000"))
+    }
+  }
+
+  /** Streaming twin of [[Tables#events]]: file streams must declare their
+    * schema up front, so it is taken from a footer-only batch read of the
+    * same file, then the SAME normalization applies. This is the
+    * production ingestion shape — no driver-side materialization. */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events.parq*"))
+  }
 
   /** Explicit schemas for schemaless formats (JSON/CSV) — events carries
     * raw nanosecond longs, matching the parquet read under nanosAsLong. */

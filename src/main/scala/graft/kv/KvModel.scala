@@ -105,7 +105,9 @@ object KvModel {
 
     e.select(
         eid.as("eid"), uid.as("uid"), etype.as("etype"), ms.as("ms"),
-        col("ts").as("ts_ns"), // raw scan column: time-range filters on this PUSH DOWN
+        // raw scan column (layout-typed: LONG nanos or TIMESTAMP micros —
+        // Tables.normalizeTs): range filters built on it PUSH DOWN
+        (if (e.columns.contains("ts_raw")) col("ts_raw") else col("ts")).as("ts_ns"),
         fmtP(ms).as("lm_str"),
         idJson.as("id_json"),
         keyHash.as("key_hash"),

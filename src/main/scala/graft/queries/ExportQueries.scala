@@ -21,6 +21,19 @@ object ExportQueries {
   val T1 = 1704672000000L // 2024-01-08
   val T2 = 1705881600000L // 2024-01-22
 
+  /** Epoch-ms half-open range [loMs, hiMs) on the RAW scan column `ts_ns`,
+    * typed to the corpus layout (LONG nanos or TIMESTAMP micros — see
+    * Tables.normalizeTs) so Catalyst pushes it into the parquet/ORC scan.
+    * Exact in both units: ms = floor(ns/1e6) = floor(us/1e3), so
+    * `ms >= lo ⇔ raw >= lo` in raw units. */
+  def tsNsRange(df: DataFrame, loMs: Long, hiMs: Long): Column =
+    df.schema("ts_ns").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts_ns") >= loMs * 1000000L && col("ts_ns") < hiMs * 1000000L
+      case _ =>
+        col("ts_ns") >= timestamp_millis(lit(loMs)) && col("ts_ns") < timestamp_millis(lit(hiMs))
+    }
+
   /** kv + envelope, parsed + resolved — the common pipeline prefix.
     * `kvPred` filters on the CHEAP kv columns (etype, topic, ts_ns, …)
     * BEFORE the envelope is built: the parse/decrypt expressions are
@@ -67,12 +80,13 @@ object ExportQueries {
   /** Time-range predicate on the RAW scan column (ts_ns) — Catalyst pushes
     * it into the parquet scan (`ms >= T1 ⇔ ts_ns >= T1e6` exactly, since
     * ms = floor(ns/1e6)); the derived key-byte filter runs post-scan. */
-  def kvScan(spark: SparkSession, dir: String): DataFrame =
-    KvSource.kv(spark, dir)
-      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
+  def kvScan(spark: SparkSession, dir: String): DataFrame = {
+    val kv = KvSource.kv(spark, dir)
+    kv.filter(tsNsRange(kv, T1, T2))
       .filter(col("key_byte") >= 32 && col("key_byte") < 96)
       .select(col("eid"), col("key_hash"), col("ms"), col("topic"))
       .orderBy(col("eid"))
+  }
 
   val kvScanSql: String =
     s"""WITH ${KvSql.cte}
@@ -94,12 +108,13 @@ object ExportQueries {
        |FROM kv GROUP BY 1 ORDER BY min_kb""".stripMargin
 
   // -------------------------------------------------------------- №3 time_range_scan
-  def timeRangeScan(spark: SparkSession, dir: String): DataFrame =
-    KvSource.kv(spark, dir)
-      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
+  def timeRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val kv = KvSource.kv(spark, dir)
+    kv.filter(tsNsRange(kv, T1, T2))
       .groupBy(col("topic"))
       .agg(count(lit(1)).as("n"), min("ms").as("min_ms"), max("ms").as("max_ms"))
       .orderBy(col("topic"))
+  }
 
   val timeRangeScanSql: String =
     s"""WITH ${KvSql.cte}
@@ -578,8 +593,8 @@ object ExportQueries {
     * is the per-row projection pipeline — so an incremental export reads
     * only the time slice and shuffles once on the row key. */
   def incrementalExport(spark: SparkSession, dir: String): DataFrame = {
-    val kv = KvSource.kv(spark, dir)
-      .filter(col("ts_ns") >= T1 * 1000000L && col("ts_ns") < T2 * 1000000L)
+    val kv0 = KvSource.kv(spark, dir)
+    val kv = kv0.filter(tsNsRange(kv0, T1, T2))
     val cols = kv.columns
     val latest = kv
       .groupBy(col("uid"))

@@ -21,17 +21,15 @@ object StreamExport {
 
   val WindowMs: Long = 600000L
 
-  val eventsSchema: StructType = graft.Tables.knownSchema("events").get
-
   /** The streaming query: windowed per-topic record counts after full
     * envelope-extract validation. */
   def streamExport(spark: SparkSession, dir: String): DataFrame = {
-    // file-stream source wants a directory or glob, not a bare file path.
+    // layout-aware stream source (Tables.streamEvents — schema from the
+    // parquet footer, SAME ts normalization as the batch loader).
     // Topic/validity derivations come from KvModel.kvFromEvents — ONE
     // definition shared by batch and streaming (column pruning drops the
     // unused kv columns from this plan).
-    val raw = spark.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val raw = graft.Tables.streamEvents(spark, dir)
     val stream = KvModel.kvFromEvents(raw)
       .filter(col("valid"))
       .withColumn("ts_utc", timestamp_millis(col("ms")))
@@ -60,8 +58,7 @@ object StreamExport {
     * per epoch; epochs land under `<root>/epoch=<id>/`).
     */
   def continuousExport(spark: SparkSession, dir: String, root: String): Long = {
-    val raw = spark.readStream.schema(eventsSchema).parquet(s"$dir/events.parq*")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    val raw = graft.Tables.streamEvents(spark, dir)
     val kv = graft.kv.KvModel.withEnvelope(graft.kv.KvModel.kvFromEvents(raw))
     val written = new java.util.concurrent.atomic.AtomicLong(0)
     val q = kv.writeStream
