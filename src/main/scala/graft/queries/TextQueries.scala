@@ -843,6 +843,183 @@ object TextQueries {
        |FROM pc JOIN pre USING (w1)
        |ORDER BY pc.w1, pc.w2""".stripMargin
 
+  // ---------------------------------------------------------- №107/108 bpe_train / bpe_encode
+  /** Number of BPE merge rounds learned/applied by №107/№108. Small so the
+    * DuckDB oracle's unrolled CTE chain stays tractable; the Spark loop is
+    * written for any K. */
+  val BpeMerges = 10
+
+  /** A word as its initial BPE state: characters joined by single spaces
+    * ("hello" → "h e l l o"). The words() alphabet is [a-z0-9], so `(.)`
+    * is byte-safe in both regex engines. */
+  private[queries] def bpeInitState(tok: Column): Column =
+    trim(regexp_replace(tok, "(.)", "$1 "))
+
+  /** Apply ONE learned merge (a,b)→ab to a symbol-state string.
+    *
+    * Replace semantics in both engines are leftmost, non-overlapping,
+    * resuming AFTER the replacement — which on a shared single-space
+    * delimiter would miss back-to-back merge sites (" a b a b ": the
+    * first replacement consumes the middle space, so the second "a b"
+    * no longer has a leading delimiter). Doubling every separator first
+    * gives each boundary its own private spaces, so one global replace
+    * merges every site exactly as the sequential BPE scan does
+    * ("a a a" → "aa a", "a b a b" → "ab ab"); a whitespace collapse
+    * renormalizes. Symbols are [a-z0-9]+ so plain-string patterns are
+    * safe. */
+  private[queries] def bpeApplyMerge(state: Column, a: String, b: String): Column =
+    trim(regexp_replace(
+      replace(replace(concat(lit(" "), state, lit(" ")), lit(" "), lit("  ")),
+        lit(s" $a  $b "), lit(s" $a$b ")),
+      " +", " "))
+
+  /** Adjacent symbol pairs of a state column ("a b c" → ["a b", "b c"]).
+    * Caller filters to ≥2 symbols first (sequence() rejects a negative
+    * upper bound). */
+  private def bpeAdjPairs(stateCol: String): Column =
+    expr(s"transform(sequence(0, size(split($stateCol, ' ')) - 2), " +
+      s"i -> concat(split($stateCol, ' ')[i], ' ', split($stateCol, ' ')[i + 1]))")
+
+  /** The learned merge table, driver-side: (step, pair, merged, n_pairs).
+    *
+    * Scale shape — why BPE training is corpus-size-independent after one
+    * pass: the corpus collapses to its weighted VOCABULARY first (one
+    * explode + hash agg with map-side partials), and every round after
+    * runs over distinct words only — pair mining is a vocab-bounded
+    * aggregation whose argmax brings ONE row to the driver (the model
+    * state; same justification as the k-means centroid collect), and the
+    * merge application is a pure string projection over the persisted
+    * vocab. At 100 TB the vocab agg is the only corpus-sized job; the K
+    * training rounds never touch the corpus again. */
+  private[queries] def bpeLearnMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    var vocab = graft.CacheRegistry.track(
+      Tables(spark, dir).documents
+        .select(explode(words($"text")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+        .select($"n", bpeInitState($"tok").as("state"))
+        .persist())
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val best = vocab
+        .filter(size(split($"state", " ")) >= 2)
+        .select($"n", explode(bpeAdjPairs("state")).as("pair"))
+        .groupBy($"pair").agg(sum($"n").as("n_pairs"))
+        .orderBy($"n_pairs".desc, $"pair")
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE merge $step: vocabulary exhausted (corpus too small)")
+      val pair = best(0).getString(0)
+      val Array(a, b) = pair.split(" ", 2)
+      out += ((step, pair, a + b, best(0).getLong(1)))
+      vocab = graft.CacheRegistry.track(
+        vocab.withColumn("state", bpeApplyMerge($"state", a, b)).persist())
+    }
+    out.result()
+  }
+
+  /** №107 — BPE tokenizer TRAINING: the full iterative merge loop that
+    * №89 bpe_pairs is the first step of (the public byte-pair-encoding
+    * subword algorithm, Sennrich et al. 2016). [[BpeMerges]] rounds of:
+    * count adjacent symbol pairs over the weighted vocabulary, merge the
+    * highest-count pair everywhere (ties: pair ASC), emit the merge
+    * table — the learned tokenizer model. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeLearnMerges(spark, dir).toDF("step", "pair", "merged", "n_pairs")
+      .orderBy($"step")
+  }
+
+  /** Shared CTE prologue: v0 (weighted vocab in char-state form), then per
+    * step i: p_i (pair counts), b_i (argmax + its replace pattern), v_i
+    * (vocab after the merge) — unrolled by the SAME loop count as the
+    * Spark side, so the two engines cannot disagree on the round count. */
+  private def bpeCteSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""v0 AS MATERIALIZED (
+         |  SELECT count(*) AS n, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS state
+         |  FROM (SELECT unnest(${wordsSql("text")}) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY tok)""".stripMargin)
+    for (i <- 1 to BpeMerges) {
+      sb.append(
+        s""",
+           |p$i AS MATERIALIZED (
+           |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs FROM (
+           |    SELECT n, unnest(list_transform(range(1, len(string_split(state, ' '))),
+           |      j -> string_split(state, ' ')[CAST(j AS INT)] || ' ' || string_split(state, ' ')[CAST(j AS INT) + 1])) AS pair
+           |    FROM v${i - 1})
+           |  GROUP BY pair),
+           |b$i AS MATERIALIZED (
+           |  SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, n_pairs,
+           |    ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ' AS pat,
+           |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+           |  FROM p$i ORDER BY n_pairs DESC, pair LIMIT 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT n, trim(regexp_replace(replace(replace(' ' || state || ' ', ' ', '  '),
+           |    (SELECT pat FROM b$i), (SELECT rep FROM b$i)), ' +', ' ', 'g')) AS state
+           |  FROM v${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val bpeTrainSql: String =
+    s"""WITH $bpeCteSql
+       |${(1 to BpeMerges).map(i => s"SELECT step, pair, merged, n_pairs FROM b$i").mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin
+
+  /** №108 — BPE ENCODE: apply the learned merge table to every word of
+    * every document and count the resulting subword tokens — the
+    * corpus-wide tokenization pass a trained tokenizer exists for.
+    *
+    * Scale shape: the model (K merge rules) is collected once and applied
+    * as LITERAL string projections — the encode pass is a zero-shuffle
+    * map over the corpus (whole-stage codegen'd replace chain), followed
+    * by one map-side-combining hash agg on doc_id. No join against the
+    * vocab, no broadcast of anything corpus-sized — this is how a 100 TB
+    * corpus is tokenized: ship the tiny model into the closure, stream
+    * the data through it once. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeLearnMerges(spark, dir)
+    val w = Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    // Hot-path form of the merge chain: replacing " a  b " with " ab " in
+    // the DOUBLED state leaves every gap at exactly two spaces (1 left
+    // remnant + 1 from the replacement), so the invariant survives all K
+    // merges and the chain is K plain replaces with ONE regex at init and
+    // ONE collapse at the end — vs pad+double+collapse per round in
+    // bpeApplyMerge (fine for the vocab-sized train loop, 3× the string
+    // passes on a corpus-sized encode; measured 6.0→3.6s at sf0.1).
+    // BpeSpec proves this path ≡ the reference scan.
+    var state: Column = concat(lit("  "), regexp_replace($"tok", "(.)", "$1  "))
+    for ((_, pair, merged, _) <- merges) {
+      val Array(a, b) = pair.split(" ", 2)
+      state = replace(state, lit(s" $a  $b "), lit(s" $merged "))
+    }
+    val done = trim(replace(state, lit("  "), lit(" ")))
+    w.select($"doc_id", size(split(done, " ")).as("n_tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val bpeEncodeSql: String = {
+    var st = "trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))"
+    for (i <- 1 to BpeMerges)
+      st = s"trim(regexp_replace(replace(replace(' ' || $st || ' ', ' ', '  '), " +
+        s"(SELECT pat FROM b$i), (SELECT rep FROM b$i)), ' +', ' ', 'g'))"
+    s"""WITH $bpeCteSql,
+       |w AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)
+       |  WHERE tok <> '')
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split($st, ' '))) AS BIGINT) AS bpe_tokens
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- №90/91 tf-idf retrieval
   /** Shared TF-IDF frame: (doc_id, tok, tf, idf_bits). idf in the
     * lm_score integer-exact form — `length(bin(N DIV df))` is ⌊log₂⌋+1 of
