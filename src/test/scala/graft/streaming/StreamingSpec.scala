@@ -310,4 +310,30 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     }
   }
+
+  test("stream_topk: chained stateful aggs, append-once per closed window, heap ≡ window rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = StreamTopk.streamTopk(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // batch recomputation: per-day per-user counts, watermark cutoff, top-K
+    // by (n DESC, user ASC)
+    val ev = graft.Tables(spark, sf).events
+      .select($"user_id", $"ts_ms").as[(Long, Long)].collect()
+    val wmCut = ev.map(_._2).max - StreamTopk.DelayMs
+    val expected = ev
+      .map { case (u, ms) => ((ms / StreamTopk.WindowMs) * StreamTopk.WindowMs, u) }
+      .filter { case (ws, _) => ws + StreamTopk.WindowMs <= wmCut } // open window never emits
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((ws, u), n) => (ws, u, n) }
+      .groupBy(_._1).toSeq.flatMap { case (ws, rows) =>
+        rows.sortBy { case (_, u, n) => (-n, u) }.take(StreamTopk.K)
+          .zipWithIndex.map { case ((_, u, n), i) => (ws, i + 1, u, n) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got == expected, "streamed top-k must equal the batch recomputation")
+    // the corpus's final (still-open) window must be absent
+    val lastWs = (ev.map(_._2).max / StreamTopk.WindowMs) * StreamTopk.WindowMs
+    assert(!got.exists(_._1 == lastWs), "open window leaked into append output")
+    assert(got.groupBy(_._1).values.forall(_.size <= StreamTopk.K))
+  }
 }
