@@ -618,6 +618,59 @@ object PipelineQueries {
        |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
        |FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- №110 tokenize_pack
+  /** The tokenizer→loader capstone: №107 bpe_train's learned merges →
+    * №108's zero-shuffle encode projection → №55 sequence packing on the
+    * REAL subword counts — i.e. what the training loader actually packs
+    * by, not whitespace proxies. One composed pipeline sharing the exact
+    * fragments of its parts (bpeDocCounts, the packedSeqs window shape),
+    * so the composition can never drift from the standalone operators.
+    *
+    * Scale shape: the merge model is literal-sized; encode is a pure
+    * projection; the per-doc count agg map-side combines on doc_id; the
+    * pack runs per-bin windows only (bins are a constant — no global
+    * sort). Three shuffles total at any corpus size: vocab agg (train),
+    * doc_id agg (encode), bin repartition (pack). */
+  def tokenizePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextQueries.bpeDocCounts(spark, dir)
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        $"bpe_tokens".as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .withColumn("spans", expr(s"start_off DIV $SeqLen <> (start_off + n_tok - 1) DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"))
+      .orderBy($"bin", $"seq_id")
+  }
+
+  val tokenizePackSql: String =
+    s"""WITH ${TextQueries.bpeCteSql},
+       |wtok AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)
+       |  WHERE tok <> ''),
+       |enc AS (
+       |  SELECT doc_id, CAST(sum(len(string_split(${TextQueries.bpeEncodeStateSql}, ' '))) AS BIGINT) AS n_tok
+       |  FROM wtok GROUP BY doc_id),
+       |d AS (SELECT doc_id, doc_id % $PackBins AS bin, n_tok FROM enc),
+       |o AS (
+       |  SELECT bin, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d),
+       |s AS (
+       |  SELECT bin, n_tok, start_off // $SeqLen AS seq_id,
+       |    start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen AS spans
+       |  FROM o)
+       |SELECT bin, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_spanning
+       |FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id""".stripMargin
+
   // ---------------------------------------------------------------- №78 lm_score
   /** Unigram-LM quality gate (the CCNet idea: score text by how surprising
     * its tokens are under a corpus LM; gibberish and rare-token soup score

@@ -934,7 +934,7 @@ object TextQueries {
     * step i: p_i (pair counts), b_i (argmax + its replace pattern), v_i
     * (vocab after the merge) — unrolled by the SAME loop count as the
     * Spark side, so the two engines cannot disagree on the round count. */
-  private def bpeCteSql: String = {
+  private[queries] def bpeCteSql: String = {
     val sb = new StringBuilder
     sb.append(
       s"""v0 AS MATERIALIZED (
@@ -981,35 +981,51 @@ object TextQueries {
     * the data through it once. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeLearnMerges(spark, dir)
-    val w = Tables(spark, dir).documents
-      .select($"doc_id", explode(words($"text")).as("tok"))
-      .filter($"tok" =!= "")
-    // Hot-path form of the merge chain: replacing " a  b " with " ab " in
-    // the DOUBLED state leaves every gap at exactly two spaces (1 left
-    // remnant + 1 from the replacement), so the invariant survives all K
-    // merges and the chain is K plain replaces with ONE regex at init and
-    // ONE collapse at the end — vs pad+double+collapse per round in
-    // bpeApplyMerge (fine for the vocab-sized train loop, 3× the string
-    // passes on a corpus-sized encode; measured 6.0→3.6s at sf0.1).
-    // BpeSpec proves this path ≡ the reference scan.
-    var state: Column = concat(lit("  "), regexp_replace($"tok", "(.)", "$1  "))
+    bpeDocCounts(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Hot-path form of the merge chain: replacing " a  b " with " ab " in
+    * the DOUBLED state leaves every gap at exactly two spaces (1 left
+    * remnant + 1 from the replacement), so the invariant survives all K
+    * merges and the chain is K plain replaces with ONE regex at init and
+    * ONE collapse at the end — vs pad+double+collapse per round in
+    * bpeApplyMerge (fine for the vocab-sized train loop, 3× the string
+    * passes on a corpus-sized encode; measured 6.0→3.5s at sf0.1).
+    * BpeSpec proves this path ≡ the reference scan. */
+  private[queries] def bpeEncodeChain(tok: Column, merges: Seq[(Int, String, String, Long)]): Column = {
+    var state: Column = concat(lit("  "), regexp_replace(tok, "(.)", "$1  "))
     for ((_, pair, merged, _) <- merges) {
       val Array(a, b) = pair.split(" ", 2)
       state = replace(state, lit(s" $a  $b "), lit(s" $merged "))
     }
-    val done = trim(replace(state, lit("  "), lit(" ")))
-    w.select($"doc_id", size(split(done, " ")).as("n_tok"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("bpe_tokens"))
-      .orderBy($"doc_id")
+    trim(replace(state, lit("  "), lit(" ")))
   }
 
-  val bpeEncodeSql: String = {
+  /** Per-doc (doc_id, n_words, bpe_tokens) — shared by [[bpeEncode]] and
+    * the №110 tokenize_pack composition. */
+  private[queries] def bpeDocCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeLearnMerges(spark, dir)
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .select($"doc_id", size(split(bpeEncodeChain($"tok", merges), " ")).as("n_tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("bpe_tokens"))
+  }
+
+  /** The encode chain as a DuckDB expression over a word column `tok` —
+    * the same K levels, each consuming b_i's precomputed pattern. */
+  private[queries] def bpeEncodeStateSql: String = {
     var st = "trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))"
     for (i <- 1 to BpeMerges)
       st = s"trim(regexp_replace(replace(replace(' ' || $st || ' ', ' ', '  '), " +
         s"(SELECT pat FROM b$i), (SELECT rep FROM b$i)), ' +', ' ', 'g'))"
+    st
+  }
+
+  val bpeEncodeSql: String = {
+    val st = bpeEncodeStateSql
     s"""WITH $bpeCteSql,
        |w AS (
        |  SELECT doc_id, tok FROM (

@@ -89,6 +89,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_pack conserves bpe_encode's token count and packs contiguously") {
+    import org.apache.spark.sql.functions.sum
+    val enc = TextQueries.bpeEncode(spark, sf)
+    val encTotal = enc.agg(sum($"bpe_tokens")).as[Long].head()
+    val packed = PipelineQueries.tokenizePack(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(packed.map(_._4).sum == encTotal,
+      "packing must conserve the encoded token total exactly")
+    // per-bin sequence ids start at 0 and stay inside the bin's token
+    // budget; holes are legitimate (a doc longer than SeqLen absorbs whole
+    // sequences no other doc STARTS in — the accounting groups by start
+    // sequence, as sequence_pack does)
+    packed.groupBy(_._1).foreach { case (bin, rows) =>
+      val ids = rows.map(_._2).sorted
+      val total = rows.map(_._4).sum
+      assert(ids.head == 0L && ids.distinct == ids, s"bin $bin seq_ids malformed: $ids")
+      assert(ids.last <= (total - 1) / PipelineQueries.SeqLen, s"bin $bin seq_id beyond budget")
+    }
+    // spanning counts: a doc marked spanning crosses at least one boundary,
+    // so every sequence holds at most n_docs spanning docs
+    packed.foreach { case (_, _, nDocs, _, nSpan) => assert(nSpan <= nDocs) }
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("first learned merge agrees with bpe_pairs' top pair") {
     val topPair = TextQueries.bpePairs(spark, sf)
       .select($"pair").as[String].head()
