@@ -682,4 +682,65 @@ object CurationQueries {
        |JOIN ex ON ex.doc_id = s.doc_id
        |LEFT JOIN gf ON gf.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- №111 doc_chunk
+  /** Token-window document chunking — the retrieval-prep step (RAG index
+    * build, context-window packing): each document becomes overlapping
+    * windows of [[ChunkTokens]] tokens at stride [[ChunkStride]]
+    * (consecutive chunks share ChunkTokens − ChunkStride tokens of
+    * context), last chunk short. Chunk identity is (doc_id, chunk_id)
+    * with the content's md5 for downstream chunk-level dedup.
+    *
+    * Scale shape: a pure per-row projection — tokenize once, derive the
+    * chunk count arithmetically, explode a chunk-index sequence, slice
+    * the token array per index. Zero shuffles, zero joins; the output is
+    * chunk-proportional and streams straight to an index sink. The chunk
+    * count formula (1 + ⌈max(n−C,0)/S⌉) guarantees full coverage: every
+    * token position lands in ≥1 chunk (DocChunkSpec reconstructs each
+    * document exactly from its chunks). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val C = ChunkTokens; val S = ChunkStride
+    Tables(spark, dir).documents
+      .select($"doc_id", expr(s"filter(${wordsExprSql("text")}, w -> w <> '')").as("toks"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .filter($"n_tok" > 0)
+      .withColumn("n_chunks",
+        (lit(1L) + (greatest($"n_tok" - C, lit(0L)) + (S - 1)) / S).cast("long"))
+      .select($"doc_id", $"toks", $"n_tok",
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_tok", ($"chunk_id" * S).cast("long"))
+      .withColumn("n_tok_chunk", least(lit(C.toLong), $"n_tok" - $"start_tok"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"), $"start_tok",
+        $"n_tok_chunk",
+        md5(array_join(slice($"toks", ($"start_tok" + 1).cast("int"),
+          $"n_tok_chunk".cast("int")), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** words() as a SQL-expression string usable inside expr() higher-order
+    * functions (the Column form cannot nest in a lambda). */
+  private def wordsExprSql(c: String): String =
+    s"split(trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ')), ' ')"
+
+  val docChunkSql: String = {
+    val C = ChunkTokens; val S = ChunkStride
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(${wordsSql("text")}, w -> w <> '') AS toks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+       |    1 + (greatest(CAST(len(toks) AS BIGINT) - $C, 0) + ${S - 1}) // $S AS n_chunks
+       |  FROM d WHERE len(toks) > 0),
+       |x AS (
+       |  SELECT doc_id, toks, n_tok, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+       |SELECT doc_id, chunk_id, chunk_id * $S AS start_tok,
+       |  least($C, n_tok - chunk_id * $S) AS n_tok_chunk,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $S + 1,
+       |    chunk_id * $S + least($C, n_tok - chunk_id * $S)), ' ')) AS chunk_md5
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }
