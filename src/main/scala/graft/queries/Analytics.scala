@@ -998,4 +998,70 @@ object Analytics {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount),4) AS DECIMAL(24,4))) DESC, l_orderkey
       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- №112 cdc_merge
+  /** MERGE INTO — the CDC upsert/delete the lakehouse maintenance cycle
+    * runs (Delta/Iceberg MERGE semantics, relationally): a base snapshot
+    * (per-user state before T1) merged with a change batch ([T1,T2)):
+    * unmatched-base rows KEEP, unmatched-delta users INSERT, matched rows
+    * UPDATE (counts add, last-state replaced) — unless the change batch's
+    * final event for the user is an `error`, which is the DELETE marker:
+    * the user's row leaves the table (tombstoned users who never existed
+    * insert nothing). №105 scd2_intervals keeps the full history; this is
+    * the companion CURRENT-STATE maintenance op.
+    *
+    * Scale shape: two map-side-combining per-user aggs (each reads only
+    * its time slice — the predicates push to the scan) + ONE full-outer
+    * equi-join on the merge key, hash-co-partitioned by AQE; nothing
+    * broadcast, nothing corpus-sized on the driver. At 100 TB this is
+    * exactly how a daily MERGE runs: the base is the table's own
+    * key-partitioned layout, the delta a day's partition. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+    def state(df: DataFrame): DataFrame = df
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_ms").as("last_ms"),
+        max_by($"event_type", struct($"ts_ms", $"event_id")).as("last_type"))
+    val base = state(e.filter($"ts_ms" < ExportQueries.T1))
+      .withColumnsRenamed(Map("n_events" -> "b_n", "last_ms" -> "b_ms", "last_type" -> "b_type"))
+    val delta = state(e.filter($"ts_ms" >= ExportQueries.T1 && $"ts_ms" < ExportQueries.T2))
+      .withColumnsRenamed(Map("n_events" -> "d_n", "last_ms" -> "d_ms", "last_type" -> "d_type"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .filter($"d_type".isNull || $"d_type" =!= "error") // DELETE marker: row leaves the table
+      .select($"user_id",
+        when($"d_n".isNull, lit("keep"))
+          .when($"b_n".isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_events"),
+        coalesce($"d_ms", $"b_ms").as("last_ms"),
+        coalesce($"d_type", $"b_type").as("last_type"))
+      .orderBy($"user_id")
+  }
+
+  val cdcMergeSql: String = {
+    val (t1, t2) = (ExportQueries.T1, ExportQueries.T2)
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |bc AS (SELECT user_id, count(*) AS b_n FROM e WHERE ms < $t1 GROUP BY user_id),
+       |bl AS (
+       |  SELECT user_id, ms AS b_ms, event_type AS b_type FROM e WHERE ms < $t1
+       |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) = 1),
+       |base AS (SELECT user_id, b_n, b_ms, b_type FROM bc JOIN bl USING (user_id)),
+       |dc AS (SELECT user_id, count(*) AS d_n FROM e WHERE ms >= $t1 AND ms < $t2 GROUP BY user_id),
+       |dl AS (
+       |  SELECT user_id, ms AS d_ms, event_type AS d_type FROM e WHERE ms >= $t1 AND ms < $t2
+       |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) = 1),
+       |delta AS (SELECT user_id, d_n, d_ms, d_type FROM dc JOIN dl USING (user_id))
+       |SELECT user_id,
+       |  CASE WHEN d_n IS NULL THEN 'keep'
+       |       WHEN b_n IS NULL THEN 'insert' ELSE 'update' END AS op,
+       |  coalesce(b_n, 0) + coalesce(d_n, 0) AS n_events,
+       |  coalesce(d_ms, b_ms) AS last_ms,
+       |  coalesce(d_type, b_type) AS last_type
+       |FROM base FULL JOIN delta USING (user_id)
+       |WHERE d_type IS NULL OR d_type <> 'error'
+       |ORDER BY user_id""".stripMargin
+  }
 }
