@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-generated test corpus (TESTDATA.md). One parquet
   * file per table under a scale-factor directory. All queries take the
@@ -84,6 +84,31 @@ object Tables {
           .withColumn("ts_utc", col("ts").cast(TimestampType))
           .withColumn("ts", unix_micros(col("ts_utc")) * lit(1000L))
           .withColumn("ts_ms", expr("ts DIV 1000000"))
+    }
+  }
+
+  /** Epoch-ms half-open range [loMs, hiMs) on the RAW events column
+    * (`ts_raw`), typed to the layout (LONG nanos or TIMESTAMP micros) so
+    * Catalyst pushes it into the scan — predicates on the derived
+    * `ts`/`ts_ms` columns never reach storage. Exact in both units:
+    * ms = floor(ns/1e6) = floor(us/1e3). */
+  def tsRangeMs(df: DataFrame, loMs: Long, hiMs: Long): Column = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts_raw").dataType match {
+      case LongType =>
+        col("ts_raw") >= loMs * 1000000L && col("ts_raw") < hiMs * 1000000L
+      case _ =>
+        col("ts_raw") >= timestamp_millis(lit(loMs)) && col("ts_raw") < timestamp_millis(lit(hiMs))
+    }
+  }
+
+  /** `ms < hiMs` on the raw column — the open-ended lower half of
+    * [[tsRangeMs]]. */
+  def tsBeforeMs(df: DataFrame, hiMs: Long): Column = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts_raw").dataType match {
+      case LongType => col("ts_raw") < hiMs * 1000000L
+      case _        => col("ts_raw") < timestamp_millis(lit(hiMs))
     }
   }
 

@@ -1019,14 +1019,16 @@ object Analytics {
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).events
-      .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms", $"ts_raw")
     def state(df: DataFrame): DataFrame = df
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), max($"ts_ms").as("last_ms"),
         max_by($"event_type", struct($"ts_ms", $"event_id")).as("last_type"))
-    val base = state(e.filter($"ts_ms" < ExportQueries.T1))
+    // slice predicates on the RAW column so they reach the scan (the
+    // daily-MERGE read is a partition/time-slice read, never a full scan)
+    val base = state(e.filter(Tables.tsBeforeMs(e, ExportQueries.T1)))
       .withColumnsRenamed(Map("n_events" -> "b_n", "last_ms" -> "b_ms", "last_type" -> "b_type"))
-    val delta = state(e.filter($"ts_ms" >= ExportQueries.T1 && $"ts_ms" < ExportQueries.T2))
+    val delta = state(e.filter(Tables.tsRangeMs(e, ExportQueries.T1, ExportQueries.T2)))
       .withColumnsRenamed(Map("n_events" -> "d_n", "last_ms" -> "d_ms", "last_type" -> "d_type"))
     base.join(delta, Seq("user_id"), "full_outer")
       .filter($"d_type".isNull || $"d_type" =!= "error") // DELETE marker: row leaves the table
