@@ -1036,6 +1036,81 @@ object TextQueries {
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №113 fuzzy_pairs
+  /** Edit-distance-1 entity-name pairs (typo-suspect mining for entity
+    * resolution — near-identical identifiers are the classic data-entry
+    * defect) via the FastSS deletion-neighborhood join (public algorithm:
+    * Bocek et al. 2007): key every name by {itself} ∪ {itself minus one
+    * char}; two names are at Levenshtein distance ≤1 iff they share a key
+    * (substitution: both delete the differing position; insert/delete:
+    * the shorter IS a deletion of the longer), so the equi-join finds
+    * EVERY distance-1 pair — an exact levenshtein()==1 verify then keeps
+    * precision at 100%. Output: per-customer suspect counts (compact, and
+    * the hash is sensitive to any missed/extra pair).
+    *
+    * Scale shape: the key frame is |entities|·(len+1) rows joined
+    * hash-equi on the key — entity-bounded and evenly distributed, never
+    * an all-pairs n² comparison; the exact verify runs only on
+    * candidates. The documents corpus has a 31-word synthetic vocabulary
+    * with zero distance-1 structure, so the operator targets the entity
+    * names where the real workload (and 19.5k verified pairs at the
+    * sf0.01 gate) lives. */
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Tables(spark, dir).customer
+      .select($"c_custkey", lower($"c_name").as("nm"))
+    // array_distinct: deleting any char of a same-char run yields ONE
+    // string — emitting it once per run (not per position) cuts the join
+    // multiplicity quadratically on run-heavy names (zero-padded ids)
+    // the entity table is a narrow single-split scan locally — without a
+    // spread the broadcast-join probe (and the 1M-candidate levenshtein
+    // verify behind it) would run on ONE core; hash-spreading the key
+    // frame on the join key parallelizes the whole candidate pipeline
+    // (measured 9.0→2.0s at sf0.1; the partition count is PINNED — an
+    // expression-only repartition gets AQE-coalesced back to one
+    // partition at this shuffle size) and is a no-op shuffle at scale
+    // (keys ≪ corpus)
+    val keys = names.select($"c_custkey", $"nm", explode(array_distinct(concat(
+      array($"nm"),
+      expr("transform(sequence(1, length(nm)), i -> " +
+        "concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm))))"))))
+      .as("k"))
+      .repartition(names.sparkSession.sparkContext.defaultParallelism, col("k"))
+    // verify BEFORE the pair dedupe (codegen'd levenshtein on candidates is
+    // cheaper than shuffling non-pairs), dedupe as a 2-long-col hash agg,
+    // and derive BOTH sides' degrees from ONE pass over the pair frame —
+    // a union of two selects would re-evaluate the whole join subtree
+    // twice (the r7 dedup_cluster union lesson)
+    val pairs = keys.as("a").join(keys.as("b"), col("a.k") === col("b.k") && col("a.nm") < col("b.nm"))
+      .filter(levenshtein(col("a.nm"), col("b.nm")) === 1)
+      .groupBy(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"))
+      .agg(count(lit(1)).as("n_shared_keys"))
+    pairs.select(explode(array($"key_a", $"key_b")).as("c_custkey"))
+      .groupBy($"c_custkey").agg(count(lit(1)).as("n_suspects"))
+      .join(names, Seq("c_custkey"))
+      .select($"c_custkey", $"nm".as("name"), $"n_suspects")
+      .orderBy($"c_custkey")
+  }
+
+  val fuzzyPairsSql: String =
+    s"""WITH v AS (SELECT c_custkey, lower(c_name) AS nm FROM customer),
+       |k AS (
+       |  SELECT c_custkey, nm, unnest(list_prepend(nm,
+       |    list_transform(range(1, length(nm) + 1), i ->
+       |      substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1, length(nm))))) AS k
+       |  FROM v),
+       |p AS (
+       |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b, a.nm AS nm_a, b.nm AS nm_b
+       |  FROM k a JOIN k b ON a.k = b.k AND a.nm < b.nm),
+       |pv AS (SELECT key_a, key_b FROM p WHERE levenshtein(nm_a, nm_b) = 1),
+       |deg AS (
+       |  SELECT c_custkey, count(*) AS n_suspects FROM (
+       |    SELECT key_a AS c_custkey FROM pv UNION ALL SELECT key_b FROM pv)
+       |  GROUP BY c_custkey)
+       |SELECT deg.c_custkey, v.nm AS name, deg.n_suspects
+       |FROM deg JOIN v ON v.c_custkey = deg.c_custkey
+       |ORDER BY deg.c_custkey""".stripMargin
+
   // ------------------------------------------------------- №90/91 tf-idf retrieval
   /** Shared TF-IDF frame: (doc_id, tok, tf, idf_bits). idf in the
     * lm_score integer-exact form — `length(bin(N DIV df))` is ⌊log₂⌋+1 of
