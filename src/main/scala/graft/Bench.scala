@@ -34,9 +34,24 @@ object Bench {
     //     from bench start) and duration ship in the artifact, so a
     //     machine-wide contended window is visible as a time-correlated
     //     band across queries rather than inferred post hoc.
+    //  5. BAND-AWARE RE-RUN (r8 lesson: defenses 1-4 catch SPIKY contention
+    //     — three rescues in the r8 artifact — but a window that swallows
+    //     ALL of a query's iterations shows small spread and never re-runs:
+    //     pii_redact shipped a 10.6s artifact median for a plan-pinned
+    //     zero-shuffle projection whose clean floor is ~1s). Per-query
+    //     historical minima persist across rounds in bench_history.json
+    //     (committed with the repo); a query whose MIN exceeds
+    //     BAND_TRIGGER × its recorded band re-runs until one iteration
+    //     lands inside the band or the attempt cap is hit — and a query
+    //     still outside its band ships FLAGGED ("band_exceeded") so the
+    //     artifact defends itself instead of recording a silent phantom.
     val SPREAD_TRIGGER = 3.0
     val OUTLIER_X = 3.0
+    val BAND_TRIGGER = 2.0
     val maxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_N", "6").toInt.max(iters)
+    // band re-runs get a little more room than spread re-runs: the whole
+    // point is outlasting a contended window several minutes wide
+    val bandMaxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_BAND_MAX_N", "8").toInt.max(maxIters)
     // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=jsonl_snapshot,knn_ivf
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     only.foreach { names =>
@@ -135,6 +150,23 @@ object Bench {
       }) { runs ++= runOnce(fn, name); attempts += 1 }
       acc(name) = runs
     }
+    // band-aware re-run (defense #5): the query's historical floor says the
+    // whole sample is inflated, even when spread within the sample is small
+    val bands: Map[String, Double] = BenchHistory.bands(sfDir)
+    val bandExceeded = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- order; band <- bands.get(name)) {
+      var runs = acc(name)
+      var attempts = runs.size
+      while (runs.nonEmpty && attempts < bandMaxIters &&
+        runs.map(_._2).min > band * BAND_TRIGGER) {
+        runs ++= runOnce(fn, name); attempts += 1
+      }
+      acc(name) = runs
+      if (runs.nonEmpty && runs.map(_._2).min > band * BAND_TRIGGER) {
+        bandExceeded += name
+        System.err.println(f"[bench] $name min ${runs.map(_._2).min}%.2fs exceeds ${BAND_TRIGGER}x band ${band}%.2fs after ${runs.size} iterations — flagged band_exceeded")
+      }
+    }
     val stats = acc
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
@@ -158,18 +190,22 @@ object Bench {
           val (clean, contended) = split(runs)
           val ds = runs.map(_._2).sorted
           val itersJson = runs.map { case (off, d) => s"""{"t":${f(off)},"s":${f(d)}}""" }.mkString("[", ",", "]")
-          s""""median":${f(median(clean.map(_._2)))},"min":${f(ds.head)},"max":${f(ds.last)},"n":${runs.size},"contended":${contended.size},"iters":$itersJson"""
+          val bandJson = bands.get(k).map(b => s""","band":${f(b)},"band_exceeded":${bandExceeded.contains(k)}""").getOrElse("")
+          s""""median":${f(median(clean.map(_._2)))},"min":${f(ds.head)},"max":${f(ds.last)},"n":${runs.size},"contended":${contended.size}$bandJson,"iters":$itersJson"""
         }
       s"\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
     val total = trimmedMed.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    // persist this run's per-query minima so the NEXT run has a band —
+    // the min (not the median) because contention only ever inflates
+    BenchHistory.record(sfDir, stats.collect { case (k, runs) if runs.nonEmpty => k -> runs.map(_._2).min }.toMap)
     spark.stop()
     // a run with failed queries must not report success (r7: 44 failures
     // under rc=0 and a '[success]' trailer)

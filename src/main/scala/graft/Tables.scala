@@ -72,7 +72,7 @@ object Tables {
     */
   def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.schema("ts").dataType match {
+    val derived = raw.schema("ts").dataType match {
       case LongType => // raw nanosecond longs
         raw.withColumn("ts_raw", col("ts"))
           .withColumn("ts_ms", expr("ts DIV 1000000"))
@@ -85,6 +85,10 @@ object Tables {
           .withColumn("ts", unix_micros(col("ts_utc")) * lit(1000L))
           .withColumn("ts_ms", expr("ts DIV 1000000"))
     }
+    // ONE column order for both layouts (physical columns first, derived
+    // after, fixed) — the contract is layout-blind POSITIONALLY too, not
+    // just for named selects
+    derived.select(raw.columns.map(col) ++ Seq(col("ts_raw"), col("ts_ms"), col("ts_utc")): _*)
   }
 
   /** Epoch-ms half-open range [loMs, hiMs) on the RAW events column
@@ -92,23 +96,23 @@ object Tables {
     * Catalyst pushes it into the scan — predicates on the derived
     * `ts`/`ts_ms` columns never reach storage. Exact in both units:
     * ms = floor(ns/1e6) = floor(us/1e3). */
-  def tsRangeMs(df: DataFrame, loMs: Long, hiMs: Long): Column = {
+  def tsRangeMs(df: DataFrame, loMs: Long, hiMs: Long, c: String = "ts_raw"): Column = {
     import org.apache.spark.sql.functions._
-    df.schema("ts_raw").dataType match {
+    df.schema(c).dataType match {
       case LongType =>
-        col("ts_raw") >= loMs * 1000000L && col("ts_raw") < hiMs * 1000000L
+        col(c) >= loMs * 1000000L && col(c) < hiMs * 1000000L
       case _ =>
-        col("ts_raw") >= timestamp_millis(lit(loMs)) && col("ts_raw") < timestamp_millis(lit(hiMs))
+        col(c) >= timestamp_millis(lit(loMs)) && col(c) < timestamp_millis(lit(hiMs))
     }
   }
 
   /** `ms < hiMs` on the raw column — the open-ended lower half of
     * [[tsRangeMs]]. */
-  def tsBeforeMs(df: DataFrame, hiMs: Long): Column = {
+  def tsBeforeMs(df: DataFrame, hiMs: Long, c: String = "ts_raw"): Column = {
     import org.apache.spark.sql.functions._
-    df.schema("ts_raw").dataType match {
-      case LongType => col("ts_raw") < hiMs * 1000000L
-      case _        => col("ts_raw") < timestamp_millis(lit(hiMs))
+    df.schema(c).dataType match {
+      case LongType => col(c) < hiMs * 1000000L
+      case _        => col(c) < timestamp_millis(lit(hiMs))
     }
   }
 

@@ -21,18 +21,12 @@ object ExportQueries {
   val T1 = 1704672000000L // 2024-01-08
   val T2 = 1705881600000L // 2024-01-22
 
-  /** Epoch-ms half-open range [loMs, hiMs) on the RAW scan column `ts_ns`,
-    * typed to the corpus layout (LONG nanos or TIMESTAMP micros — see
-    * Tables.normalizeTs) so Catalyst pushes it into the parquet/ORC scan.
-    * Exact in both units: ms = floor(ns/1e6) = floor(us/1e3), so
-    * `ms >= lo ⇔ raw >= lo` in raw units. */
+  /** Epoch-ms half-open range [loMs, hiMs) on the RAW scan column `ts_ns`
+    * — delegates to the ONE layout-dispatch helper (Tables.tsRangeMs)
+    * parameterized by column name, so the exactness-critical unit
+    * conversion lives in a single place for all raw ts columns. */
   def tsNsRange(df: DataFrame, loMs: Long, hiMs: Long): Column =
-    df.schema("ts_ns").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        col("ts_ns") >= loMs * 1000000L && col("ts_ns") < hiMs * 1000000L
-      case _ =>
-        col("ts_ns") >= timestamp_millis(lit(loMs)) && col("ts_ns") < timestamp_millis(lit(hiMs))
-    }
+    graft.Tables.tsRangeMs(df, loMs, hiMs, c = "ts_ns")
 
   /** kv + envelope, parsed + resolved — the common pipeline prefix.
     * `kvPred` filters on the CHEAP kv columns (etype, topic, ts_ns, …)

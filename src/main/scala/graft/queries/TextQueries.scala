@@ -918,17 +918,85 @@ object TextQueries {
     out.result()
   }
 
+  /** Training-loop mode conf: `distributed` (default — K vocab-bounded
+    * Spark rounds) or `local` ([[bpeLearnMergesLocal]] — collect the
+    * bounded vocab once, run the merge rounds driver-side). */
+  val BpeModeConfKey = "spark.graft.bpe.mode"
+
+  /** Driver-LOCAL training loop — the production shape at real vocab
+    * sizes: at 32k merges, K sequential Spark jobs is the wrong loop (per-
+    * job scheduling dwarfs the vocab-bounded work). The ONE corpus-sized
+    * job is the weighted-vocabulary aggregation; the vocab is MODEL-STATE
+    * sized (distinct words, corpus-size-independent — the k-means-centroid
+    * collect precedent), so the K merge rounds run locally over it:
+    * weighted adjacent-pair counts, argmax (count DESC, pair ASC), and the
+    * sequential leftmost-resume-after merge scan BpeSpec proves equivalent
+    * to the engine's doubled-delimiter replace. BpeSpec also pins
+    * merge-table equality against [[bpeLearnMerges]] on the live corpus. */
+  private[queries] def bpeLearnMergesLocal(spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    val vocab0: Array[(Long, String)] = Tables(spark, dir).documents
+      .select(explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .select($"n", $"tok").as[(Long, String)].collect()
+    var vocab: Array[(Long, Array[String])] =
+      vocab0.map { case (n, t) => (n, t.split("").filter(_.nonEmpty)) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (n, s) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      require(counts.nonEmpty, s"BPE merge $step: vocabulary exhausted (corpus too small)")
+      val ((a, b), nPairs) = counts.minBy { case ((x, y), n) => (-n, s"$x $y") }
+      out += ((step, s"$a $b", a + b, nPairs))
+      vocab = vocab.map { case (n, s) =>
+        if (s.length < 2) (n, s)
+        else {
+          val buf = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { buf += a + b; i += 2 }
+            else { buf += s(i); i += 1 }
+          }
+          (n, buf.result())
+        }
+      }
+    }
+    out.result()
+  }
+
   /** №107 — BPE tokenizer TRAINING: the full iterative merge loop that
     * №89 bpe_pairs is the first step of (the public byte-pair-encoding
     * subword algorithm, Sennrich et al. 2016). [[BpeMerges]] rounds of:
     * count adjacent symbol pairs over the weighted vocabulary, merge the
     * highest-count pair everywhere (ties: pair ASC), emit the merge
-    * table — the learned tokenizer model. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    * table — the learned tokenizer model. Mode via [[BpeModeConfKey]]:
+    * the distributed loop is the K-small proof shape; `local` is the
+    * production loop at real vocab sizes ([[bpeLearnMergesLocal]]). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainWith(spark, dir, spark.conf.get(BpeModeConfKey, "distributed"))
+
+  def bpeTrainWith(spark: SparkSession, dir: String, mode: String): DataFrame = {
     import spark.implicits._
-    bpeLearnMerges(spark, dir).toDF("step", "pair", "merged", "n_pairs")
-      .orderBy($"step")
+    val merges = mode match {
+      case "local" => bpeLearnMergesLocal(spark, dir)
+      case _       => bpeLearnMerges(spark, dir)
+    }
+    merges.toDF("step", "pair", "merged", "n_pairs").orderBy($"step")
   }
+
+  /** №107's local-mode driver row — same answers (same oracle), the
+    * training rounds collapsed to driver arithmetic over the collected
+    * vocab; only the vocabulary aggregation touches the cluster. */
+  def bpeTrainLocal(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainWith(spark, dir, "local")
 
   /** Shared CTE prologue: v0 (weighted vocab in char-state form), then per
     * step i: p_i (pair counts), b_i (argmax + its replace pattern), v_i
@@ -1083,8 +1151,8 @@ object TextQueries {
     // twice (the r7 dedup_cluster union lesson)
     val pairs = keys.as("a").join(keys.as("b"), col("a.k") === col("b.k") && col("a.nm") < col("b.nm"))
       .filter(levenshtein(col("a.nm"), col("b.nm")) === 1)
-      .groupBy(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"))
-      .agg(count(lit(1)).as("n_shared_keys"))
+      .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"))
+      .dropDuplicates("key_a", "key_b")
     pairs.select(explode(array($"key_a", $"key_b")).as("c_custkey"))
       .groupBy($"c_custkey").agg(count(lit(1)).as("n_suspects"))
       .join(names, Seq("c_custkey"))
@@ -1095,9 +1163,9 @@ object TextQueries {
   val fuzzyPairsSql: String =
     s"""WITH v AS (SELECT c_custkey, lower(c_name) AS nm FROM customer),
        |k AS (
-       |  SELECT c_custkey, nm, unnest(list_prepend(nm,
+       |  SELECT c_custkey, nm, unnest(list_distinct(list_prepend(nm,
        |    list_transform(range(1, length(nm) + 1), i ->
-       |      substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1, length(nm))))) AS k
+       |      substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1, length(nm)))))) AS k
        |  FROM v),
        |p AS (
        |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b, a.nm AS nm_a, b.nm AS nm_b

@@ -13,18 +13,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftViews {
 
-  val TableNames: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings")
+  /** Name → loader for every corpus table — the ONE list [[register]]
+    * derives from (a second literal list could silently drift). */
+  private def loaders(t: Tables): Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+    "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+    "lineitem" -> t.lineitem, "events" -> t.events,
+    "documents" -> t.documents, "embeddings" -> t.embeddings)
+
+  def tableNames(spark: SparkSession, dir: String): Seq[String] =
+    loaders(Tables(spark, dir)).map(_._1)
 
   /** Create (or replace) one temp view per corpus table over `dir`. */
-  def register(spark: SparkSession, dir: String): Unit = {
-    val t = Tables(spark, dir)
-    Seq(
-      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
-      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
-      "lineitem" -> t.lineitem, "events" -> t.events,
-      "documents" -> t.documents, "embeddings" -> t.embeddings
-    ).foreach { case (n, df) => df.createOrReplaceTempView(n) }
-  }
+  def register(spark: SparkSession, dir: String): Unit =
+    loaders(Tables(spark, dir)).foreach { case (n, df) => df.createOrReplaceTempView(n) }
 }

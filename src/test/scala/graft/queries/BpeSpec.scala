@@ -3,7 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** №100/№101 — BPE train/encode against a plain-Scala reference
+/** №107/№108 — BPE train/encode against a plain-Scala reference
   * implementation of the classic algorithm (sequential left-to-right
   * merge scan), plus direct pins of the doubled-delimiter replace trick's
   * overlap semantics. */
@@ -47,6 +47,25 @@ class BpeSpec extends SparkSpec {
     val got = TextQueries.bpeTrain(spark, sf)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == expected, "learned merges must equal the reference algorithm's")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
+  test("bpe_train local mode ≡ distributed loop (merge table, all rounds)") {
+    // the production loop (collect the bounded vocab, train driver-side)
+    // must learn the IDENTICAL model — counts, argmax tie-breaks, merge
+    // application, every round
+    val dist = TextQueries.bpeTrainWith(spark, sf, "distributed")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val local = TextQueries.bpeTrainWith(spark, sf, "local")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(local == dist, "local-mode merges must equal the distributed loop's")
+    // and the conf actually dispatches
+    spark.conf.set(TextQueries.BpeModeConfKey, "local")
+    try {
+      val viaConf = TextQueries.bpeTrain(spark, sf)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(viaConf == dist)
+    } finally spark.conf.unset(TextQueries.BpeModeConfKey)
     graft.CacheRegistry.releaseAll(spark)
   }
 

@@ -143,6 +143,48 @@ class MultimodalSpec extends SparkSpec {
     assert(d >= 0)
   }
 
+  test("multimodal_mjpeg: lossy-video round trip lands inside the calibrated bands, metadata exact") {
+    val rows = MultimodalQueries.multimodalMjpeg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val n = r.getInt(1)
+      assert(n == (2 + d % 4).toInt, s"doc $d: frame count $n != metadata")
+      assert(r.getInt(2) == (n + 1) / 2, s"doc $d: sampled count")
+      assert(r.getInt(3) == MultimodalQueries.MjpegW && r.getInt(4) == MultimodalQueries.MjpegH,
+        s"doc $d: decoded frame dims (${r.getInt(3)},${r.getInt(4)})")
+      assert(r.getInt(5) == 3, s"doc $d: band count")
+      assert(r.getBoolean(6), s"doc $d: a sampled frame's channel means left ±${MultimodalQueries.JpegMeanTol}")
+      assert(r.getBoolean(7), s"doc $d: a sampled frame's variance left the relative band")
+    }
+  }
+
+  test("multimodal_mjpeg: bands are tight — geometry, channel AND frame-offset bugs all flip verdicts") {
+    // off-by-one resize sample: ramp shifts every mean by 3+5 = 8 ≫ band;
+    // translation preserves variance on a linear ramp
+    val shifted = MultimodalQueries.mjpegVerify(spark, sf, dx = 1, dy = 1).collect()
+    assert(shifted.nonEmpty && shifted.forall(r => !r.getBoolean(6)),
+      "an off-by-one resize sample must flip every mean verdict")
+    assert(shifted.forall(_.getBoolean(7)), "translation must NOT flip variance")
+    // channel swap: base offsets differ by ≥ 20 ≫ band
+    val swapped = MultimodalQueries.mjpegVerify(spark, sf, perm = Seq(1, 0, 2)).collect()
+    assert(swapped.nonEmpty && swapped.forall(r => !r.getBoolean(6)),
+      "a channel swap must flip every mean verdict")
+    // crop-instead-of-resize: sampled ramp spans half the range → variance
+    // collapses ~4x, outside the relative band everywhere
+    val cropped = MultimodalQueries.mjpegVerify(spark, sf, stride = 1).collect()
+    assert(cropped.nonEmpty && cropped.forall(r => !r.getBoolean(7)),
+      "crop-for-resize must flip every variance verdict")
+    // the VIDEO-specific bug class: comparing against the wrong frame
+    // (mis-parsed container / off-by-one frame boundary) — the 7·(f mod 4)
+    // frame term shifts every channel mean by 7 ≫ band; constant-per-frame,
+    // so variance must survive
+    val offFrame = MultimodalQueries.mjpegVerify(spark, sf, frameOff = 1).collect()
+    assert(offFrame.nonEmpty && offFrame.forall(r => !r.getBoolean(6)),
+      "a wrong-frame comparison must flip every mean verdict")
+    assert(offFrame.forall(_.getBoolean(7)), "a constant frame shift must NOT flip variance")
+  }
+
   test("multimodal_phash: every injected brightness variant is recalled (same group or paired)") {
     import spark.implicits._
     val fp = MultimodalQueries.phashFingerprints(spark, sf)
