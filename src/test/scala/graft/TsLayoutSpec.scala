@@ -36,6 +36,14 @@ class TsLayoutSpec extends SparkSpec {
     val b = ns.select(col("event_id"), col("ts"), col("ts_ms"), col("ts_utc"))
       .collect().map(_.toSeq).toSet
     assert(a == b, "derived ts columns must be identical across layouts")
+    // POSITIONAL layout-blindness too (r8 ADVICE): same column names in
+    // the same order, so select(*)/positional consumers can't tell the
+    // layouts apart either — only ts_raw's type may differ
+    assert(ts.columns.toSeq == ns.columns.toSeq,
+      s"column order differs across layouts: ${ts.columns.toSeq} vs ${ns.columns.toSeq}")
+    assert(ts.schema.fields.zip(ns.schema.fields).filter(_._1.name != "ts_raw")
+      .forall { case (x, y) => x.dataType == y.dataType },
+      "non-raw column types must be identical across layouts")
   }
 
   test("kv_scan / time_range_scan / sessionize agree row-for-row across layouts") {
