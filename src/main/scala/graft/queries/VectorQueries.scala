@@ -581,6 +581,79 @@ object VectorQueries {
        |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- №119 knn_index_update
+  /** Batch id predicate for the incremental-index split: every 20th
+    * corpus vector is "today's arrivals". */
+  private val BatchMod = 20
+
+  /** Incremental IVF index MAINTENANCE — the vector-side twin of №66
+    * dedup_incremental: a daily embedding batch joins the persisted index
+    * (№72's layout) WITHOUT a rebuild. The centroid model is FROZEN from
+    * the base (production retrains centroids rarely, assigns daily), so:
+    *
+    *   - the base assignment is the persisted index — not recomputed per
+    *     batch (here re-derived for the self-contained driver row; №72
+    *     already proves the persisted layout);
+    *   - the BATCH assignment is batch-sized work: one broadcast-join
+    *     pass over the arrivals only (constant centroid broadcast);
+    *   - search runs over union(index, batch assignment).
+    *
+    * Because per-vector assignment under FIXED centroids is independent,
+    * the incremental union is EXACTLY the assignment a full rebuild under
+    * the same centroids would produce — QuerySpecs pins incremental ≡
+    * full-rebuild equality, and the oracle computes the full form
+    * (centroids from the base, one assignment over base ∪ batch). At
+    * 100 TB this is the difference between re-shuffling the whole vector
+    * store nightly and touching only the day's arrivals; drift is managed
+    * by re-training centroids when [[knnRecall]]'s measured curve decays. */
+  def knnIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val batch = corpus.filter(col("vec_id") % BatchMod === 0)
+    val centroids = refinedCentroids(spark, base) // the FROZEN model
+    val index = cellsOf(base, centroids)          // the persisted side
+    val arrivals = cellsOf(batch, centroids)      // batch-sized daily work
+    ivfSearch(index.unionAll(arrivals), centroids, queries, Probe, K)
+  }
+
+  /** Full-rebuild form under the same frozen centroids (spec's equality
+    * counterpart, and the oracle's formulation). */
+  private[queries] def knnIndexFullRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val centroids = refinedCentroids(spark, base)
+    ivfSearch(cellsOf(corpus, centroids), centroids, queries, Probe, K)
+  }
+
+  val knnIndexUpdateSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $BatchMod <> 0),
+       |${refinedCentSql("b", "")},
+       |cells AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT c.vec_id, c.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |scored AS (
+       |  SELECT p.q_id, cells.vec_id, ${cos6Sql("cells.emb", "p.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql("cells.emb", "p.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes p USING (cell))
+       |SELECT q_id, vec_id, cos, rank FROM scored WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- №72 knn_graph_indexed
   /** PERSISTED IVF index — build once, query many: the cell assignment
     * ([[cellsOf]]) is written as a bucketed+sorted table on the cell id

@@ -324,6 +324,24 @@ class VectorQueriesSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall unexpectedly low: $recall")
   }
 
+  test("knn_index_update: incremental union ≡ full rebuild under the frozen centroids") {
+    // per-vector assignment under FIXED centroids is independent, so
+    // base-index ∪ batch-assignment must equal one assignment over all —
+    // row-for-row, scores and ranks included
+    val inc = VectorQueries.knnIndexUpdate(spark, sf)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val full = VectorQueries.knnIndexFullRebuild(spark, sf)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(inc.nonEmpty && inc == full,
+      "incremental index update must be indistinguishable from a full rebuild")
+    // and the batch actually contributes: some arrivals reach the top-k
+    // (otherwise the equality is vacuous for the incremental path)
+    assert(inc.exists(_._2 % 20 == 0),
+      "no batch vector in any top-k — corpus split makes the proof vacuous")
+  }
+
   test("embedding_quantize: int8 retrieval agreement measured, distortion bounded") {
     val rows = VectorQueries.embeddingQuantize(spark, sf)
       .select("q_id", "n_hits", "agreement", "max_qerr").as[(Long, Long, Double, Double)].collect()
