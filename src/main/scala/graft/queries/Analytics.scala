@@ -1066,4 +1066,64 @@ object Analytics {
        |WHERE d_type IS NULL OR d_type <> 'error'
        |ORDER BY user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №120 snapshot_diff
+  /** Corpus-version DIFF (the data-versioning audit between two corpus
+    * snapshots — what changed between yesterday's curated corpus and
+    * today's, the table a lakehouse "time travel" comparison renders):
+    * full-outer join the two versions on doc identity, classify each doc
+    * by CONTENT HASH — `removed` (v1 only), `added` (v2 only), `changed`
+    * (both, hash differs), `unchanged` — and roll up per-status counts
+    * with id-range witnesses (min/max make the hash sensitive to a
+    * misclassified doc, not just miscounted).
+    *
+    * v2 is constructed deterministically from the corpus in BOTH engines
+    * (the dupCorpus ethos): docs ≡0 mod 13 dropped, surviving ≡0 mod 10
+    * rewritten (+" v2"), new docs at +3e6 for ≡0 mod 17.
+    *
+    * Scale shape: ONE co-partitioned full-outer equi-join on doc_id
+    * (cdc_merge's join discipline), comparing md5 content hashes — at
+    * 100 TB the versions' (doc_id, content_hash) projections are the
+    * join inputs, never the text; the rollup output is 4 rows however
+    * large the corpus. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables(spark, dir).documents.select($"doc_id", md5($"text").as("h"))
+    val base = Tables(spark, dir).documents.select($"doc_id", $"text")
+    val v2 = base.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 10 === 0, concat($"text", lit(" v2"))).otherwise($"text")).as("h"))
+      .unionAll(base.filter($"doc_id" % 17 === 0)
+        .select(($"doc_id" + 3000000L).as("doc_id"), md5(concat($"text", lit(" new"))).as("h")))
+    v1.select($"doc_id", $"h".as("h1"))
+      .join(v2.select($"doc_id", $"h".as("h2")), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h2".isNull, "removed")
+          .when($"h1".isNull, "added")
+          .when($"h1" =!= $"h2", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"status")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, md5(text || ' new') AS h
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |d AS (
+       |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       |    CASE WHEN v2.h IS NULL THEN 'removed'
+       |         WHEN v1.h IS NULL THEN 'added'
+       |         WHEN v1.h <> v2.h THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+       |SELECT status, count(*) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
 }

@@ -65,14 +65,27 @@ object VectorQueries {
     * Returns a local (c_id, c_emb) frame — a constant broadcast, cheaper
     * than the previous in-plan sample (no re-scan per consumer). Empty
     * clusters drop (both engines agree: group-by semantics). */
-  private[queries] def refinedCentroids(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  private[queries] def refinedCentroids(spark: SparkSession, corpus: DataFrame,
+                                        k: Int = Centroids): DataFrame = {
     import spark.implicits._
-    val sample: Array[Array[Float]] = corpus
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(SampleM).select(col("emb"))
-      .collect().map(_.getSeq[Float](0).toArray)
+    lloydRefine(hashSample(corpus), k).toSeq.toDF("c_id", "c_emb")
+  }
+
+  /** The constant-size hash-ordered sample ([[SampleM]] full vectors to
+    * the driver) — shared by [[refinedCentroids]] and the PQ codebook
+    * training, which collects it ONCE and slices subvectors locally (the
+    * sample order depends only on vec_id, so a subspace frame's sample IS
+    * the slice of the full-vector sample). */
+  private def hashSample(corpus: DataFrame): Array[Array[Float]] = corpus
+    .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    .limit(SampleM).select(col("emb"))
+    .collect().map(_.getSeq[Float](0).toArray)
+
+  /** [[Lloyd]] iterations over a driver-side sample (see
+    * [[refinedCentroids]] for the exactness contract). */
+  private def lloydRefine(sample: Array[Array[Float]], k: Int): Array[(Long, Array[Float])] = {
     var cents: Array[(Long, Array[Float])] =
-      sample.take(Centroids).zipWithIndex.map { case (e, i) => ((i + 1).toLong, e) }
+      sample.take(k).zipWithIndex.map { case (e, i) => ((i + 1).toLong, e) }
     for (_ <- 1 to Lloyd) {
       val assigned: Array[(Long, Array[Float])] = sample.map { e =>
         // cents is cid-ascending; strict > keeps the LOWEST cid on rounded
@@ -96,13 +109,13 @@ object VectorQueries {
         (cid, cemb)
       }
     }
-    cents.toSeq.toDF("c_id", "c_emb")
+    cents
   }
 
   /** The oracle's mirror of [[refinedCentroids]]: CTE chain `{p}samp →
     * {p}c0 → ({p}a_i assign, {p}g_i group, {p}c_i update)×Lloyd → {p}cent`
     * over source relation `src(vec_id, emb)`. */
-  private def refinedCentSql(src: String, p: String): String = {
+  private def refinedCentSql(src: String, p: String, k: Int = Centroids): String = {
     def assign(it: Int): String = {
       val centSrc = if (it == 1) s"${p}c0" else s"${p}c${it - 1}"
       s"""${p}a$it AS (
@@ -122,7 +135,7 @@ object VectorQueries {
     s"""${p}samp AS (
        |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |  FROM $src QUALIFY rk <= $SampleM),
-       |${p}c0 AS (SELECT rk AS cid, emb AS cemb FROM ${p}samp WHERE rk <= $Centroids),
+       |${p}c0 AS (SELECT rk AS cid, emb AS cemb FROM ${p}samp WHERE rk <= $k),
        |$iters,
        |${p}cent AS (SELECT cid AS c_id, cemb AS c_emb FROM ${p}c$Lloyd)""".stripMargin
   }
@@ -805,6 +818,186 @@ object VectorQueries {
        |LEFT JOIN qerr e USING (q_id)
        |ORDER BY q_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №121 pq_quantize
+  /** PQ geometries measured: M subspaces × [[PqCodebook]]-entry codebooks
+    * — a vector stores as M codes (M bytes vs 64 float32s: 128× at M=2,
+    * 64× at M=4). The compression→fidelity CURVE is the published number
+    * (the №27c knn_recall discipline): more subspaces → finer
+    * reconstruction → higher agreement, linearly more code bytes. */
+  val PqMs: Seq[Int] = Seq(2, 4)
+  val PqCodebook = 16
+
+  /** Per-M PQ pipeline pieces: the reconstructed-corpus frame
+    * (vec_id, recon) from one encoding pass. */
+  private def pqRecon(spark: SparkSession, corpus: DataFrame, M: Int): DataFrame = {
+    def sub(m: Int): Column = {
+      val w = s"(size(emb) DIV $M)"
+      if (m < M - 1) expr(s"slice(emb, $m * $w + 1, $w)")
+      else expr(s"slice(emb, ${M - 1} * $w + 1, size(emb) - ${M - 1} * $w)")
+    }
+    // per-subspace codebooks — frozen model, constant broadcast (M·Ksub).
+    // ONE sample collect for all subspaces: the hash order depends only on
+    // vec_id, so each subspace's sample is a local slice of the full one
+    // (6 corpus TakeOrdered jobs → 1; measured 4.3→3.9s at sf0.1 — the
+    // remaining cost is the brute-force ground truth + the two encode
+    // passes, the measurement itself)
+    import spark.implicits._
+    val full = hashSample(corpus)
+    val d = full.headOption.map(_.length).getOrElse(0)
+    val w = d / M
+    val cbs = (0 until M).map { m =>
+      val lo = m * w
+      val hi = if (m < M - 1) (m + 1) * w else d
+      lloydRefine(full.map(_.slice(lo, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+    }
+    val cbAll = cbs.zipWithIndex.map { case (cb, m) =>
+      cb.select(lit(m).as("m"), col("c_id"), col("c_emb"))
+    }.reduce(_ unionAll _)
+    // ONE encoding pass over the corpus: every subspace argmax in a single
+    // map-side-combining aggregation (max_by FILTER per subspace) against
+    // the broadcast codebook union — never one shuffle per subspace
+    val subbed = (0 until M).foldLeft(corpus) { (df, m) => df.withColumn(s"sub_$m", sub(m)) }
+    val scos = (1 until M).foldLeft(
+      when(col("m") === 0, cosine6(col("sub_0"), col("c_emb")))) { (acc, m) =>
+      acc.when(col("m") === m, cosine6(col(s"sub_$m"), col("c_emb")))
+    }
+    val aggs = (0 until M).map(m =>
+      expr(s"max_by(c_emb, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"r$m"))
+    subbed.join(broadcast(cbAll))
+      .withColumn("scos", scos)
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), concat((0 until M).map(m => col(s"r$m")): _*).as("recon"))
+  }
+
+  /** Product quantization (Jégou et al. 2011) — the vector-store
+    * compression lever BEYOND int8 (№71 keeps every dimension at 1 byte;
+    * PQ stores whole SUBVECTORS as codebook indices): per geometry M,
+    * learn a [[PqCodebook]]-entry codebook per subspace with the SAME
+    * oracle-reproduced k-means as the IVF centroids ([[refinedCentroids]],
+    * k parameterized), encode the corpus as nearest-codeword ids, and
+    * grade retrieval over the RECONSTRUCTED vectors against the float
+    * ground truth — per-query agreement@[[K]] and worst score distortion
+    * for every M in [[PqMs]], the measured compression→fidelity curve a
+    * production store picks its geometry from (on this isotropic random
+    * corpus the coarse end is intrinsically poor — exactly why the curve
+    * is measured, the №27c low-probe-recall precedent).
+    *
+    * Scale shape: codebooks are constant-size broadcasts; encoding is one
+    * broadcast-join pass + one aggregation per geometry; search touches
+    * only codes + codebooks (the float corpus never loads at query time).
+    * Exactness: every cosine is the sequential-fold cos6 both engines
+    * share; codeword ties break to the lowest code id. */
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = graft.CacheRegistry.track(v.filter(col("vec_id") >= NQueries).persist())
+    val topF = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id"), col("cos")).persist())
+    val perM = PqMs.map { bigM =>
+      val enc = graft.CacheRegistry.track(pqRecon(spark, corpus, bigM).persist())
+      val scored = enc.join(broadcast(queries))
+        .select(col("q_id"), col("vec_id"), cosine6(col("recon"), col("q_emb")).as("pqcos"))
+      val topPq = topKRanked(scored, "q_id", "pqcos", "vec_id", K)
+        .select(col("q_id"), col("vec_id"))
+      val hits = topF.join(topPq, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      // score distortion over the float top-K pairs: |cos_pq − cos_float|
+      val qerr = topF
+        .join(broadcast(queries), "q_id")
+        .join(enc.select(col("vec_id"), col("recon")), "vec_id")
+        .select(col("q_id"), (cosine6(col("recon"), col("q_emb")) - col("cos")).as("err"))
+        .groupBy(col("q_id")).agg(round(max(abs(col("err"))) + lit(1e-9), 6).as("max_qerr"))
+      // corpus-level reconstruction fidelity — the number that MOVES with
+      // M (agreement@K barely does on an isotropic corpus): mean cos6 of
+      // vector vs its reconstruction, in EXACT integer ppm (cos6 is
+      // already 6dp; the ×1e6 round then BIGINT sum DIV n is
+      // order-independent — no float fold)
+      val reconStat = enc.join(corpus, "vec_id")
+        .select(cosine6(col("recon"), col("emb")).as("c6"))
+        .select(expr("CAST(round(c6 * 1000000, 0) AS BIGINT)").as("ppm"))
+        .groupBy()
+        .agg(expr("sum(ppm) DIV count(1)").as("recon_ppm"))
+      topF.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .join(qerr, Seq("q_id"), "left")
+        .crossJoin(broadcast(reconStat))
+        .select(lit(s"pq_m$bigM").as("method"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / K + 1e-9, 6).as("agreement"),
+          col("max_qerr"), col("recon_ppm"))
+    }
+    perM.reduce(_ unionAll _).orderBy(col("method"), col("q_id"))
+  }
+
+  /** Per-geometry CTE block: subspace slices → codebook chains → nearest
+    * codeword per subspace → reconstruction → ranked search + grading. */
+  private def pqCtes(bigM: Int): String = {
+    val p = s"m$bigM"
+    val w = s"(len(emb) // $bigM)"
+    val subs = (0 until bigM).map { m =>
+      val sl = if (m < bigM - 1) s"list_slice(emb, $m * $w + 1, ${m + 1} * $w)"
+               else s"list_slice(emb, ${bigM - 1} * $w + 1, len(emb))"
+      s"${p}s$m AS (SELECT vec_id, $sl AS emb FROM c)"
+    }.mkString(",\n")
+    val cents = (0 until bigM).map(m => refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val rs = (0 until bigM).map { m =>
+      s"""${p}r$m AS (
+         |  SELECT vec_id, c_emb AS e$m FROM (
+         |    SELECT s.vec_id, a.c_emb,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM ${p}s$m s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val reconJoin = (1 until bigM).foldLeft(s"${p}r0")((acc, m) => s"$acc JOIN ${p}r$m USING (vec_id)")
+    val cat = (0 until bigM).map(m => s"e$m").mkString(" || ")
+    s"""$subs,
+       |$cents,
+       |$rs,
+       |${p}recon AS (SELECT vec_id, $cat AS remb FROM $reconJoin),
+       |${p}ranked AS (
+       |  SELECT q.q_id, r.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("r.remb", "q.q_emb")} DESC, r.vec_id) AS rank
+       |  FROM ${p}recon r, q),
+       |${p}top AS (SELECT q_id, vec_id FROM ${p}ranked WHERE rank <= $K),
+       |${p}hits AS (
+       |  SELECT f.q_id, count(*) AS n_hits FROM topf f JOIN ${p}top USING (q_id, vec_id) GROUP BY f.q_id),
+       |${p}qerr AS (
+       |  SELECT f.q_id,
+       |    round(max(abs(${cos6Sql("r.remb", "qq.q_emb")} - f.cos)) + 0.000000001, 6) AS max_qerr
+       |  FROM topf f
+       |  JOIN q qq ON qq.q_id = f.q_id
+       |  JOIN ${p}recon r ON r.vec_id = f.vec_id
+       |  GROUP BY f.q_id),
+       |${p}rstat AS (
+       |  SELECT CAST(sum(CAST(round(c6 * 1000000, 0) AS BIGINT)) AS BIGINT) // count(*) AS recon_ppm
+       |  FROM (
+       |    SELECT ${cos6Sql("r.remb", "c.emb")} AS c6
+       |    FROM ${p}recon r JOIN c USING (vec_id)))""".stripMargin
+  }
+
+  private def pqSelect(bigM: Int): String =
+    s"""SELECT 'pq_m$bigM' AS method, b.q_id, coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $K + 0.000000001, 6) AS agreement,
+       |  e.max_qerr, CAST(s.recon_ppm AS BIGINT) AS recon_ppm
+       |FROM (SELECT DISTINCT q_id FROM topf) b
+       |LEFT JOIN m${bigM}hits h USING (q_id)
+       |LEFT JOIN m${bigM}qerr e USING (q_id)
+       |CROSS JOIN m${bigM}rstat s""".stripMargin
+
+  val pqQuantizeSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |rankedf AS (
+       |  SELECT q.q_id, c.vec_id, ${cos6Sql("c.emb", "q.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("c.emb", "q.q_emb")} DESC, c.vec_id) AS rank
+       |  FROM c, q),
+       |topf AS (SELECT q_id, vec_id, cos FROM rankedf WHERE rank <= $K),
+       |${PqMs.map(pqCtes).mkString(",\n")}
+       |${PqMs.map(pqSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY method, q_id""".stripMargin
 
   // ---------------------------------------------------------------- №83 embed_knn
   /** Retrieval over the MODEL-FREE embeddings (№82 doc_embed) — the

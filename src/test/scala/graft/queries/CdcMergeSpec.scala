@@ -45,4 +45,32 @@ class CdcMergeSpec extends SparkSpec {
       assert(n == base(u)._1 + delta(u)._1, "update must add event counts")
     }
   }
+
+  test("snapshot_diff ≡ closed-form version diff (every status class populated)") {
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val v1 = docs.map { case (id, t) => id -> t }.toMap
+    val v2 = docs.filter(_._1 % 13 != 0)
+      .map { case (id, t) => id -> (if (id % 10 == 0) t + " v2" else t) }
+      .++(docs.filter(_._1 % 17 == 0).map { case (id, t) => (id + 3000000L) -> (t + " new") })
+      .toMap
+    val statuses = (v1.keySet ++ v2.keySet).toSeq.map { id =>
+      val st = (v1.get(id), v2.get(id)) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      }
+      id -> st
+    }
+    val want = statuses.groupBy(_._2).view.mapValues { g =>
+      (g.size.toLong, g.map(_._1).min, g.map(_._1).max)
+    }.toMap
+    assert(want.keySet == Set("removed", "added", "changed", "unchanged"),
+      s"corpus must populate every status class: ${want.keySet}")
+    val got = Analytics.snapshotDiff(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == want, s"diff mismatch: got $got want $want")
+  }
 }

@@ -342,6 +342,21 @@ class VectorQueriesSpec extends SparkSpec {
       "no batch vector in any top-k — corpus split makes the proof vacuous")
   }
 
+  test("pq_quantize: finer geometry reconstructs strictly better — the measured curve moves") {
+    val rows = VectorQueries.pqQuantize(spark, sf)
+      .select("method", "q_id", "agreement", "max_qerr", "recon_ppm")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.length == VectorQueries.PqMs.size * VectorQueries.NQueries)
+    val ppm = rows.map(r => r._1 -> r._5).toMap
+    // more subspaces → finer reconstruction; on this corpus the step is
+    // large (~0.40 → ~0.51 mean cosine), so strict inequality is safe
+    assert(ppm("pq_m4") > ppm("pq_m2"),
+      s"reconstruction fidelity must rise with M: $ppm")
+    // distortion is measured, bounded, and positive-finite
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 2.0))
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("embedding_quantize: int8 retrieval agreement measured, distortion bounded") {
     val rows = VectorQueries.embeddingQuantize(spark, sf)
       .select("q_id", "n_hits", "agreement", "max_qerr").as[(Long, Long, Double, Double)].collect()
