@@ -20,6 +20,8 @@ class PlanLintSpec extends SparkSpec {
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
+    "knn_index_update", // knn_ivf's centroid-broadcast assignment over base ∪ batch
+    "pq_quantize", // constant-size codebook broadcast (the knn_ivf centroid class)
     "skew_profile", // single-row total + key-count broadcast
     "event_transitions", // single-row transition-total broadcast
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
