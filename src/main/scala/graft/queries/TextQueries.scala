@@ -1281,8 +1281,11 @@ object TextQueries {
       .orderBy($"q_doc", $"rank")
   }
 
-  val bm25SearchSql: String =
-    s"""WITH $tfIdfCtesSql,
+  /** The №91 CTE chain up to the ranked candidate frame `bmr(q_doc,
+    * doc_id, score, rank)` — shared with №122 hybrid_search so the fused
+    * BM25 leg cannot drift from the standalone operator. */
+  private[queries] val bm25CtesSql: String =
+    s"""$tfIdfCtesSql,
        |qr AS (
        |  SELECT doc_id, tok, idf_bits,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, tok) AS kr
@@ -1291,12 +1294,125 @@ object TextQueries {
        |sc AS (
        |  SELECT qt.q_doc, tfx.doc_id, CAST(sum(tfx.tf * qt.w_bits) AS BIGINT) AS score
        |  FROM tfx JOIN qt USING (tok) GROUP BY 1, 2),
-       |r AS (
+       |bmr AS (
        |  SELECT q_doc, doc_id, score,
        |    row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc_id) AS rank
-       |  FROM sc)
-       |SELECT q_doc, rank, doc_id, score FROM r WHERE rank <= $SearchK
+       |  FROM sc)""".stripMargin
+
+  val bm25SearchSql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT q_doc, rank, doc_id, score FROM bmr WHERE rank <= $SearchK
        |ORDER BY q_doc, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №123 heavy_hitters
+  /** Corpus-wide frequent tokens (count > N/[[HhT]] of the token mass) via
+    * the sketch-then-verify pattern — the 100 TB shape for vocabulary-
+    * scale frequency questions (stopword induction, tokenizer seeding,
+    * spam-token detection) where a full `groupBy(token)` would shuffle one
+    * partial per DISTINCT token per partition (n-gram vocabularies:
+    * billions of keys):
+    *
+    * 1. SKETCH pass — [[graft.functions.MisraGries]] with k = [[HhT]]
+    *    counters as a native aggregate: map-side partials bound the
+    *    shuffle to ≤ k entries PER PARTITION, and the MG bound
+    *    (estimate ≥ count − N/(k+1)) makes the merged sketch a guaranteed
+    *    SUPERSET of every token with count > N/k.
+    * 2. VERIFY pass — exact counts of the ≤ k candidates only (equi-join
+    *    on the broadcast candidate set, then a hash agg whose shuffle is
+    *    candidate-bounded), filtered by the exact predicate
+    *    `cnt · HhT > N`.
+    *
+    * Because no true heavy hitter can be missing from the candidate set,
+    * the output equals the exact full-groupBy answer — deterministic
+    * regardless of the sketch's merge order — while the corpus-scale
+    * passes stay scan-bound. The oracle computes the exact form directly;
+    * HeavyHittersSpec pins the MG bound + superset property on the live
+    * corpus and on an adversarial handcrafted stream. */
+  val HhT = 256
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    // one tokenization shared by the three passes (sketch, total, verify);
+    // at 100 TB drop the persist and let each pass re-scan — all three are
+    // scan-bound and the token stream is far bigger than the source text
+    val toks = graft.CacheRegistry.track(
+      docs.select(explode(words($"text")).as("tok")).filter($"tok" =!= "").persist())
+    val cand = toks.agg(graft.functions.MisraGries.sketch($"tok", HhT).as("sk"))
+      .select(explode($"sk").as("e")).select($"e.tok".as("tok"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    toks.join(broadcast(cand), "tok")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter($"cnt" * HhT > $"n_tok")
+      .select($"tok", $"cnt", $"n_tok")
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH hh_t AS (SELECT unnest(${wordsSql("text")}) AS tok FROM documents),
+       |hh_tf AS (SELECT tok FROM hh_t WHERE tok <> ''),
+       |hh_c AS (SELECT tok, count(*) AS cnt FROM hh_tf GROUP BY tok),
+       |hh_n AS (SELECT count(*) AS n_tok FROM hh_tf)
+       |SELECT tok, cnt, n_tok FROM hh_c CROSS JOIN hh_n
+       |WHERE cnt * $HhT > n_tok
+       |ORDER BY cnt DESC, tok""".stripMargin
+
+  // ---------------------------------------------------------------- №124 length_quantiles
+  /** EXACT doc-length quantiles (deciles + p99 of №30's ws_tokens measure)
+    * without a corpus sort — the sequence-length planning table a training
+    * pipeline reads before picking pack bins (№55), truncation budgets and
+    * outlier cut-offs, where `approx_percentile`'s error bound is the
+    * wrong trade and a global `orderBy` funnels the corpus through one
+    * ordered partition.
+    *
+    * The value-HISTOGRAM formulation: the only corpus-sized pass is a hash
+    * agg keyed on the length VALUE — a domain-bounded key (distinct token
+    * counts ≤ max doc length: thousands, however many docs) — after which
+    * the cumulative window and the quantile argmins run on the
+    * domain-bounded histogram (the single-partition window is over
+    * ~10³ rows regardless of corpus size — the bounded-calendar-rollup
+    * justification, not a corpus window). Quantile definition is the
+    * discrete lower quantile, INTEGER-EXACT in both engines: q-th pct
+    * value = min{v : 100·cum(v) ≥ q·N} — no float division anywhere. */
+  val QuantilePcts: Seq[Int] = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 99)
+
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables(spark, dir).documents
+      .select(size(words($"text")).as("n_tok"))
+      .groupBy($"n_tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // total derived FROM the histogram (domain-bounded) — no second corpus scan
+    val cum = hist.withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum($"cnt").as("n_docs"))))
+    val aggs = QuantilePcts.map(q =>
+      min(when(lit(100) * $"cum" >= lit(q) * $"n_docs", $"n_tok")).as(s"q$q"))
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${QuantilePcts.length}, " +
+        QuantilePcts.map(q => s"$q, q$q").mkString(", ") + ") AS (pct, n_tok)"))
+      .orderBy($"pct")
+  }
+
+  val lengthQuantilesSql: String = {
+    val mins = QuantilePcts
+      .map(q => s"min(CASE WHEN 100*cum >= $q*n_docs THEN n_tok END) AS q$q").mkString(",\n    ")
+    val unpivot = QuantilePcts
+      .map(q => s"SELECT $q AS pct, q$q AS n_tok FROM lq_a").mkString("\n  UNION ALL ")
+    s"""WITH lq_h AS (
+       |  SELECT len(${wordsSql("text")}) AS n_tok, count(*) AS cnt
+       |  FROM documents GROUP BY 1),
+       |lq_n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM lq_h),
+       |lq_c AS (SELECT n_tok, CAST(sum(cnt) OVER (ORDER BY n_tok) AS BIGINT) AS cum FROM lq_h),
+       |lq_a AS (
+       |  SELECT $mins
+       |  FROM lq_c CROSS JOIN lq_n)
+       |SELECT pct, n_tok FROM ($unpivot)
+       |ORDER BY pct""".stripMargin
+  }
 
 }
 

@@ -1060,6 +1060,113 @@ object VectorQueries {
        |SELECT q_id, doc_id, cos, rank FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- №122 hybrid_search
+  /** Reciprocal-rank fusion (public: Cormack & Clarke 2009) of the two
+    * retrieval paths — №91's BM25 posting-list ranking and the №83-shaped
+    * cosine ranking over the №82 hashed embeddings — for the SAME query
+    * docs (doc_id ≡ 0 mod [[TextQueries.QMod]]): the RAG-retrieval fusion
+    * step (lexical recall + semantic recall beat either alone; a doc
+    * surfacing in both legs outranks a doc topping one).
+    *
+    * RRF is INTEGER-EXACT here: contribution of rank r is L DIV (60+r)
+    * with L = lcm(61..60+K) ([[RrfL]], one Scala val emits both engines'
+    * literal), so every reciprocal is an exact BIGINT and the fused score
+    * needs no float fold — ties break on doc_id. Both legs keep their
+    * standalone semantics (BM25 leg IS №91's output; the embedding leg is
+    * the knn_brute broadcast-scan shape over ONE persisted doc_embed
+    * pass, self included — the sanity anchor in both legs).
+    *
+    * Scale shape: the legs are the standalone operators' shapes (posting
+    * -list equi-join; queries-broadcast corpus scan + native bounded-heap
+    * top-k); fusion itself is WORKLOAD-bounded — ≤ 2K candidate rows per
+    * query into one hash agg, and the final ranking window partitions on
+    * q_doc over ≤ 2K rows (the keyword_extract justification: bounded
+    * per-partition sort, never a global one). */
+  val RrfBase = 60
+  val FuseK = 10
+  /** lcm(61 .. 60+SearchK): every RRF reciprocal L/(60+r) is an exact
+    * integer. 142813628717760 for K=10 — fused sums stay far under 2^53,
+    * so even a double cast is exact. */
+  val RrfL: Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (RrfBase + 1 to RrfBase + TextQueries.SearchK)
+      .foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contrib = expr(s"CAST($RrfL DIV ($RrfBase + rank) AS BIGINT)")
+    val bmLeg = TextQueries.bm25Search(spark, dir)
+      .select($"q_doc", $"doc_id", contrib.as("contrib"),
+        $"rank".cast("int").as("bm25_rank"), lit(null).cast("int").as("emb_rank"))
+    // persisted barrier before the HOF dot-product lambda (§9) + one
+    // embedding pass shared between query and corpus sides
+    val v = graft.CacheRegistry.track(
+      PipelineQueries.docEmbedVectors(spark, dir)
+        .select($"doc_id", $"emb_arr", $"norm_sq").persist())
+    val q = v.filter($"doc_id" % TextQueries.QMod === 0)
+      .select($"doc_id".as("q_doc"), $"emb_arr".as("q_emb"), $"norm_sq".as("q_norm"))
+    val scored = v.join(broadcast(q))
+      .select($"q_doc", $"doc_id",
+        round(
+          aggregate(zip_with($"emb_arr", $"q_emb", (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+            .cast("double") /
+            (sqrt($"norm_sq".cast("double")) * sqrt($"q_norm".cast("double"))), 6).as("cos"))
+    val embLeg = topKRanked(scored, "q_doc", "cos", "doc_id", TextQueries.SearchK)
+      .select($"q_doc", $"doc_id", contrib.as("contrib"),
+        lit(null).cast("int").as("bm25_rank"), $"rank".cast("int").as("emb_rank"))
+    val fused = bmLeg.unionByName(embLeg)
+      .groupBy($"q_doc", $"doc_id")
+      .agg(sum($"contrib").as("rrf_score"),
+        max($"bm25_rank").as("bm25_rank"), max($"emb_rank").as("emb_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_doc").orderBy($"rrf_score".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= FuseK)
+      .select($"q_doc", $"rank", $"doc_id", $"rrf_score", $"bm25_rank", $"emb_rank")
+      .orderBy($"q_doc", $"rank")
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH ${TextQueries.bm25CtesSql},
+       |${PipelineQueries.embDimsCtesSql},
+       |hnrm AS (SELECT doc_id, CAST(sum(e*e) AS BIGINT) AS norm_sq FROM e GROUP BY doc_id),
+       |hdot AS (
+       |  SELECT q.doc_id AS q_doc, c.doc_id, CAST(sum(c.e * q.e) AS BIGINT) AS dot
+       |  FROM e c JOIN e q ON c.j = q.j
+       |  WHERE q.doc_id % ${TextQueries.QMod} = 0
+       |  GROUP BY 1, 2),
+       |hsc AS (
+       |  SELECT d.q_doc, d.doc_id,
+       |    round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(cn.norm_sq AS DOUBLE)) * sqrt(CAST(qn.norm_sq AS DOUBLE))), 6) AS cos
+       |  FROM hdot d
+       |  JOIN hnrm cn ON cn.doc_id = d.doc_id
+       |  JOIN hnrm qn ON qn.doc_id = d.q_doc),
+       |her AS (
+       |  SELECT q_doc, doc_id,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS rank
+       |  FROM hsc),
+       |legs AS (
+       |  SELECT q_doc, doc_id, CAST($RrfL // ($RrfBase + rank) AS BIGINT) AS contrib,
+       |    CAST(rank AS INTEGER) AS bm25_rank, CAST(NULL AS INTEGER) AS emb_rank
+       |  FROM bmr WHERE rank <= ${TextQueries.SearchK}
+       |  UNION ALL
+       |  SELECT q_doc, doc_id, CAST($RrfL // ($RrfBase + rank) AS BIGINT) AS contrib,
+       |    CAST(NULL AS INTEGER) AS bm25_rank, CAST(rank AS INTEGER) AS emb_rank
+       |  FROM her WHERE rank <= ${TextQueries.SearchK}),
+       |fused AS (
+       |  SELECT q_doc, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_score,
+       |    max(bm25_rank) AS bm25_rank, max(emb_rank) AS emb_rank
+       |  FROM legs GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT q_doc, doc_id, rrf_score, bm25_rank, emb_rank,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused)
+       |SELECT q_doc, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score, bm25_rank, emb_rank
+       |FROM fr WHERE rank <= $FuseK
+       |ORDER BY q_doc, rank""".stripMargin
+
   // ---------------------------------------------------------------- №92 text_cluster
   /** K-means document clustering over the №82 feature-hashed embeddings —
     * the corpus-organization operator (topic buckets, per-cluster

@@ -18,6 +18,9 @@ class PlanLintSpec extends SparkSpec {
     "lm_score", // single-row total-N broadcast (the domain_mix class)
     "filter_agreement", // composes lm_score's total-N broadcast
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
+    "hybrid_search", // embed_knn's broadcast-scan leg + bm25's total-N broadcast
+    "heavy_hitters", // single-row total-N broadcast (the lm_score class)
+    "length_quantiles", // single-row histogram-total broadcast
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
     "knn_index_update", // knn_ivf's centroid-broadcast assignment over base ∪ batch

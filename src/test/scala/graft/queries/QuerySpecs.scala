@@ -246,6 +246,25 @@ class TextQueriesSpec extends SparkSpec {
       assert(byQ(q).sortBy(_._2).toSeq == expected, s"query $q top-k mismatch")
     }
   }
+
+  test("length_quantiles ≡ sort-based plain-Scala quantiles (histogram path is exact)") {
+    val got = TextQueries.lengthQuantiles(spark, sf)
+      .as[(Int, Int)].collect().toSeq
+    // ground truth by actually sorting every doc length
+    val lens = graft.Tables(spark, sf).documents
+      .select(size(TextQueries.words($"text")).as("n"))
+      .as[Int].collect().sorted
+    val n = lens.length.toLong
+    val expected = TextQueries.QuantilePcts.map { q =>
+      // discrete lower quantile: min v with 100·rank(v) ≥ q·N — on the
+      // sorted array that is element at index ceil(qN/100) − 1
+      val rank = (q * n + 99) / 100 // ceil
+      (q, lens(rank.toInt - 1))
+    }
+    assert(got == expected, s"quantiles diverge from the sorted ground truth")
+    // monotone non-decreasing in q
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a <= b })
+  }
 }
 
 class VectorQueriesSpec extends SparkSpec {
@@ -442,6 +461,57 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got == expected, "k-means must equal the closed-form integer recomputation")
     // the clustering must do real work: several populated clusters
     assert(got.map(_._2).distinct.size >= 3, s"degenerate clustering: ${got.map(_._2).distinct}")
+  }
+
+  test("hybrid_search ≡ plain-Scala RRF over independently recomputed legs") {
+    val out = VectorQueries.hybridSearch(spark, sf).collect().toSeq.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    graft.CacheRegistry.releaseAll(spark)
+    // BM25 leg = the standalone №91 operator verbatim (its own oracle covers it)
+    val bm = TextQueries.bm25Search(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2)))
+    graft.CacheRegistry.releaseAll(spark)
+    // embedding leg recomputed in plain Scala from the collected vectors
+    val vecs = PipelineQueries.docEmbedVectors(spark, sf)
+      .select("doc_id", "emb_arr", "norm_sq").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    graft.CacheRegistry.releaseAll(spark)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val embRank: Seq[(Long, Long, Int)] =
+      vecs.filter(_._1 % TextQueries.QMod == 0).flatMap { case (q, qe, qn) =>
+        vecs.map { case (d, de, dn) =>
+          val dot = qe.zip(de).map { case (a, b) => a * b }.sum
+          (d, r6(dot.toDouble / (math.sqrt(dn.toDouble) * math.sqrt(qn.toDouble))))
+        }.sortBy { case (d, c) => (-c, d) }.take(TextQueries.SearchK)
+          .zipWithIndex.map { case ((d, _), i) => (q, d, i + 1) }
+      }
+    val L = VectorQueries.RrfL
+    val legs: Seq[((Long, Long), (Long, Option[Int], Option[Int]))] =
+      bm.map { case (q, r, d) => ((q, d), (L / (60 + r), Some(r), None: Option[Int])) } ++
+        embRank.map { case (q, d, r) => ((q, d), (L / (60 + r), None: Option[Int], Some(r))) }
+    val expected = legs.groupBy(_._1).toSeq
+      .map { case ((q, d), vs) =>
+        (q, d, vs.map(_._2._1).sum, vs.flatMap(_._2._2).headOption, vs.flatMap(_._2._3).headOption)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, d, c, _, _) => (-c, d) }.take(VectorQueries.FuseK)
+          .zipWithIndex.map { case ((_, d, c, br, er), i) => (q, i + 1, d, c, br, er) }
+      }.sortBy(t => (t._1, t._2))
+    assert(out.sortBy(t => (t._1, t._2)) == expected,
+      "fused ranking must equal the closed-form RRF recomputation")
+    // the fusion does real work: some fused row carries BOTH leg ranks,
+    // and every query retrieves itself (the self anchor survives fusion)
+    assert(out.exists(r => r._5.isDefined && r._6.isDefined))
+    assert(out.groupBy(_._1).forall { case (q, rows) => rows.exists(_._3 == q) })
+  }
+
+  test("hybrid_search: RRF reciprocals are exact integers (L divisible by every base+rank)") {
+    (1 to TextQueries.SearchK).foreach { r =>
+      assert(VectorQueries.RrfL % (VectorQueries.RrfBase + r) == 0L,
+        s"RrfL not divisible by ${VectorQueries.RrfBase + r}")
+    }
   }
 }
 
