@@ -132,6 +132,59 @@ object Analytics {
        |  max(ts_ms) - min(ts_ms) AS duration_ms
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- №126 user_history
+  /** Per-user CHRONOLOGICAL event-history strings truncated to the most
+    * recent [[HistK]] events — the "user behavior sequence" a sequential
+    * recommender / user-LM trains on (the events-side twin of №63's
+    * ordered-manifest discipline): long histories keep only the tail,
+    * short ones keep everything, and the order is strictly deterministic
+    * ((ts_ms, event_id) — №35's session tiebreak).
+    *
+    * Scale shape: ONE hash shuffle on user_id and one window pass; the
+    * truncation row_number sorts each USER's events only (parallel across
+    * users — never a global sort), the full-history n_events rides the
+    * SAME window pass as an unordered count (no second corpus scan), and
+    * everything past the rn ≤ K filter is workload-bounded (≤ K rows per
+    * user). The history string is the sorted-struct-transform ≡ ordered
+    * string_agg cross-engine equivalence №63 proved. */
+  val HistK = 8
+
+  def userHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    val wOrd = w.orderBy($"ts_ms".desc, $"event_id".desc)
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_events", count(lit(1)).over(w))
+      .filter($"rn" <= HistK)
+      .groupBy($"user_id")
+      .agg(
+        max($"n_events").as("n_events"),
+        count(lit(1)).as("n_recent"),
+        // rn DESC = chronological: sort by rn asc (most-recent first), reverse
+        array_join(reverse(transform(
+          array_sort(collect_list(struct($"rn", $"event_type"))),
+          e => e.getField("event_type"))), ",").as("history"),
+        max($"ts_ms").as("last_ms"))
+      .orderBy($"user_id")
+  }
+
+  val userHistorySql: String =
+    s"""WITH uh_e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+       |uh_r AS (
+       |  SELECT user_id, event_type, ts_ms,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+       |  FROM uh_e)
+       |SELECT user_id, max(n_events) AS n_events, count(*) AS n_recent,
+       |  string_agg(event_type, ',' ORDER BY rn DESC) AS history,
+       |  max(ts_ms) AS last_ms
+       |FROM uh_r WHERE rn <= $HistK
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** №51 grouped_topk — the GroupedTopK whole-operator extension driven
     * directly (logical node → pruning rule → strategy → two-phase exec,
     * graft.plans.GroupedTopK): top-10 orders by price within each order

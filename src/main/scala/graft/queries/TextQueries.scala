@@ -809,9 +809,12 @@ object TextQueries {
     * prefix totals are a vocab-bounded re-agg of the pair frame joined
     * back equi-key (vocabulary grows with the corpus — never
     * force-broadcast). */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared adjacent-bigram count frame (w1, w2, n_pair) — №97 bigram_lm
+    * and №125 pmi_pairs both consume THIS fragment (and its CTE twin
+    * [[bigramCtesSql]]), so the bigram definition can never de-sync. */
+  private[queries] def bigramCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables(spark, dir).documents
+    Tables(spark, dir).documents
       .select(words($"text").as("ws"))
       .filter(size($"ws") >= 2)
       .select(explode(expr(
@@ -819,15 +822,11 @@ object TextQueries {
       .select($"p.w1", $"p.w2")
       .filter($"w1" =!= "" && $"w2" =!= "")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
-    val prefix = pairs.groupBy($"w1").agg(sum($"n_pair").as("c1"))
-    pairs.join(prefix, "w1")
-      .select($"w1", $"w2", $"n_pair",
-        expr("n_pair * 1000000 DIV c1").as("cond_ppm"))
-      .orderBy($"w1", $"w2")
   }
 
-  val bigramLmSql: String =
-    s"""WITH d AS (SELECT ${wordsSql("text")} AS ws FROM documents),
+  /** Same frame as DuckDB CTEs, ending in `pc(w1, w2, n_pair)`. */
+  private[queries] val bigramCtesSql: String =
+    s"""d AS (SELECT ${wordsSql("text")} AS ws FROM documents),
        |p AS (
        |  SELECT unnest(list_transform(range(1, len(ws)),
        |    i -> ws[i] || ' ' || ws[i+1])) AS pr
@@ -837,11 +836,73 @@ object TextQueries {
        |    count(*) AS n_pair
        |  FROM p
        |  WHERE split_part(pr, ' ', 1) <> '' AND split_part(pr, ' ', 2) <> ''
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = bigramCounts(spark, dir)
+    val prefix = pairs.groupBy($"w1").agg(sum($"n_pair").as("c1"))
+    pairs.join(prefix, "w1")
+      .select($"w1", $"w2", $"n_pair",
+        expr("n_pair * 1000000 DIV c1").as("cond_ppm"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH $bigramCtesSql,
        |pre AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1 FROM pc GROUP BY w1)
        |SELECT pc.w1, pc.w2, pc.n_pair, pc.n_pair * 1000000 // pre.c1 AS cond_ppm
        |FROM pc JOIN pre USING (w1)
        |ORDER BY pc.w1, pc.w2""".stripMargin
+
+  // ---------------------------------------------------------------- №125 pmi_pairs
+  /** Top collocations by pointwise-mutual-information LIFT over the №97
+    * bigram frame — the phrase-mining signal (multi-word expressions for
+    * tokenizer vocab seeding, stopword-bigram suppression): lift(x,y) =
+    * n_pair·N / (cx·cy) over the bigram-position marginals, support-
+    * filtered (n_pair ≥ [[PmiMinCount]] — raw PMI is maximal for
+    * singletons; the filter is what makes the ranking meaningful), top
+    * [[PmiK]] by (lift DESC, w1, w2).
+    *
+    * PMI = log2(lift) is MONOTONE in lift, so ranking by lift is ranking
+    * by PMI with no libm log anywhere (§5): all four factors are exact
+    * BIGINTs (products < 2^53, so the one double division at the end is
+    * exact-input), 6dp-rounded identically in both engines. Scale shape:
+    * everything derives from ONE persisted bigram aggregation (pairs,
+    * both marginals, the grand total — no second corpus pass); marginal
+    * attach is vocab-keyed equi-joins (never broadcast — vocabulary grows
+    * with the corpus); the single-row N is the only broadcast; final
+    * ranking is orderBy+limit → TakeOrderedAndProject (per-partition
+    * top-50 heaps, never a global sort). */
+  val PmiMinCount = 4
+  val PmiK = 50
+
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pc = graft.CacheRegistry.track(bigramCounts(spark, dir).persist())
+    val mx = pc.groupBy($"w1").agg(sum($"n_pair").as("cx"))
+    val my = pc.groupBy($"w2").agg(sum($"n_pair").as("cy"))
+    val nn = pc.agg(sum($"n_pair").as("n"))
+    pc.filter($"n_pair" >= PmiMinCount)
+      .join(mx, "w1").join(my, "w2")
+      .crossJoin(broadcast(nn))
+      .select($"w1", $"w2", $"n_pair", $"cx", $"cy",
+        round(($"n_pair" * $"n").cast("double") / ($"cx" * $"cy").cast("double"), 6).as("lift"))
+      .orderBy($"lift".desc, $"w1", $"w2")
+      .limit(PmiK)
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH $bigramCtesSql,
+       |mx AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS cx FROM pc GROUP BY w1),
+       |my AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS cy FROM pc GROUP BY w2),
+       |nn AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM pc)
+       |SELECT pc.w1, pc.w2, pc.n_pair, cx, cy,
+       |  round(CAST(pc.n_pair * n AS DOUBLE) / CAST(cx * cy AS DOUBLE), 6) AS lift
+       |FROM pc JOIN mx USING (w1) JOIN my USING (w2) CROSS JOIN nn
+       |WHERE pc.n_pair >= $PmiMinCount
+       |ORDER BY lift DESC, pc.w1, pc.w2
+       |LIMIT $PmiK""".stripMargin
 
   // ---------------------------------------------------------- №107/108 bpe_train / bpe_encode
   /** Number of BPE merge rounds learned/applied by №107/№108. Small so the

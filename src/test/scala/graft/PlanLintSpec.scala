@@ -21,6 +21,7 @@ class PlanLintSpec extends SparkSpec {
     "hybrid_search", // embed_knn's broadcast-scan leg + bm25's total-N broadcast
     "heavy_hitters", // single-row total-N broadcast (the lm_score class)
     "length_quantiles", // single-row histogram-total broadcast
+    "pmi_pairs", // single-row bigram-total broadcast
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
     "knn_index_update", // knn_ivf's centroid-broadcast assignment over base ∪ batch

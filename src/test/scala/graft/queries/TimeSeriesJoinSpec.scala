@@ -395,4 +395,24 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(zorder._3 < linear._3 && zorder._5 < linear._5,
       s"z-order must prune strictly better: z=${zorder._3}/${zorder._5} files/rows vs linear=${linear._3}/${linear._5}")
   }
+
+  test("user_history ≡ plain-Scala tail-K recomputation over collected events") {
+    import spark.implicits._
+    val got = Analytics.userHistory(spark, sf)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    val ev = graft.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val expected = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      // chronological order, deterministic tiebreak (ts_ms, event_id)
+      val chron = rows.sortBy(r => (r._4, r._2))
+      val tail = chron.takeRight(Analytics.HistK)
+      (u, rows.size.toLong, tail.size.toLong,
+        tail.map(_._3).mkString(","), chron.last._4)
+    }.sortBy(_._1)
+    assert(got == expected, "history strings must equal the tail-K recomputation")
+    // truncation does real work on this corpus: some user exceeds K events
+    assert(expected.exists(_._2 > Analytics.HistK))
+    assert(got.forall(_._3 <= Analytics.HistK))
+  }
 }
