@@ -903,6 +903,68 @@ object Analytics {
        |  n * n_keys * 1000 // t AS skew_x1000
        |FROM r CROSS JOIN tot WHERE rank <= $SkewK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- №127 salted_join
+  /** SALTED skewed join — the third leg of the skew triad (№98
+    * skew_profile MEASURES the key distribution, №4b latest_cell_salted
+    * salts a hot-key AGGREGATION; this salts the hot-key JOIN): a fact
+    * stream whose join key concentrates ~⅓ of all rows on ONE key
+    * (deterministically injected: event_id ≡ 0 mod 3 remaps to user 0 —
+    * the platform-account / null-key / bot-traffic shape) joins a
+    * corpus-derived user dimension. Unsalted, every hot-key row lands in
+    * one shuffle partition and the join stalls on a straggler; salted,
+    * the fact side appends salt = event_id mod [[SkewSalt]] and the dim
+    * side replicates ×[[SkewSalt]] (an explode of a constant-size
+    * sequence — dim rows are user-bounded, so the replication is
+    * dim-sized work, never corpus-sized), the join key becomes
+    * (user, salt), and the hot key spreads over [[SkewSalt]] partitions.
+    *
+    * Salting is an ACCESS PATH, not a semantic: the driver row is the
+    * per-user join rollup and its oracle is the plain UNSALTED join —
+    * identical answers by construction. AQE's runtime skew-join split
+    * (on in GraftSession) covers sort-merge joins it can see; the
+    * explicit salt is the static formulation that also holds for
+    * hash-join pipelines and downstream ops pinned to the join
+    * partitioning. SaltedJoinSpec proves salted ≡ unsalted row-for-row
+    * AND that the salt actually balances: the max (key, salt) bucket
+    * shrinks toward max_key/S on the injected distribution. */
+  val SkewSalt = 8
+
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select(when($"event_id" % 3 === 0, lit(0L)).otherwise($"user_id").as("skew_user"),
+        $"event_id", $"event_type", $"ts_ms")
+    val dim = Tables(spark, dir).events
+      .groupBy($"user_id").agg(min($"ts_ms").as("first_ms"))
+    val factS = ev.withColumn("salt", ($"event_id" % SkewSalt).cast("int"))
+    val dimS = dim.withColumn("salt", explode(sequence(lit(0), lit(SkewSalt - 1))))
+    // SHUFFLE_HASH pin: at test SF the user dim is broadcastable and
+    // Catalyst would rightly broadcast it (no shuffle, no skew) — but at
+    // 100 TB a billion-user dim is not, and THAT is the plan the salt
+    // exists for; the hint makes the test-scale plan match the at-scale
+    // shape (the №46 line_dedup precedent)
+    factS.join(dimS.hint("SHUFFLE_HASH"),
+        factS("skew_user") === dimS("user_id") && factS("salt") === dimS("salt"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"ts_ms" - $"first_ms").as("max_tenure_ms"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+      .orderBy($"user_id")
+  }
+
+  val saltedJoinSql: String =
+    s"""WITH sj_e AS (
+       |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS skew_user,
+       |    event_id, event_type, epoch_ms(ts) AS ts_ms
+       |  FROM events),
+       |sj_d AS (
+       |  SELECT user_id, min(epoch_ms(ts)) AS first_ms FROM events GROUP BY user_id)
+       |SELECT d.user_id, count(*) AS n_events,
+       |  max(e.ts_ms - d.first_ms) AS max_tenure_ms,
+       |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+       |FROM sj_e e JOIN sj_d d ON e.skew_user = d.user_id
+       |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin
+
   // ---------------------------------------------------------------- №99 compact_plan
   /** Small-file compaction planning — the maintenance operator behind
     * `OPTIMIZE`/compaction jobs (the small-files problem is THE classic

@@ -415,4 +415,40 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(expected.exists(_._2 > Analytics.HistK))
     assert(got.forall(_._3 <= Analytics.HistK))
   }
+
+  test("salted_join: salt is an access path (≡ unsalted join), spreads the hot key, and plans the salted shuffle") {
+    import spark.implicits._
+    val df = Analytics.saltedJoin(spark, sf)
+    // plan: a ShuffledHashJoin whose key includes the salt — not a broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"salted join lost the shuffle-join shape:\n$plan")
+    assert("hashpartitioning\\([^)]*salt".r.findFirstIn(plan).isDefined,
+      s"join exchange does not hash the salt:\n$plan")
+    val got = df.as[(Long, Long, Long, Long)].collect().toSeq
+    // unsalted recomputation: the plain join, same rollup
+    val ev = graft.Tables(spark, sf).events
+      .select(when($"event_id" % 3 === 0, lit(0L)).otherwise($"user_id").as("skew_user"),
+        $"event_type", $"ts_ms")
+    val dim = graft.Tables(spark, sf).events
+      .groupBy($"user_id").agg(min($"ts_ms").as("first_ms"))
+    val expected = ev.join(dim, ev("skew_user") === dim("user_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"ts_ms" - $"first_ms").as("max_tenure_ms"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "salted join must equal the unsalted join")
+    // the injected key IS hot (~1/3 of the fact side) and the salt spreads
+    // it: max (key, salt) bucket is a fraction of the unsalted max bucket
+    val buckets = graft.Tables(spark, sf).events
+      .select(when($"event_id" % 3 === 0, lit(0L)).otherwise($"user_id").as("k"),
+        ($"event_id" % Analytics.SkewSalt).as("salt"))
+    val maxKey = buckets.groupBy($"k").count().agg(max($"count")).as[Long].head()
+    val maxSalted = buckets.groupBy($"k", $"salt").count().agg(max($"count")).as[Long].head()
+    val total = buckets.count()
+    assert(maxKey * 4 > total, s"injected key not hot: max=$maxKey of $total")
+    assert(maxSalted * 4 <= maxKey,
+      s"salt did not spread the hot key: maxSalted=$maxSalted vs maxKey=$maxKey")
+  }
 }
