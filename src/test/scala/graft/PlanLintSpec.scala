@@ -20,6 +20,7 @@ class PlanLintSpec extends SparkSpec {
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
     "hybrid_search", // embed_knn's broadcast-scan leg + bm25's total-N broadcast
     "heavy_hitters", // single-row total-N broadcast (the lm_score class)
+    "stream_heavy_hitters", // №123's verify pass over the streamed candidates
     "length_quantiles", // single-row histogram-total broadcast
     "pmi_pairs", // single-row bigram-total broadcast
     "source_drift", // #sources x 10-bin cell frame + single-row grand total

@@ -159,6 +159,20 @@ class StreamingSpec extends SparkSpec {
       s"replay ran ${StreamDedup.lastFileBatches} data batches — the multi-batch state path was not exercised")
   }
 
+  test("streaming heavy hitters: sketch state crosses micro-batches, bounded, and the output equals batch №123") {
+    import spark.implicits._
+    val out = StreamHeavyHitters.streamHeavyHitters(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(StreamHeavyHitters.lastBatches >= 3,
+      s"replay ran ${StreamHeavyHitters.lastBatches} data batches — sketch state never crossed a micro-batch")
+    val batch = graft.queries.TextQueries.heavyHitters(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(out == batch, "streamed sketch-then-verify diverged from the batch operator")
+    assert(out.nonEmpty)
+  }
+
   test("stream-stream interval join: boundary inclusion and cross-batch matching") {
     import spark.implicits._
     import graft.streaming.StreamJoin
