@@ -45,7 +45,21 @@ object GraftExtensions {
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays (fused single-pass)"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
     ("nfc_normalize", info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    ("misra_gries", info("misra_gries",
+      "misra_gries(item, k) - Misra-Gries frequent-items sketch: array<struct<tok, est>> of <= k candidates"),
+      (args: Seq[Expression]) => graft.functions.MisraGries(args(0), intLit(args(1), "misra_gries"))),
+    ("top_k_by_score", info("top_k_by_score",
+      "top_k_by_score(score, id, k) - bounded-heap grouped top-k: array<struct<score, id>> in rank order"),
+      (args: Seq[Expression]) => graft.functions.TopKByScore(args(0), args(1), intLit(args(2), "top_k_by_score"))))
+
+  /** Sketch/heap widths are plan-shaping parameters, not data: require a
+    * literal (the aggregate's buffer is sized at planning time). */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: k must be an integer literal, got $other")
+  }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -24,6 +24,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getDouble(3) == 1.0)
   }
 
+  test("aggregate SQL functions: misra_gries and top_k_by_score run through spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("tok").createOrReplaceTempView("ext_toks")
+    val sk = spark.sql(
+      "SELECT e.tok, e.est FROM (SELECT explode(misra_gries(tok, 2)) AS e FROM ext_toks)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // k=2 sketch over 3a 2b 1c: 'c' evicts one unit of a and b
+    assert(sk == Map("a" -> 2L, "b" -> 1L), s"unexpected sketch: $sk")
+    Seq((1L, 0.5), (2L, 0.9), (3L, 0.7)).toDF("id", "s").createOrReplaceTempView("ext_scores")
+    val top = spark.sql(
+      "SELECT e.id FROM (SELECT explode(top_k_by_score(s, id, 2)) AS e FROM ext_scores)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(2L, 3L), s"unexpected top-k order: $top")
+    // k must be a literal — the buffer is sized at planning time
+    val ex = intercept[Exception] {
+      spark.sql("SELECT misra_gries(tok, CAST(length(tok) AS INT)) FROM ext_toks").collect()
+    }
+    assert(ex.getMessage.contains("integer literal"), ex.getMessage)
+  }
+
   test("cosine_sim rejects non-float arrays at analysis time (no silent reinterpretation)") {
     GraftExtensions.register(spark)
     val ex = intercept[Exception] {
