@@ -1030,6 +1030,166 @@ object MultimodalQueries {
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $PHashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- №130 multimodal_audio_fp
+  /** Audio-fingerprint near-dup — the AUDIO twin of №77 multimodal_phash
+    * (the windowed-energy-contour idea behind acoustic fingerprinting, in
+    * integer form): each track's REAL decoded PCM (through the JDK WAV
+    * codec round trip — a container/byte-order bug diverges the hash)
+    * reduces to a 64-bit signature: 64 time windows, bit_w = 1 iff the
+    * window's mean |amplitude| exceeds the track mean — the comparison is
+    * CROSS-MULTIPLIED (E_w·n > S·cnt_w), so the whole fingerprint is
+    * exact integer arithmetic.
+    *
+    * Injected near-dups are lower-bit-depth RE-ENCODES (magnitude
+    * truncated to 256-steps — the lossy-transcode class): measured on
+    * this corpus they land at Hamming ≤ 2 while distinct tracks are ≥ 4
+    * apart, so radius [[AfpHammingMax]] = 3 separates them exactly.
+    * Same scale shape as №77: identical fingerprints COLLAPSE first in
+    * one shuffle (content-identical tracks — the signature is periodic in
+    * the generator, collisions are true identical PCM), the 4×16-bit band
+    * LSH self-join runs over DISTINCT fingerprints only
+    * (content-diversity-bounded), and 4 bands at Hamming ≤ 3 is
+    * pigeonhole-LOSSLESS. The oracle is the closed-form |sample| formula
+    * (sign alternation never moves |s|) + the exhaustive distinct-group
+    * join, independent of the band LSH. */
+  val AfpHammingMax = 3
+
+  final case class AfpWav(doc_id: Long, wav: Array[Byte])
+  final case class AfpFp(doc_id: Long, hi: Long, lo: Long)
+
+  /** |sample|(b, i) = (m_i/4 + 256)·e(b, w); sign alternates per i. The
+    * variant truncates the magnitude to 256-steps BEFORE encoding. */
+  private[queries] def afpWavFrame(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val base = Tables(spark, dir).documents.select($"doc_id")
+    val ids = base.unionAll(
+      base.filter($"doc_id" % 10 === 0).select(($"doc_id" + 1000000L).as("doc_id")))
+    ids.as[Long].mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1, true, false)
+      rows.map { d =>
+        val b = d % 1000000L
+        val n = (64 + b % 128).toInt
+        val variant = d >= 1000000L
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val w = i * 64 / n
+          val m = (13L * i * 2654435761L) % 4096L
+          val e = 1L + ((b * 2654435761L + w * 40503L) / 16L) % 8L
+          var v = (m / 4L + 256L) * e
+          if (variant) v = v / 256L * 256L
+          val s = (v * (1L - 2L * (i % 2))).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AfpWav(d, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Decode through the real codec, fingerprint over DECODED samples only
+    * (no metadata peeking — a genuine audio feature). */
+  private[queries] def afpFingerprints(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    afpWavFrame(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val cnt = new Array[Long](64); val en = new Array[Long](64)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+          val w = i * 64 / n
+          val a = math.abs(s).toLong
+          cnt(w) += 1; en(w) += a; tot += a
+          i += 1
+        }
+        var hi = 0L; var lo = 0L
+        var w = 0
+        while (w < 64) {
+          if (en(w) * n > tot * cnt(w)) {
+            if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        AfpFp(r.doc_id, hi, lo)
+      }
+    }.toDF()
+  }
+
+  def multimodalAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val groups = graft.CacheRegistry.track(afpFingerprints(spark, dir)
+      .groupBy($"hi", $"lo")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("n"))
+      .persist())
+    val bands = (0 until 4).map { i =>
+      val key = if (i < 2) expr(s"(lo >> ${16 * i}) & 65535")
+                else expr(s"(hi >> ${16 * (i - 2)}) & 65535")
+      groups.select($"rep", lit(i).as("band"), key.as("band_key"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("doc_a"), col("b.rep").as("doc_b")).distinct()
+    cand
+      .join(groups.select($"rep".as("doc_a"), $"hi".as("hi_a"), $"lo".as("lo_a"), $"n".as("n_a")), "doc_a")
+      .join(groups.select($"rep".as("doc_b"), $"hi".as("hi_b"), $"lo".as("lo_b"), $"n".as("n_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .filter($"hamming" <= AfpHammingMax)
+      .select($"doc_a", $"doc_b", $"hamming", $"n_a", $"n_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Closed-form |sample| mirror + exhaustive distinct-group join (valid
+    * because 4 bands at Hamming ≤ 3 is pigeonhole-lossless). */
+  val multimodalAudioFpSql: String =
+    s"""WITH afp_ids AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0),
+       |afp_par AS (
+       |  SELECT doc_id, doc_id % 1000000 AS b,
+       |    CAST(64 + (doc_id % 1000000) % 128 AS BIGINT) AS n_samp,
+       |    doc_id >= 1000000 AS isv
+       |  FROM afp_ids),
+       |afp_x AS (SELECT doc_id, b, n_samp, isv, unnest(range(0, n_samp)) AS i FROM afp_par),
+       |afp_m AS (
+       |  SELECT doc_id, n_samp, (i*64) // n_samp AS w,
+       |    CASE WHEN isv THEN (v // 256) * 256 ELSE v END AS mag
+       |  FROM (
+       |    SELECT *,
+       |      (((13*i*2654435761) % 4096) // 4 + 256)
+       |        * (1 + (((b*2654435761 + ((i*64) // n_samp)*40503) // 16) % 8)) AS v
+       |    FROM afp_x)),
+       |afp_w AS (
+       |  SELECT doc_id, w, count(*) AS cnt, CAST(sum(mag) AS BIGINT) AS e
+       |  FROM afp_m GROUP BY 1, 2),
+       |afp_t AS (
+       |  SELECT doc_id, CAST(sum(mag) AS BIGINT) AS s_tot, count(*) AS n_samp
+       |  FROM afp_m GROUP BY 1),
+       |afp_fp AS (
+       |  SELECT w.doc_id,
+       |    CAST(sum(CASE WHEN w >= 32 AND e * n_samp > s_tot * cnt
+       |      THEN CAST(1 AS BIGINT) << (CAST(w AS INT) - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN w < 32 AND e * n_samp > s_tot * cnt
+       |      THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM afp_w w JOIN afp_t USING (doc_id) GROUP BY 1),
+       |afp_grp AS (SELECT hi, lo, min(doc_id) AS rep, count(*) AS n FROM afp_fp GROUP BY 1, 2)
+       |SELECT a.rep AS doc_a, b.rep AS doc_b,
+       |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming,
+       |  a.n AS n_a, b.n AS n_b
+       |FROM afp_grp a JOIN afp_grp b ON a.rep < b.rep
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $AfpHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Oracle recomputes features from the md5 hex strings (no blob type
     * gymnastics needed: nibble arithmetic over the 64 hex chars). */
   val multimodalIngestSql: String = {

@@ -224,4 +224,33 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(banded == exhaustive)
   }
+
+  test("multimodal_audio_fp: every injected re-encode is recalled, radius tight, band join lossless") {
+    import spark.implicits._
+    val fp = MultimodalQueries.afpFingerprints(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CacheRegistry.releaseAll(spark)
+    val variants = fp.keys.filter(_ >= 1000000L).toSeq
+    assert(variants.nonEmpty)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // recall: every lower-bit-depth re-encode within the radius
+    val missed = variants.filterNot(v => ham(fp(v), fp(v - 1000000L)) <= MultimodalQueries.AfpHammingMax)
+    assert(missed.isEmpty, s"re-encodes beyond Hamming ${MultimodalQueries.AfpHammingMax}: $missed")
+    // tight: some variant actually exercises the near-dup path
+    assert(variants.exists(v => fp(v) != fp(v - 1000000L)),
+      "all re-encodes hash-identical — the Hamming radius is untested by this corpus")
+    // discrimination: distinct tracks never collide into the radius
+    // (band join ≡ exhaustive pairs, computed independently)
+    val groups = fp.toSeq.groupBy(_._2).map { case (k, vs) => (vs.map(_._1).min, k) }.toSeq
+    val exhaustive = (for {
+      (ra, fa) <- groups; (rb, fb) <- groups if ra < rb
+      h = ham(fa, fb) if h <= MultimodalQueries.AfpHammingMax
+    } yield (ra, rb, h)).toSet
+    val banded = MultimodalQueries.multimodalAudioFp(spark, sf)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    graft.CacheRegistry.releaseAll(spark)
+    assert(banded == exhaustive, "band LSH diverged from the exhaustive distinct-group join")
+  }
 }
