@@ -965,6 +965,74 @@ object Analytics {
        |FROM sj_e e JOIN sj_d d ON e.skew_user = d.user_id
        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №131 ab_test
+  /** A/B experiment readout — the two-proportion chi-square table every
+    * product-analytics stack ships (and the gate a data pipeline runs
+    * before promoting a corpus/filter variant): users split into arms by
+    * deterministic assignment (user_id mod 2 — the hash-bucket shape),
+    * outcome = the user's purchase count STRICTLY above the corpus mean
+    * (corpus-derived via exact cross-multiplication np·n_users >
+    * total_purchases — splits at every SF, no magic constant), and the
+    * 2×2 chi-square statistic computed from EXACT integer factors:
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), with significance at
+    * α = 0.05 decided by the exact integer cross-compare
+    * num·1000 > 3841·den (3.841 = the χ²₁ critical value) — no float
+    * enters the DECISION; only the reported 6dp χ² touches double, on
+    * exactly-representable integer inputs.
+    *
+    * Scale shape: one hash agg on user_id (corpus pass), a single-row
+    * totals broadcast, then a bounded 4-cell rollup — output one row
+    * however big the corpus. Integer-exactness bound: (ad−bc)² stays
+    * inside BIGINT for n ≲ 55k users; past that, switch the cross-compare
+    * to DECIMAL(38) (both engines) — the algebra is unchanged. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+    val t = u.agg(count(lit(1)).as("nu"), sum($"np").as("tp"))
+    val cls = u.crossJoin(broadcast(t))
+      .select(($"user_id" % 2).as("arm"), ($"np" * $"nu" > $"tp").as("conv"))
+    cls.agg(
+      sum(when($"arm" === 0 && $"conv", 1L).otherwise(0L)).as("a"),
+      sum(when($"arm" === 0 && !$"conv", 1L).otherwise(0L)).as("b"),
+      sum(when($"arm" === 1 && $"conv", 1L).otherwise(0L)).as("c"),
+      sum(when($"arm" === 1 && !$"conv", 1L).otherwise(0L)).as("d"))
+      .select($"a", $"b", $"c", $"d",
+        round($"a".cast("double") / ($"a" + $"b") + lit(1e-9), 6).as("rate_a"),
+        round($"c".cast("double") / ($"c" + $"d") + lit(1e-9), 6).as("rate_b"),
+        expr("""CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN NULL
+                ELSE round(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+                           / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END""").as("chi2"),
+        expr("""(a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000
+                > 3841 * (a+b)*(c+d)*(a+c)*(b+d)""").as("significant"))
+  }
+
+  val abTestSql: String =
+    s"""WITH ab_u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM events GROUP BY user_id),
+       |ab_t AS (SELECT count(*) AS nu, CAST(sum(np) AS BIGINT) AS tp FROM ab_u),
+       |ab_c AS (
+       |  SELECT user_id % 2 AS arm, (np * nu > tp) AS conv FROM ab_u CROSS JOIN ab_t),
+       |ab_cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN arm = 0 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN arm = 1 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM ab_c)
+       |SELECT a, b, c, d,
+       |  round(CAST(a AS DOUBLE) / (a + b) + 0.000000001, 6) AS rate_a,
+       |  round(CAST(c AS DOUBLE) / (c + d) + 0.000000001, 6) AS rate_b,
+       |  CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN NULL
+       |    ELSE round(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+       |               / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END AS chi2,
+       |  (a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000
+       |    > 3841 * (a+b)*(c+d)*(a+c)*(b+d) AS significant
+       |FROM ab_cells""".stripMargin
+
   // ---------------------------------------------------------------- №99 compact_plan
   /** Small-file compaction planning — the maintenance operator behind
     * `OPTIMIZE`/compaction jobs (the small-files problem is THE classic

@@ -451,4 +451,31 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(maxSalted * 4 <= maxKey,
       s"salt did not spread the hot key: maxSalted=$maxSalted vs maxKey=$maxKey")
   }
+
+  test("ab_test ≡ plain-Scala 2x2 chi-square; significance decision is the exact rational compare") {
+    import spark.implicits._
+    val row = Analytics.abTest(spark, sf).collect().head
+    val (a, b, c, d) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // recompute the table from raw events
+    val np = graft.Tables(spark, sf).events
+      .select($"user_id", ($"event_type" === "purchase").cast("long").as("p"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nu = np.size.toLong; val tp = np.values.sum
+    def cell(arm: Long, conv: Boolean) =
+      np.count { case (u, n) => u % 2 == arm && (n * nu > tp) == conv }.toLong
+    assert((a, b, c, d) == (cell(0, true), cell(0, false), cell(1, true), cell(1, false)))
+    assert(a + b + c + d == nu)
+    // chi-square and the exact significance decision
+    val n = a + b + c + d
+    val num = n * (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    val chi2 = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(6) == chi2)
+    assert(row.getBoolean(7) == (num * 1000 > 3841 * den),
+      "significance must be the exact integer cross-compare, not a float threshold")
+    // the outcome split does real work: both converted and non-converted exist
+    assert(a + c > 0 && b + d > 0)
+  }
 }
