@@ -965,6 +965,82 @@ object Analytics {
        |FROM sj_e e JOIN sj_d d ON e.skew_user = d.user_id
        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- №132 attribution
+  /** Marketing attribution — FIRST-touch vs LAST-touch click credit for
+    * every purchase, both models in ONE №75-style merge pass (clicks and
+    * purchases union-tagged, one shuffle on user_id, and the SAME running
+    * window carries `first(click, ignoreNulls)` AND `last(click,
+    * ignoreNulls)` — two models cost one window, not two joins). Revenue
+    * is EXACT integer cents (value·100 rounded with the §5 nudge) so the
+    * per-model sums are order-independent BIGINTs — never a float fold.
+    *
+    * Same-ms semantics inherit №75's contract: a click at the purchase's
+    * exact ms is visible (side orders clicks first), last-touch breaks
+    * click ties on max event_id, first-touch on min. Output: 2 rows
+    * (model × attribution rollup) however big the corpus. The oracle is
+    * the independent inequality-join arg-min/arg-max formulation. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms",
+        expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)").as("cents"))
+    val tagged = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts_ms", $"event_id", lit(0).as("side"), lit(0L).as("cents"))
+      .unionByName(e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_ms", $"event_id", lit(1).as("side"), $"cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = graft.CacheRegistry.track(tagged
+      .withColumn("first_click", first(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click", last(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"cents", $"first_click", $"last_click")
+      .persist())
+    def roll(model: String, clickCol: String) =
+      per.agg(
+        count(when(col(clickCol).isNotNull, 1)).as("n_attributed"),
+        count(when(col(clickCol).isNull, 1)).as("n_unattributed"),
+        sum(when(col(clickCol).isNotNull, $"cents").otherwise(0L)).as("cents_attributed"),
+        countDistinct(col(clickCol)).as("n_clicks_credited"))
+        .select(lit(model).as("model"), $"n_attributed", $"n_unattributed",
+          $"cents_attributed", $"n_clicks_credited")
+    roll("first_touch", "first_click")
+      .unionByName(roll("last_touch", "last_click"))
+      .orderBy($"model")
+  }
+
+  val attributionSql: String =
+    s"""WITH at_e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+       |    CAST(round(value * 100 + 0.000000001) AS BIGINT) AS cents
+       |  FROM events),
+       |at_p AS (SELECT * FROM at_e WHERE event_type = 'purchase'),
+       |at_c AS (SELECT * FROM at_e WHERE event_type = 'click'),
+       |at_j AS (
+       |  SELECT p.event_id, p.cents, c.event_id AS c_id,
+       |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts_ms ASC, c.event_id ASC) AS rn_f,
+       |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts_ms DESC, c.event_id DESC) AS rn_l
+       |  FROM at_p p LEFT JOIN at_c c ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms),
+       |at_per AS (
+       |  SELECT f.event_id, f.cents, f.c_id AS first_click, l.c_id AS last_click
+       |  FROM (SELECT event_id, cents, c_id FROM at_j WHERE rn_f = 1) f
+       |  JOIN (SELECT event_id, c_id FROM at_j WHERE rn_l = 1) l USING (event_id))
+       |SELECT 'first_touch' AS model,
+       |  count(CASE WHEN first_click IS NOT NULL THEN 1 END) AS n_attributed,
+       |  count(CASE WHEN first_click IS NULL THEN 1 END) AS n_unattributed,
+       |  CAST(sum(CASE WHEN first_click IS NOT NULL THEN cents ELSE 0 END) AS BIGINT) AS cents_attributed,
+       |  count(DISTINCT first_click) AS n_clicks_credited
+       |FROM at_per
+       |UNION ALL
+       |SELECT 'last_touch' AS model,
+       |  count(CASE WHEN last_click IS NOT NULL THEN 1 END) AS n_attributed,
+       |  count(CASE WHEN last_click IS NULL THEN 1 END) AS n_unattributed,
+       |  CAST(sum(CASE WHEN last_click IS NOT NULL THEN cents ELSE 0 END) AS BIGINT) AS cents_attributed,
+       |  count(DISTINCT last_click) AS n_clicks_credited
+       |FROM at_per
+       |ORDER BY model""".stripMargin
+
   // ---------------------------------------------------------------- №131 ab_test
   /** A/B experiment readout — the two-proportion chi-square table every
     * product-analytics stack ships (and the gate a data pipeline runs
