@@ -1458,6 +1458,57 @@ object TextQueries {
       .orderBy($"pct")
   }
 
+  // ---------------------------------------------------------------- №133 source_quantiles
+  /** №124's exact-quantile histogram formulation GROUPED — per-SOURCE
+    * length deciles+p99 (the per-domain sequence-length planning table:
+    * different crawl sources have different length profiles, and pack
+    * bins / truncation budgets are tuned per domain): the histogram hash
+    * agg keys on (source, length value) — still domain-bounded per
+    * source — and the cumulative window PARTITIONS BY source, so each
+    * partition sorts one source's value domain (~10³ rows), parallel
+    * across sources, never a corpus sort. The per-source total attaches
+    * by a source-keyed equi-join (#sources rows — AQE broadcasts it by
+    * size, not by force). Same integer-exact discrete lower quantile as
+    * №124. */
+  def sourceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables(spark, dir).documents
+      .select($"source", size(words($"text")).as("n_tok"))
+      .groupBy($"source", $"n_tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.groupBy($"source").agg(sum($"cnt").as("n_docs"))
+    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(tot, "source")
+    val aggs = QuantilePcts.map(q =>
+      min(when(lit(100) * $"cum" >= lit(q) * $"n_docs", $"n_tok")).as(s"q$q"))
+    cum.groupBy($"source").agg(aggs.head, aggs.tail: _*)
+      .select($"source", expr(s"stack(${QuantilePcts.length}, " +
+        QuantilePcts.map(q => s"$q, q$q").mkString(", ") + ") AS (pct, n_tok)"))
+      .orderBy($"source", $"pct")
+  }
+
+  val sourceQuantilesSql: String = {
+    val mins = QuantilePcts
+      .map(q => s"min(CASE WHEN 100*cum >= $q*n_docs THEN n_tok END) AS q$q").mkString(",\n    ")
+    val unpivot = QuantilePcts
+      .map(q => s"SELECT source, $q AS pct, q$q AS n_tok FROM sq_a").mkString("\n  UNION ALL ")
+    s"""WITH sq_h AS (
+       |  SELECT source, len(${wordsSql("text")}) AS n_tok, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |sq_n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM sq_h GROUP BY source),
+       |sq_c AS (
+       |  SELECT source, n_tok,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS BIGINT) AS cum
+       |  FROM sq_h),
+       |sq_a AS (
+       |  SELECT source, $mins
+       |  FROM sq_c JOIN sq_n USING (source) GROUP BY source)
+       |SELECT source, pct, n_tok FROM ($unpivot)
+       |ORDER BY source, pct""".stripMargin
+  }
+
   val lengthQuantilesSql: String = {
     val mins = QuantilePcts
       .map(q => s"min(CASE WHEN 100*cum >= $q*n_docs THEN n_tok END) AS q$q").mkString(",\n    ")

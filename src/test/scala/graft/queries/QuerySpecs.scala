@@ -288,6 +288,25 @@ class TextQueriesSpec extends SparkSpec {
     // monotone non-decreasing in q
     assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a <= b })
   }
+
+  test("source_quantiles ≡ per-source sorted ground truth (grouped histogram path)") {
+    val got = TextQueries.sourceQuantiles(spark, sf)
+      .as[(String, Int, Int)].collect().toSeq
+    val lens = graft.Tables(spark, sf).documents
+      .select($"source", size(TextQueries.words($"text")).as("n"))
+      .as[(String, Int)].collect().toSeq
+    val expected = lens.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length.toLong
+      TextQueries.QuantilePcts.map { q =>
+        val rank = (q * n + 99) / 100
+        (src, q, sorted(rank.toInt - 1))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected, "grouped quantiles diverge from the per-source sorted ground truth")
+    // the grouping does real work: sources disagree on at least one pct
+    assert(got.groupBy(_._2).exists { case (_, rows) => rows.map(_._3).distinct.size > 1 })
+  }
 }
 
 class VectorQueriesSpec extends SparkSpec {
