@@ -248,6 +248,70 @@ object PipelineQueries {
        |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)/count(*) + 0.000000001, 6) AS realized
        |FROM k GROUP BY source, rate ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- №134 epoch_expand
+  /** The training mix MATERIALIZED upward — №53 domain_mix's epochs
+    * weights applied by doc REPLICATION (the T5/Gopher "low-resource
+    * domains repeat" step; №61 mix_sample is the downsample half, this is
+    * the epochs > 1 half): each doc emits floor(epochs) copies plus one
+    * fractional copy decided by the №42 md5-threshold rule on the
+    * fractional part (deterministic, run-reproducible, per-row). The
+    * expansion emits (doc_id, copy_idx) REFERENCE pairs with token
+    * counts — never the text: at 100 TB the loader resolves text by id
+    * (replicating payload bytes epochs× would multiply the corpus IO for
+    * nothing). Driver row = the per-source accounting (n_out, realized
+    * epochs vs planned, tokens out) — planned and realized must agree to
+    * the fractional-sampling noise, and the oracle recomputes every
+    * copy-count decision.
+    *
+    * Scale shape: the weight/threshold frame is #sources rows (broadcast
+    * by size); the expansion is a per-row explode bounded by
+    * ceil(epochs); accounting is one bounded hash agg on source. The
+    * fractional part reuses epochs − floor(epochs) — exact in doubles
+    * (integer subtraction below 2⁵²), so both engines derive the
+    * identical 32-bit threshold. */
+  def epochExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = mixWeights(spark, dir)
+      .select($"source", $"n_docs", $"epochs",
+        floor($"epochs").cast("long").as("whole"),
+        lpad(lower(hex(floor(($"epochs" - floor($"epochs")) * 4294967296.0).cast("long"))), 8, "0").as("thresh"))
+    val docs = Tables(spark, dir).documents
+      .select($"source", $"doc_id", size(words($"text")).cast("long").as("n_tok"))
+    val expanded = docs.join(broadcast(rates), "source")
+      .withColumn("extra",
+        (substring(md5($"doc_id".cast("string")), 1, 8) < $"thresh").cast("long"))
+      .withColumn("n_copies", $"whole" + $"extra")
+      .filter($"n_copies" > 0)
+      .select($"source", $"n_docs", $"epochs", $"doc_id", $"n_tok",
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+    expanded.groupBy($"source", $"n_docs", $"epochs")
+      .agg(count(lit(1)).as("n_out"), sum($"n_tok").as("tokens_out"))
+      .select($"source", $"n_docs", $"epochs", $"n_out", $"tokens_out",
+        round($"n_out".cast("double") / $"n_docs" + lit(1e-9), 6).as("realized_epochs"))
+      .orderBy($"source")
+  }
+
+  val epochExpandSql: String =
+    s"""WITH $mixWeightsSql,
+       |ee_r AS (
+       |  SELECT source, n_docs, epochs,
+       |    CAST(floor(epochs) AS BIGINT) AS whole,
+       |    lpad(lower(to_hex(CAST(floor((epochs - floor(epochs)) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
+       |  FROM mixw),
+       |ee_d AS (
+       |  SELECT doc.source, r.n_docs, r.epochs, doc.doc_id,
+       |    CAST(len(${wordsSql("doc.text")}) AS BIGINT) AS n_tok,
+       |    r.whole + CASE WHEN substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 8) < r.thresh
+       |      THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents doc JOIN ee_r r ON doc.source = r.source)
+       |SELECT source, n_docs, epochs,
+       |  CAST(sum(n_copies) AS BIGINT) AS n_out,
+       |  CAST(sum(n_tok * n_copies) AS BIGINT) AS tokens_out,
+       |  round(CAST(sum(n_copies) AS DOUBLE) / n_docs + 0.000000001, 6) AS realized_epochs
+       |FROM ee_d WHERE n_copies > 0
+       |GROUP BY source, n_docs, epochs
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- №54 vocab_coverage
   /** Vocab size for OOV accounting — FIXED (the tokenizer-vocab analogue),
     * so the vocab broadcast is constant-size at any corpus scale, the same

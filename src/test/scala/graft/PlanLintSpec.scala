@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "length_quantiles", // single-row histogram-total broadcast
     "pmi_pairs", // single-row bigram-total broadcast
     "ab_test", // single-row user-totals broadcast
+    "epoch_expand", // domain_mix's single-row totals feed the rates frame
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
     "knn_index_update", // knn_ivf's centroid-broadcast assignment over base ∪ batch

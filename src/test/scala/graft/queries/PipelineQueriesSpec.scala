@@ -379,4 +379,45 @@ class PipelineQueriesSpec extends SparkSpec {
       s"lm_score gate is degenerate: $keeps")
     graft.CacheRegistry.releaseAll(spark)
   }
+
+  test("epoch_expand: copy counts recomputed per doc, realized tracks planned within fractional noise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = PipelineQueries.epochExpand(spark, sf)
+      .as[(String, Long, Double, Long, Long, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val weights = PipelineQueries.mixWeights(spark, sf)
+      .select($"source", $"epochs").as[(String, Double)].collect().toMap
+    graft.CacheRegistry.releaseAll(spark)
+    val docs = graft.Tables(spark, sf).documents
+      .select($"source", $"doc_id", size(TextQueries.words($"text")).cast("long").as("n"))
+      .as[(String, Long, Long)].collect().toSeq
+    def md5hex8(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, rows) =>
+      val e = weights(src)
+      val whole = math.floor(e).toLong
+      val thresh = f"${math.floor((e - math.floor(e)) * 4294967296.0).toLong}%08x"
+      val copies = rows.map { case (_, id, n) =>
+        (n, whole + (if (md5hex8(id) < thresh) 1L else 0L))
+      }
+      val nOut = copies.map(_._2).sum
+      (src, rows.size.toLong, e, nOut,
+        copies.map { case (n, c) => n * c }.sum,
+        BigDecimal(nOut.toDouble / rows.size + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._4 > 0).sortBy(_._1)
+    assert(got == expected, "expansion accounting must equal the per-doc recomputation")
+    // realized epochs tracks planned within the ±1-copy fractional noise,
+    // and the fractional sampler actually fires both ways somewhere
+    assert(got.forall { case (_, _, planned, _, _, realized) => math.abs(realized - planned) <= 1.0 })
+    val fracDiffer = got.exists { case (src, nd, planned, nOut, _, _) =>
+      nOut != math.floor(planned).toLong * nd && nOut != (math.floor(planned).toLong + 1) * nd
+    }
+    assert(got.nonEmpty && (fracDiffer || got.exists { case (_, nd, planned, nOut, _, _) =>
+      nOut != math.floor(planned).toLong * nd }), "fractional sampling never fired")
+  }
 }
