@@ -248,6 +248,82 @@ object PipelineQueries {
        |  round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)/count(*) + 0.000000001, 6) AS realized
        |FROM k GROUP BY source, rate ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- №135 contract_check
+  /** Data-contract expectations report (the great-expectations/dbt-test
+    * staple — the gate a pipeline runs on every landed batch before
+    * downstream jobs trust it): a declarative rule list over documents
+    * and events — uniqueness, non-emptiness, enum membership, pattern
+    * match, range bounds — each emitting (table, rule, n_checked,
+    * n_violations, pass). The report deliberately mixes green rules with
+    * review thresholds that DO flag rows on this corpus (length/value
+    * caps), so both verdict branches are exercised.
+    *
+    * Scale shape: ONE conditional-aggregation pass per table (all rules
+    * ride the same scan as filtered sums — never one scan per rule),
+    * output bounded by the rule count. Uniqueness via count −
+    * count(distinct) inside the same agg. */
+  def contractCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    def report(tab: String, agg: DataFrame, rules: Seq[String]): DataFrame =
+      agg.select(lit(tab).as("tab"),
+        expr(s"stack(${rules.length}, " +
+          rules.map(r => s"'$r', v_$r").mkString(", ") + ") AS (rule, n_violations)"),
+        $"n_checked")
+        .select($"tab", $"rule", $"n_checked", $"n_violations",
+          ($"n_violations" === 0L).as("pass"))
+    val d = Tables(spark, dir).documents.agg(
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct($"doc_id")).as("v_doc_id_unique"),
+      sum(when($"text".isNull || length($"text") === 0, 1L).otherwise(0L)).as("v_text_nonempty"),
+      sum(when(!$"lang".isin(langs.map(lit(_)): _*), 1L).otherwise(0L)).as("v_lang_enum"),
+      sum(when(!$"source".rlike("^src[0-9]+$"), 1L).otherwise(0L)).as("v_source_pattern"),
+      sum(when(length($"text") > 256, 1L).otherwise(0L)).as("v_text_len_le_256"))
+    val e = Tables(spark, dir).events.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(!$"event_type".isin(types.map(lit(_)): _*), 1L).otherwise(0L)).as("v_event_type_enum"),
+      sum(when(!($"value" > 0.0), 1L).otherwise(0L)).as("v_value_positive"),
+      sum(when($"value" > 250.0, 1L).otherwise(0L)).as("v_value_le_250"),
+      sum(when($"ts_ms" < 1704067200000L || $"ts_ms" >= 1706745600000L, 1L).otherwise(0L)).as("v_ts_in_window"))
+    report("documents", d,
+      Seq("doc_id_unique", "text_nonempty", "lang_enum", "source_pattern", "text_len_le_256"))
+      .unionByName(report("events", e,
+        Seq("event_type_enum", "value_positive", "value_le_250", "ts_in_window")))
+      .orderBy($"tab", $"rule")
+  }
+
+  val contractCheckSql: String =
+    s"""WITH cc_d AS (
+       |  SELECT count(*) AS n_checked,
+       |    count(*) - count(DISTINCT doc_id) AS v_doc_id_unique,
+       |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_text_nonempty,
+       |    CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_enum,
+       |    CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS v_source_pattern,
+       |    CAST(sum(CASE WHEN length(text) > 256 THEN 1 ELSE 0 END) AS BIGINT) AS v_text_len_le_256
+       |  FROM documents),
+       |cc_e AS (
+       |  SELECT count(*) AS n_checked,
+       |    CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_event_type_enum,
+       |    CAST(sum(CASE WHEN NOT (value > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_value_positive,
+       |    CAST(sum(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_value_le_250,
+       |    CAST(sum(CASE WHEN epoch_ms(ts) < 1704067200000 OR epoch_ms(ts) >= 1706745600000 THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_in_window
+       |  FROM events),
+       |rows_d AS (
+       |  SELECT 'documents' AS tab, r.rule, n_checked, r.v AS n_violations
+       |  FROM cc_d, LATERAL (VALUES
+       |    ('doc_id_unique', v_doc_id_unique), ('text_nonempty', v_text_nonempty),
+       |    ('lang_enum', v_lang_enum), ('source_pattern', v_source_pattern),
+       |    ('text_len_le_256', v_text_len_le_256)) r(rule, v)),
+       |rows_e AS (
+       |  SELECT 'events' AS tab, r.rule, n_checked, r.v AS n_violations
+       |  FROM cc_e, LATERAL (VALUES
+       |    ('event_type_enum', v_event_type_enum), ('value_positive', v_value_positive),
+       |    ('value_le_250', v_value_le_250), ('ts_in_window', v_ts_in_window)) r(rule, v))
+       |SELECT tab, rule, n_checked, n_violations, n_violations = 0 AS pass
+       |FROM (SELECT * FROM rows_d UNION ALL SELECT * FROM rows_e)
+       |ORDER BY tab, rule""".stripMargin
+
   // ---------------------------------------------------------------- №134 epoch_expand
   /** The training mix MATERIALIZED upward — №53 domain_mix's epochs
     * weights applied by doc REPLICATION (the T5/Gopher "low-resource

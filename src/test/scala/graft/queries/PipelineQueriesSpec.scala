@@ -420,4 +420,35 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.nonEmpty && (fracDiffer || got.exists { case (_, nd, planned, nOut, _, _) =>
       nOut != math.floor(planned).toLong * nd }), "fractional sampling never fired")
   }
+
+  test("contract_check ≡ plain-Scala rule recomputation; report mixes green and flagged rules") {
+    import spark.implicits._
+    val got = PipelineQueries.contractCheck(spark, sf)
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect().toSeq
+    val evs = graft.Tables(spark, sf).events
+      .select($"event_type", $"value", $"ts_ms")
+      .as[(String, Double, Long)].collect().toSeq
+    val langs = Set("en", "de", "es", "fr", "zh")
+    val types = Set("view", "click", "purchase", "signup", "error")
+    val expected = (Seq(
+      ("documents", "doc_id_unique", docs.size.toLong - docs.map(_._1).distinct.size),
+      ("documents", "lang_enum", docs.count(d => !langs(d._3)).toLong),
+      ("documents", "source_pattern", docs.count(d => !d._4.matches("src[0-9]+")).toLong),
+      ("documents", "text_len_le_256", docs.count(_._2.length > 256).toLong),
+      ("documents", "text_nonempty", docs.count(d => d._2 == null || d._2.isEmpty).toLong),
+      ("events", "event_type_enum", evs.count(e => !types(e._1)).toLong),
+      ("events", "ts_in_window", evs.count(e => e._3 < 1704067200000L || e._3 >= 1706745600000L).toLong),
+      ("events", "value_le_250", evs.count(_._2 > 250.0).toLong),
+      ("events", "value_positive", evs.count(e => !(e._2 > 0.0)).toLong))
+      .map { case (t, r, v) =>
+        (t, r, if (t == "documents") docs.size.toLong else evs.size.toLong, v, v == 0L)
+      }).sortBy(t => (t._1, t._2))
+    assert(got == expected, "contract report must equal the plain-Scala rule recomputation")
+    // both branches live: green rules and flagged rules both present
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"report is degenerate (all pass or all fail): $got")
+  }
 }
