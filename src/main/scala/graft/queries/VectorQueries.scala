@@ -1094,12 +1094,11 @@ object VectorQueries {
       .foldLeft(1L)((l, d) => l / gcd(l, d) * d)
   }
 
-  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** The №122 embedding leg as a standalone ranked frame (q_doc, doc_id,
+    * rank ≤ SearchK) — shared with №136 retrieval_eval, where it is the
+    * GOLD ranking the lexical systems are graded against. */
+  private[queries] def embRanked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val contrib = expr(s"CAST($RrfL DIV ($RrfBase + rank) AS BIGINT)")
-    val bmLeg = TextQueries.bm25Search(spark, dir)
-      .select($"q_doc", $"doc_id", contrib.as("contrib"),
-        $"rank".cast("int").as("bm25_rank"), lit(null).cast("int").as("emb_rank"))
     // persisted barrier before the HOF dot-product lambda (§9) + one
     // embedding pass shared between query and corpus sides
     val v = graft.CacheRegistry.track(
@@ -1113,7 +1112,25 @@ object VectorQueries {
           aggregate(zip_with($"emb_arr", $"q_emb", (x, y) => x * y), lit(0L), (acc, p) => acc + p)
             .cast("double") /
             (sqrt($"norm_sq".cast("double")) * sqrt($"q_norm".cast("double"))), 6).as("cos"))
-    val embLeg = topKRanked(scored, "q_doc", "cos", "doc_id", TextQueries.SearchK)
+    topKRanked(scored, "q_doc", "cos", "doc_id", TextQueries.SearchK)
+      .select($"q_doc", $"doc_id", $"rank")
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridFrom(TextQueries.bm25Search(spark, dir), embRanked(spark, dir))
+
+  /** Fusion over two PRE-RANKED legs (q_doc, doc_id, rank) — №122's body,
+    * shared with №136 retrieval_eval so the eval's "hybrid" is literally
+    * the operator over the same persisted legs (one tf-idf pass and one
+    * embedding pass serve gold, bm25 and hybrid alike). */
+  private[queries] def hybridFrom(bmRanked: DataFrame, embRankedF: DataFrame): DataFrame = {
+    val spark = bmRanked.sparkSession
+    import spark.implicits._
+    val contrib = expr(s"CAST($RrfL DIV ($RrfBase + rank) AS BIGINT)")
+    val bmLeg = bmRanked
+      .select($"q_doc", $"doc_id", contrib.as("contrib"),
+        $"rank".cast("int").as("bm25_rank"), lit(null).cast("int").as("emb_rank"))
+    val embLeg = embRankedF
       .select($"q_doc", $"doc_id", contrib.as("contrib"),
         lit(null).cast("int").as("bm25_rank"), $"rank".cast("int").as("emb_rank"))
     val fused = bmLeg.unionByName(embLeg)
@@ -1128,8 +1145,10 @@ object VectorQueries {
       .orderBy($"q_doc", $"rank")
   }
 
-  val hybridSearchSql: String =
-    s"""WITH ${TextQueries.bm25CtesSql},
+  /** The №122 CTE chain up to the fused ranked frame `fr` (and the
+    * embedding leg `her`) — shared with №136 retrieval_eval. */
+  private[queries] val hybridCtesSql: String =
+    s"""${TextQueries.bm25CtesSql},
        |${PipelineQueries.embDimsCtesSql},
        |hnrm AS (SELECT doc_id, CAST(sum(e*e) AS BIGINT) AS norm_sq FROM e GROUP BY doc_id),
        |hdot AS (
@@ -1162,10 +1181,95 @@ object VectorQueries {
        |fr AS (
        |  SELECT q_doc, doc_id, rrf_score, bm25_rank, emb_rank,
        |    row_number() OVER (PARTITION BY q_doc ORDER BY rrf_score DESC, doc_id) AS rank
-       |  FROM fused)
+       |  FROM fused)""".stripMargin
+
+  val hybridSearchSql: String =
+    s"""WITH $hybridCtesSql
        |SELECT q_doc, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score, bm25_rank, emb_rank
        |FROM fr WHERE rank <= $FuseK
        |ORDER BY q_doc, rank""".stripMargin
+
+  // ---------------------------------------------------------------- №136 retrieval_eval
+  /** Retrieval-quality scorecard — the №27c knn_recall ethos applied to
+    * the TEXT retrieval family: №91 bm25_search and №122 hybrid_search
+    * graded against the №136-gold = the embedding cosine ranking
+    * ([[embRanked]] — the semantic signal), so the table answers "how
+    * much semantic recall does lexical retrieval give up, and how much
+    * does fusion buy back" with MEASURED numbers, not assertions.
+    *
+    * Metrics per system: overlap@K (|gold top-K ∩ system top-K| / K;
+    * self is a member of both by construction — the shared anchor) and
+    * MRR of the top NON-self gold doc in the system's ranking —
+    * INTEGER-EXACT via the №122 lcm trick: reciprocal rank = [[MrrL]]
+    * DIV rank (L = lcm(1..K) = 2520), summed as exact BIGINTs, one
+    * final 6dp division. Every ranking comes from the operator's OWN
+    * shared fragment (bm25Search / hybridSearch / embRanked — the
+    * filter_agreement discipline), so the eval cannot drift from the
+    * operators it grades. Output: 2 rows. */
+  val MrrL: Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to TextQueries.SearchK).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+  }
+
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gold = graft.CacheRegistry.track(embRanked(spark, dir).persist())
+    val w = Window.partitionBy($"q_doc").orderBy($"rank")
+    val gold1 = gold.filter($"doc_id" =!= $"q_doc")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"q_doc", $"doc_id")
+    val qs = gold.select($"q_doc").distinct()
+    def evalSys(system: String, sysFrame: DataFrame): DataFrame = {
+      val s = graft.CacheRegistry.track(sysFrame.persist())
+      val ov = gold.join(s, Seq("q_doc", "doc_id")).groupBy($"q_doc").agg(count(lit(1)).as("ov"))
+      val rr = gold1.join(s, Seq("q_doc", "doc_id"), "left")
+        .select($"q_doc", coalesce(expr(s"CAST($MrrL DIV rank AS BIGINT)"), lit(0L)).as("rr"))
+      qs.join(ov, Seq("q_doc"), "left").join(rr, Seq("q_doc"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce($"ov", lit(0L))).as("sum_ov"),
+          sum(coalesce($"rr", lit(0L))).as("sum_rr"))
+        .select(lit(system).as("system"), $"n_queries",
+          round($"sum_ov".cast("double") / ($"n_queries" * TextQueries.SearchK) + lit(1e-9), 6).as("overlap_at_k"),
+          round($"sum_rr".cast("double") / ($"n_queries" * MrrL) + lit(1e-9), 6).as("mrr"))
+    }
+    // ONE tf-idf pass and one embedding pass serve all three rankings:
+    // gold (already persisted above), bm25, and the hybrid built from them
+    val bm = graft.CacheRegistry.track(
+      TextQueries.bm25Search(spark, dir).select($"q_doc", $"doc_id", $"rank").persist())
+    val hy = hybridFrom(bm, gold).select($"q_doc", $"doc_id", $"rank")
+    evalSys("bm25", bm).unionByName(evalSys("hybrid", hy)).orderBy($"system")
+  }
+
+  val retrievalEvalSql: String = {
+    val k = TextQueries.SearchK
+    def sys(name: String, cte: String): String =
+      s"""re_ov_$name AS (
+         |  SELECT g.q_doc, count(*) AS ov
+         |  FROM re_gold g JOIN $cte s USING (q_doc, doc_id) GROUP BY 1),
+         |re_rr_$name AS (
+         |  SELECT g.q_doc, coalesce(CAST(max($MrrL // s.rank) AS BIGINT), 0) AS rr
+         |  FROM re_g1 g LEFT JOIN $cte s USING (q_doc, doc_id) GROUP BY 1),
+         |re_row_$name AS (
+         |  SELECT '$name' AS system, count(*) AS n_queries,
+         |    round(CAST(sum(coalesce(o.ov, 0)) AS DOUBLE) / (count(*) * $k) + 0.000000001, 6) AS overlap_at_k,
+         |    round(CAST(sum(coalesce(r.rr, 0)) AS DOUBLE) / (count(*) * $MrrL) + 0.000000001, 6) AS mrr
+         |  FROM re_qs q LEFT JOIN re_ov_$name o USING (q_doc) LEFT JOIN re_rr_$name r USING (q_doc))""".stripMargin
+    s"""WITH $hybridCtesSql,
+       |re_gold AS (SELECT q_doc, doc_id, rank FROM her WHERE rank <= $k),
+       |re_g1 AS (
+       |  SELECT q_doc, doc_id FROM (
+       |    SELECT q_doc, doc_id, row_number() OVER (PARTITION BY q_doc ORDER BY rank) AS rn
+       |    FROM re_gold WHERE doc_id <> q_doc) WHERE rn = 1),
+       |re_qs AS (SELECT DISTINCT q_doc FROM re_gold),
+       |re_sb AS (SELECT q_doc, doc_id, rank FROM bmr WHERE rank <= $k),
+       |re_sh AS (SELECT q_doc, doc_id, rank FROM fr WHERE rank <= $FuseK),
+       |${sys("bm25", "re_sb")},
+       |${sys("hybrid", "re_sh")}
+       |SELECT * FROM re_row_bm25 UNION ALL SELECT * FROM re_row_hybrid
+       |ORDER BY system""".stripMargin
+  }
 
   // ---------------------------------------------------------------- №92 text_cluster
   /** K-means document clustering over the №82 feature-hashed embeddings —

@@ -19,6 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "filter_agreement", // composes lm_score's total-N broadcast
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
     "hybrid_search", // embed_knn's broadcast-scan leg + bm25's total-N broadcast
+    "retrieval_eval", // composes hybrid_search's legs (same broadcasts)
     "heavy_hitters", // single-row total-N broadcast (the lm_score class)
     "stream_heavy_hitters", // №123's verify pass over the streamed candidates
     "length_quantiles", // single-row histogram-total broadcast

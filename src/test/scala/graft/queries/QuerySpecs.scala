@@ -554,6 +554,50 @@ class VectorQueriesSpec extends SparkSpec {
       assert(VectorQueries.RrfL % (VectorQueries.RrfBase + r) == 0L,
         s"RrfL not divisible by ${VectorQueries.RrfBase + r}")
     }
+    (1 to TextQueries.SearchK).foreach { r =>
+      assert(VectorQueries.MrrL % r == 0L, s"MrrL not divisible by $r")
+    }
+  }
+
+  test("retrieval_eval ≡ plain-Scala scorecard; fusion measurably beats lexical-only") {
+    val got = VectorQueries.retrievalEval(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val gold = VectorQueries.embRanked(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val bm = TextQueries.bm25Search(spark, sf)
+      .select("q_doc", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val hy = VectorQueries.hybridSearch(spark, sf)
+      .select("q_doc", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val goldByQ = gold.groupBy(_._1)
+    val qs = goldByQ.keySet.toSeq.sorted
+    def score(name: String, sys: Seq[(Long, Long, Long)]): (String, Long, Double, Double) = {
+      val byQ = sys.groupBy(_._1)
+      val L = VectorQueries.MrrL
+      var sumOv = 0L; var sumRr = 0L
+      qs.foreach { q =>
+        val g = goldByQ(q).map(_._2).toSet
+        val s = byQ.getOrElse(q, Seq.empty)
+        sumOv += s.count(r => g(r._2))
+        val g1 = goldByQ(q).filter(_._2 != q).minBy(_._3)._2
+        sumRr += s.find(_._2 == g1).map(r => L / r._3).getOrElse(0L)
+      }
+      def r6(x: Double) = BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (name, qs.size.toLong,
+        r6(sumOv.toDouble / (qs.size * TextQueries.SearchK)),
+        r6(sumRr.toDouble / (qs.size * L)))
+    }
+    val expected = Seq(score("bm25", bm), score("hybrid", hy)).sortBy(_._1)
+    assert(got == expected, "scorecard must equal the plain-Scala recomputation")
+    // fusion does real measurable work on this corpus
+    val Seq(b, h) = got
+    assert(h._3 > b._3 && h._4 > b._4,
+      s"hybrid does not beat bm25 on semantic recall: $got")
   }
 }
 
