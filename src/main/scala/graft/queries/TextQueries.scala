@@ -1458,6 +1458,80 @@ object TextQueries {
       .orderBy($"pct")
   }
 
+  // ---------------------------------------------------------------- №137 span_corrupt
+  /** T5/UL2-style SPAN CORRUPTION — the denoising-pretraining data prep
+    * (Raffel et al. 2020): each doc's token stream becomes an
+    * (input, target) pair where masked spans are replaced by numbered
+    * sentinels in the input and emitted after their sentinel in the
+    * target. Spans are chosen DETERMINISTICALLY with non-overlap BY
+    * CONSTRUCTION: tokens partition into fixed blocks of [[SpanBlock]],
+    * and block b masks positions [2, 2+L_b) where L_b = 1 + (first
+    * md5(doc_id:b) nibble mod 3) — ≈29% masked in expectation, no span
+    * merge logic to disagree on (the classic iid-span samplers need
+    * overlap resolution; the block grid doesn't). Every decision is the
+    * same closed-form md5-nibble arithmetic in both engines.
+    *
+    * Scale shape: a pure per-row projection — tokenize, one HOF pass
+    * over the block grid, two array_joins; ZERO shuffles (the doc_chunk
+    * class). The spec reconstructs the ORIGINAL token stream from
+    * (input, target) for every doc — the round trip a training pipeline
+    * depends on (detokenizing a model's span predictions back into
+    * text). */
+  val SpanBlock = 7
+
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("ws"))
+      .withColumn("n", size($"ws"))
+      .filter($"n" >= 8)
+      .withColumn("nb", expr(s"CAST((n + ${SpanBlock - 1}) DIV $SpanBlock AS INT)"))
+    val lx = "1 + (CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 1), 16, 10) AS INT) % 3)"
+    val sz = s"least($SpanBlock, n - b*$SpanBlock)"
+    val inputArr =
+      s"""flatten(transform(sequence(0, nb - 1), b ->
+         |  concat(
+         |    slice(ws, b*$SpanBlock + 1, least(2, $sz)),
+         |    CASE WHEN $sz > 2 THEN array(concat('<extra_id_', b, '>')) ELSE slice(ws, 1, 0) END,
+         |    slice(ws, b*$SpanBlock + 2 + ($lx) + 1, greatest(0, ($sz) - 2 - ($lx))))))""".stripMargin
+    val targetArr =
+      s"""flatten(transform(sequence(0, nb - 1), b ->
+         |  CASE WHEN $sz > 2
+         |    THEN concat(array(concat('<extra_id_', b, '>')),
+         |                slice(ws, b*$SpanBlock + 3, least($lx, ($sz) - 2)))
+         |    ELSE slice(ws, 1, 0) END))""".stripMargin
+    val maskedCnt =
+      s"aggregate(sequence(0, nb - 1), 0, (acc, b) -> acc + greatest(0, least($lx, ($sz) - 2)))"
+    base.select($"doc_id", $"n".as("n_tok"),
+      expr(maskedCnt).as("n_masked"),
+      array_join(expr(inputArr), " ").as("input"),
+      array_join(expr(targetArr), " ").as("target"))
+      .orderBy($"doc_id")
+  }
+
+  val spanCorruptSql: String = {
+    val B = SpanBlock
+    val lx = s"(1 + ((strpos('0123456789abcdef', substr(md5(doc_id || ':' || b), 1, 1)) - 1) % 3))"
+    val sz = s"least($B, n - b*$B)"
+    s"""WITH sc_w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |sc_d AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM sc_w WHERE len(ws) >= 8),
+       |sc_p AS (SELECT doc_id, ws, n, (n + ${B - 1}) // $B AS nb FROM sc_d)
+       |SELECT doc_id, n AS n_tok,
+       |  CAST(list_sum(list_transform(range(0, nb), b ->
+       |    greatest(0, least($lx, ($sz) - 2)))) AS INT) AS n_masked,
+       |  array_to_string(flatten(list_transform(range(0, nb), b ->
+       |    list_concat(list_concat(
+       |      ws[b*$B + 1 : b*$B + least(2, $sz)],
+       |      CASE WHEN $sz > 2 THEN ['<extra_id_' || b || '>'] ELSE [] END),
+       |      ws[b*$B + 2 + $lx + 1 : b*$B + $sz]))), ' ') AS input,
+       |  array_to_string(flatten(list_transform(range(0, nb), b ->
+       |    CASE WHEN $sz > 2
+       |      THEN list_concat(['<extra_id_' || b || '>'],
+       |                       ws[b*$B + 3 : b*$B + 2 + least($lx, ($sz) - 2)])
+       |      ELSE [] END)), ' ') AS target
+       |FROM sc_p ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- №133 source_quantiles
   /** №124's exact-quantile histogram formulation GROUPED — per-SOURCE
     * length deciles+p99 (the per-domain sequence-length planning table:

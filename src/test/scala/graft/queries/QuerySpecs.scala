@@ -289,6 +289,35 @@ class TextQueriesSpec extends SparkSpec {
     assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a <= b })
   }
 
+  test("span_corrupt: (input, target) reconstructs the original token stream; mask fraction in band") {
+    val rows = TextQueries.spanCorrupt(spark, sf)
+      .as[(Long, Int, Int, String, String)].collect().toSeq
+    val texts = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nMasked, input, target) =>
+      val orig = texts(id).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      assert(orig.size == nTok, s"doc $id token count")
+      // parse the target into sentinel -> masked-span
+      val spans = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector.empty }
+        else spans(cur) = spans(cur) :+ t
+      }
+      // splice each span back at its sentinel: must reproduce the original
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+      }
+      assert(rebuilt == orig, s"doc $id does not reconstruct")
+      assert(nMasked > 0 && nMasked < nTok, s"doc $id degenerate mask: $nMasked of $nTok")
+    }
+    // corpus-level mask rate ≈ 2/7 by construction
+    val rate = rows.map(_._3.toLong).sum.toDouble / rows.map(_._2.toLong).sum
+    assert(rate > 0.15 && rate < 0.45, s"mask rate out of band: $rate")
+  }
+
   test("source_quantiles ≡ per-source sorted ground truth (grouped histogram path)") {
     val got = TextQueries.sourceQuantiles(spark, sf)
       .as[(String, Int, Int)].collect().toSeq
