@@ -310,6 +310,13 @@ object TextQueries {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccardFrom(graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist()))
 
+  /** The 5-gram shingle-set expression over a `ws` column — ONE
+    * definition shared by №24 and №138 contrastive_triplets. Guard
+    * size(ws)>=5: Spark's sequence(0, n) with n<0 DESCENDS — short docs
+    * must yield an empty shingle set (as DuckDB's range() does). */
+  private[queries] val ShingleCase: String =
+    "CASE WHEN size(ws) >= 5 THEN array_sort(array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) ELSE array() END"
+
   /** Body over a PERSISTED (doc_id, ws) frame — shared with
     * [[HashDedup.dedupRecall]], which tokenizes once for all three
     * finders. */
@@ -322,9 +329,7 @@ object TextQueries {
     // runs ~10x per row. At cluster scale this is the classic
     // "cache the normalized corpus before a multi-consumer DAG" pattern.
     val c = graft.CacheRegistry.track(tok
-      // guard size(ws)>=5: Spark's sequence(0, n) with n<0 DESCENDS — short
-      // docs must yield an empty shingle set (as DuckDB's range() does).
-      .withColumn("sh", expr("CASE WHEN size(ws) >= 5 THEN array_sort(array_distinct(transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) ELSE array() END"))
+      .withColumn("sh", expr(ShingleCase))
       .withColumn("n_sh", size($"sh"))
       // prefix length for τ=3/5: n − ⌈3n/5⌉ + 1  (= ⌊2n/5⌋+1)
       .withColumn("pfx", expr("slice(sh, 1, greatest(n_sh - CAST((3*n_sh + 4) DIV 5 AS INT) + 1, 0))"))
@@ -345,8 +350,10 @@ object TextQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val dedupNgramJaccardSql: String =
-    s"""WITH $dupCorpusSql,
+  /** №24's CTE chain up to the verified-pairs frame `vp` (and the shingle
+    * sets `s`) — shared with №138 contrastive_triplets. */
+  private[queries] val ngramJaccardCtesSql: String =
+    s"""$dupCorpusSql,
        |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
        |s AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
@@ -355,11 +362,85 @@ object TextQueries {
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b, common, n_a, n_b,
-       |  round(CAST(common AS DOUBLE)/(n_a + n_b - common) + 0.000000001, 6) AS jaccard
-       |FROM p WHERE common * 5 >= (n_a + n_b - common) * 3
+       |  GROUP BY 1, 2, 3, 4),
+       |vp AS (
+       |  SELECT doc_a, doc_b, common, n_a, n_b,
+       |    round(CAST(common AS DOUBLE)/(n_a + n_b - common) + 0.000000001, 6) AS jaccard
+       |  FROM p WHERE common * 5 >= (n_a + n_b - common) * 3)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $ngramJaccardCtesSql
+       |SELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM vp
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- №138 contrastive_triplets
+  /** (anchor, positive, negative) TRIPLETS for contrastive embedding
+    * training (the SimCSE/E5-class hard-pair mining prep): positives are
+    * №24's VERIFIED near-dup pairs (the operator's own output — mining
+    * cannot drift from dedup), negatives are deterministic md5-derived
+    * picks from the base corpus (12-hex-nibble integer mod N, one
+    * fix-up step if the pick collides with the anchor), and BOTH sides'
+    * similarity is MEASURED into the row: pos_jaccard from the verified
+    * pair, neg_jaccard recomputed over the same [[ShingleCase]] shingle
+    * sets, margin = their 6dp difference — the triplet quality a
+    * training run depends on, shipped per row instead of assumed.
+    *
+    * Scale shape: pair frame is the №24 output (near-dup-bounded, never
+    * corpus²); the negative jaccard joins are triplet-bounded against
+    * the persisted shingle frame; single-row N broadcast. */
+  def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist())
+    val pairs = dedupNgramJaccardFrom(tok)
+      .select($"doc_a".as("anchor"), $"doc_b".as("positive"), $"jaccard".as("pos_jaccard"))
+    val sh = graft.CacheRegistry.track(tok
+      .withColumn("sh", expr(ShingleCase))
+      .select($"doc_id", $"sh", size($"sh").as("n_sh")).persist())
+    val n = Tables(spark, dir).documents.agg(count(lit(1)).as("n_docs"))
+    val withNeg = pairs.crossJoin(broadcast(n))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(concat(CAST(anchor AS STRING), ':neg')), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("neg0", $"h" % $"n_docs")
+      .withColumn("negative",
+        when($"neg0" === $"anchor", ($"neg0" + 1) % $"n_docs").otherwise($"neg0"))
+    withNeg
+      .join(sh.select($"doc_id".as("anchor"), $"sh".as("sh_a"), $"n_sh".as("n_a")), "anchor")
+      .join(sh.select($"doc_id".as("negative"), $"sh".as("sh_n"), $"n_sh".as("n_n")), "negative")
+      .withColumn("common", size(array_intersect($"sh_a", $"sh_n")))
+      .select($"anchor", $"positive", $"negative", $"pos_jaccard",
+        round($"common".cast("double") / ($"n_a" + $"n_n" - $"common") + lit(1e-9), 6).as("neg_jaccard"))
+      .withColumn("margin", round($"pos_jaccard" - $"neg_jaccard" + lit(1e-9), 6))
+      .orderBy($"anchor", $"positive")
+  }
+
+  val contrastiveTripletsSql: String =
+    s"""WITH $ngramJaccardCtesSql,
+       |ct_n AS (SELECT count(*) AS n_docs FROM documents),
+       |ct_p AS (
+       |  SELECT doc_a AS anchor, doc_b AS positive, jaccard AS pos_jaccard FROM vp),
+       |ct_h AS (
+       |  SELECT anchor, positive, pos_jaccard,
+       |    CAST(list_sum(list_transform(range(0, 12), j ->
+       |      (strpos('0123456789abcdef', substr(md5(anchor || ':neg'), CAST(j + 1 AS INT), 1)) - 1)
+       |        * (CAST(1 AS BIGINT) << CAST(4 * (11 - j) AS INT)))) AS BIGINT) AS h,
+       |    n_docs
+       |  FROM ct_p CROSS JOIN ct_n),
+       |ct_w AS (
+       |  SELECT anchor, positive, pos_jaccard,
+       |    CASE WHEN h % n_docs = anchor THEN (h % n_docs + 1) % n_docs ELSE h % n_docs END AS negative
+       |  FROM ct_h),
+       |ct_s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s)
+       |SELECT w.anchor, w.positive, w.negative, w.pos_jaccard,
+       |  round(CAST(len(list_intersect(a.sh, n.sh)) AS DOUBLE)
+       |        / (a.n_sh + n.n_sh - len(list_intersect(a.sh, n.sh))) + 0.000000001, 6) AS neg_jaccard,
+       |  round(w.pos_jaccard
+       |        - round(CAST(len(list_intersect(a.sh, n.sh)) AS DOUBLE)
+       |                / (a.n_sh + n.n_sh - len(list_intersect(a.sh, n.sh))) + 0.000000001, 6)
+       |        + 0.000000001, 6) AS margin
+       |FROM ct_w w
+       |JOIN ct_s a ON a.doc_id = w.anchor
+       |JOIN ct_s n ON n.doc_id = w.negative
+       |ORDER BY anchor, positive""".stripMargin
   // ---------------------------------------------------------------- №40 dedup_cluster
   /** Duplicate CLUSTERING — the step a training-data pipeline runs after
     * pair-finding: connected components over the verified near-dup pairs

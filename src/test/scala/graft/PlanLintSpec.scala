@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpec {
     "pmi_pairs", // single-row bigram-total broadcast
     "ab_test", // single-row user-totals broadcast
     "epoch_expand", // domain_mix's single-row totals feed the rates frame
+    "contrastive_triplets", // single-row corpus-count broadcast for the negative pick
     "source_drift", // #sources x 10-bin cell frame + single-row grand total
     "keyword_extract", "bm25_search", // single-row total-N broadcast (tf-idf)
     "knn_index_update", // knn_ivf's centroid-broadcast assignment over base ∪ batch

@@ -318,6 +318,27 @@ class TextQueriesSpec extends SparkSpec {
     assert(rate > 0.15 && rate < 0.45, s"mask rate out of band: $rate")
   }
 
+  test("contrastive_triplets: every triplet separates (margin > 0), negatives valid, no pair dropped") {
+    val got = TextQueries.contrastiveTriplets(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val nPairs = TextQueries.dedupNgramJaccard(spark, sf).count()
+    graft.CacheRegistry.releaseAll(spark)
+    val nDocs = graft.Tables(spark, sf).documents.count()
+    assert(got.size.toLong == nPairs, s"${got.size} triplets from $nPairs verified pairs — drops")
+    got.foreach { case (a, p, n, pj, nj, m) =>
+      assert(n >= 0 && n < nDocs && n != a, s"invalid negative $n for anchor $a")
+      assert(m > 0 && pj > nj, s"non-separating triplet ($a, $p, $n): pos=$pj neg=$nj")
+      // the deterministic pick is reproducible in plain Scala
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:neg".getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(md5, 16)
+      val n0 = h % nDocs
+      assert(n == (if (n0 == a) (n0 + 1) % nDocs else n0), s"negative pick mismatch for $a")
+    }
+  }
+
   test("source_quantiles ≡ per-source sorted ground truth (grouped histogram path)") {
     val got = TextQueries.sourceQuantiles(spark, sf)
       .as[(String, Int, Int)].collect().toSeq
