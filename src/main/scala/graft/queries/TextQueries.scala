@@ -1246,6 +1246,51 @@ object TextQueries {
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №140 bpe_fertility
+  /** Tokenizer FERTILITY per language — BPE tokens per word (the
+    * tokenizer-equity metric multilingual teams track: an
+    * English-dominated merge table "taxes" other languages with more
+    * tokens per word, inflating their effective sequence length and
+    * training cost): the №108 encode chain's per-doc counts
+    * ([[bpeDocCounts]] — the SAME fragment, fertility cannot drift from
+    * the encoder) rolled up per lang, fertility as EXACT integer ppm
+    * (bpe_tokens·10⁶ DIV words). The per-lang spread is MEASURED — on
+    * this synthetic corpus (shared content vocabulary, per-lang marker
+    * words) the spread is real but small; on a natural multilingual
+    * corpus this is the table that exposes tokenizer tax. One lang-keyed
+    * bounded rollup on top of the encode pass. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = bpeDocCounts(spark, dir)
+    Tables(spark, dir).documents.select($"doc_id", $"lang")
+      .join(per, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_words"),
+        sum($"bpe_tokens").as("bpe_tokens"))
+      .select($"lang", $"n_docs", $"n_words", $"bpe_tokens",
+        expr("bpe_tokens * 1000000 DIV n_words").as("fertility_ppm"))
+      .orderBy($"lang")
+  }
+
+  val bpeFertilitySql: String = {
+    val st = bpeEncodeStateSql
+    s"""WITH $bpeCteSql,
+       |bf_w AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)
+       |  WHERE tok <> ''),
+       |bf_per AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(string_split($st, ' '))) AS BIGINT) AS bpe_tokens
+       |  FROM bf_w GROUP BY doc_id)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(p.bpe_tokens) AS BIGINT) * 1000000 // CAST(sum(p.n_words) AS BIGINT) AS fertility_ppm
+       |FROM bf_per p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- №113 fuzzy_pairs
   /** Edit-distance-1 entity-name pairs (typo-suspect mining for entity
     * resolution — near-identical identifiers are the classic data-entry

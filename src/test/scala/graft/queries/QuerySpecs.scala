@@ -318,6 +318,22 @@ class TextQueriesSpec extends SparkSpec {
     assert(rate > 0.15 && rate < 0.45, s"mask rate out of band: $rate")
   }
 
+  test("bpe_fertility ≡ re-aggregated encode counts; every lang ≥ 1 token/word; langs measurably differ") {
+    val got = TextQueries.bpeFertility(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val per = TextQueries.bpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val langOf = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val expected = per.groupBy(p => langOf(p._1)).toSeq.map { case (l, rows) =>
+      val w = rows.map(_._2).sum; val t = rows.map(_._3).sum
+      (l, rows.size.toLong, w, t, t * 1000000L / w)
+    }.sortBy(_._1)
+    assert(got == expected, "fertility rollup must equal the re-aggregated encode counts")
+    assert(got.forall(_._5 >= 1000000L), "fertility below 1 token/word — encoder broke")
+    assert(got.map(_._5).distinct.size > 1, "all langs identical — the measurement is vacuous")
+  }
+
   test("contrastive_triplets: every triplet separates (margin > 0), negatives valid, no pair dropped") {
     val got = TextQueries.contrastiveTriplets(spark, sf)
       .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq

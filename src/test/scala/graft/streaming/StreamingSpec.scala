@@ -159,6 +159,20 @@ class StreamingSpec extends SparkSpec {
       s"replay ran ${StreamDedup.lastFileBatches} data batches — the multi-batch state path was not exercised")
   }
 
+  test("streaming contract: running totals accumulate across micro-batches and equal the batch rules") {
+    import spark.implicits._
+    val got = StreamContract.streamContract(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(StreamContract.lastBatches >= 3,
+      s"replay ran ${StreamContract.lastBatches} data batches — totals never crossed a trigger")
+    val batch = graft.queries.PipelineQueries.contractCheck(spark, sf)
+      .filter($"tab" === "events")
+      .select($"rule", $"n_checked", $"n_violations", $"pass")
+      .as[(String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == batch, "streamed contract diverged from the batch events-side rules")
+    assert(got.exists(_._4) && got.exists(!_._4), "report degenerate on this corpus")
+  }
+
   test("streaming heavy hitters: sketch state crosses micro-batches, bounded, and the output equals batch №123") {
     import spark.implicits._
     val out = StreamHeavyHitters.streamHeavyHitters(spark, sf)
