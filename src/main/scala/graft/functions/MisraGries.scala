@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -42,6 +43,15 @@ case class MisraGries(
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // Reject non-string children at analysis time (ClassCastException on an
+  // executor is the alternative failure mode for e.g. misra_gries(bigint, k)).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a STRING child, got ${other.catalogString}")
+  }
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(MisraGries.entryType, containsNull = false)
   override def prettyName: String = "misra_gries"
@@ -93,7 +103,13 @@ case class MisraGries(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // int length + raw UTF-8 bytes, NOT writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 encoded bytes, and one pathological
+    // token would kill the whole aggregation at shuffle time.
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -103,7 +119,13 @@ case class MisraGries(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

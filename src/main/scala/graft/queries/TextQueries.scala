@@ -378,8 +378,10 @@ object TextQueries {
     * training (the SimCSE/E5-class hard-pair mining prep): positives are
     * №24's VERIFIED near-dup pairs (the operator's own output — mining
     * cannot drift from dedup), negatives are deterministic md5-derived
-    * picks from the base corpus (12-hex-nibble integer mod N, one
-    * fix-up step if the pick collides with the anchor), and BOTH sides'
+    * picks from the base corpus (12-hex-nibble integer mod N; two
+    * +1-mod-N fix-up steps so the pick avoids BOTH the anchor and the
+    * positive — two steps are sufficient because only two values are
+    * forbidden, so at most two consecutive ids can be blocked), and BOTH sides'
     * similarity is MEASURED into the row: pos_jaccard from the verified
     * pair, neg_jaccard recomputed over the same [[ShingleCase]] shingle
     * sets, margin = their 6dp difference — the triplet quality a
@@ -387,7 +389,13 @@ object TextQueries {
     *
     * Scale shape: pair frame is the №24 output (near-dup-bounded, never
     * corpus²); the negative jaccard joins are triplet-bounded against
-    * the persisted shingle frame; single-row N broadcast. */
+    * the persisted shingle frame; single-row N broadcast.
+    *
+    * PRECONDITION (dense ids): the `h % n_docs` pick assumes doc_ids are
+    * dense 0..n_docs-1 (true of the generator's documents table). A sparse
+    * id space would make the inner join against the shingle frame silently
+    * drop the triplet — if reusing over non-dense ids, first
+    * `zipWithIndex`-style re-key the corpus. */
   def contrastiveTriplets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist())
@@ -401,8 +409,14 @@ object TextQueries {
       .withColumn("h",
         expr("CAST(conv(substring(md5(concat(CAST(anchor AS STRING), ':neg')), 1, 12), 16, 10) AS BIGINT)"))
       .withColumn("neg0", $"h" % $"n_docs")
+      // two fix-up steps: avoid the anchor AND the positive (a negative equal
+      // to the verified near-dup would be a non-separating triplet)
+      .withColumn("neg1",
+        when($"neg0" === $"anchor" || $"neg0" === $"positive", ($"neg0" + 1) % $"n_docs")
+          .otherwise($"neg0"))
       .withColumn("negative",
-        when($"neg0" === $"anchor", ($"neg0" + 1) % $"n_docs").otherwise($"neg0"))
+        when($"neg1" === $"anchor" || $"neg1" === $"positive", ($"neg1" + 1) % $"n_docs")
+          .otherwise($"neg1"))
     withNeg
       .join(sh.select($"doc_id".as("anchor"), $"sh".as("sh_a"), $"n_sh".as("n_a")), "anchor")
       .join(sh.select($"doc_id".as("negative"), $"sh".as("sh_n"), $"n_sh".as("n_n")), "negative")
@@ -425,10 +439,16 @@ object TextQueries {
        |        * (CAST(1 AS BIGINT) << CAST(4 * (11 - j) AS INT)))) AS BIGINT) AS h,
        |    n_docs
        |  FROM ct_p CROSS JOIN ct_n),
+       |ct_w0 AS (
+       |  SELECT anchor, positive, pos_jaccard,
+       |    CASE WHEN h % n_docs IN (anchor, positive)
+       |         THEN (h % n_docs + 1) % n_docs ELSE h % n_docs END AS neg1, n_docs
+       |  FROM ct_h),
        |ct_w AS (
        |  SELECT anchor, positive, pos_jaccard,
-       |    CASE WHEN h % n_docs = anchor THEN (h % n_docs + 1) % n_docs ELSE h % n_docs END AS negative
-       |  FROM ct_h),
+       |    CASE WHEN neg1 IN (anchor, positive)
+       |         THEN (neg1 + 1) % n_docs ELSE neg1 END AS negative
+       |  FROM ct_w0),
        |ct_s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s)
        |SELECT w.anchor, w.positive, w.negative, w.pos_jaccard,
        |  round(CAST(len(list_intersect(a.sh, n.sh)) AS DOUBLE)
@@ -947,8 +967,14 @@ object TextQueries {
     *
     * PMI = log2(lift) is MONOTONE in lift, so ranking by lift is ranking
     * by PMI with no libm log anywhere (§5): all four factors are exact
-    * BIGINTs (products < 2^53, so the one double division at the end is
-    * exact-input), 6dp-rounded identically in both engines. Scale shape:
+    * BIGINTs, and the two PRODUCTS are computed in DECIMAL(38,0) in both
+    * engines — at 100 TB (N ~ 1e12 tokens) cx·cy for two frequent words
+    * exceeds 2^63, and a silent BIGINT wrap would flip the lift ranking;
+    * DECIMAL(38) holds products to 1e38 (N ~ 1e19·1e19, beyond any
+    * corpus). At gate SFs the products are < 2^53 so the one double
+    * division at the end is exact-input and 6dp-rounds identically in
+    * both engines; past 2^53 the ranking degrades gracefully through
+    * double precision instead of wrapping. Scale shape:
     * everything derives from ONE persisted bigram aggregation (pairs,
     * both marginals, the grand total — no second corpus pass); marginal
     * attach is vocab-keyed equi-joins (never broadcast — vocabulary grows
@@ -968,7 +994,8 @@ object TextQueries {
       .join(mx, "w1").join(my, "w2")
       .crossJoin(broadcast(nn))
       .select($"w1", $"w2", $"n_pair", $"cx", $"cy",
-        round(($"n_pair" * $"n").cast("double") / ($"cx" * $"cy").cast("double"), 6).as("lift"))
+        round(($"n_pair".cast("decimal(38,0)") * $"n").cast("double")
+          / ($"cx".cast("decimal(38,0)") * $"cy").cast("double"), 6).as("lift"))
       .orderBy($"lift".desc, $"w1", $"w2")
       .limit(PmiK)
   }
@@ -979,7 +1006,8 @@ object TextQueries {
        |my AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS cy FROM pc GROUP BY w2),
        |nn AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM pc)
        |SELECT pc.w1, pc.w2, pc.n_pair, cx, cy,
-       |  round(CAST(pc.n_pair * n AS DOUBLE) / CAST(cx * cy AS DOUBLE), 6) AS lift
+       |  round(CAST(CAST(pc.n_pair AS DECIMAL(38,0)) * n AS DOUBLE)
+       |        / CAST(CAST(cx AS DECIMAL(38,0)) * cy AS DOUBLE), 6) AS lift
        |FROM pc JOIN mx USING (w1) JOIN my USING (w2) CROSS JOIN nn
        |WHERE pc.n_pair >= $PmiMinCount
        |ORDER BY lift DESC, pc.w1, pc.w2
@@ -1597,6 +1625,15 @@ object TextQueries {
     * overlap resolution; the block grid doesn't). Every decision is the
     * same closed-form md5-nibble arithmetic in both engines.
     *
+    * Sentinels follow the T5 tokenizer convention: `<extra_id_j>` where
+    * j is the RUNNING COUNT of masked spans emitted so far in the doc
+    * (sequential 0,1,2,… — short blocks with sz ≤ 2 emit no sentinel and
+    * consume no id), not the block index — so ids are dense and bounded
+    * by the masked-span count, matching the pretrained-tokenizer special
+    * vocab. The running count is a closed-form prefix aggregate over the
+    * block grid (O(nb²) per doc with nb = ⌈n/7⌉ — trivially scan-bound),
+    * identical in both engines.
+    *
     * Scale shape: a pure per-row projection — tokenize, one HOF pass
     * over the block grid, two array_joins; ZERO shuffles (the doc_chunk
     * class). The spec reconstructs the ORIGINAL token stream from
@@ -1614,16 +1651,21 @@ object TextQueries {
       .withColumn("nb", expr(s"CAST((n + ${SpanBlock - 1}) DIV $SpanBlock AS INT)"))
     val lx = "1 + (CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 1), 16, 10) AS INT) % 3)"
     val sz = s"least($SpanBlock, n - b*$SpanBlock)"
+    // sentinel id = running count of masked blocks strictly BEFORE b:
+    // prefix-count over [0..b] minus block b itself (only used when sz > 2,
+    // where the own-block term is exactly 1)
+    val sid = s"(aggregate(sequence(0, b), 0, (acc, c) -> acc + " +
+      s"(CASE WHEN least($SpanBlock, n - c*$SpanBlock) > 2 THEN 1 ELSE 0 END)) - 1)"
     val inputArr =
       s"""flatten(transform(sequence(0, nb - 1), b ->
          |  concat(
          |    slice(ws, b*$SpanBlock + 1, least(2, $sz)),
-         |    CASE WHEN $sz > 2 THEN array(concat('<extra_id_', b, '>')) ELSE slice(ws, 1, 0) END,
+         |    CASE WHEN $sz > 2 THEN array(concat('<extra_id_', $sid, '>')) ELSE slice(ws, 1, 0) END,
          |    slice(ws, b*$SpanBlock + 2 + ($lx) + 1, greatest(0, ($sz) - 2 - ($lx))))))""".stripMargin
     val targetArr =
       s"""flatten(transform(sequence(0, nb - 1), b ->
          |  CASE WHEN $sz > 2
-         |    THEN concat(array(concat('<extra_id_', b, '>')),
+         |    THEN concat(array(concat('<extra_id_', $sid, '>')),
          |                slice(ws, b*$SpanBlock + 3, least($lx, ($sz) - 2)))
          |    ELSE slice(ws, 1, 0) END))""".stripMargin
     val maskedCnt =
@@ -1639,6 +1681,8 @@ object TextQueries {
     val B = SpanBlock
     val lx = s"(1 + ((strpos('0123456789abcdef', substr(md5(doc_id || ':' || b), 1, 1)) - 1) % 3))"
     val sz = s"least($B, n - b*$B)"
+    val sid = s"(list_sum(list_transform(range(0, CAST(b + 1 AS INT)), c -> " +
+      s"CASE WHEN least($B, n - c*$B) > 2 THEN 1 ELSE 0 END)) - 1)"
     s"""WITH sc_w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
        |sc_d AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM sc_w WHERE len(ws) >= 8),
        |sc_p AS (SELECT doc_id, ws, n, (n + ${B - 1}) // $B AS nb FROM sc_d)
@@ -1648,11 +1692,11 @@ object TextQueries {
        |  array_to_string(flatten(list_transform(range(0, nb), b ->
        |    list_concat(list_concat(
        |      ws[b*$B + 1 : b*$B + least(2, $sz)],
-       |      CASE WHEN $sz > 2 THEN ['<extra_id_' || b || '>'] ELSE [] END),
+       |      CASE WHEN $sz > 2 THEN ['<extra_id_' || $sid || '>'] ELSE [] END),
        |      ws[b*$B + 2 + $lx + 1 : b*$B + $sz]))), ' ') AS input,
        |  array_to_string(flatten(list_transform(range(0, nb), b ->
        |    CASE WHEN $sz > 2
-       |      THEN list_concat(['<extra_id_' || b || '>'],
+       |      THEN list_concat(['<extra_id_' || $sid || '>'],
        |                       ws[b*$B + 3 : b*$B + 2 + least($lx, ($sz) - 2)])
        |      ELSE [] END)), ' ') AS target
        |FROM sc_p ORDER BY doc_id""".stripMargin

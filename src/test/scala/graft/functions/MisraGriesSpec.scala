@@ -76,6 +76,29 @@ class MisraGriesSpec extends SparkSpec {
     assert(sketch.contains("heavy"))
   }
 
+  test("serialize survives tokens past the 64 KiB writeUTF cliff (shuffle-safe for pathological runs)") {
+    val big = "x" * 70000 // writeUTF would throw UTFDataFormatException here
+    val multi = "é" * 40000 // 80000 UTF-8 bytes, multibyte
+    val rows = Seq.fill(5)(big) ++ Seq.fill(3)(multi) ++ Seq.fill(4)("small")
+    val sketch = rows.toDF("tok").repartition(3) // forces serialize/deserialize across partials
+      .agg(MisraGries.sketch($"tok", 4).as("sk"))
+      .select(explode($"sk").as("e")).select($"e.tok", $"e.est")
+      .as[(String, Long)].collect().toMap
+    assert(sketch.getOrElse(big, 0L) <= 5L && sketch.contains(big), s"big token lost or inflated")
+    assert(sketch.getOrElse(multi, 0L) <= 3L, "multibyte token miscounted through serde")
+    // also direct round trip of the buffer
+    val mg = MisraGries(org.apache.spark.sql.catalyst.expressions.Literal("a"), 4)
+    val buf = scala.collection.mutable.HashMap(big -> 7L, multi -> 2L, "s" -> 1L)
+    assert(mg.deserialize(mg.serialize(buf)) == buf)
+  }
+
+  test("non-string child is rejected at analysis time, not with an executor ClassCastException") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(10).agg(MisraGries.sketch(col("id"), 4).as("sk")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"), s"unhelpful analysis error: ${err.getMessage}")
+  }
+
   test("heavy_hitters ≡ the exact full-groupBy answer (sketch is an access path, not a semantic)") {
     val got = TextQueries.heavyHitters(spark, sf)
       .as[(String, Long, Long)].collect().toSeq

@@ -306,6 +306,14 @@ class TextQueriesSpec extends SparkSpec {
         if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector.empty }
         else spans(cur) = spans(cur) :+ t
       }
+      // T5 convention: sentinel ids are SEQUENTIAL 0..m-1 in target order
+      val ids = target.split(" ").filter(_.startsWith("<extra_id_"))
+        .map(t => t.stripPrefix("<extra_id_").stripSuffix(">").toInt).toSeq
+      assert(ids == ids.indices.toSeq, s"doc $id sentinel ids not sequential: $ids")
+      // and the input references the SAME dense id set in the same order
+      val inIds = input.split(" ").filter(_.startsWith("<extra_id_"))
+        .map(t => t.stripPrefix("<extra_id_").stripSuffix(">").toInt).toSeq
+      assert(inIds == ids, s"doc $id input/target sentinel ids diverge")
       // splice each span back at its sentinel: must reproduce the original
       val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap { t =>
         if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
@@ -343,15 +351,19 @@ class TextQueriesSpec extends SparkSpec {
     val nDocs = graft.Tables(spark, sf).documents.count()
     assert(got.size.toLong == nPairs, s"${got.size} triplets from $nPairs verified pairs — drops")
     got.foreach { case (a, p, n, pj, nj, m) =>
-      assert(n >= 0 && n < nDocs && n != a, s"invalid negative $n for anchor $a")
+      // the negative must avoid BOTH the anchor and the verified positive —
+      // a negative equal to the near-dup would be a non-separating triplet
+      assert(n >= 0 && n < nDocs && n != a && n != p, s"invalid negative $n for ($a, $p)")
       assert(m > 0 && pj > nj, s"non-separating triplet ($a, $p, $n): pos=$pj neg=$nj")
-      // the deterministic pick is reproducible in plain Scala
+      // the deterministic pick is reproducible in plain Scala (two fix-up steps)
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$a:neg".getBytes("UTF-8")).take(6)
         .map(b => f"${b & 0xff}%02x").mkString
       val h = java.lang.Long.parseLong(md5, 16)
       val n0 = h % nDocs
-      assert(n == (if (n0 == a) (n0 + 1) % nDocs else n0), s"negative pick mismatch for $a")
+      val n1 = if (n0 == a || n0 == p) (n0 + 1) % nDocs else n0
+      val n2 = if (n1 == a || n1 == p) (n1 + 1) % nDocs else n1
+      assert(n == n2, s"negative pick mismatch for ($a, $p): got $n expected $n2")
     }
   }
 
