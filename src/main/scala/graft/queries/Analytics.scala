@@ -319,12 +319,18 @@ object Analytics {
     * (a user is active in their first week), giving the matrix its
     * denominator column; rate = 6dp-rounded cell/cohort.
     *
-    * Scale shape: first-week per user is ONE hash agg on user_id
-    * (map-side min partials); the activity frame dedups (user, week) in
-    * the same shuffle family; the cell rollup groups on the bounded
-    * (cohort_week, offset) key — weeks are a calendar dimension, so the
-    * output is bounded however big the corpus. No window, no broadcast
-    * beyond AQE's own choice on the user-keyed join. */
+    * Scale shape (r10 rewrite): ONE user-keyed hash agg builds the whole
+    * per-user state — `collect_set(week)` with map-side partials (weeks
+    * are a CALENDAR dimension, so the per-user set is bounded by the
+    * corpus timespan in weeks, not by activity volume) — and the cohort
+    * week is `array_min` of that set, so the old distinct + cohort-agg +
+    * user-keyed join-back (three extra shuffles) all collapse into the
+    * one aggregation. Cells then explode the bounded arrays and count on
+    * the bounded (cohort_week, offset) key — `count`, not
+    * `countDistinct`: the set guarantees one row per (user, offset), so
+    * the expensive distinct expand is provably unnecessary. The final
+    * cells ⋈ sizes join is calendar-bounded on both sides (AQE
+    * broadcasts it). */
   /** (user_id, week) activity frame — weeks since the 2024-01-01 epoch,
     * exact integer DIV. Shared by [[retentionCohort]] / [[eventsPipeline]]. */
   private[queries] def weeklyActive(spark: SparkSession, dir: String): DataFrame = {
@@ -336,15 +342,18 @@ object Analytics {
 
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // both frames feed two consumers each — persist so the events scan +
-    // (user, week) distinct run once, not per branch
-    val active = graft.CacheRegistry.track(weeklyActive(spark, dir).persist())
-    val cohorts = graft.CacheRegistry.track(
-      active.groupBy($"user_id").agg(min($"week").as("cohort_week")).persist())
-    val cells = active.join(cohorts, "user_id")
+    // one user-keyed agg carries everything: week set (bounded by the
+    // calendar) + cohort week derived from it; feeds two bounded consumers
+    val perUser = graft.CacheRegistry.track(Tables(spark, dir).events
+      .select($"user_id", expr("(ts_ms - 1704067200000) DIV 604800000").as("week"))
+      .groupBy($"user_id").agg(collect_set($"week").as("weeks"))
+      .select($"user_id", array_min($"weeks").as("cohort_week"), $"weeks")
+      .persist())
+    val cells = perUser
+      .select($"cohort_week", explode($"weeks").as("week"))
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("offset"))
-      .agg(countDistinct($"user_id").as("n_active"))
-    val sizes = cohorts.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+      .agg(count(lit(1)).as("n_active")) // set semantics: one row per (user, offset)
+    val sizes = perUser.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
     cells.join(sizes, "cohort_week")
       .select($"cohort_week", $"offset", $"n_active", $"cohort_size",
         round($"n_active".cast("double") / $"cohort_size" + 1e-9, 6).as("rate"))
@@ -970,7 +979,11 @@ object Analytics {
     * every purchase, both models in ONE №75-style merge pass (clicks and
     * purchases union-tagged, one shuffle on user_id, and the SAME running
     * window carries `first(click, ignoreNulls)` AND `last(click,
-    * ignoreNulls)` — two models cost one window, not two joins). Revenue
+    * ignoreNulls)` — two models cost one window, not two joins; r10: both
+    * models' rollups are ONE aggregation pass too — the two
+    * `countDistinct`s on different columns plan as a single Expand and a
+    * `stack` reshapes the one summary row into the 2-row output, so the
+    * window output is scanned once with no persist). Revenue
     * is EXACT integer cents (value·100 rounded with the §5 nudge) so the
     * per-model sums are order-independent BIGINTs — never a float fold.
     *
@@ -991,22 +1004,28 @@ object Analytics {
         .select($"user_id", $"ts_ms", $"event_id", lit(1).as("side"), $"cents"))
     val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"side", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val per = graft.CacheRegistry.track(tagged
+    val per = tagged
       .withColumn("first_click", first(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
       .withColumn("last_click", last(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
       .filter($"side" === 1)
       .select($"event_id", $"cents", $"first_click", $"last_click")
-      .persist())
-    def roll(model: String, clickCol: String) =
-      per.agg(
-        count(when(col(clickCol).isNotNull, 1)).as("n_attributed"),
-        count(when(col(clickCol).isNull, 1)).as("n_unattributed"),
-        sum(when(col(clickCol).isNotNull, $"cents").otherwise(0L)).as("cents_attributed"),
-        countDistinct(col(clickCol)).as("n_clicks_credited"))
-        .select(lit(model).as("model"), $"n_attributed", $"n_unattributed",
-          $"cents_attributed", $"n_clicks_credited")
-    roll("first_touch", "first_click")
-      .unionByName(roll("last_touch", "last_click"))
+    // BOTH models' rollups in ONE aggregation pass (the two countDistincts
+    // on different columns plan as a single Expand — no second scan of the
+    // window output, no persist), then stack the single row into the
+    // 2-row (model × rollup) output
+    per.agg(
+        count(when($"first_click".isNotNull, 1)).as("fa"),
+        count(when($"first_click".isNull, 1)).as("fu"),
+        sum(when($"first_click".isNotNull, $"cents").otherwise(0L)).as("fc"),
+        countDistinct($"first_click").as("fk"),
+        count(when($"last_click".isNotNull, 1)).as("la"),
+        count(when($"last_click".isNull, 1)).as("lu"),
+        sum(when($"last_click".isNotNull, $"cents").otherwise(0L)).as("lc"),
+        countDistinct($"last_click").as("lk"))
+      .select(expr("""stack(2,
+          'first_touch', fa, fu, fc, fk,
+          'last_touch',  la, lu, lc, lk)
+          AS (model, n_attributed, n_unattributed, cents_attributed, n_clicks_credited)"""))
       .orderBy($"model")
   }
 
@@ -1053,14 +1072,20 @@ object Analytics {
     * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), with significance at
     * α = 0.05 decided by the exact integer cross-compare
     * num·1000 > 3841·den (3.841 = the χ²₁ critical value) — no float
-    * enters the DECISION; only the reported 6dp χ² touches double, on
-    * exactly-representable integer inputs.
+    * enters the DECISION; only the reported 6dp χ² touches double.
     *
     * Scale shape: one hash agg on user_id (corpus pass), a single-row
     * totals broadcast, then a bounded 4-cell rollup — output one row
-    * however big the corpus. Integer-exactness bound: (ad−bc)² stays
-    * inside BIGINT for n ≲ 55k users; past that, switch the cross-compare
-    * to DECIMAL(38) (both engines) — the algebra is unchanged. */
+    * however big the corpus. Integer-exactness: the cross-compare runs
+    * in 38-digit integer arithmetic — DECIMAL(38,0) in Spark, HUGEINT
+    * (128-bit) in the DuckDB oracle — because the BIGINT form overflows
+    * (ad−bc)²·N·1000 past n ≈ 55k users. The 38-digit bound is
+    * 1000·N⁵/16 < 10³⁸ ⇒ exact to N ≈ 1.7·10⁷ users per experiment
+    * (worst-case cells; typical imbalanced cells reach further), with a
+    * spec-pinned >55k arm where BIGINT provably wraps. Past that the
+    * χ² REPORT (double) is still monotone-faithful; the decision
+    * comparison saturates rather than silently flipping sign the way a
+    * BIGINT wrap does. */
   def abTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val u = Tables(spark, dir).events
@@ -1077,11 +1102,11 @@ object Analytics {
       .select($"a", $"b", $"c", $"d",
         round($"a".cast("double") / ($"a" + $"b") + lit(1e-9), 6).as("rate_a"),
         round($"c".cast("double") / ($"c" + $"d") + lit(1e-9), 6).as("rate_b"),
-        expr("""CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN NULL
-                ELSE round(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
-                           / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END""").as("chi2"),
-        expr("""(a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000
-                > 3841 * (a+b)*(c+d)*(a+c)*(b+d)""").as("significant"))
+        expr("""CASE WHEN a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0 THEN NULL
+                ELSE round(CAST(CAST(a+b+c+d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+                           / CAST(CAST(a+b AS DECIMAL(38,0))*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END""").as("chi2"),
+        expr("""CAST(a+b+c+d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) * 1000
+                > CAST(3841 AS DECIMAL(38,0)) * (a+b)*(c+d)*(a+c)*(b+d)""").as("significant"))
   }
 
   val abTestSql: String =
@@ -1102,11 +1127,11 @@ object Analytics {
        |SELECT a, b, c, d,
        |  round(CAST(a AS DOUBLE) / (a + b) + 0.000000001, 6) AS rate_a,
        |  round(CAST(c AS DOUBLE) / (c + d) + 0.000000001, 6) AS rate_b,
-       |  CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN NULL
-       |    ELSE round(CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
-       |               / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END AS chi2,
-       |  (a+b+c+d) * (a*d - b*c) * (a*d - b*c) * 1000
-       |    > 3841 * (a+b)*(c+d)*(a+c)*(b+d) AS significant
+       |  CASE WHEN a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0 THEN NULL
+       |    ELSE round(CAST(CAST(a+b+c+d AS HUGEINT) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+       |               / CAST(CAST(a+b AS HUGEINT)*(c+d)*(a+c)*(b+d) AS DOUBLE), 6) END AS chi2,
+       |  CAST(a+b+c+d AS HUGEINT) * (a*d - b*c) * (a*d - b*c) * 1000
+       |    > CAST(3841 AS HUGEINT) * (a+b)*(c+d)*(a+c)*(b+d) AS significant
        |FROM ab_cells""".stripMargin
 
   // ---------------------------------------------------------------- №99 compact_plan

@@ -479,6 +479,42 @@ class TimeSeriesJoinSpec extends SparkSpec {
     assert(a + c > 0 && b + d > 0)
   }
 
+  test("ab_test: DECIMAL(38) cross-compare is exact past the BIGINT ~55k-user cliff") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("abtest_big").toString
+    try {
+      // 60k users: arm 0 (even ids) has 25000 purchasers, arm 1 (odd ids)
+      // has 100 — a lopsided table whose (ad−bc)²·N·1000 provably wraps
+      // BIGINT. Non-purchasers get a click so every user exists in the
+      // per-user frame; ts is the LONG-nanos physical layout.
+      val nUsers = 60000L
+      val rows = (0L until nUsers).map { u =>
+        val purchaser = (u % 2 == 0 && u / 2 < 25000) || (u % 2 == 1 && u / 2 < 100)
+        (u, if (purchaser) "purchase" else "click", u * 1000000L)
+      }
+      rows.toDF("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(tmp + "/events.parquet")
+      val row = Analytics.abTest(spark, tmp).collect().head
+      val (a, b, c, d) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      // conv = np·nu > tp: 1·60000 > 25100 for every purchaser, 0 for the rest
+      assert((a, b, c, d) == (25000L, 5000L, 100L, 29900L), s"unexpected cells ($a,$b,$c,$d)")
+      val n = BigInt(a + b + c + d)
+      val cross = BigInt(a) * BigInt(d) - BigInt(b) * BigInt(c)
+      val num = n * cross * cross
+      assert(num * 1000 > BigInt(Long.MaxValue),
+        "corpus does not cross the BIGINT cliff — the overflow test is vacuous")
+      val den = BigInt(a + b) * BigInt(c + d) * BigInt(a + c) * BigInt(b + d)
+      assert(row.getBoolean(7) == (num * 1000 > BigInt(3841) * den),
+        "significance decision diverges from the exact BigInt cross-compare past the cliff")
+      val chi2 = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(6) == chi2, s"chi2 ${row.getDouble(6)} != BigInt-derived $chi2")
+      assert(row.getBoolean(7), "this lopsided table must read significant")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("attribution ≡ plain-Scala first/last-touch recomputation; models genuinely differ") {
     import spark.implicits._
     val got = Analytics.attribution(spark, sf)
