@@ -599,17 +599,48 @@ object VectorQueries {
     * corpus vector is "today's arrivals". */
   private val BatchMod = 20
 
+  /** Dir-keyed table-name suffix so a persisted model/index can never
+    * serve another SF's corpus. */
+  private def dirKey(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Build-if-absent PLAIN table (the constant-size model-state twin of
+    * [[graft.sources.Bucketing.bucketedCached]]): the frozen centroid
+    * model persists once per corpus version; reuse skips the base-sized
+    * sample sort inside [[refinedCentroids]] on every subsequent batch. */
+  private def cachedModel(spark: SparkSession, table: String)(build: => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", table)
+    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(path))
+      spark.table(table)
+    else {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      if (java.nio.file.Files.exists(path)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      build.write.mode("overwrite").option("path", path.toString).saveAsTable(table)
+      spark.table(table)
+    }
+  }
+
   /** Incremental IVF index MAINTENANCE — the vector-side twin of №66
     * dedup_incremental: a daily embedding batch joins the persisted index
     * (№72's layout) WITHOUT a rebuild. The centroid model is FROZEN from
     * the base (production retrains centroids rarely, assigns daily), so:
     *
-    *   - the base assignment is the persisted index — not recomputed per
-    *     batch (here re-derived for the self-contained driver row; №72
-    *     already proves the persisted layout);
+    *   - the base assignment is the PERSISTED index — №72's bucketed
+    *     layout, built if absent and REUSED on every subsequent call
+    *     (r10: the driver row now drives this access path, so bench
+    *     iterations past the first measure batch-sized work, exactly the
+    *     nightly-batch economics the operator claims); the frozen
+    *     centroid model persists the same way (a constant-size table),
+    *     skipping the base-sized sample sort per batch;
     *   - the BATCH assignment is batch-sized work: one broadcast-join
     *     pass over the arrivals only (constant centroid broadcast);
-    *   - search runs over union(index, batch assignment).
+    *   - search runs over union(persisted index scan, batch assignment) —
+    *     probes broadcast, so the base side is a pure bucketed SCAN with
+    *     no exchange anywhere (PlanRegressionSpec pins it).
     *
     * Because per-vector assignment under FIXED centroids is independent,
     * the incremental union is EXACTLY the assignment a full rebuild under
@@ -626,10 +657,15 @@ object VectorQueries {
     val corpus = v.filter(col("vec_id") >= NQueries)
     val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
     val batch = corpus.filter(col("vec_id") % BatchMod === 0)
-    val centroids = refinedCentroids(spark, base) // the FROZEN model
-    val index = cellsOf(base, centroids)          // the persisted side
+    // build-if-absent: base-sized work happens ONCE per corpus version
+    val centroids = cachedModel(spark, s"graft_ivfupd_cent_${dirKey(dir)}")(
+      refinedCentroids(spark, base)) // the FROZEN model
+    val index = graft.sources.Bucketing.bucketedCached(
+      spark, s"graft_ivfupd_base_${dirKey(dir)}", "cell")(
+      cellsOf(base, centroids))                   // the persisted №72 layout
     val arrivals = cellsOf(batch, centroids)      // batch-sized daily work
-    ivfSearch(index.unionAll(arrivals), centroids, queries, Probe, K)
+    // unionByName: the persisted table's column order is a storage detail
+    ivfSearch(index.unionByName(arrivals), centroids, queries, Probe, K)
   }
 
   /** Full-rebuild form under the same frozen centroids (spec's equality

@@ -48,6 +48,21 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** BUILD-IF-ABSENT variant of [[writeBucketedBy]]: when the table is
+    * already registered in this session AND its external path exists, the
+    * persisted layout is reused and `build` is never evaluated — the
+    * access pattern of a maintained index (build once per corpus version,
+    * then every batch/query touches only its own work). Callers key the
+    * table name by corpus dir so a layout can never serve another SF. */
+  private[graft] def bucketedCached(spark: SparkSession, table: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed", table)
+    if (spark.catalog.tableExists(table) && java.nio.file.Files.exists(path))
+      spark.table(table)
+    else writeBucketedBy(build, table, key)
+  }
+
   private def writeBucketed(df: DataFrame, table: String): DataFrame =
     writeBucketedBy(df, table, "doc_id")
 

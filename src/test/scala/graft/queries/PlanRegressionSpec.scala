@@ -319,6 +319,28 @@ class PlanRegressionSpec extends SparkSpec {
       s"expected the co-located join path:\n$plan")
   }
 
+  test("knn_index_update: persisted base index reaches the probe join with NO base-side exchange") {
+    val df = VectorQueries.knnIndexUpdate(spark, sf)
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // the probe join (probes broadcast) must stream the persisted layout's
+    // scan directly: any shuffle whose subtree contains the persisted base
+    // table would mean the index is re-partitioned per batch — the
+    // base-sized cost the operator exists to avoid. The arrivals side's
+    // batch-sized assignment shuffle and the top-k aggregation exchange
+    // downstream of the join are expected and excluded by construction.
+    val streamSides = plan.collect {
+      case j: BroadcastHashJoinExec =>
+        j.children.filter(_.toString.contains("graft_ivfupd_base"))
+    }.flatten
+    assert(streamSides.nonEmpty, s"no probe join streaming the persisted index scan:\n$plan")
+    streamSides.foreach { side =>
+      val baseShuffles = side.collect {
+        case e: ShuffleExchangeExec if e.toString.contains("graft_ivfupd_base") => e
+      }
+      assert(baseShuffles.isEmpty, s"persisted base side re-shuffled below the probe join:\n$plan")
+    }
+  }
+
   test("dedup_incremental bloom mode: membership probe prunes the base SCAN, below the join") {
     val df = TextQueries.dedupIncrementalWith(spark, sf, "bloom")
     val plan = ExportQueriesPlanHelper.exec(df)
