@@ -614,4 +614,79 @@ object ExportQueries {
     s"""WITH ${KvSql.cte},
        |$recordsCte
        |SELECT eid, topic, record, manifest_line FROM records ORDER BY eid""".stripMargin
+
+  // -------------------------------------------------------------- №141 key_rotation
+  /** Data-key LIFECYCLE (reference: app/services/impl/HttpKeyService.kt:96-161 —
+    * `decryptKey` with its per-(encryptedKey, kekId) cache — driven by
+    * app/batch/DecryptionProcessor.kt:36-57): data keys rotate per topic on
+    * a [[RotationDays]]-day boundary, every record carries (kek_id,
+    * wrapped data key, per-record IV), and the read path must unwrap each
+    * DISTINCT key once — never once per record (the reference's cache
+    * exists precisely because the DKS round trip per record would dominate).
+    *
+    * Spark-first: the reference's synchronized mutable cache becomes a KEY
+    * TABLE — `distinct(topic, gen)` over the batch IS the cache (one row
+    * per live key however many records share it), the KMS/DKS unwrap is a
+    * projection on that bounded table (topics × generations rows), and
+    * records join the unwrapped keys back by (topic, gen) with the key
+    * table broadcast — the record stream is never reshuffled
+    * (plan-pinned) and unwrap cost is per-key, not per-record. Cache-hit
+    * accounting falls out of the same bounded rollup: fetches = 1 per key
+    * row, hits = n_records − 1.
+    *
+    * ≥2 generations are live in one export by construction (the corpus
+    * spans ~30 days; rotation every [[RotationDays]]), the decrypt is
+    * verified record-exact through the encrypt → key-join → decrypt round
+    * trip (per-key payload md5 extrema equal the oracle's plaintext
+    * recomputation), and the rotation boundary is spec-pinned: adjacent
+    * generations derive DIFFERENT keys and a neighbor generation's key
+    * garbles every record. Key material is the same [[KvModel]]-style
+    * deterministic stub (SURVEY §6: the DKS service itself is environment
+    * plumbing; the JOIN SHAPE is the operator). */
+  val RotationDays = 7
+
+  /** Generation data key for (topic, gen) — the stub unwrap. */
+  private def rotatedKey(topic: Column, gen: Column): Column =
+    unhex(md5(concat(lit("rdk|"), topic, lit("|"), gen.cast("string"))))
+
+  def keyRotation(spark: SparkSession, dir: String): DataFrame = {
+    val kv = KvSource.kv(spark, dir).filter(col("valid"))
+    // WRITE path (models the stored cells): per-(topic, gen) data key,
+    // per-record IV — this is what lands on disk in production
+    val enc = kv
+      .withColumn("gen", expr(s"(ms DIV 86400000) DIV $RotationDays"))
+      .withColumn("iv", unhex(md5(concat(lit("riv|"), col("eid").cast("string")))))
+      .withColumn("ct", graft.functions.AesCtrCrypt.aesCtr(
+        encode(col("payload"), "UTF-8"), rotatedKey(col("topic"), col("gen")), col("iv")))
+      .select(col("topic"), col("gen"), col("eid"), col("iv"), col("ct"))
+    // READ path under test: key table = the cache; unwrap per KEY; join back
+    val keyTable = enc.select(col("topic"), col("gen")).distinct()
+      .withColumn("kek_id", concat(lit("cloudhsm:"), col("gen").cast("string")))
+      .withColumn("dk", rotatedKey(col("topic"), col("gen")))
+    val dec = enc.join(broadcast(keyTable), Seq("topic", "gen"))
+      .withColumn("payload_dec",
+        decode(graft.functions.AesCtrCrypt.aesCtr(col("ct"), col("dk"), col("iv")), "UTF-8"))
+    dec.groupBy(col("topic"), col("gen"), col("kek_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("payload_dec"))).as("payload_bytes"),
+        min(md5(col("payload_dec"))).as("md5_min"),
+        max(md5(col("payload_dec"))).as("md5_max"))
+      .withColumn("dks_fetches", lit(1L))
+      .withColumn("cache_hits", col("n_records") - 1)
+      .orderBy(col("topic"), col("gen"))
+  }
+
+  /** Oracle from the PLAINTEXT side: if any record decrypted under the
+    * wrong generation's key, its md5 perturbs the per-key extrema. */
+  val keyRotationSql: String =
+    s"""WITH ${KvSql.cte},
+       |kr AS (
+       |  SELECT topic, (ms // 86400000) // $RotationDays AS gen, payload
+       |  FROM kv WHERE valid)
+       |SELECT topic, gen, 'cloudhsm:' || CAST(gen AS VARCHAR) AS kek_id,
+       |  count(*) AS n_records,
+       |  CAST(sum(length(payload)) AS BIGINT) AS payload_bytes,
+       |  min(md5(payload)) AS md5_min, max(md5(payload)) AS md5_max,
+       |  CAST(1 AS BIGINT) AS dks_fetches, count(*) - 1 AS cache_hits
+       |FROM kr GROUP BY topic, gen ORDER BY topic, gen""".stripMargin
 }
