@@ -1681,8 +1681,8 @@ object TextQueries {
     val B = SpanBlock
     val lx = s"(1 + ((strpos('0123456789abcdef', substr(md5(doc_id || ':' || b), 1, 1)) - 1) % 3))"
     val sz = s"least($B, n - b*$B)"
-    val sid = s"(list_sum(list_transform(range(0, CAST(b + 1 AS INT)), c -> " +
-      s"CASE WHEN least($B, n - c*$B) > 2 THEN 1 ELSE 0 END)) - 1)"
+    val sid = s"(CAST(list_sum(list_transform(range(0, CAST(b + 1 AS INT)), c -> " +
+      s"CASE WHEN least($B, n - c*$B) > 2 THEN 1 ELSE 0 END)) AS INT) - 1)"
     s"""WITH sc_w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
        |sc_d AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM sc_w WHERE len(ws) >= 8),
        |sc_p AS (SELECT doc_id, ws, n, (n + ${B - 1}) // $B AS nb FROM sc_d)
@@ -1701,6 +1701,90 @@ object TextQueries {
        |      ELSE [] END)), ' ') AS target
        |FROM sc_p ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №142 distinct_sketch
+  /** Mergeable DISTINCT-COUNT sketch — [[graft.functions.HyperLogLog]]
+    * (the cardinality twin of №123's Misra-Gries frequency sketch) with
+    * its error MEASURED per group against exact `countDistinct`, on the
+    * per-source distinct-trigram question (vocabulary-class cardinality:
+    * grows with the corpus, the shape `countDistinct` cannot answer at
+    * 100 TB without shuffling one row per distinct shingle per
+    * partition — the sketch shuffles a fixed 256-int register buffer per
+    * partition instead).
+    *
+    * Everything after the sketch is exact integer arithmetic both engines
+    * reproduce bit-for-bit (§5): the register array is md5-derived
+    * (HyperLogLog scaladoc), S = Σ 2^(32−rank) is an exact BIGINT (ranks
+    * capped at 32; ≤ 2^40 here) and exactly representable as double, the
+    * estimate constant α·m²·2^32/10^6 is spelled as the SAME literal
+    * expression in both engines (exact-integer factors, IEEE-deterministic
+    * double folds), so est and err_ppm are cross-engine EXACT — the
+    * measured error of an approximate operator, oracle-checked like any
+    * exact one. The raw-estimate branch applies at every gate SF
+    * (n_exact ≥ 1000 ≫ 2.5m = 640); production low-cardinality groups
+    * would add the linear-counting branch off the shipped `zeros` column.
+    * Bound context: σ ≈ 1.04/√256 ≈ 6.5%; the spec pins err under 3σ and
+    * register-level merge invariance on adversarial trees. */
+  val HllP = 8
+  /** α_m·10⁶ for m = 2^[[HllP]] (Flajolet α_256 = 0.7213/(1+1.079/m)). */
+  val HllAlphaPpm = 718273L
+  /** The estimate numerator as an expression BOTH engines evaluate on
+    * exact-integer factors: α_ppm · m² · 2^32 / 10⁶. Shared with the
+    * streaming twin (№143) so the estimate arithmetic cannot fork. */
+  private[graft] val hllNumExpr = s"CAST($HllAlphaPpm AS DOUBLE) * 65536 * 4294967296 / 1000000"
+
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables(spark, dir).documents
+      .select($"source", words($"text").as("ws"))
+      .select($"source", explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END")).as("sh"))
+    sh.groupBy($"source")
+      .agg(graft.functions.HyperLogLog.sketch($"sh", HllP).as("regs"),
+        countDistinct($"sh").as("n_exact"))
+      .select($"source", $"n_exact",
+        expr("size(filter(regs, r -> r = 0))").as("zeros"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 32 - r))").as("s_sum"))
+      .withColumn("est", expr(s"CAST(round($hllNumExpr / s_sum + 0.000000001) AS BIGINT)"))
+      .withColumn("err_ppm", expr("abs(est - n_exact) * 1000000 DIV n_exact"))
+      .orderBy($"source")
+  }
+
+  val distinctSketchSql: String =
+    s"""WITH ds_w AS (SELECT source, ${wordsSql("text")} AS ws FROM documents),
+       |ds_s AS (
+       |  SELECT source, unnest(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, CAST(len(ws)-1 AS BIGINT)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM ds_w),
+       |ds_d AS (SELECT DISTINCT source, sh FROM ds_s),
+       |ds_h AS (
+       |  SELECT source, sh,
+       |    CAST(list_sum(list_transform(range(0, 15), j ->
+       |      (strpos('0123456789abcdef', substr(md5(sh), CAST(j + 1 AS INT), 1)) - 1)
+       |        * (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) AS BIGINT) AS h
+       |  FROM ds_d),
+       |ds_r AS (SELECT source, h // 4503599627370496 AS reg, h % 4503599627370496 AS rest FROM ds_h),
+       |ds_rk AS (
+       |  SELECT source, reg,
+       |    least(CASE WHEN rest = 0 THEN 53 ELSE 52 - length(bin(rest)) + 1 END, 32) AS rank
+       |  FROM ds_r),
+       |ds_m AS (SELECT source, reg, max(rank) AS r FROM ds_rk GROUP BY source, reg),
+       |ds_agg AS (
+       |  SELECT source, count(*) AS n_present,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(32 - r AS INT)) AS BIGINT) AS s_present
+       |  FROM ds_m GROUP BY source),
+       |ds_x AS (SELECT source, count(*) AS n_exact FROM ds_d GROUP BY source),
+       |ds_f AS (
+       |  SELECT x.source, x.n_exact,
+       |    CAST(256 - a.n_present AS INT) AS zeros,
+       |    s_present + (256 - a.n_present) * 4294967296 AS s_sum
+       |  FROM ds_x x JOIN ds_agg a ON a.source = x.source)
+       |SELECT source, n_exact, zeros, s_sum,
+       |  CAST(round($hllNumExpr / s_sum + 0.000000001) AS BIGINT) AS est,
+       |  (abs(CAST(round($hllNumExpr / s_sum + 0.000000001) AS BIGINT) - n_exact) * 1000000) // n_exact AS err_ppm
+       |FROM ds_f ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- №133 source_quantiles
   /** №124's exact-quantile histogram formulation GROUPED — per-SOURCE
