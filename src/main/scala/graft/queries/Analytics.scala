@@ -168,7 +168,7 @@ object Analytics {
           array_sort(collect_list(struct($"rn", $"event_type"))),
           e => e.getField("event_type"))), ",").as("history"),
         max($"ts_ms").as("last_ms"))
-      .orderBy($"user_id")
+      .transform(graft.HashSort(_)($"user_id")) // driver-hash only: conf-gated off in production
   }
 
   val userHistorySql: String =
@@ -958,7 +958,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         max($"ts_ms" - $"first_ms").as("max_tenure_ms"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"))
-      .orderBy($"user_id")
+      .transform(graft.HashSort(_)($"user_id")) // driver-hash only: conf-gated off in production
   }
 
   val saltedJoinSql: String =
