@@ -28,8 +28,20 @@ object VectorQueries {
     * k-means-refined over a deterministic hash-ordered sample of the corpus
     * (md5 of the id — an unbiased order), so at any scale the centroid
     * broadcast is C vectors and cell assignment is O(n·C), never O(n·n/k).
-    * Production tuning: C ≈ √n; 64 is proof-sized for the sf corpora. */
+    * Production tuning: C grows with the corpus (cell-size-constant C ∝ n
+    * keeps the probe-join candidate count O(n·P·cellsize) — LINEAR; a
+    * frozen C makes it O(n²·P/C), which the ScaleStress harness exposes
+    * empirically). Settable per session via [[CentroidsConfKey]]; 64 is
+    * proof-sized for the sf corpora and the oracle default. */
   val Centroids = 64
+
+  /** Session override for the IVF centroid count (the C ∝ n dial the
+    * scaling harness turns; the driver gate never sets it, so oracles see
+    * [[Centroids]]). The k-means sample scales to ≥ 4·C alongside. */
+  val CentroidsConfKey = "spark.graft.knn.centroids"
+
+  private def centroidsOf(spark: SparkSession): Int =
+    spark.conf.get(CentroidsConfKey, Centroids.toString).toInt
 
   /** k-means sample size — CONSTANT at any corpus scale (the sample is the
     * hash-ordered first M, collected to the driver: ~M·dim floats). */
@@ -66,9 +78,12 @@ object VectorQueries {
     * than the previous in-plan sample (no re-scan per consumer). Empty
     * clusters drop (both engines agree: group-by semantics). */
   private[queries] def refinedCentroids(spark: SparkSession, corpus: DataFrame,
-                                        k: Int = Centroids): DataFrame = {
+                                        k: Int = -1): DataFrame = {
     import spark.implicits._
-    lloydRefine(hashSample(corpus), k).toSeq.toDF("c_id", "c_emb")
+    // k = -1: resolve from the session conf (scaling harness); callers that
+    // pass an explicit k (the oracle-matched queries) are untouched
+    val kk = if (k > 0) k else centroidsOf(spark)
+    lloydRefine(hashSample(corpus, math.max(SampleM, 4 * kk)), kk).toSeq.toDF("c_id", "c_emb")
   }
 
   /** The constant-size hash-ordered sample ([[SampleM]] full vectors to
@@ -76,9 +91,9 @@ object VectorQueries {
     * training, which collects it ONCE and slices subvectors locally (the
     * sample order depends only on vec_id, so a subspace frame's sample IS
     * the slice of the full-vector sample). */
-  private def hashSample(corpus: DataFrame): Array[Array[Float]] = corpus
+  private def hashSample(corpus: DataFrame, m: Int = SampleM): Array[Array[Float]] = corpus
     .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    .limit(SampleM).select(col("emb"))
+    .limit(m).select(col("emb"))
     .collect().map(_.getSeq[Float](0).toArray)
 
   /** [[Lloyd]] iterations over a driver-side sample (see
