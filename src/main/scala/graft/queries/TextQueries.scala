@@ -1786,6 +1786,64 @@ object TextQueries {
        |  (abs(CAST(round($hllNumExpr / s_sum + 0.000000001) AS BIGINT) - n_exact) * 1000000) // n_exact AS err_ppm
        |FROM ds_f ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- №144 vocab_growth
+  /** VOCABULARY GROWTH curve (Heaps' law V ≈ K·Tᵝ — Heaps 1978): distinct
+    * types vs cumulative tokens over 10 equal corpus prefixes — the
+    * saturation measurement a tokenizer-training / dedup-planning pipeline
+    * reads before fixing a vocab budget (is the corpus still yielding new
+    * types, or has the type/token ratio collapsed?).
+    *
+    * Spark-first: NO per-prefix re-scan (the naive formulation runs 10
+    * growing distinct-counts — 10 corpus passes, 55× the data read). One
+    * pass derives each token's FIRST-occurrence bucket (min over a
+    * 10-bucket doc_id grid — a single hash agg on the token), so
+    * `new_types per bucket` + a 10-row cumulative window IS the whole
+    * curve; token totals ride the same exploded frame. All integer-exact:
+    * ttr_ppm = vocab·10⁶ DIV tokens. PRECONDITION: dense doc_ids (the
+    * generator's contract; №138's note) — the bucket grid is
+    * doc_id·10 DIV N. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val n = docs.agg((max($"doc_id") + 1).as("n"))
+    val toks = graft.CacheRegistry.track(docs
+      .select($"doc_id", explode(words($"text")).as("tok")).filter($"tok" =!= "")
+      .crossJoin(broadcast(n))
+      .select(expr("(doc_id * 10) DIV n").as("bucket"), $"tok")
+      .persist())
+    val newTypes = toks.groupBy($"tok").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_types"))
+    val cnt = toks.groupBy($"bucket").agg(count(lit(1)).as("n_tok"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce($"new_types", lit(0L)))
+      .withColumn("tokens_cum", sum($"n_tok").over(w))
+      .withColumn("vocab_cum", sum($"new_types").over(w))
+      .select($"bucket", $"n_tok", $"new_types", $"tokens_cum", $"vocab_cum",
+        expr("vocab_cum * 1000000 DIV tokens_cum").as("ttr_ppm"))
+      .orderBy($"bucket")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH vg_t0 AS (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents),
+       |vg_t AS (SELECT doc_id, tok FROM vg_t0 WHERE tok <> ''),
+       |vg_n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |vg_b AS (SELECT (doc_id * 10) // n AS bucket, tok FROM vg_t CROSS JOIN vg_n),
+       |vg_f AS (SELECT tok, min(bucket) AS bucket FROM vg_b GROUP BY tok),
+       |vg_new AS (SELECT bucket, count(*) AS new_types FROM vg_f GROUP BY bucket),
+       |vg_cnt AS (SELECT bucket, count(*) AS n_tok FROM vg_b GROUP BY bucket),
+       |vg_j AS (
+       |  SELECT c.bucket, c.n_tok, coalesce(w.new_types, 0) AS new_types
+       |  FROM vg_cnt c LEFT JOIN vg_new w USING (bucket))
+       |SELECT bucket, n_tok, new_types,
+       |  CAST(sum(n_tok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+       |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+       |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+       |    // CAST(sum(n_tok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ttr_ppm
+       |FROM vg_j ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- №133 source_quantiles
   /** №124's exact-quantile histogram formulation GROUPED — per-SOURCE
     * length deciles+p99 (the per-domain sequence-length planning table:

@@ -511,6 +511,148 @@ object VectorQueries {
        |FROM (SELECT DISTINCT q_id FROM gbrute) q LEFT JOIN ghits h USING (q_id)
        |ORDER BY method, q_id""".stripMargin
 
+  // ---------------------------------------------------------------- №146 knn_c_sweep
+  /** The CENTROID-COUNT dial of the IVF quality/cost trade — the
+    * companion curve to [[knnRecall]]'s probe dial and the measured basis
+    * for the C ∝ √n tuning SCALING.md demonstrates: for each
+    * C ∈ [[CSweep]], train C centroids (same frozen sample), assign,
+    * search at the default probe width, and grade per query BOTH sides of
+    * the trade — `n_cand` (candidate rows scored: the cost, Σ probed cell
+    * sizes) and `recall` vs the brute-force gold. More cells ⇒ fewer
+    * candidates per probe but a thinner probed fraction ⇒ the curve a
+    * production deployment picks its C from. Harness shape: ONE persisted
+    * corpus frame; per C the centroid model is the only broadcast and the
+    * per-query rollups are bounded; cost is |CSweep| assignments (the
+    * operator under measurement, run verbatim). */
+  val CSweep: Seq[Int] = Seq(16, 64, 256)
+
+  def knnCSweep(spark: SparkSession, dir: String): DataFrame = {
+    val brute = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id")).persist())
+    val vAll = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = vAll.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = graft.CacheRegistry.track(vAll.filter(col("vec_id") >= NQueries).persist())
+    CSweep.map { c =>
+      val cents = refinedCentroids(spark, corpus, c)
+      val cells = graft.CacheRegistry.track(cellsOf(corpus, cents).persist())
+      val probes = queries.join(broadcast(cents))
+        .select(col("q_id"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+        .select(col("q_id"), explode(col("top.id")).as("cell"))
+      val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      val nCand = probes.join(sizes, Seq("cell"), "left")
+        .groupBy(col("q_id")).agg(sum(coalesce(col("csz"), lit(0L))).as("n_cand"))
+      val approx = ivfSearch(cells, cents, queries, Probe, K).select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.select(col("q_id")).distinct()
+        .join(nCand, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+        .select(lit(s"ivf_c$c").as("method"), col("q_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("method"), col("q_id"))
+  }
+
+  private def cSweepCtes(c: Int): String =
+    s"""${refinedCentSql("c", s"cw${c}_", c)},
+       |cwcells_$c AS (
+       |  SELECT vec_id, emb, c_id AS cell FROM (
+       |    SELECT c.vec_id, c.emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cw${c}_cent cent) x WHERE crank = 1),
+       |cwprobes_$c AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cw${c}_cent cent) x WHERE prank <= $Probe),
+       |cwcand_$c AS (
+       |  SELECT p.q_id, count(*) AS n_cand
+       |  FROM cwcells_$c JOIN cwprobes_$c p USING (cell) GROUP BY p.q_id),
+       |cwivf_$c AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, cwcells_$c.vec_id,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY ${cos6Sql(s"cwcells_$c.emb", "p.q_emb")} DESC, cwcells_$c.vec_id) AS rank
+       |    FROM cwcells_$c JOIN cwprobes_$c p USING (cell)) x WHERE rank <= $K),
+       |cwhits_$c AS (
+       |  SELECT b.q_id, count(*) AS n_hits
+       |  FROM brute b JOIN cwivf_$c USING (q_id, vec_id) GROUP BY b.q_id)""".stripMargin
+
+  private def cSweepSelect(c: Int): String =
+    s"""SELECT 'ivf_c$c' AS method, q.q_id,
+       |  coalesce(cd.n_cand, 0) AS n_cand, coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall
+       |FROM (SELECT DISTINCT q_id FROM brute) q
+       |LEFT JOIN cwcand_$c cd USING (q_id) LEFT JOIN cwhits_$c h USING (q_id)""".stripMargin
+
+  val knnCSweepSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |bscored AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ${cos6Sql("emb", "q_emb")} DESC, vec_id) AS rank
+       |  FROM c, q),
+       |brute AS (SELECT q_id, vec_id FROM bscored WHERE rank <= $K),
+       |${CSweep.map(cSweepCtes).mkString(",\n")}
+       |${CSweep.map(cSweepSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY method, q_id""".stripMargin
+
+  // ---------------------------------------------------------------- №145 embedding_drift
+  /** EMBEDDING-DISTRIBUTION drift monitor — the vector-side twin of №130
+    * source_drift (did the encoder / corpus shift between two snapshot
+    * halves?): per dimension, compare the fixed-point mean between the
+    * early and late half of the vector store (vec_id grid — the snapshot
+    * boundary), with the shift reported as an exact cross-multiplied ppm
+    * (|Σa·n_b − Σb·n_a|·10⁶ / (|Σa|·n_b + |Σb|·n_a)) — no float fold
+    * anywhere: components quantize to 1e-4 fixed point (exact §5
+    * rounding), the per-(half, dim) sums are BIGINTs, and the ratio is
+    * integer-DIV'd. Scale shape: ONE posexplode projection, a 2×dims
+    * hash agg (bounded key space — map-side partials carry the corpus),
+    * then a dims-row self-join; output 64 rows at any corpus size.
+    * PRECONDITION: dense vec_ids (generator contract) for the half grid. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+    val n = v.agg((max(col("vec_id")) + 1).as("n"))
+    val per = v.crossJoin(broadcast(n))
+      .select(expr("(vec_id * 2) DIV n").as("half"),
+        posexplode(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000 + 0.000000001) AS BIGINT))")))
+      .select(col("half"), (col("pos") + 1).as("dim"), col("col").as("q"))
+      .groupBy(col("half"), col("dim"))
+      .agg(count(lit(1)).as("n_vec"), sum(col("q")).as("sum_q"))
+    val a = per.filter(col("half") === 0)
+      .select(col("dim"), col("n_vec").as("n_a"), col("sum_q").as("sum_a"))
+    val b = per.filter(col("half") === 1)
+      .select(col("dim"), col("n_vec").as("n_b"), col("sum_q").as("sum_b"))
+    a.join(b, "dim")
+      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        expr("""abs(sum_a * n_b - sum_b * n_a) * 1000000
+                DIV greatest(abs(sum_a) * n_b + abs(sum_b) * n_a, 1)""").as("shift_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  val embeddingDriftSql: String =
+    s"""WITH ed_n AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+       |ed_u AS (
+       |  SELECT (vec_id * 2) // n AS half,
+       |    generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+       |  FROM embeddings CROSS JOIN ed_n),
+       |ed_p AS (
+       |  SELECT half, dim,
+       |    CAST(round(CAST(x AS DOUBLE) * 10000 + 0.000000001) AS BIGINT) AS q
+       |  FROM ed_u),
+       |ed_g AS (
+       |  SELECT half, dim, count(*) AS n_vec, CAST(sum(q) AS BIGINT) AS sum_q
+       |  FROM ed_p GROUP BY half, dim)
+       |SELECT a.dim, a.n_vec AS n_a, b.n_vec AS n_b, a.sum_q AS sum_a, b.sum_q AS sum_b,
+       |  (abs(a.sum_q * b.n_vec - b.sum_q * a.n_vec) * 1000000)
+       |    // greatest(abs(a.sum_q) * b.n_vec + abs(b.sum_q) * a.n_vec, 1) AS shift_ppm
+       |FROM (SELECT * FROM ed_g WHERE half = 0) a
+       |JOIN (SELECT * FROM ed_g WHERE half = 1) b USING (dim)
+       |ORDER BY dim""".stripMargin
+
   // ---------------------------------------------------------------- №56 semantic_dedup
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     * with k-means, then near-dedup WITHIN each cluster only — the cluster

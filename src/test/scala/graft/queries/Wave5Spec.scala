@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** №144-146: vocab growth, embedding drift, and the IVF centroid-count
+  * sweep — each pinned against an independent plain-Scala recomputation
+  * plus its domain invariants. */
+class Wave5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocab_growth ≡ naive 10-pass prefix recomputation; vocabulary saturates") {
+    val got = TextQueries.vocabGrowth(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(got.map(_._1) == (0L until 10L), "exactly the 10 bucket rows, ordered")
+    // the naive formulation the operator avoids: re-scan per prefix
+    val docs = graft.Tables(spark, sf).documents
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val n = docs.map(_._1).max + 1
+    val toks = docs.map { case (id, text) =>
+      (id * 10 / n, text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    got.foreach { case (bucket, nTok, newTypes, tokensCum, vocabCum, ttrPpm) =>
+      val prefix = toks.filter(_._1 <= bucket).flatMap(_._2)
+      val inBucket = toks.filter(_._1 == bucket).flatMap(_._2)
+      val prevVocab = toks.filter(_._1 < bucket).flatMap(_._2).toSet
+      assert(nTok == inBucket.size.toLong, s"bucket $bucket token count")
+      assert(tokensCum == prefix.size.toLong, s"bucket $bucket cumulative tokens")
+      assert(vocabCum == prefix.toSet.size.toLong, s"bucket $bucket cumulative vocab")
+      assert(newTypes == (inBucket.toSet -- prevVocab).size.toLong, s"bucket $bucket new types")
+      assert(ttrPpm == vocabCum * 1000000L / tokensCum, s"bucket $bucket ttr arithmetic")
+    }
+    // Heaps saturation is MEASURABLE on this corpus: the type/token ratio
+    // falls from the first prefix to the full corpus
+    assert(got.last._6 < got.head._6, s"ttr never fell: ${got.map(_._6)}")
+    // cumulative columns are monotone by construction
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("embedding_drift ≡ plain-Scala fixed-point recomputation; halves split the store") {
+    val got = VectorQueries.embeddingDrift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val n = vecs.map(_._1).max + 1
+    val dims = vecs.head._2.size
+    assert(got.size == dims, s"expected $dims dim rows")
+    def q(x: Float): Long = BigDecimal(x.toDouble * 10000 + 1e-9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byHalf = vecs.groupBy { case (id, _) => id * 2 / n }
+    got.foreach { case (dim, nA, nB, sumA, sumB, shift) =>
+      val a = byHalf(0L).map(v => q(v._2(dim.toInt - 1)))
+      val b = byHalf(1L).map(v => q(v._2(dim.toInt - 1)))
+      assert((nA, nB) == (a.size.toLong, b.size.toLong))
+      assert((sumA, sumB) == (a.sum, b.sum), s"dim $dim fixed-point sums")
+      val expected = math.abs(sumA * nB - sumB * nA) * 1000000L /
+        math.max(math.abs(sumA) * nB + math.abs(sumB) * nA, 1L)
+      assert(shift == expected, s"dim $dim shift arithmetic")
+    }
+    // the two halves genuinely partition the store
+    assert(got.head._2 + got.head._3 == vecs.size.toLong)
+  }
+
+  test("knn_c_sweep: the quality/cost trade is real — candidates fall and recall falls as C grows") {
+    val got = VectorQueries.knnCSweep(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val byC = got.groupBy(_._1)
+    assert(byC.keySet == VectorQueries.CSweep.map(c => s"ivf_c$c").toSet)
+    byC.values.foreach(rows => assert(rows.size == VectorQueries.NQueries))
+    def mean(m: String, f: ((String, Long, Long, Long, Double)) => Double) =
+      byC(m).map(f).sum / byC(m).size
+    val cLo = s"ivf_c${VectorQueries.CSweep.min}"
+    val cHi = s"ivf_c${VectorQueries.CSweep.max}"
+    // cost side: probing a fixed number of cells out of MORE cells scans
+    // strictly fewer candidates
+    assert(mean(cLo, _._3.toDouble) > mean(cHi, _._3.toDouble),
+      s"candidate counts did not fall with C: ${VectorQueries.CSweep.map(c => mean(s"ivf_c$c", _._3.toDouble))}")
+    // quality side: the thinner probed fraction costs recall
+    assert(mean(cLo, _._5) >= mean(cHi, _._5),
+      s"recall did not fall with C: ${VectorQueries.CSweep.map(c => mean(s"ivf_c$c", _._5))}")
+    // the sweep is not degenerate: the cheap end still finds a meaningful
+    // share (probe/C of the corpus at C=16, probe=2 → ~1/8 scanned)
+    assert(mean(cHi, _._5) >= 0.0 && mean(cLo, _._5) > 0.2)
+  }
+}
