@@ -1733,13 +1733,22 @@ object TextQueries {
     * streaming twin (№143) so the estimate arithmetic cannot fork. */
   private[graft] val hllNumExpr = s"CAST($HllAlphaPpm AS DOUBLE) * 65536 * 4294967296 / 1000000"
 
+  /** The trigram-shingle stream (source, sh) — the high-cardinality
+    * domain shared by №142/№143/№147 (the sketch family's common input). */
+  private[graft] val TrigramCase: String =
+    "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), " +
+      "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END"
+
+  private[graft] def trigramStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"source", words($"text").as("ws"))
+      .select($"source", explode(expr(TrigramCase)).as("sh"))
+  }
+
   def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Tables(spark, dir).documents
-      .select($"source", words($"text").as("ws"))
-      .select($"source", explode(expr(
-        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END")).as("sh"))
+    val sh = trigramStream(spark, dir)
     sh.groupBy($"source")
       .agg(graft.functions.HyperLogLog.sketch($"sh", HllP).as("regs"),
         countDistinct($"sh").as("n_exact"))
@@ -1843,6 +1852,72 @@ object TextQueries {
        |  CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
        |    // CAST(sum(n_tok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ttr_ppm
        |FROM vg_j ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- №147 freq_estimate
+  /** FREQUENCY POINT QUERIES via [[graft.functions.CountMin]] — the third
+    * member of the sketch family (№123 Misra-Gries: the heavy SET,
+    * №142 HyperLogLog: the distinct COUNT, Count-Min: "how often does
+    * THIS item occur" for ANY item — the shape that powers per-item
+    * frequency lookups over streams/corpora too large for a full
+    * groupBy): one depth×width counter grid (4×256 = 8 KB) absorbs the
+    * whole trigram stream with map-side partials, then the [[CmsTopK]]
+    * most frequent trigrams (exact side, deterministic tie-break) are
+    * point-queried against the sketch and the OVERCOUNT is measured per
+    * item — est ≥ true always (the one-sided CMS guarantee, spec-pinned),
+    * est − true bounded by the colliding mass (~N/width per row, min
+    * over depth rows). Every counter, estimate, and overcount is exact
+    * integer arithmetic on md5-derived slots — the approximate operator
+    * is DuckDB-oracle-checked EXACTLY (№142's discipline). Scale shape:
+    * sketch build is ONE constant-size aggregation; the query side joins
+    * the 20-row top frame to the 1024-row exploded grid (both
+    * broadcast-sized). */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  def freqEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = graft.CacheRegistry.track(
+      trigramStream(spark, dir).select($"sh").persist())
+    val slots = grams.agg(graft.functions.CountMin.sketch($"sh", CmsDepth, CmsWidth).as("sk"))
+      .select(posexplode($"sk"))
+      .select($"pos".cast("long").as("idx"), $"col".as("c"))
+    val top = grams.groupBy($"sh").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"sh").limit(CmsTopK)
+    top.withColumn("d", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("idx", ($"d" * CmsWidth).cast("long") +
+        expr(s"CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', sh)), 1, 15), 16, 10) AS BIGINT) % $CmsWidth"))
+      .join(broadcast(slots), "idx")
+      .groupBy($"sh", $"true_cnt").agg(min($"c").as("est"))
+      .select($"sh", $"true_cnt", $"est", ($"est" - $"true_cnt").as("overcount"))
+      .orderBy($"true_cnt".desc, $"sh")
+  }
+
+  val freqEstimateSql: String = {
+    val slot = s"CAST(list_sum(list_transform(range(0, 15), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || '|' || sh), CAST(j + 1 AS INT), 1)) - 1) " +
+      s"* (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) AS BIGINT) % $CmsWidth"
+    s"""WITH fe_w AS (SELECT ${wordsSql("text")} AS ws FROM documents),
+       |fe_s AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, CAST(len(ws)-1 AS BIGINT)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM fe_w),
+       |fe_g AS (SELECT sh, count(*) AS true_cnt FROM fe_s GROUP BY sh),
+       |fe_d AS (SELECT d FROM range(0, $CmsDepth) t(d)),
+       |fe_slot AS (
+       |  SELECT sh, true_cnt, d, $slot AS slot FROM fe_g CROSS JOIN fe_d),
+       |fe_tot AS (SELECT d, slot, CAST(sum(true_cnt) AS BIGINT) AS c FROM fe_slot GROUP BY d, slot),
+       |fe_top AS (SELECT sh, true_cnt FROM fe_g ORDER BY true_cnt DESC, sh LIMIT $CmsTopK),
+       |fe_q AS (SELECT sh, true_cnt, d, $slot AS slot FROM fe_top CROSS JOIN fe_d),
+       |fe_est AS (
+       |  SELECT q.sh, q.true_cnt, min(tot.c) AS est
+       |  FROM fe_q q JOIN fe_tot tot ON tot.d = q.d AND tot.slot = q.slot
+       |  GROUP BY q.sh, q.true_cnt)
+       |SELECT sh, true_cnt, CAST(est AS BIGINT) AS est,
+       |  CAST(est - true_cnt AS BIGINT) AS overcount
+       |FROM fe_est ORDER BY true_cnt DESC, sh""".stripMargin
+  }
 
   // ---------------------------------------------------------------- №133 source_quantiles
   /** №124's exact-quantile histogram formulation GROUPED — per-SOURCE

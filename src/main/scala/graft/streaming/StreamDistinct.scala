@@ -46,9 +46,7 @@ object StreamDistinct {
       java.nio.file.Files.deleteIfExists(p)
     }
 
-    val shingleExpr =
-      "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws)-3), " +
-        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) ELSE array() END"
+    val shingleExpr = graft.queries.TextQueries.TrigramCase
 
     val name = s"stream_hll_${System.nanoTime()}"
     val streamed: Array[(String, Seq[Int])] = ReplayHarness.replay(spark, 8, name,

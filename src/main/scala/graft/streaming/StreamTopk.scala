@@ -57,13 +57,25 @@ object StreamTopk {
         col("col.id").as("user_id"), col("col.score").cast("long").as("n_events"))
 
     val name = s"stream_topk_${System.nanoTime()}"
+    // narrow state width for the replay (the ReplayHarness discipline the
+    // other streaming rows get for free): 2 chained stateful operators ×
+    // shuffle-partition state-store instances per micro-batch — at the
+    // session's 32 that is 64 stores of setup/commit per trigger for
+    // keyspaces (open windows, K-heaps) that are dozens of rows; 8 keeps
+    // the replay micro-batch machinery proportionate. Production sizes
+    // this to cluster parallelism as usual.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ranked.writeStream
       .format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
-    finally org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    }
     spark.table(name).orderBy(col("window_start_ms"), col("rank"))
   }
 
