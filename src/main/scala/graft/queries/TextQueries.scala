@@ -2014,26 +2014,41 @@ object HashDedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhashFrom(graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist()))
 
-  /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
-  private[queries] def dedupMinhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** K-minhash SIGNATURE frame (doc_id, m0..m11) — ONE aggregation pass
+    * (K min() partials map-side), shared by №22 and the №148 band sweep
+    * so the signatures graded at every banding are the same bytes. */
+  private[queries] def minhashSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = tok
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
     val minAggs = (0 until NumHashes).map(k => min(md5(concat(lit(s"$k|"), col("sh")))).as(s"m$k"))
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-    val bands = (0 until Bands).map { b =>
-      val key = md5(concat((b * R until (b + 1) * R).map(k => col(s"m$k")): _*))
+    sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** LSH band rows over a signature frame at a given band count
+    * (r = K/bands rows hashed into each band key). */
+  private[queries] def bandRowsOf(sig: org.apache.spark.sql.DataFrame, bands: Int): org.apache.spark.sql.DataFrame = {
+    val r = NumHashes / bands
+    (0 until bands).map { b =>
+      val key = md5(concat((b * r until (b + 1) * r).map(k => col(s"m$k")): _*))
       sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
     }.reduce(_ unionAll _)
-    val pairs = bands.as("a").join(bands.as("b"),
+  }
+
+  /** Distinct candidate pairs from a band-row frame (band-bucket
+    * self-join, a < b, counted once per matching band). */
+  private[queries] def bandPairsOf(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-    pairs.orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
+  private[queries] def dedupMinhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandPairsOf(bandRowsOf(minhashSigFrom(tok), Bands))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupMinhashSql: String = {
     val minCols = (0 until NumHashes).map(k => s"min(md5('$k|' || sh)) AS m$k").mkString(",\n    ")
@@ -2159,6 +2174,81 @@ object HashDedup {
     grade("minhash", dedupMinhashFrom(tok))
       .unionAll(grade("simhash", dedupSimhashFrom(tok)))
       .orderBy(col("method"))
+  }
+
+  // ---------------------------------------------------------------- №148 lsh_tuning
+  /** The BANDING dial of MinHash-LSH — №146 knn_c_sweep's discipline on
+    * the dedup side (and the parameter a 100 TB dedup run actually
+    * tunes): with K = 12 minhashes, sweep b ∈ [[BandSweep]] bands of
+    * r = K/b rows and grade each banding on BOTH sides of the trade —
+    * `n_candidates` (distinct pairs the band join emits: the cost — the
+    * match probability 1−(1−s^r)^b rises with b) and precision/recall vs
+    * the PPJoin-verified truth (№24). The SIGNATURES are computed ONCE
+    * ([[minhashSigFrom]] — the frame every banding re-keys), so the sweep
+    * adds only band-key projections + bucket joins per point; truth is
+    * the №24 frame verbatim (the dedup_recall discipline). Measured at
+    * the gate SFs: candidates GROW with b while recall climbs to 1.0 —
+    * the curve that justifies №22's b=4 default. */
+  val BandSweep: Seq[Int] = Seq(2, 3, 4, 6)
+
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val sig = graft.CacheRegistry.track(minhashSigFrom(tok).persist())
+    BandSweep.map { b =>
+      val pairs = graft.CacheRegistry.track(
+        bandPairsOf(bandRowsOf(sig, b)).select(col("doc_a"), col("doc_b")).persist())
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(
+          pairs.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .select(lit(b).as("bands"), lit(NumHashes / b).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    }.reduce(_ unionAll _).orderBy(col("bands"))
+  }
+
+  val lshTuningSql: String = {
+    def bandRowsSql(b: Int): String = {
+      val r = NumHashes / b
+      (0 until b).map { i =>
+        val key = "md5(" + (i * r until (i + 1) * r).map(k => s"m$k").mkString(" || ") + ")"
+        s"SELECT doc_id, $i AS band, $key AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+    }
+    def candSql(b: Int): String =
+      s"""cand_b$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_b$b a JOIN bands_b$b b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+    val minCols = (0 until NumHashes).map(k => s"min(md5('$k|' || sh)) AS m$k").mkString(",\n    ")
+    val gRows = BandSweep.map { b =>
+      s"""  SELECT $b AS bands, ${NumHashes / b} AS rows_per_band,
+         |    (SELECT count(*) FROM cand_b$b) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM cand_b$b JOIN truth USING (doc_a, doc_b)) AS n_hit""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
+       |$dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM d WHERE len(ws) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id),
+       |${BandSweep.map(b => s"bands_b$b AS (\n  ${bandRowsSql(b)})").mkString(",\n")},
+       |${BandSweep.map(candSql).mkString(",\n")},
+       |g AS (
+       |$gRows)
+       |SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
+       |FROM g ORDER BY bands""".stripMargin
   }
 
   val dedupRecallSql: String =

@@ -14,6 +14,7 @@ class PlanLintSpec extends SparkSpec {
     "jsonl_snapshot", "semantic_dedup", "domain_mix",
     "mix_sample", // domain_mix's single-row totals feed its rate frame
     "dedup_recall", // single-row count totals cross-joined
+    "lsh_tuning", // dedup_recall's single-row count totals, once per banding
     "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
     "lm_score", // single-row total-N broadcast (the domain_mix class)
     "filter_agreement", // composes lm_score's total-N broadcast

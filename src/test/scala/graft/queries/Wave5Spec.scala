@@ -62,6 +62,30 @@ class Wave5Spec extends SparkSpec {
     assert(got.head._2 + got.head._3 == vecs.size.toLong)
   }
 
+  test("lsh_tuning: candidates and recall grow with bands, precision never rises; default banding justified") {
+    val got = HashDedup.lshTuning(spark, sf)
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(got.map(_._1) == HashDedup.BandSweep, "one row per swept banding, ordered")
+    got.foreach { case (b, r, nCand, nTrue, nHit, prec, rec) =>
+      assert(r == HashDedup.NumHashes / b)
+      assert(nHit <= math.min(nCand, nTrue), s"b=$b hit accounting impossible")
+      assert(prec > 0.9 && rec > 0.9, s"b=$b degenerate point: prec=$prec rec=$rec")
+    }
+    // 1−(1−s^r)^b: match probability rises with b at fixed K ⇒ candidate
+    // set and recall are monotone non-decreasing, precision non-increasing
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)), s"candidates not monotone: ${got.map(_._3)}")
+    assert(got.map(_._7).sliding(2).forall(p => p(0) <= p(1)), s"recall not monotone: ${got.map(_._7)}")
+    assert(got.map(_._6).sliding(2).forall(p => p(0) >= p(1)), s"precision rose with b: ${got.map(_._6)}")
+    // the trade is LIVE on this corpus: the strictest banding misses pairs,
+    // the loosest admits false candidates — the sweep spans the knee
+    assert(got.head._7 < 1.0, "b=2 already perfect — sweep can't show the recall side")
+    assert(got.last._6 < 1.0, "b=6 has no false candidates — sweep can't show the cost side")
+    // №22's default banding sits at the knee: full recall
+    val default = got.find(_._1 == HashDedup.Bands).get
+    assert(default._7 == 1.0, "the default banding no longer reaches full recall")
+  }
+
   test("knn_c_sweep: the quality/cost trade is real — candidates fall and recall falls as C grows") {
     val got = VectorQueries.knnCSweep(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect().toSeq
