@@ -132,6 +132,51 @@ object Analytics {
        |  max(ts_ms) - min(ts_ms) AS duration_ms
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- №149 session_paths
+  /** Top SESSION PATHS — the behavioral-flow mining table (which
+    * event-type sequences do sessions actually follow — the input to
+    * funnel design and UX anomaly review): each №35 session becomes its
+    * ordered event-type path string (the sorted-struct-transform ≡
+    * ordered string_agg equivalence №63 proved), paths count per distinct
+    * sequence with an exact integer share (ppm of all sessions), top
+    * [[PathK]] by (count DESC, path).
+    *
+    * Scale shape: the №35 session window (one user-keyed shuffle + sort)
+    * feeds a per-session aggregation; the path rollup keys on the path
+    * string (cardinality ≤ sessions, in practice the head is tiny); the
+    * single-row session total is the only broadcast; final ranking is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps, never a
+    * global sort). */
+  val PathK = 20
+
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paths = graft.CacheRegistry.track(sessionAssigned(spark, dir)
+      .groupBy($"user_id", $"session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts_ms", $"event_id", $"event_type"))),
+        e => e.getField("event_type")), ">").as("path"))
+      .persist())
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(paths.agg(count(lit(1)).as("n_total"))))
+      .select($"path", $"n_sessions",
+        expr("n_sessions * 1000000 DIV n_total").as("share_ppm"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(PathK)
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH $sessionCtesSql,
+       |sp_p AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+       |  FROM sess GROUP BY user_id, session_id),
+       |sp_t AS (SELECT count(*) AS n_total FROM sp_p),
+       |sp_g AS (SELECT path, count(*) AS n_sessions FROM sp_p GROUP BY path)
+       |SELECT path, n_sessions, n_sessions * 1000000 // n_total AS share_ppm
+       |FROM sp_g CROSS JOIN sp_t
+       |ORDER BY n_sessions DESC, path LIMIT $PathK""".stripMargin
+
   // ---------------------------------------------------------------- №126 user_history
   /** Per-user CHRONOLOGICAL event-history strings truncated to the most
     * recent [[HistK]] events — the "user behavior sequence" a sequential

@@ -69,6 +69,19 @@ class CountMinSpec extends SparkSpec {
     assert(got == expected, "engine estimates diverge from the plain-Scala grid")
   }
 
+  test("stream ≡ batch: sharded streamed grids SUM to the batch answer; replay crossed micro-batches") {
+    val streamRows = graft.streaming.StreamFreq.streamFreq(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(graft.streaming.StreamFreq.lastBatches >= 3,
+      s"only ${graft.streaming.StreamFreq.lastBatches} data micro-batches — state never crossed a batch")
+    graft.CacheRegistry.releaseAll(spark)
+    val batchRows = TextQueries.freqEstimate(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(streamRows == batchRows,
+      "streamed estimates diverge from batch — the linear shard-sum should make them identical")
+  }
+
   test("serde round-trips; non-string child rejected at analysis time") {
     val cms = CountMin(org.apache.spark.sql.catalyst.expressions.Literal("a"), 4, 64)
     val buf = cms.createAggregationBuffer()

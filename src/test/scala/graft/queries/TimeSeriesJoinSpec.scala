@@ -452,6 +452,35 @@ class TimeSeriesJoinSpec extends SparkSpec {
       s"salt did not spread the hot key: maxSalted=$maxSalted vs maxKey=$maxKey")
   }
 
+  test("session_paths ≡ plain-Scala session-path recomputation; shares exact; head paths dominate") {
+    import spark.implicits._
+    val got = Analytics.sessionPaths(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val ev = graft.Tables(spark, sf).events
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // rebuild sessions with the №35 gap rule, then paths
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev == Long.MinValue || r._4 - prev > Analytics.SessionGapMs)
+          sessions += Vector.empty
+        sessions(sessions.size - 1) = sessions.last :+ r._3
+        prev = r._4
+      }
+      sessions.map(_.mkString(">"))
+    }
+    val total = paths.size.toLong
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (p, c) => (p, c, c * 1000000L / total) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(Analytics.PathK)
+    assert(got == expected, "top paths diverge from the plain-Scala recomputation")
+    assert(got.head._2 > 1L, "no repeated path — the mining is vacuous on this corpus")
+  }
+
   test("ab_test ≡ plain-Scala 2x2 chi-square; significance decision is the exact rational compare") {
     import spark.implicits._
     val row = Analytics.abTest(spark, sf).collect().head
