@@ -597,6 +597,53 @@ object TextQueries {
        |SELECT doc_id, min(r) AS cluster, doc_id = min(r) AS keep
        |FROM reach GROUP BY doc_id ORDER BY cluster, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- №151 dedup_survivorship
+  /** SURVIVORSHIP policy over the №40 duplicate clusters — the selection
+    * step a real dedup run performs after clustering: instead of №40's
+    * structural min-id keeper, keep the RICHEST member of each cluster
+    * (n_uniq DESC, n_tok DESC, doc_id ASC — "most distinct content wins",
+    * the master-data-management longest/most-complete-record rule, in
+    * exact integer form so no float tie can fork engines). On this corpus
+    * BOTH policy branches are live by construction: the near-dup copies
+    * append a token (strictly richer ⇒ the COPY survives — a different
+    * answer than min-id, spec-pinned), the exact copies tie on both
+    * metrics (doc_id decides — the min-id fallback).
+    *
+    * Scale shape: cluster labels come from №40's converged propagation
+    * (edge-bounded, never corpus²); metrics ride the SAME persisted
+    * tokenization ([[dupCorpusTok]]); the ranking window partitions by
+    * cluster — dedup components are star/clique-sized, so each partition
+    * sorts a handful of rows, parallel across clusters. Output is
+    * cluster-member-bounded. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist())
+    val labels = clusterLabelsFrom(spark, dedupNgramJaccardFrom(tok).select($"doc_a", $"doc_b"))
+    val metrics = tok.select($"doc_id",
+      size($"ws").as("n_tok"), size(array_distinct($"ws")).as("n_uniq"))
+    labels.join(metrics, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"label").orderBy($"n_uniq".desc, $"n_tok".desc, $"doc_id")))
+      .select($"doc_id", $"label".as("cluster"), $"n_tok", $"n_uniq", ($"rk" === 1).as("keep"))
+      .orderBy($"cluster", $"doc_id")
+  }
+
+  val dedupSurvivorshipSql: String =
+    s"""WITH RECURSIVE $clusterCteSql,
+       |sv_l AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |sv_m AS (
+       |  SELECT doc_id, CAST(len(ws) AS INT) AS n_tok,
+       |    CAST(len(list_distinct(ws)) AS INT) AS n_uniq
+       |  FROM d),
+       |sv_r AS (
+       |  SELECT l.doc_id, l.cluster, m.n_tok, m.n_uniq,
+       |    row_number() OVER (PARTITION BY l.cluster
+       |      ORDER BY m.n_uniq DESC, m.n_tok DESC, l.doc_id) AS rk
+       |  FROM sv_l l JOIN sv_m m USING (doc_id))
+       |SELECT doc_id, cluster, n_tok, n_uniq, rk = 1 AS keep
+       |FROM sv_r ORDER BY cluster, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- №41 text_normalize
   /** Text normalization for ingest: Unicode NFC (native [[graft.functions
     * .NfcNormalize]] expression — Spark has no built-in; mirrors DuckDB's

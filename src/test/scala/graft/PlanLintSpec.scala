@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
   private val executesOnBuild =
     Set("jsonl_snapshot", "stream_export", "stream_sessionize", "stream_dedup", "dedup_cluster",
       "dedup_pipeline", // runs the clusterLabels convergence loop on build
+      "dedup_survivorship", // same clusterLabels convergence loop on build
       "pretrain_pipeline", // same clusterLabels stage
       "stream_join", "stream_session_builtin", // streaming replays
       "stream_dedup_files", // file-backed replay runs on build

@@ -62,6 +62,37 @@ class Wave5Spec extends SparkSpec {
     assert(got.head._2 + got.head._3 == vecs.size.toLong)
   }
 
+  test("dedup_survivorship: one keeper per cluster, policy-optimal; richer copies beat min-id") {
+    val got = TextQueries.dedupSurvivorship(spark, sf)
+      .as[(Long, Long, Int, Int, Boolean)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      val keeps = rows.filter(_._5)
+      assert(keeps.size == 1, s"cluster $c has ${keeps.size} keepers")
+      val k = keeps.head
+      // the keeper beats every clustermate on (n_uniq, n_tok, -doc_id)
+      rows.filterNot(_._5).foreach { m =>
+        val better = (k._4, k._3, -k._1)
+        val other = (m._4, m._3, -m._1)
+        assert(Ordering[(Int, Int, Long)].gt(better, other),
+          s"cluster $c keeper ${k._1} does not dominate ${m._1}")
+      }
+    }
+    // the policy genuinely diverges from №40's min-id keep: the appended-
+    // token near-dup copies (+1000000 ids) are strictly richer and win
+    val policyDiffers = byCluster.values.exists { rows =>
+      rows.exists(r => r._5 && r._1 != rows.map(_._1).min)
+    }
+    assert(policyDiffers, "survivorship always picked min-id — the policy is vacuous here")
+    // and the exact-copy clusters still fall back to id order (ties)
+    val idFallback = byCluster.values.exists { rows =>
+      rows.exists(r => r._5 && r._1 == rows.map(_._1).min && rows.size > 1 &&
+        rows.forall(x => (x._3, x._4) == (r._3, r._4)))
+    }
+    assert(idFallback, "no tie cluster exercised the doc_id fallback")
+  }
+
   test("lsh_tuning: candidates and recall grow with bands, precision never rises; default banding justified") {
     val got = HashDedup.lshTuning(spark, sf)
       .as[(Int, Int, Long, Long, Long, Double, Double)].collect().toSeq
