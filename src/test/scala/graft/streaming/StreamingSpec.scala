@@ -187,6 +187,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("streaming CDC: order-robust state across micro-batches equals the batch merge; tombstones live") {
+    import spark.implicits._
+    val out = StreamCdc.streamCdc(spark, sf)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(StreamCdc.lastBatches >= 3,
+      s"replay ran ${StreamCdc.lastBatches} data batches — CDC state never crossed a micro-batch")
+    val batch = graft.queries.Analytics.cdcMerge(spark, sf)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(out == batch, "streamed CDC state diverged from the batch MERGE")
+    // op labels well-formed (full keep/insert/update coverage is pinned by
+    // the sf0.01 oracle gate; the tiny sf0.001 corpus has every user in
+    // both slices)
+    val ops = out.map(_._2).toSet
+    assert(ops.nonEmpty && ops.subsetOf(Set("keep", "insert", "update")), s"ops seen: $ops")
+    // tombstone consistency at ANY sf: a slice user is absent from the
+    // table IFF their final delta event is the error marker
+    val raw = graft.Tables(spark, sf).events
+      .filter($"ts_ms" < graft.queries.ExportQueries.T2)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val t1 = graft.queries.ExportQueries.T1
+    val expectedTombs = raw.filter(_._4 >= t1).groupBy(_._1).collect {
+      case (u, rows) if rows.maxBy(r => (r._4, r._2))._3 == "error" => u
+    }.toSet
+    val absent = raw.map(_._1).toSet -- out.map(_._1).toSet
+    assert(absent == expectedTombs,
+      s"tombstoned set $absent != users whose final delta event is error $expectedTombs")
+  }
+
   test("stream-stream interval join: boundary inclusion and cross-batch matching") {
     import spark.implicits._
     import graft.streaming.StreamJoin
