@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("stream_late: engine drop metric equals the closed-form late count; emitted windows match the recurrence") {
+    import spark.implicits._
+    val out = StreamLate.streamLate(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(StreamLate.lastBatches >= 3,
+      s"replay ran ${StreamLate.lastBatches} data batches — watermark never advanced mid-stream")
+    // closed form (the measured k−2 recurrence): bands 0/1 pass, band-2
+    // rows for windows closed by max(band0) − delay are DROPPED
+    val ev = graft.Tables(spark, sf).events
+      .select($"event_id", $"ts_ms").as[(Long, Long)].collect().toSeq
+    val wm0 = ev.filter(_._1 % 3 == 0).map(_._2).max - StreamLate.DelayMs
+    val wmF = ev.map(_._2).max - StreamLate.DelayMs
+    def win(ms: Long) = (ms / StreamLate.WindowMs) * StreamLate.WindowMs
+    val lateRows = ev.filter { case (id, ms) => id % 3 == 2 && win(ms) + StreamLate.WindowMs <= wm0 }
+    // the drop metric counts PARTIAL-aggregate rows at the state operator
+    // (map-side combine collapses the late rows per window per input
+    // split first): bounded below by the distinct closed windows band 2
+    // touches and above by the raw late-row count
+    val lateWindows = lateRows.map(e => win(e._2)).distinct.size.toLong
+    assert(StreamLate.lastDropped >= lateWindows && StreamLate.lastDropped <= lateRows.size.toLong,
+      s"engine dropped ${StreamLate.lastDropped}, outside [$lateWindows, ${lateRows.size}]")
+    assert(lateRows.nonEmpty, "no late rows — the watermark semantics are not exercised")
+    // emitted set/counts equal the recurrence (the oracle cross-checks the
+    // same thing in SQL; this is the plain-Scala pin)
+    val expected = ev.filter { case (id, ms) =>
+      (id % 3 != 2 || win(ms) + StreamLate.WindowMs > wm0) && win(ms) + StreamLate.WindowMs <= wmF
+    }.groupBy(e => win(e._2)).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(out == expected, "emitted windows diverge from the watermark recurrence")
+    // append mode: each window exactly once
+    assert(out.map(_._1).distinct.size == out.size)
+  }
+
   test("streaming CDC: order-robust state across micro-batches equals the batch merge; tombstones live") {
     import spark.implicits._
     val out = StreamCdc.streamCdc(spark, sf)
