@@ -91,9 +91,12 @@ object ScaleStress {
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "token_count" -> (TextQueries.tokenCount _),
       "distinct_sketch" -> (TextQueries.distinctSketch _),
+      "freq_estimate" -> (TextQueries.freqEstimate _),
       "dedup_minhash" -> (graft.queries.HashDedup.dedupMinhash _),
       "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
       "dedup_recall" -> (graft.queries.HashDedup.dedupRecall _),
+      "lsh_tuning" -> (graft.queries.HashDedup.lshTuning _),
+      "dedup_survivorship" -> (TextQueries.dedupSurvivorship _),
       "bm25_search" -> (TextQueries.bm25Search _),
       "hybrid_search" -> (VectorQueries.hybridSearch _),
       "retrieval_eval" -> (VectorQueries.retrievalEval _),
