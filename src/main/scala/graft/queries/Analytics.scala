@@ -1105,6 +1105,87 @@ object Analytics {
        |FROM at_per
        |ORDER BY model""".stripMargin
 
+  // ---------------------------------------------------------------- №154 attribution_linear
+  /** LINEAR (even-credit) attribution over a LOOKBACK WINDOW — the third
+    * industry model beside №132's first/last-touch, and the one that
+    * needs a different JOIN SHAPE: every click in the purchase's
+    * [[AttrWindowMs]] lookback shares the revenue, so the operator is a
+    * user-keyed INTERVAL join (the №76 range class — bounded by clicks ×
+    * purchases per user per window, the state bound №57's streaming twin
+    * carries), not a running-window merge. Credit is EXACT integer cents:
+    * each windowed click gets cents DIV n, the remainder goes to the LAST
+    * click (max (ts, event_id) — deterministic), so per-purchase credits
+    * sum to the purchase's cents EXACTLY — conservation is shipped IN the
+    * row (cents_attributed vs credited_cents must be equal, and the
+    * oracle recomputes both sides independently).
+    *
+    * Output one row however big the corpus: attribution coverage, the
+    * conserved totals, distinct credited clicks, and the largest single
+    * click's accumulated cents (the "MVP click" a budget review asks
+    * for). */
+  val AttrWindowMs: Long = 7L * 86400000L
+
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms",
+        expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)").as("cents"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts_ms".as("pms"), $"cents")
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id", $"ts_ms".as("cms"))
+    val pairs = graft.CacheRegistry.track(p.join(c, Seq("user_id"))
+      .filter($"cms" <= $"pms" && $"cms" > $"pms" - AttrWindowMs)
+      .select($"pid", $"cents", $"cid", $"cms")
+      .persist())
+    val per = graft.CacheRegistry.track(pairs
+      .groupBy($"pid", $"cents")
+      .agg(count(lit(1)).as("n_vis"), max(struct($"cms", $"cid")).as("last"))
+      .persist())
+    val credit = graft.CacheRegistry.track(pairs.join(per, Seq("pid", "cents"))
+      .select($"cid",
+        (expr("cents DIV n_vis") +
+          when(struct($"cms", $"cid") === $"last", $"cents" % $"n_vis").otherwise(0L)).as("credit"))
+      .filter($"credit" > 0)
+      .persist())
+    val byClick = credit.groupBy($"cid").agg(sum($"credit").as("click_cents"))
+    p.agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n_attributed"),
+        sum($"cents").as("cents_attributed"))))
+      .crossJoin(broadcast(credit.agg(sum($"credit").as("credited_cents"),
+        countDistinct($"cid").as("n_clicks_credited"))))
+      .crossJoin(broadcast(byClick.agg(max($"click_cents").as("max_click_cents"))))
+      .select(lit("linear").as("model"),
+        $"n_attributed", ($"n_purchases" - $"n_attributed").as("n_unattributed"),
+        $"cents_attributed", $"credited_cents", $"n_clicks_credited", $"max_click_cents")
+  }
+
+  val attributionLinearSql: String =
+    s"""WITH al_e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100 + 0.000000001) AS BIGINT) AS cents
+       |  FROM events),
+       |al_p AS (SELECT event_id AS pid, user_id, ms AS pms, cents FROM al_e WHERE event_type = 'purchase'),
+       |al_c AS (SELECT event_id AS cid, user_id, ms AS cms FROM al_e WHERE event_type = 'click'),
+       |al_j AS (
+       |  SELECT p.pid, p.cents, c.cid, c.cms,
+       |    count(*) OVER (PARTITION BY p.pid) AS n_vis,
+       |    row_number() OVER (PARTITION BY p.pid ORDER BY c.cms DESC, c.cid DESC) AS rn
+       |  FROM al_p p JOIN al_c c
+       |    ON c.user_id = p.user_id AND c.cms <= p.pms AND c.cms > p.pms - $AttrWindowMs),
+       |al_credit AS (
+       |  SELECT cid, cents // n_vis + CASE WHEN rn = 1 THEN cents % n_vis ELSE 0 END AS credit
+       |  FROM al_j),
+       |al_pos AS (SELECT cid, credit FROM al_credit WHERE credit > 0),
+       |al_click AS (SELECT cid, CAST(sum(credit) AS BIGINT) AS click_cents FROM al_pos GROUP BY cid)
+       |SELECT 'linear' AS model,
+       |  (SELECT count(DISTINCT pid) FROM al_j) AS n_attributed,
+       |  (SELECT count(*) FROM al_p) - (SELECT count(DISTINCT pid) FROM al_j) AS n_unattributed,
+       |  (SELECT CAST(sum(cents) AS BIGINT) FROM (SELECT DISTINCT pid, cents FROM al_j)) AS cents_attributed,
+       |  (SELECT CAST(sum(credit) AS BIGINT) FROM al_pos) AS credited_cents,
+       |  (SELECT count(*) FROM al_click) AS n_clicks_credited,
+       |  (SELECT max(click_cents) FROM al_click) AS max_click_cents""".stripMargin
+
   // ---------------------------------------------------------------- №131 ab_test
   /** A/B experiment readout — the two-proportion chi-square table every
     * product-analytics stack ships (and the gate a data pipeline runs

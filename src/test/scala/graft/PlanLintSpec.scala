@@ -35,6 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "skew_profile", // single-row total + key-count broadcast
     "event_transitions", // single-row transition-total broadcast
     "session_paths", // single-row session-total broadcast (the event_transitions class)
+    "attribution_linear", // dedup_recall's single-row rollup cross joins
     "knn_c_sweep", // knn_ivf's centroid-broadcast assignment, once per C
     "vocab_growth", // single-row max-doc-id broadcast for the bucket grid
     "embedding_drift", // single-row max-vec-id broadcast for the half grid

@@ -452,6 +452,42 @@ class TimeSeriesJoinSpec extends SparkSpec {
       s"salt did not spread the hot key: maxSalted=$maxSalted vs maxKey=$maxKey")
   }
 
+  test("attribution_linear ≡ plain-Scala windowed even-split; cents conserve exactly") {
+    import spark.implicits._
+    val row = Analytics.attributionLinear(spark, sf).collect().head
+    graft.CacheRegistry.releaseAll(spark)
+    val ev = graft.Tables(spark, sf).events
+      .select($"event_id", $"user_id", $"event_type", $"ts_ms",
+        expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)").as("cents"))
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val purchases = ev.filter(_._3 == "purchase")
+    val credits = scala.collection.mutable.Map.empty[Long, Long] // cid -> cents
+    var attributed = 0L; var centsAttr = 0L
+    purchases.foreach { case (pid, u, _, pms, cents) =>
+      val vis = clicksByUser.getOrElse(u, Seq.empty)
+        .filter(c => c._4 <= pms && c._4 > pms - Analytics.AttrWindowMs)
+      if (vis.nonEmpty) {
+        attributed += 1; centsAttr += cents
+        val base = cents / vis.size
+        val last = vis.maxBy(c => (c._4, c._1))._1
+        vis.foreach { c =>
+          val cr = base + (if (c._1 == last) cents % vis.size else 0L)
+          if (cr > 0) credits(c._1) = credits.getOrElse(c._1, 0L) + cr
+        }
+      }
+    }
+    val expected = ("linear", attributed, purchases.size - attributed, centsAttr,
+      credits.values.sum, credits.size.toLong, credits.values.max)
+    val got = (row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6))
+    assert(got == expected, s"$got != $expected")
+    // conservation: every attributed cent lands on some click, exactly once
+    assert(row.getLong(3) == row.getLong(4), "cents not conserved through the split")
+    // the lookback genuinely excludes clicks (vs №132's unbounded history)
+    assert(row.getLong(2) > 0, "every purchase attributed — the window does no work here")
+  }
+
   test("session_paths ≡ plain-Scala session-path recomputation; shares exact; head paths dominate") {
     import spark.implicits._
     val got = Analytics.sessionPaths(spark, sf)
