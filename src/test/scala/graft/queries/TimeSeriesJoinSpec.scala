@@ -452,6 +452,28 @@ class TimeSeriesJoinSpec extends SparkSpec {
       s"salt did not spread the hot key: maxSalted=$maxSalted vs maxKey=$maxKey")
   }
 
+  test("burst_detect ≡ plain-Scala trailing-week recomputation; both verdicts live; full baselines only") {
+    import spark.implicits._
+    val got = Analytics.burstDetect(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val daily = graft.Tables(spark, sf).events
+      .select($"event_type", expr("ts_ms DIV 86400000").as("day"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = daily.keys.toSeq.flatMap { case (t, d) =>
+      val base = (1L to 7L).flatMap(k => daily.get((t, d - k)))
+      if (base.size == 7) {
+        val n = daily((t, d))
+        Some((t, d, n, base.sum, n * Analytics.BurstDenom * 7 > Analytics.BurstNumer * base.sum))
+      } else None
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected, "burst table diverges from the plain-Scala trailing-week recomputation")
+    assert(got.exists(_._5) && got.exists(!_._5), "both verdict branches must be live at the spec SF")
+    // warm-up discipline: nothing flagged without a full 7-day baseline
+    val firstDay = daily.keys.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    got.foreach { case (t, d, _, _, _) => assert(d >= firstDay(t) + 7, s"($t, $d) lacks a full baseline") }
+  }
+
   test("attribution_linear ≡ plain-Scala windowed even-split; cents conserve exactly") {
     import spark.implicits._
     val row = Analytics.attributionLinear(spark, sf).collect().head
