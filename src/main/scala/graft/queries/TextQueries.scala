@@ -597,6 +597,79 @@ object TextQueries {
        |SELECT doc_id, min(r) AS cluster, doc_id = min(r) AS keep
        |FROM reach GROUP BY doc_id ORDER BY cluster, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- №156 curriculum_order
+  /** CURRICULUM staging — the quality-ordered training schedule prep
+    * (easy/clean-first curricula feed highest-quality data early):
+    * documents bin into four stages by the EXACT quality quartiles of the
+    * corpus itself (the №124 histogram-quantile formulation over №29's
+    * 6dp quality score — min value with 100·cum ≥ p·N, never a corpus
+    * sort), stage = how many quartile thresholds the doc's quality
+    * strictly exceeds (ties resolve DOWN in both engines — boundary docs
+    * land deterministically), and the stage manifest reports the budget a
+    * scheduler consumes: docs, tokens, and the exact quality envelope per
+    * stage.
+    *
+    * Scale shape: №29's per-row projection feeds a value-domain histogram
+    * (≤ one row per distinct 6dp score), a single-partition cumulative
+    * window over that bounded domain, a 1-row threshold broadcast, and a
+    * 4-key rollup — bounded at every step however big the corpus. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.CacheRegistry.track(qualityScore(spark, dir)
+      .select($"doc_id", $"n_tok", $"quality").persist())
+    val hist = q.groupBy($"quality").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum($"cnt").as("n_docs"))))
+    val thr = cum.agg(
+      min(when(lit(100) * $"cum" >= lit(25) * $"n_docs", $"quality")).as("q25"),
+      min(when(lit(100) * $"cum" >= lit(50) * $"n_docs", $"quality")).as("q50"),
+      min(when(lit(100) * $"cum" >= lit(75) * $"n_docs", $"quality")).as("q75"))
+    q.crossJoin(broadcast(thr))
+      .withColumn("stage",
+        (($"quality" > $"q25").cast("int") + ($"quality" > $"q50").cast("int")
+          + ($"quality" > $"q75").cast("int")).cast("long"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"quality").as("q_lo"), max($"quality").as("q_hi"))
+      .orderBy($"stage")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH co_d AS (
+       |  SELECT doc_id, text, ${wordsSql("text")} AS ws FROM documents),
+       |co_m AS (
+       |  SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_uniq,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |    len(list_filter(ws, w -> w IN (${inList(stopwords)}))) AS n_stop,
+       |    length(text) AS n_chars
+       |  FROM co_d),
+       |co_q AS (
+       |  SELECT doc_id, n_tok,
+       |    round(least(1.0, CAST(n_chars AS DOUBLE)/500.0)*0.25
+       |      + (1.0 - least(1.0, CAST(n_punct AS DOUBLE)/greatest(n_tok,1)))*0.25
+       |      + least(1.0, CAST(n_stop AS DOUBLE)*4.0/n_tok)*0.25
+       |      + (CAST(n_uniq AS DOUBLE)/n_tok)*0.25 + 0.000000001, 6) AS quality
+       |  FROM co_m),
+       |co_h AS (SELECT quality, count(*) AS cnt FROM co_q GROUP BY quality),
+       |co_n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs FROM co_h),
+       |co_c AS (
+       |  SELECT quality, CAST(sum(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum FROM co_h),
+       |co_t AS (
+       |  SELECT
+       |    min(CASE WHEN 100*cum >= 25*n_docs THEN quality END) AS q25,
+       |    min(CASE WHEN 100*cum >= 50*n_docs THEN quality END) AS q50,
+       |    min(CASE WHEN 100*cum >= 75*n_docs THEN quality END) AS q75
+       |  FROM co_c CROSS JOIN co_n)
+       |SELECT CAST(CAST((quality > q25) AS INT) + CAST((quality > q50) AS INT)
+       |    + CAST((quality > q75) AS INT) AS BIGINT) AS stage,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(quality) AS q_lo, max(quality) AS q_hi
+       |FROM co_q CROSS JOIN co_t
+       |GROUP BY 1 ORDER BY stage""".stripMargin
+
   // ---------------------------------------------------------------- №151 dedup_survivorship
   /** SURVIVORSHIP policy over the №40 duplicate clusters — the selection
     * step a real dedup run performs after clustering: instead of №40's

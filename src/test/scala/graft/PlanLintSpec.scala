@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "heavy_hitters", // single-row total-N broadcast (the lm_score class)
     "stream_heavy_hitters", // №123's verify pass over the streamed candidates
     "length_quantiles", // single-row histogram-total broadcast
+    "curriculum_order", // single-row histogram-total + quartile-threshold broadcasts
     "pmi_pairs", // single-row bigram-total broadcast
     "ab_test", // single-row user-totals broadcast
     "epoch_expand", // domain_mix's single-row totals feed the rates frame

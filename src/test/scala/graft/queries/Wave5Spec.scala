@@ -62,6 +62,33 @@ class Wave5Spec extends SparkSpec {
     assert(got.head._2 + got.head._3 == vecs.size.toLong)
   }
 
+  test("curriculum_order ≡ plain-Scala quartile staging; stages partition the corpus, envelopes ordered") {
+    val got = TextQueries.curriculumOrder(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val docs = TextQueries.qualityScore(spark, sf)
+      .select($"doc_id", $"n_tok", $"quality").as[(Long, Int, Double)].collect().toSeq
+    val qs = docs.map(_._3).sorted
+    val n = qs.size.toLong
+    def quantile(p: Int): Double = {
+      // min q with 100·rank(q) ≥ p·N (discrete lower quantile on the sorted values)
+      val rank = (p * n + 99) / 100
+      qs(rank.toInt - 1)
+    }
+    val (q25, q50, q75) = (quantile(25), quantile(50), quantile(75))
+    val expected = docs.groupBy { d =>
+      (if (d._3 > q25) 1 else 0) + (if (d._3 > q50) 1 else 0) + (if (d._3 > q75) 1 else 0)
+    }.toSeq.map { case (s, rows) =>
+      (s.toLong, rows.size.toLong, rows.map(_._2.toLong).sum, rows.map(_._3).min, rows.map(_._3).max)
+    }.sortBy(_._1)
+    assert(got == expected, "stage manifest diverges from the plain-Scala quartile staging")
+    // stages PARTITION the corpus and the quality envelopes are ordered,
+    // non-overlapping (the property a curriculum scheduler depends on)
+    assert(got.map(_._2).sum == n)
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._5 < b._4, s"stages ${a._1}/${b._1} overlap") case _ => () }
+    assert(got.map(_._1) == (0L to 3L), "exactly four stages")
+  }
+
   test("dedup_survivorship: one keeper per cluster, policy-optimal; richer copies beat min-id") {
     val got = TextQueries.dedupSurvivorship(spark, sf)
       .as[(Long, Long, Int, Int, Boolean)].collect().toSeq
