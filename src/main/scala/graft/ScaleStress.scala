@@ -173,6 +173,12 @@ object ScaleStress {
         |  assignment O(n·C) and probe O(n²·P/C) both run at O(n^1.5) — and is both
         |  absolutely faster and flatter. (C ∝ n was measured first and is WORSE:
         |  it makes the assignment itself quadratic — 15.2× at ×10.)
+        |- The retrieval harnesses (hybrid_search, retrieval_eval) run ~1.5× above
+        |  their own ×1→×10 trend at ×30: the exact embedding gold ranking holds
+        |  Q×N scored rows through one executor-memory window, where spill/GC
+        |  pressure shows on a single host. The plan is unchanged and growth stays
+        |  far from quadratic; on a real cluster this is executor-count headroom,
+        |  not an algorithmic cliff.
         |""".stripMargin)
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
       sb.toString.getBytes("UTF-8"))
