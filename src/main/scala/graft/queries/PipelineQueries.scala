@@ -885,6 +885,63 @@ object PipelineQueries {
     s"""coalesce($s.n_tok, 0) > 0 AND
        |    round(CAST(coalesce($s.sum_bits, 0) AS DOUBLE) / greatest(coalesce($s.n_tok, 0), 1) + 0.000000001, 6) <= $LmTau""".stripMargin
 
+  // ---------------------------------------------------------------- №157 rank_correlation
+  /** RANK correlation between two quality signals — the filter-redundancy
+    * measurement (№90 filter_agreement grades binary VERDICT agreement;
+    * this grades the underlying CONTINUOUS signals): Spearman's ρ between
+    * №29's composite quality and №88's LM surprisal over a deterministic
+    * md5-ordered sample of [[RankSampleK]] docs. Both ranks are
+    * "best-first" (quality DESC, surprisal ASC, doc_id tiebreak), so a
+    * POSITIVE ρ means the signals agree on what good looks like. Exact
+    * arithmetic end to end: ranks are integers, Σd² an exact BIGINT, and
+    * ρ = 1 − 6Σd²/(n(n²−1)) is one 6dp division on exact inputs — both
+    * engines bit-agree.
+    *
+    * Scale shape: the signals are the operators' own corpus passes
+    * (linear, shared fragments); the SAMPLE bounds everything downstream
+    * — the md5 order is a TakeOrdered (per-partition heaps), the rank
+    * windows sort [[RankSampleK]] rows, output is one row. A full-corpus
+    * Spearman would need two global sorts; the sample is the honest
+    * at-scale answer (ρ's sampling error at n=400 is ~0.05). */
+  val RankSampleK = 400
+
+  def rankCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = TextQueries.qualityScore(spark, dir).select($"doc_id", $"quality")
+    val l = lmScore(spark, dir).select($"doc_id", $"mean_bits")
+    val sample = q.join(l, "doc_id")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id").limit(RankSampleK)
+    val ra = Window.orderBy($"quality".desc, $"doc_id")
+    val rb = Window.orderBy($"mean_bits".asc, $"doc_id")
+    sample
+      .withColumn("rank_q", row_number().over(ra).cast("long"))
+      .withColumn("rank_lm", row_number().over(rb).cast("long"))
+      .select((($"rank_q" - $"rank_lm") * ($"rank_q" - $"rank_lm")).as("d2"))
+      .agg(count(lit(1)).as("n"), sum($"d2").as("sum_d2"))
+      .select($"n", $"sum_d2",
+        round(lit(1.0) - lit(6.0) * $"sum_d2" / ($"n" * ($"n" * $"n" - 1)) + lit(1e-9), 6).as("rho"))
+  }
+
+  // lazy: lmScoreSql is declared below (object init order)
+  lazy val rankCorrelationSql: String =
+    s"""WITH rc_q AS (SELECT doc_id, quality FROM (${TextQueries.qualityScoreSql.replace("\n", "\n  ")})),
+       |rc_l AS (SELECT doc_id, mean_bits FROM (${lmScoreSql.replace("\n", "\n  ")})),
+       |rc_s AS (
+       |  SELECT q.doc_id, q.quality, l.mean_bits
+       |  FROM rc_q q JOIN rc_l l USING (doc_id)
+       |  ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id LIMIT $RankSampleK),
+       |rc_r AS (
+       |  SELECT
+       |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank_q,
+       |    CAST(row_number() OVER (ORDER BY mean_bits ASC, doc_id) AS BIGINT) AS rank_lm
+       |  FROM rc_s)
+       |SELECT count(*) AS n,
+       |  CAST(sum((rank_q - rank_lm) * (rank_q - rank_lm)) AS BIGINT) AS sum_d2,
+       |  round(1.0 - 6.0 * CAST(sum((rank_q - rank_lm) * (rank_q - rank_lm)) AS BIGINT)
+       |        / (count(*) * (count(*) * count(*) - 1)) + 0.000000001, 6) AS rho
+       |FROM rc_r""".stripMargin
+
   val lmScoreSql: String =
     s"""WITH $lmCtesSql
        |SELECT d.doc_id,

@@ -17,6 +17,7 @@ class PlanLintSpec extends SparkSpec {
     "lsh_tuning", // dedup_recall's single-row count totals, once per banding
     "embedding_quantize", // the knn_brute broadcast-scan shape over quantized vectors
     "lm_score", // single-row total-N broadcast (the domain_mix class)
+    "rank_correlation", // composes lm_score's total-N broadcast
     "filter_agreement", // composes lm_score's total-N broadcast
     "embed_knn", // the knn_brute broadcast-scan shape over hashed embeddings
     "hybrid_search", // embed_knn's broadcast-scan leg + bm25's total-N broadcast

