@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * Replica construction keeps per-copy structure EXACTLY sf0.1's while
   * making cross-copy similarity vanish (otherwise replication itself
   * manufactures quadratic near-dup structure no natural corpus has):
-  *   - documents: copy c ≥ 1 prefixes every word with `q<c>` → token/
-  *     shingle spaces of different copies are DISJOINT (no cross-copy LSH
-  *     band collisions, no cross-copy PPJoin candidates, per-copy BM25
-  *     posting lists); copy 0 is the base corpus verbatim.
+  *   - documents: copy c ≥ 1 prefixes every word with a FIXED-WIDTH,
+  *     letters-only tag `q<aa>..<zz>` (two base-26 letters encoding c) →
+  *     token/shingle spaces of different copies are DISJOINT (no
+  *     cross-copy LSH band collisions, no cross-copy PPJoin candidates,
+  *     per-copy BM25 posting lists); copy 0 is the base corpus verbatim.
+  *     Fixed width + letters-only matters: a variable-width digit tag
+  *     (`q10`) would make copy 1's transform of a digit-initial token
+  *     ('0foo'→'q10foo') collide with copy 10's ('foo'→'q10foo'),
+  *     breaking the disjointness invariant above factor 10.
   *   - embeddings: copy c applies a per-(copy, dim) ±1 SIGN FLIP
   *     (md5-parity) — an orthogonal transform, so all intra-copy dot
   *     products/norms are bit-identical to the base while cross-copy
@@ -51,6 +56,14 @@ object ScaleStress {
     }
   }
 
+  /** Fixed-width letters-only copy tag: c → "aa".."zz" (c < 676). No
+    * tag is a proper prefix of another and no tag can be completed by a
+    * token's own leading characters into a different copy's tag. */
+  private[graft] def copyTag(c: Int): String = {
+    require(c >= 1 && c < 26 * 26, s"copy tag out of range: $c")
+    s"${('a' + c / 26).toChar}${('a' + c % 26).toChar}"
+  }
+
   def generate(spark: SparkSession, factor: Int): String = {
     val out = scaledDir(factor)
     if (new java.io.File(s"$out/documents.parquet").exists &&
@@ -60,9 +73,9 @@ object ScaleStress {
       if (c == 0) docs
       else docs.select(
         (col("doc_id") + c * 10000000L).as("doc_id"),
-        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"q$c$$1").as("text"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"q${copyTag(c)}$$1").as("text"),
         col("lang"), col("source"),
-        length(regexp_replace(col("text"), "([A-Za-z0-9]+)", s"q$c$$1")).cast("long").as("n_chars"))
+        length(regexp_replace(col("text"), "([A-Za-z0-9]+)", s"q${copyTag(c)}$$1")).cast("long").as("n_chars"))
     }.reduce(_ unionByName _)
     docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$Base/embeddings.parquet")
@@ -113,12 +126,15 @@ object ScaleStress {
         spark.conf.set(VectorQueries.CentroidsConfKey,
           math.max(VectorQueries.Centroids, (VectorQueries.Centroids * math.sqrt(relSf)).toInt).toString)
       val t0 = System.nanoTime()
-      try fn(spark, dir).queryExecution.toRdd.count()
-      finally {
+      try {
+        fn(spark, dir).queryExecution.toRdd.count()
+        // stop the clock BEFORE teardown: releaseAll/unpersist in the
+        // finally block is harness bookkeeping, not query time
+        (System.nanoTime() - t0) / 1e9
+      } finally {
         spark.conf.unset(VectorQueries.CentroidsConfKey)
         CacheRegistry.releaseAll(spark)
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // warmup (codegen/JIT) at the smallest SF

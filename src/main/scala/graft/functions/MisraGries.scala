@@ -102,6 +102,10 @@ case class MisraGries(
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // version tag first: buffers can outlive a run inside durable
+    // streaming-state checkpoints, so a future format change must fail
+    // cleanly on old bytes instead of decoding garbage.
+    out.writeByte(MisraGries.FormatVersion)
     out.writeInt(buf.size)
     // int length + raw UTF-8 bytes, NOT writeUTF: writeUTF throws
     // UTFDataFormatException past 65535 encoded bytes, and one pathological
@@ -116,6 +120,10 @@ case class MisraGries(
 
   override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == MisraGries.FormatVersion,
+      s"MisraGries buffer format $ver != ${MisraGries.FormatVersion}: " +
+        "state written by an incompatible version; clear the checkpoint")
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
@@ -138,6 +146,9 @@ case class MisraGries(
 }
 
 object MisraGries {
+  /** Serialized-buffer format version (see [[MisraGries.serialize]]). */
+  val FormatVersion: Byte = 2
+
   val entryType: StructType = StructType(Seq(
     StructField("tok", StringType, nullable = false),
     StructField("est", LongType, nullable = false)))

@@ -814,11 +814,15 @@ object VectorQueries {
     val corpus = v.filter(col("vec_id") >= NQueries)
     val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
     val batch = corpus.filter(col("vec_id") % BatchMod === 0)
-    // build-if-absent: base-sized work happens ONCE per corpus version
-    val centroids = cachedModel(spark, s"graft_ivfupd_cent_${dirKey(dir)}")(
-      refinedCentroids(spark, base)) // the FROZEN model
+    // build-if-absent: base-sized work happens ONCE per corpus version.
+    // The effective centroid count is part of the cache key: a session
+    // that first ran with spark.graft.knn.centroids set must not leak a
+    // wrong-C model (or its dependent cell layout) into conf-default runs.
+    val cc = centroidsOf(spark)
+    val centroids = cachedModel(spark, s"graft_ivfupd_cent_${dirKey(dir)}_c$cc")(
+      refinedCentroids(spark, base, cc)) // the FROZEN model
     val index = graft.sources.Bucketing.bucketedCached(
-      spark, s"graft_ivfupd_base_${dirKey(dir)}", "cell")(
+      spark, s"graft_ivfupd_base_${dirKey(dir)}_c$cc", "cell")(
       cellsOf(base, centroids))                   // the persisted №72 layout
     val arrivals = cellsOf(batch, centroids)      // batch-sized daily work
     // unionByName: the persisted table's column order is a storage detail
