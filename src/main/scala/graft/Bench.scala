@@ -100,6 +100,13 @@ object Bench {
       }
     }
     val benchStart = System.currentTimeMillis()
+    // Cold-build honesty (r10 verdict): knn_index_update's steady-state
+    // median measures batch-sized work BY DESIGN (build-once economics),
+    // but the artifact must carry what a fresh corpus version pays. Drop
+    // the persisted model+index and time ONE cold run — reported as its
+    // own cold_build_s field, excluded from the steady-state sample
+    // (which the run right after rebuilds for).
+    val coldBuilds = scala.collection.mutable.LinkedHashMap[String, Double]()
     // one iteration = (start offset sec from bench start, duration sec);
     // None = crashed (dropped, not timed)
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Option[(Double, Double)] = {
@@ -129,6 +136,10 @@ object Bench {
     // (steady-state numbers, comparable across rounds)
     val interleave = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
     val order = selected.toSeq
+    for ((name, fn) <- order if name == "knn_index_update") {
+      graft.queries.VectorQueries.dropIndexUpdateCaches(spark, sfDir)
+      runOnce(fn, s"$name(cold)").foreach { case (_, d) => coldBuilds(name) = d }
+    }
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]](
       order.map { case (n, _) => n -> Vector.empty[(Double, Double)] }: _*)
     if (interleave)
@@ -196,7 +207,8 @@ object Bench {
       s"\"" + k + "\":{" + body + "}"
     }.mkString("{", ",", "}")
     val total = trimmedMed.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val coldJson = coldBuilds.map { case (k, d) => s"\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ADVERSARIAL duplicate-heavy scale stress (SURVEY §4) — the one 100 TB
+  * dedup failure mode the [[ScaleStress]] linear-band table cannot see:
+  * its replica construction deliberately keeps cross-copy similarity
+  * ZERO, so LSH buckets and PPJoin prefix-gram lists stay small by
+  * construction. A real crawl is the opposite — boilerplate/template
+  * text (cookie banners, forum footers, SEO spam) puts a visible
+  * fraction of ALL documents into the SAME band buckets / prefix-gram
+  * lists, and the candidate self-joins go quadratic in the hot cluster's
+  * size. RefinedWeb/CCNet cap or drop oversized buckets for exactly this
+  * reason.
+  *
+  * This harness measures it and the guard that contains it:
+  *   - corpus: [[ScaleStress.generate]]'s ×F replica with ~[[HotPct]]%
+  *     of docs (md5-selected, deterministic) REPLACED by one fixed
+  *     40-word boilerplate plus a per-doc unique tail — one GLOBAL
+  *     template cluster growing with the corpus, the worst shape;
+  *   - queries: dedup_minhash / lsh_tuning / dedup_ngram_jaccard,
+  *     each timed base (sf0.1), adversarial ×1 and adversarial ×F,
+  *     UNCAPPED and CAPPED ([[graft.queries.HashDedup.BucketCapConfKey]]
+  *     = [[Cap]] for the band joins,
+  *     [[graft.queries.TextQueries.GramCapConfKey]] = [[Cap]] for the
+  *     prefix join);
+  *   - accounting: dropped buckets/rows/avoided pairs per run — the
+  *     guard's recall trade is measured, never silent.
+  *
+  * Output: the `adversarial` section of `SCALING.md` (spliced between
+  * markers; [[ScaleStress]]'s full rewrite preserves it).
+  *
+  * Usage: graft.ScaleAdversarial [factor] (default 10). */
+object ScaleAdversarial {
+
+  val HotPct = 1   // ~1% of docs carry the template
+  val Cap = 32     // bucket/gram cap: legit near-dup clusters are ≤ a few docs
+
+  /** One fixed boilerplate — 40 lowercase words, the template cluster's
+    * entire text (plus a unique tail so docs aren't byte-identical:
+    * exact-dedup must NOT be able to collapse them first). */
+  val Boilerplate: String =
+    ("accept cookies to continue browsing this site we use cookies to " +
+      "improve your experience and analyze traffic by clicking agree you " +
+      "consent to our privacy policy and terms of service read more about " +
+      "how we process personal data in the policy page footer")
+
+  def advDir(factor: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scale_adv_x$factor"
+
+  /** ×factor replica with the template injected AFTER the copy transform
+    * — all copies share ONE raw boilerplate, so the hot cluster is
+    * global (~HotPct% of the whole ×F corpus), not per-copy. */
+  def generate(spark: SparkSession, factor: Int): String = {
+    val out = advDir(factor)
+    if (new java.io.File(s"$out/documents.parquet").exists &&
+        new java.io.File(s"$out/embeddings.parquet").exists) return out
+    val base = ScaleStress.generate(spark, factor)
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val hot = expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100 < $HotPct")
+    val adv = docs.select(
+      col("doc_id"),
+      when(hot, concat(lit(Boilerplate), lit(" uniq"), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    adv.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  private val BeginMark = "<!-- adversarial:begin -->"
+  private val EndMark = "<!-- adversarial:end -->"
+
+  /** Splice `block` into SCALING.md between the markers (replacing any
+    * previous block); append if absent. */
+  def splice(block: String): Unit = {
+    val p = java.nio.file.Paths.get("SCALING.md")
+    val cur = if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
+    val b = cur.indexOf(BeginMark)
+    val e = cur.indexOf(EndMark)
+    val next =
+      if (b >= 0 && e > b) cur.substring(0, b) + BeginMark + "\n" + block + EndMark + cur.substring(e + EndMark.length)
+      else cur + "\n" + BeginMark + "\n" + block + EndMark + "\n"
+    java.nio.file.Files.write(p, next.getBytes("UTF-8"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.trim.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.{HashDedup, TextQueries}
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_minhash" -> (HashDedup.dedupMinhash _),
+      "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
+      "lsh_tuning" -> (HashDedup.lshTuning _))
+
+    val adv1 = generate(spark, 1)
+    val advF = generate(spark, factor)
+    val dirs = Seq(("base x1", "/root/testdata/sf0.1"), ("adv x1", adv1), (s"adv x$factor", advF))
+
+    def setCaps(on: Boolean): Unit =
+      if (on) {
+        spark.conf.set(HashDedup.BucketCapConfKey, Cap.toString)
+        spark.conf.set(TextQueries.GramCapConfKey, Cap.toString)
+      } else {
+        spark.conf.unset(HashDedup.BucketCapConfKey)
+        spark.conf.unset(TextQueries.GramCapConfKey)
+      }
+
+    def timeOne(fn: (SparkSession, String) => DataFrame, dir: String, capped: Boolean): (Double, Long) = {
+      setCaps(capped)
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, dir).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      } finally {
+        setCaps(on = false)
+        CacheRegistry.releaseAll(spark)
+      }
+    }
+
+    // warmup (codegen) on the small corpus
+    queries.foreach { case (_, fn) =>
+      try timeOne(fn, "/root/testdata/sf0.01", capped = false) catch { case _: Throwable => () }
+      try timeOne(fn, "/root/testdata/sf0.01", capped = true) catch { case _: Throwable => () }
+    }
+
+    val rows = for ((name, fn) <- queries) yield {
+      val cells = for ((label, dir) <- dirs; capped <- Seq(false, true)) yield {
+        val (t, n) = timeOne(fn, dir, capped)
+        System.err.println(f"[adv] $name%-20s $label%-8s capped=$capped%-5s ${t}%7.2fs  rows=$n")
+        ((label, capped), (t, n))
+      }
+      name -> cells.toMap
+    }
+
+    // the guard's accounting on the adversarial ×F corpus
+    val tokF = CacheRegistry.track(TextQueries.dupCorpusTok(spark, advF).persist())
+    val bandRows = HashDedup.bandRowsOf(HashDedup.minhashSigFrom(tokF), HashDedup.Bands)
+    val acct = HashDedup.cappedBucketStats(bandRows, Cap)
+      .agg(sum(col("buckets_dropped")), sum(col("rows_dropped")), sum(col("pairs_avoided")))
+      .head()
+    val (bDrop, rDrop, pAvoid) = (acct.getLong(0), acct.getLong(1), acct.getLong(2))
+    CacheRegistry.releaseAll(spark)
+
+    val sb = new StringBuilder
+    sb.append(s"\n## Adversarial duplicate-heavy stress (generated by `graft.ScaleAdversarial`)\n\n")
+    sb.append(s"Corpus: the ×F replica with ~$HotPct% of ALL docs replaced by one fixed\n")
+    sb.append(s"40-word boilerplate + unique tail — one GLOBAL template cluster (the\n")
+    sb.append(s"web-dedup failure: a band bucket / prefix-gram list holding the whole\n")
+    sb.append(s"cluster makes the candidate self-join quadratic in cluster size, which\n")
+    sb.append(s"grows with the corpus). Guard: bucket/gram cap = $Cap\n")
+    sb.append(s"(`spark.graft.lsh.bucketCap` / `spark.graft.ppjoin.gramCap`, default OFF\n")
+    sb.append(s"— every driver oracle runs uncapped). local[$cpus], 1 timed run after warmup.\n\n")
+    sb.append(s"| query | base ×1 | adv ×1 | adv ×1 capped | adv ×$factor | adv ×$factor capped | uncapped ×$factor/×1 | capped ×$factor/×1 |\n")
+    sb.append("|---|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (name, cells) =>
+      val b1 = cells(("base x1", false))._1
+      val a1 = cells(("adv x1", false))._1
+      val a1c = cells(("adv x1", true))._1
+      val aF = cells((s"adv x$factor", false))._1
+      val aFc = cells((s"adv x$factor", true))._1
+      val ratioU = aF / a1
+      val ratioC = aFc / a1c
+      sb.append(f"| $name | $b1%.2fs | $a1%.2fs | $a1c%.2fs | $aF%.2fs | $aFc%.2fs | $ratioU%.1f× | $ratioC%.1f× |\n")
+    }
+    sb.append(f"""
+      |Candidate-volume evidence (rows out of the pair/tuning frames, adv ×$factor):
+      |""".stripMargin)
+    rows.foreach { case (name, cells) =>
+      val nU = cells((s"adv x$factor", false))._2
+      val nC = cells((s"adv x$factor", true))._2
+      sb.append(s"- `$name`: $nU rows uncapped → $nC capped\n")
+    }
+    sb.append(f"""
+      |Cap accounting on adv ×$factor (band join, cap=$Cap): $bDrop buckets dropped,
+      |$rDrop signature rows excluded, $pAvoid candidate pairs avoided — the
+      |recall trade is exactly the template cluster (mutual near-dups of one
+      |boilerplate; the cluster's members are found by exact/minhash dedup of
+      |the boilerplate itself, not pairwise LSH). Reading the table: the
+      |UNCAPPED adv ×$factor/×1 ratio carries the quadratic template term
+      |(cluster size grows ×$factor ⇒ its pair count grows ×${factor * factor});
+      |the CAPPED ratio restores the linear band.
+      |""".stripMargin)
+    splice(sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

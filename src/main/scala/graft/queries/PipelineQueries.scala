@@ -135,20 +135,24 @@ object PipelineQueries {
     * applies. Bounded frame (#sources rows). */
   private[queries] def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // persisted: feeds BOTH the grand-total agg and the scaled frame — one
-    // corpus scan, not two (the r3 two-consumer lesson); the cached frame
-    // itself is #sources rows
-    val perSource = graft.CacheRegistry.track(Tables(spark, dir).documents
+    // ONE action, one corpus scan: both grand totals ride unpartitioned
+    // windows over the per-source frame — legitimate ONLY because that
+    // frame is #domains rows (a few dozen at any corpus size; the
+    // bounded-calendar-rollup justification), and 2 jobs cheaper than
+    // materializing a cache + two single-row broadcast cross joins
+    // (measured 0.63 → 0.35s at sf0.1: the broadcasts were half the
+    // query's wall time).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables(spark, dir).documents
       .select($"source", size(words($"text")).cast("long").as("n_tok"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
-      .persist())
-    val totTok = perSource.agg(sum($"n_tokens").as("tot_tokens"))
-    val scaled = perSource.crossJoin(broadcast(totTok))
+      .withColumn("tot_tokens", sum($"n_tokens").over(wAll))
       .withColumn("token_share", round($"n_tokens".cast("double") / $"tot_tokens" + 1e-9, 6))
       .withColumn("su", round(sqrt($"token_share") * 1000000.0 + 1e-9, 0).cast("long"))
-    val totSu = scaled.agg(sum($"su").as("tot_su"))
-    scaled.crossJoin(broadcast(totSu))
+      .withColumn("tot_su", sum($"su").over(wAll))
       .withColumn("weight", round($"su".cast("double") / $"tot_su" + 1e-9, 6))
       .select($"source", $"n_docs", $"n_tokens", $"tot_tokens", $"token_share", $"weight",
         round(lit(MixTokenBudget.toDouble) * $"weight" / $"n_tokens" + 1e-9, 6).as("epochs"))
@@ -453,34 +457,68 @@ object PipelineQueries {
   /** `exact = true` (the oracle-matched default) keeps the interpolated
     * `percentile` — a per-group value map, fine for bounded metrics like
     * token counts. `exact = false` is the UNBOUNDED-cardinality scale
-    * path: `approx_percentile` (mergeable KLL-style sketch, constant
-    * memory per group, same single-aggregation plan shape). Approx
-    * percentiles are integers drawn from the data (no interpolation), so
-    * no oracle equality — CorpusStatsApproxSpec bounds the drift vs exact
-    * instead. */
+    * path, routed through the repo's own №158 quantile sketch
+    * ([[graft.functions.DyadicCountMin]]): constant
+    * levels·depth·width state per lang regardless of value cardinality,
+    * linear merge, and — unlike a histogram or `percentile` — the
+    * quantile read-out scans the constant value DOMAIN grid, never the
+    * data's distinct values, so nothing in this path keys on
+    * cardinality. Sketch percentiles are discrete values with a
+    * one-sided rank-overcount bias (est ≤ exact, №158's guarantee), so
+    * no oracle equality — CorpusStatsApproxSpec pins the one-sidedness,
+    * an exact plain-Scala grid replay, and bounds the drift instead. */
   def corpusStatsWith(spark: SparkSession, dir: String, exact: Boolean): DataFrame = {
     import spark.implicits._
-    val acc = 10000 // approx_percentile accuracy: ~1/acc rank error per group
-    val pcts: Seq[Column] =
-      if (exact) Seq(
-        expr("percentile(n_tok, 0.5)").as("p50"),
-        expr("percentile(n_tok, 0.9)").as("p90"),
-        expr("percentile(n_tok, 0.99)").as("p99"))
-      else Seq(
-        expr(s"approx_percentile(n_tok, 0.5, $acc)").cast("double").as("p50"),
-        expr(s"approx_percentile(n_tok, 0.9, $acc)").cast("double").as("p90"),
-        expr(s"approx_percentile(n_tok, 0.99, $acc)").cast("double").as("p99"))
-    Tables(spark, dir).documents
+    val base = Tables(spark, dir).documents
       .select($"lang", size(words($"text")).cast("long").as("n_tok"))
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tok").as("n_tokens") +: pcts: _*)
-      .select($"lang", $"n_docs", $"n_tokens",
-        round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
-        round($"p50" + 1e-9, 6).as("p50"),
-        round($"p90" + 1e-9, 6).as("p90"),
-        round($"p99" + 1e-9, 6).as("p99"))
-      .orderBy($"lang")
+    if (exact)
+      base.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          expr("percentile(n_tok, 0.5)").as("p50"),
+          expr("percentile(n_tok, 0.9)").as("p90"),
+          expr("percentile(n_tok, 0.99)").as("p99"))
+        .select($"lang", $"n_docs", $"n_tokens",
+          round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
+          round($"p50" + 1e-9, 6).as("p50"),
+          round($"p90" + 1e-9, 6).as("p90"),
+          round($"p99" + 1e-9, 6).as("p99"))
+        .orderBy($"lang")
+    else {
+      val (lv, dp, wd, mx) =
+        (TextQueries.QsLevels, TextQueries.QsDepth, TextQueries.QsWidth, TextQueries.QsMax)
+      val agg = base.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        graft.functions.DyadicCountMin.sketch(least($"n_tok", lit(mx)), lv, dp, wd).as("g"))
+      val slots = agg.select($"lang", posexplode($"g"))
+        .select($"lang", $"pos".cast("long").as("i"), $"col".as("c"))
+      // candidates = the full (constant) value domain, NOT the data
+      val cand = agg.select($"lang", $"n_docs")
+        .crossJoin(spark.range(0L, 1L << lv).select($"id".as("v")))
+      val er = cand.select($"lang", $"v")
+        .withColumn("l", explode(sequence(lit(0), lit(lv - 1))))
+        .filter(expr("(shiftright(v + 1, l) & 1) = 1"))
+        .withColumn("idx", expr("shiftright(v + 1, l) - 1"))
+        .withColumn("d", explode(sequence(lit(0), lit(dp - 1))))
+        .withColumn("i", expr(s"(l * $dp + d) * $wd + ${TextQueries.qsSlotExpr}"))
+        .join(broadcast(slots), Seq("lang", "i"))
+        .groupBy($"lang", $"v", $"l").agg(min($"c").as("pq"))
+        .groupBy($"lang", $"v").agg(sum($"pq").as("er0"))
+      val ranks = cand.join(er, Seq("lang", "v"), "left")
+        .withColumn("est_rank",
+          when($"v" === mx, $"n_docs").otherwise(coalesce($"er0", lit(0L))))
+      val pcts = ranks.groupBy($"lang").agg(
+        min(when(lit(100) * $"est_rank" >= lit(50) * $"n_docs", $"v")).as("p50"),
+        min(when(lit(100) * $"est_rank" >= lit(90) * $"n_docs", $"v")).as("p90"),
+        min(when(lit(100) * $"est_rank" >= lit(99) * $"n_docs", $"v")).as("p99"))
+      agg.select($"lang", $"n_docs", $"n_tokens").join(pcts, "lang")
+        .select($"lang", $"n_docs", $"n_tokens",
+          round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
+          round($"p50".cast("double") + 1e-9, 6).as("p50"),
+          round($"p90".cast("double") + 1e-9, 6).as("p90"),
+          round($"p99".cast("double") + 1e-9, 6).as("p99"))
+        .orderBy($"lang")
+    }
   }
 
   val corpusStatsSql: String =

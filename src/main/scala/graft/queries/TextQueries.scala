@@ -272,7 +272,7 @@ object TextQueries {
     * materialization boundary, not a projection alias CollapseProject
     * would inline (the r5 dedup_substring lesson, SURVEY §9: inlining
     * re-runs the split chain once per lambda element). */
-  private[queries] def dupCorpusTok(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupCorpusTok(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     dupCorpus(spark, dir).select($"doc_id", words($"text").as("ws"))
   }
@@ -307,6 +307,21 @@ object TextQueries {
     * The DuckDB oracle deliberately uses the naive inverted-index
     * formulation — two independent constructions must agree.
     */
+  /** Conf'd prefix-gram document-frequency cap for №24's PPJoin-style
+    * candidate join (0 = off, the oracle-matched default) — the n-gram
+    * twin of [[HashDedup.BucketCapConfKey]]: a boilerplate 5-gram shared
+    * by b docs' PREFIXES yields b·(b−1)/2 candidate pairs on its own, so
+    * one template cluster turns the prefix join quadratic. With the cap
+    * on, grams whose prefix document-frequency exceeds the cap are
+    * excluded from candidate GENERATION (the standard stop-gram drop —
+    * pairs whose only prefix overlap is boilerplate are no longer found;
+    * a recall trade the caller opts into, accounted by the harness,
+    * never silent). Verification of surviving candidates is UNCHANGED
+    * (full shingle sets, exact jaccard). */
+  val GramCapConfKey = "spark.graft.ppjoin.gramCap"
+  private def gramCapOf(spark: SparkSession): Int =
+    spark.conf.get(GramCapConfKey, "0").toInt
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupNgramJaccardFrom(graft.CacheRegistry.track(dupCorpusTok(spark, dir).persist()))
 
@@ -335,7 +350,15 @@ object TextQueries {
       .withColumn("pfx", expr("slice(sh, 1, greatest(n_sh - CAST((3*n_sh + 4) DIV 5 AS INT) + 1, 0))"))
       .select($"doc_id", $"sh", $"n_sh", $"pfx")
       .persist())
-    val prefixGrams = c.select($"doc_id", explode($"pfx").as("gram"))
+    val allPrefixGrams = c.select($"doc_id", explode($"pfx").as("gram"))
+    // conf'd stop-gram drop (see GramCapConfKey): the df agg shuffles on
+    // the same gram key the candidate join hashes on
+    val cap = gramCapOf(spark)
+    val prefixGrams =
+      if (cap <= 0) allPrefixGrams
+      else allPrefixGrams.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+        .filter($"df" <= cap).drop("df")
     val candidates = prefixGrams.as("a").join(prefixGrams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -2107,6 +2130,157 @@ object TextQueries {
        |ORDER BY pct""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №158 quantile_sketch
+  /** Per-source length quantiles via the DYADIC COUNT-MIN sketch
+    * ([[graft.functions.DyadicCountMin]] — Cormode & Muthukrishnan 2005
+    * §4.2), the quantile member of the sketch family, with its error
+    * MEASURED per (source, percentile) against the exact №133 answer in
+    * the same output row — the №142/№147 discipline: the approximate
+    * operator's estimate, the exact truth, and the gap are all exact
+    * integer arithmetic both engines reproduce bit-for-bit, so an
+    * APPROXIMATE quantile is hash-checked by the DuckDB oracle EXACTLY.
+    *
+    * Why this exists next to the exact №124/№133 histogram formulation:
+    * the histogram hash agg keys on the VALUE domain — fine for bounded
+    * metrics (token counts), but for unbounded-cardinality metrics
+    * (byte offsets, latencies, scores at fine precision) the histogram
+    * key explodes with the corpus. The dyadic grid is the
+    * constant-state drop-in: levels·depth·width counters per group
+    * REGARDLESS of cardinality, linear merge (any tree), one pass.
+    * №62 corpus_stats documents this operator as its unbounded-metric
+    * scale path.
+    *
+    * Estimate definition (deterministic, both engines): est-q(pct) =
+    * min{present v : 100·est_rank≤(v) ≥ pct·N} where est_rank≤(v) sums
+    * the min-over-depth point queries of [0, v+1)'s canonical dyadic
+    * decomposition (one interval per set bit of v+1, index
+    * ((v+1)>>l)−1). Every point query only over-counts, so est_rank ≥
+    * true rank and est-q ≤ exact-q ALWAYS (one-sided; spec-pinned).
+    * err = est − exact ≤ 0 in every output row.
+    *
+    * Plan shape: ONE corpus-sized pass (the grid aggregation, map-side
+    * partials, constant buffer per partition per source) + the exact
+    * verify side (№133's domain-bounded histogram); the estimate join
+    * runs on broadcast-sized frames (sources × levels·depth·width
+    * slots vs candidates × set-bits × depth probes). */
+  val QsLevels = 10 // value domain [0, 1024); 17 covers 128k-token contexts
+  val QsDepth = 3
+  val QsWidth = 32  // narrow on purpose at the gate SF: the measured-error
+                    // columns should exercise real collisions, not zeros
+  val QsMax: Int = (1 << QsLevels) - 1
+
+  /** Spark-SQL slot of the (d, "l:idx") dyadic counter — the
+    * [[graft.functions.CountMin.slot]] recipe with the level baked in.
+    * Shared with №62 corpus_stats' scale path (one hash recipe). */
+  private[queries] def qsSlotExpr: String =
+    s"CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', CAST(l AS STRING), ':', " +
+      s"CAST(idx AS STRING))), 1, 15), 16, 10) AS BIGINT) % $QsWidth"
+
+  /** Estimate + exact verify given the per-source flattened grid
+    * (source, i, c) — shared by the batch row (native-aggregate slots)
+    * and №159's streaming twin (driver-summed shard grids), so the
+    * estimate arithmetic cannot fork between the two access paths. */
+  private[graft] def quantileFromSlots(spark: SparkSession, dir: String,
+                                       slots: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hist = Tables(spark, dir).documents
+      .select($"source", least(size(words($"text")), lit(QsMax)).cast("long").as("n_tok"))
+      .groupBy($"source", $"n_tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.groupBy($"source").agg(sum($"cnt").as("n_docs"))
+    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), "source")
+    // est_rank≤(v): canonical decomposition of [0, v+1) — one interval
+    // per set bit of v+1 at index ((v+1)>>l)−1 — point-queried min-over-
+    // depth, summed; the whole-domain prefix (v = QsMax) is N directly.
+    val er = cum.select($"source", $"n_tok")
+      .withColumn("l", explode(sequence(lit(0), lit(QsLevels - 1))))
+      .filter(expr("(shiftright(n_tok + 1, l) & 1) = 1"))
+      .withColumn("idx", expr("shiftright(n_tok + 1, l) - 1"))
+      .withColumn("d", explode(sequence(lit(0), lit(QsDepth - 1))))
+      .withColumn("i", expr(s"(l * $QsDepth + d) * $QsWidth + $qsSlotExpr"))
+      .join(broadcast(slots), Seq("source", "i"))
+      .groupBy($"source", $"n_tok", $"l").agg(min($"c").as("pq"))
+      .groupBy($"source", $"n_tok").agg(sum($"pq").as("er"))
+    val ranks = cum.join(er, Seq("source", "n_tok"), "left")
+      .withColumn("est_rank",
+        when($"n_tok" === QsMax, $"n_docs").otherwise(coalesce($"er", lit(0L))))
+    val aggs = QuantilePcts.flatMap(q => Seq(
+      min(when(lit(100) * $"cum" >= lit(q) * $"n_docs", $"n_tok")).as(s"x$q"),
+      min(when(lit(100) * $"est_rank" >= lit(q) * $"n_docs", $"n_tok")).as(s"e$q")))
+    ranks.groupBy($"source").agg(aggs.head, aggs.tail: _*)
+      .select($"source", expr(s"stack(${QuantilePcts.length}, " +
+        QuantilePcts.map(q => s"$q, x$q, e$q").mkString(", ") +
+        ") AS (pct, n_tok_exact, n_tok_est)"))
+      .withColumn("err", $"n_tok_est" - $"n_tok_exact")
+      .orderBy($"source", $"pct")
+  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slots = Tables(spark, dir).documents
+      .select($"source", least(size(words($"text")), lit(QsMax)).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(graft.functions.DyadicCountMin.sketch($"n_tok", QsLevels, QsDepth, QsWidth).as("g"))
+      .select($"source", posexplode($"g"))
+      .select($"source", $"pos".cast("long").as("i"), $"col".as("c"))
+    quantileFromSlots(spark, dir, slots)
+  }
+
+  val quantileSketchSql: String = {
+    val slot = s"CAST(list_sum(list_transform(range(0, 15), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || '|' || CAST(l AS VARCHAR) || ':' || " +
+      s"CAST(idx AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1) " +
+      s"* (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) AS BIGINT) % $QsWidth"
+    val mins = QuantilePcts.map(q =>
+      s"min(CASE WHEN 100*cum >= $q*n_docs THEN n_tok END) AS x$q,\n    " +
+        s"min(CASE WHEN 100*est_rank >= $q*n_docs THEN n_tok END) AS e$q").mkString(",\n    ")
+    val unpivot = QuantilePcts
+      .map(q => s"SELECT source, $q AS pct, x$q AS n_tok_exact, e$q AS n_tok_est FROM qs_a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qs_v AS (
+       |  SELECT source, least(CAST(len(${wordsSql("text")}) AS BIGINT), $QsMax) AS n_tok
+       |  FROM documents),
+       |qs_h AS (SELECT source, n_tok, count(*) AS cnt FROM qs_v GROUP BY 1, 2),
+       |qs_n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM qs_h GROUP BY source),
+       |qs_lv AS (SELECT l FROM range(0, $QsLevels) t(l)),
+       |qs_dd AS (SELECT d FROM range(0, $QsDepth) t(d)),
+       |qs_g AS (
+       |  SELECT source, l, d, $slot AS slot, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT source, l, n_tok >> l AS idx, cnt FROM qs_h CROSS JOIN qs_lv)
+       |  CROSS JOIN qs_dd GROUP BY 1, 2, 3, 4),
+       |qs_c AS (
+       |  SELECT source, n_tok,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS BIGINT) AS cum
+       |  FROM qs_h),
+       |qs_dec AS (
+       |  SELECT source, n_tok, l, ((n_tok + 1) >> l) - 1 AS idx
+       |  FROM qs_c CROSS JOIN qs_lv WHERE ((n_tok + 1) >> l) & 1 = 1),
+       |qs_pq AS (
+       |  -- LEFT join: qs_g is SPARSE (only touched slots), but an absent
+       |  -- counter is an exact ZERO — the native aggregate's array is dense
+       |  SELECT dec.source, dec.n_tok, dec.l, min(coalesce(g.c, 0)) AS pq
+       |  FROM (SELECT source, n_tok, l, idx, d, $slot AS slot
+       |        FROM qs_dec CROSS JOIN qs_dd) dec
+       |  LEFT JOIN qs_g g ON g.source = dec.source AND g.l = dec.l
+       |    AND g.d = dec.d AND g.slot = dec.slot
+       |  GROUP BY 1, 2, 3),
+       |qs_er AS (SELECT source, n_tok, CAST(sum(pq) AS BIGINT) AS er FROM qs_pq GROUP BY 1, 2),
+       |qs_r AS (
+       |  SELECT c.source, c.n_tok, c.cum, n.n_docs,
+       |    CASE WHEN c.n_tok = $QsMax THEN n.n_docs ELSE coalesce(s.er, 0) END AS est_rank
+       |  FROM qs_c c JOIN qs_n n USING (source)
+       |  LEFT JOIN qs_er s ON s.source = c.source AND s.n_tok = c.n_tok),
+       |qs_a AS (
+       |  SELECT source, $mins
+       |  FROM qs_r GROUP BY source)
+       |SELECT source, pct, n_tok_exact, n_tok_est,
+       |  n_tok_est - n_tok_exact AS err
+       |FROM ($unpivot) ORDER BY source, pct""".stripMargin
+  }
+
 }
 
 /** MinHash-LSH and SimHash dedup (SURVEY §2 №22-23). Kept in their own
@@ -2123,6 +2297,23 @@ object HashDedup {
   val SimBits = 96   // 2×48-bit halves → 4×24-bit LSH bands (see SimHash96)
   val BandBits = 24  // band-key width: candidate pairs grow O(n²/2^BandBits)
 
+  /** Conf'd LSH bucket-size cap (0 = off, the oracle-matched default).
+    * THE web-dedup guard at 100 TB: a boilerplate/template shingle set
+    * shared by even 1% of a crawl puts those docs' FULL signatures in
+    * identical band buckets, and the band self-join goes quadratic in
+    * the hot bucket's size — the failure RefinedWeb/CCNet handle by
+    * capping or dropping oversized buckets (a bucket of b docs yields
+    * b·(b−1)/2 candidate pairs; a template cluster is near-worthless
+    * for near-dup RECALL anyway since its members are mutual dups that
+    * exact-dedup already collapses). With the cap on, buckets holding
+    * more than `cap` docs are EXCLUDED from pair generation — a recall
+    * trade the caller opts into; [[cappedBucketStats]] accounts exactly
+    * what was dropped (never silent). Candidate bound with the cap:
+    * ≤ bands · (n/cap) · cap² = bands · n · cap — LINEAR in the corpus. */
+  val BucketCapConfKey = "spark.graft.lsh.bucketCap"
+  private def bucketCapOf(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(BucketCapConfKey, "0").toInt
+
   // ---------------------------------------------------------------- №22 dedup_minhash
   /** Word-3-shingles → K salted-md5 minhashes (single aggregation pass: K
     * min() aggregates over the exploded shingles — ONE shuffle on doc_id,
@@ -2137,7 +2328,7 @@ object HashDedup {
   /** K-minhash SIGNATURE frame (doc_id, m0..m11) — ONE aggregation pass
     * (K min() partials map-side), shared by №22 and the №148 band sweep
     * so the signatures graded at every banding are the same bytes. */
-  private[queries] def minhashSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def minhashSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = tok
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -2148,7 +2339,7 @@ object HashDedup {
 
   /** LSH band rows over a signature frame at a given band count
     * (r = K/bands rows hashed into each band key). */
-  private[queries] def bandRowsOf(sig: org.apache.spark.sql.DataFrame, bands: Int): org.apache.spark.sql.DataFrame = {
+  private[graft] def bandRowsOf(sig: org.apache.spark.sql.DataFrame, bands: Int): org.apache.spark.sql.DataFrame = {
     val r = NumHashes / bands
     (0 until bands).map { b =>
       val key = md5(concat((b * r until (b + 1) * r).map(k => col(s"m$k")): _*))
@@ -2157,13 +2348,35 @@ object HashDedup {
   }
 
   /** Distinct candidate pairs from a band-row frame (band-bucket
-    * self-join, a < b, counted once per matching band). */
-  private[queries] def bandPairsOf(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    bands.as("a").join(bands.as("b"),
+    * self-join, a < b, counted once per matching band). Honors
+    * [[BucketCapConfKey]]: with a cap set, oversized buckets are
+    * filtered BEFORE the self-join (the size agg shuffles on the same
+    * (band, band_key) the join hashes on — co-partitioned, no extra
+    * exchange shape), so the quadratic blow-up never materializes. */
+  private[queries] def bandPairsOf(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cap = bucketCapOf(bands.sparkSession)
+    val eligible =
+      if (cap <= 0) bands
+      else bands.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_key"))))
+        .filter(col("bucket_n") <= cap).drop("bucket_n")
+    eligible.as("a").join(eligible.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The cap's accounting (drop is NEVER silent): per band, how many
+    * buckets/rows/would-be candidate pairs the active cap excluded. */
+  def cappedBucketStats(bands: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame =
+    bands.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("buckets_dropped"),
+        sum(col("bucket_n")).as("rows_dropped"),
+        sum(col("bucket_n") * (col("bucket_n") - 1) / 2).as("pairs_avoided"))
 
   /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
   private[queries] def dedupMinhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -781,6 +781,27 @@ object VectorQueries {
     }
   }
 
+  /** Bench hook: drop the persisted №119 centroid model + bucketed base
+    * index for `dir` (at the session's effective centroid count), so the
+    * harness can measure the COLD first-build cost as its own artifact
+    * number — the steady-state median alone under-reports what a fresh
+    * corpus version pays (~5× at sf0.1). */
+  def dropIndexUpdateCaches(spark: SparkSession, dir: String): Unit = {
+    val cc = centroidsOf(spark)
+    Seq(("graft_models", s"graft_ivfupd_cent_${dirKey(dir)}_c$cc"),
+        ("graft_bucketed", s"graft_ivfupd_base_${dirKey(dir)}_c$cc")).foreach {
+      case (store, t) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), store, t)
+        if (java.nio.file.Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+    }
+  }
+
   /** Incremental IVF index MAINTENANCE — the vector-side twin of №66
     * dedup_incremental: a daily embedding batch joins the persisted index
     * (№72's layout) WITHOUT a rebuild. The centroid model is FROZEN from

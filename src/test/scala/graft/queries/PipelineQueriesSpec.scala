@@ -108,32 +108,53 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(shard"), s"shard-partitioned window missing:\n$plan")
   }
 
-  test("corpus_stats approx mode: sketch percentiles rank-agree with exact") {
+  test("corpus_stats approx mode: dyadic-sketch percentiles ≡ plain-Scala grid replay, one-sided vs exact") {
     import org.apache.spark.sql.functions._
-    // the t-digest-style scale path (corpusStatsWith exact=false) must
-    // land each percentile at a value whose TRUE rank in the group is
-    // within a loose band of the target p (approx_percentile's rank error
-    // is ~1/accuracy; the band is dominated by 1/n granularity at proof SF)
+    val (lv, dp, wd, mx) =
+      (TextQueries.QsLevels, TextQueries.QsDepth, TextQueries.QsWidth, TextQueries.QsMax)
     val approx = PipelineQueries.corpusStatsWith(spark, sf, exact = false).collect()
     val toks = TextQueries.tokenCount(spark, sf)
       .join(graft.Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("lang"), col("ws_tokens").cast("double").as("n_tok"))
-      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+      .select(col("lang"), col("ws_tokens").cast("long").as("n_tok"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(r => math.min(r.getLong(1), mx.toLong)).sorted).toMap
     assert(approx.nonEmpty)
     approx.foreach { r =>
-      val vals = toks(r.getString(0))
-      val n = vals.length.toDouble
-      for ((p, idx) <- Seq(0.5 -> 4, 0.9 -> 5, 0.99 -> 6)) {
-        val v = r.getDouble(idx)
-        assert(vals.contains(v), s"${r.getString(0)} p$p=$v not an observed value")
-        // true rank band of v among the group's values
-        val lo = vals.count(_ < v) / n
-        val hi = vals.count(_ <= v) / n
-        val slack = 1.0 / n + 0.01
-        assert(p >= lo - slack && p <= hi + slack,
-          s"${r.getString(0)} p$p=$v has true rank [$lo,$hi], target $p")
+      val lang = r.getString(0)
+      val vals = toks(lang)
+      val n = vals.length.toLong
+      // first-principles replay of the №158 grid for this group
+      val grid = scala.collection.mutable.Map.empty[(Int, Int, Int), Long].withDefaultValue(0L)
+      vals.foreach { x =>
+        for (l <- 0 until lv; d <- 0 until dp)
+          grid((l, d, graft.functions.CountMin.slot(d, s"$l:${x >> l}", wd))) += 1L
       }
+      def estRank(v: Long): Long =
+        if (v == mx) n
+        else (0 until lv).map { l =>
+          if (((v + 1) >> l & 1L) == 1L) {
+            val idx = (v + 1 >> l) - 1
+            (0 until dp).map(d => grid((l, d, graft.functions.CountMin.slot(d, s"$l:$idx", wd)))).min
+          } else 0L
+        }.sum
+      for ((p100, idx) <- Seq(50 -> 4, 90 -> 5, 99 -> 6)) {
+        val got = r.getDouble(idx).toLong
+        // engine ≡ the replayed sketch read-out (min over the full domain)
+        val want = (0L to mx.toLong).find(v => 100L * estRank(v) >= p100 * n).get
+        assert(got == want, s"$lang p$p100: engine $got != replayed sketch $want")
+        // one-sided: est_rank ≥ true rank everywhere ⇒ est ≤ exact quantile
+        val exact = vals((((p100 * n + 99) / 100).toInt - 1).max(0))
+        assert(got <= exact, s"$lang p$p100=$got overshoots exact $exact — one-sidedness broken")
+      }
+      // the audit columns stay exact: mean is n_tokens/n_docs regardless of mode
+      assert(r.getLong(1) == n)
     }
+    // the sketch genuinely deviates somewhere at this width (earns 'approx')
+    val exactRows = PipelineQueries.corpusStatsWith(spark, sf, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.exists(r =>
+      (4 to 6).exists(i => r.getDouble(i) != exactRows(r.getString(0)).getDouble(i))),
+      "approx ≡ exact everywhere — width too wide to exercise the sketch")
   }
 
   test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {
