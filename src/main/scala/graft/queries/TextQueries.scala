@@ -2376,7 +2376,7 @@ object HashDedup {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("buckets_dropped"),
         sum(col("bucket_n")).as("rows_dropped"),
-        sum(col("bucket_n") * (col("bucket_n") - 1) / 2).as("pairs_avoided"))
+        sum(expr("bucket_n * (bucket_n - 1) DIV 2")).as("pairs_avoided"))
 
   /** Body over a PERSISTED (doc_id, ws) frame (shared by dedup_recall). */
   private[queries] def dedupMinhashFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -43,6 +43,14 @@ object JsonlSnapshotSink {
 
   val Prefix = "exports"
 
+  /** Test-only fault point, called after every record written:
+    * (object key, records in current object, objects committed so far by
+    * this task). A spec installs a throwing hook (visible to local-mode
+    * executor threads — same JVM) to kill a live attempt mid-object and
+    * prove the dot-temp + rename commit protocol is exactly-once under
+    * Spark's real task retry; production never sets it. */
+  @volatile private[graft] var faultInjector: (String, Long, Int) => Unit = (_, _, _) => ()
+
   /** Cipher per writer thread — Cipher.getInstance per object serializes
     * on the JCE provider lookup across tasks; init() per object is cheap. */
   private val cipherTL: ThreadLocal[Cipher] =
@@ -258,6 +266,10 @@ object JsonlSnapshotSink {
               manifest.write((manifestLine + "\n").getBytes("UTF-8"))
               nRecords += 1
               nBytes += line.length
+              // test-only fault point (no-op in production): SinkRetrySpec
+              // kills a live attempt mid-object here and proves the commit
+              // protocol exactly-once under Spark's REAL task retry
+              JsonlSnapshotSink.faultInjector(curKey, nRecords, out.size)
             }
             closeCurrent()
           } catch {

@@ -30,6 +30,11 @@ object TrainShardSink {
 
   def shardFile(shard: Int, of: Int): String = f"shard-$shard%04d-of-$of%04d.txt.gz"
 
+  /** Test-only fault point (see [[JsonlSnapshotSink.faultInjector]]):
+    * (shard, lines in current shard, shards committed so far by this
+    * task). */
+  @volatile private[graft] var faultInjector: (Int, Long, Int) => Unit = (_, _, _) => ()
+
   /** Write `lines` (shard, pos, line) as one gzip file per shard under
     * `root/shards/`; returns the per-file summary (shard_file, n_seqs,
     * txt_bytes). Eager — the files exist when this returns. */
@@ -102,6 +107,7 @@ object TrainShardSink {
               }
               val b = (line + "\n").getBytes("UTF-8")
               gz.write(b); n += 1; bytes += b.length
+              TrainShardSink.faultInjector(cur, n, out.size)
             }
             closeCurrent()
           } catch { case e: Throwable =>

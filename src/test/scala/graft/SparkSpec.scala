@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: maxFailures = 2, so a task that fails ONCE is retried
+      // (Spark's real task-retry path) — SinkRetrySpec kills sink attempts
+      // mid-object and proves the commit protocols exactly-once under the
+      // retry; every other suite is unaffected (their tasks don't fail)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -60,4 +60,41 @@ class StreamPartitionSinkSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("uncommitted (orphan) files are invisible: reads go through the sink commit log") {
+    // the task-retry story for the STREAMING sink: a died/zombie task's
+    // data file that never reached _spark_metadata must not be readable —
+    // the file-sink's exactly-once is the commit LOG, not the directory
+    // listing. Plant an orphan part-file (garbage bytes, valid name) in a
+    // partition dir and prove the per-day aggregate is unchanged — the
+    // reader never even opens it (garbage parquet would throw).
+    val scratch = java.nio.file.Files.createTempDirectory("graft_psink_orphan_")
+    try {
+      val out = scratch.resolve("out"); val ckpt = scratch.resolve("ckpt")
+      StreamPartitionSink.runStream(spark, sf, out, ckpt)
+      def agg() = spark.read.parquet(out.toString)
+        .groupBy($"date".cast("string").as("date"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("u"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val clean = agg()
+      val partDir = {
+        val s = java.nio.file.Files.list(out)
+        val d = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(_.getFileName.toString.startsWith("date=")).get
+        } finally s.close()
+        d
+      }
+      val orphan = partDir.resolve("part-00099-deadbeef-dead-beef-dead-beefdeadbeef.c000.snappy.parquet")
+      java.nio.file.Files.write(orphan, "not parquet at all".getBytes("UTF-8"))
+      assert(agg() == clean,
+        "an uncommitted file changed the read — the reader is listing the directory, not the sink log")
+      // the orphan IS on disk (the assertion above wasn't vacuous)
+      assert(java.nio.file.Files.exists(orphan))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
