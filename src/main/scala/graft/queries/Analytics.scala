@@ -149,6 +149,9 @@ object Analytics {
     * global sort). */
   val PathK = 20
 
+  /** share_ppm runs in DECIMAL(38,0)/HUGEINT (r11 audit): a single
+    * dominant path can carry ~all sessions, and sessions·10⁶ exits
+    * BIGINT past 9.2·10¹² sessions — reachable at 100 TB of events. */
   def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val paths = graft.CacheRegistry.track(sessionAssigned(spark, dir)
@@ -160,7 +163,7 @@ object Analytics {
     paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
       .crossJoin(broadcast(paths.agg(count(lit(1)).as("n_total"))))
       .select($"path", $"n_sessions",
-        expr("n_sessions * 1000000 DIV n_total").as("share_ppm"))
+        expr("CAST(n_sessions AS DECIMAL(38,0)) * 1000000 DIV n_total").as("share_ppm"))
       .orderBy($"n_sessions".desc, $"path")
       .limit(PathK)
   }
@@ -173,7 +176,7 @@ object Analytics {
        |  FROM sess GROUP BY user_id, session_id),
        |sp_t AS (SELECT count(*) AS n_total FROM sp_p),
        |sp_g AS (SELECT path, count(*) AS n_sessions FROM sp_p GROUP BY path)
-       |SELECT path, n_sessions, n_sessions * 1000000 // n_total AS share_ppm
+       |SELECT path, n_sessions, CAST(CAST(n_sessions AS HUGEINT) * 1000000 // n_total AS BIGINT) AS share_ppm
        |FROM sp_g CROSS JOIN sp_t
        |ORDER BY n_sessions DESC, path LIMIT $PathK""".stripMargin
 
@@ -326,6 +329,9 @@ object Analytics {
     * not by re-partitioning per session, so the single user-keyed
     * exchange+sort of the fragment serves both windows. One bounded
     * (from, to) hash agg + a single-row total broadcast after that. */
+  /** share_ppm runs in DECIMAL(38,0)/HUGEINT (r11 audit): one dominant
+    * (from, to) transition can carry ~half of all events, and
+    * n_trans·10⁶ exits BIGINT past 9.2·10¹² — reachable at 100 TB. */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -338,7 +344,7 @@ object Analytics {
     val total = edges.agg(sum($"n_trans").as("t"))
     edges.crossJoin(broadcast(total))
       .select($"prev_type".as("from_type"), $"event_type".as("to_type"), $"n_trans",
-        expr("n_trans * 1000000 DIV t").as("share_ppm"))
+        expr("CAST(n_trans AS DECIMAL(38,0)) * 1000000 DIV t").as("share_ppm"))
       .orderBy($"from_type", $"to_type")
   }
 
@@ -352,7 +358,7 @@ object Analytics {
       |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
       |  FROM tr WHERE prev_sess = session_id GROUP BY 1, 2),
       |tot AS (SELECT CAST(sum(n_trans) AS BIGINT) AS t FROM edges)
-      |SELECT from_type, to_type, n_trans, n_trans * 1000000 // t AS share_ppm
+      |SELECT from_type, to_type, n_trans, CAST(CAST(n_trans AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm
       |FROM edges CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
 
   // ---------------------------------------------------------------- №85 retention_cohort
@@ -930,6 +936,11 @@ object Analytics {
     * exchange, never a global sort of the key histogram. */
   val SkewK = 20
 
+  /** skew_x1000 runs in DECIMAL(38,0)/HUGEINT (r11 audit): it
+    * multiplies a hot key's event count by the DISTINCT-KEY count —
+    * 10¹⁰ events × 10⁹ keys × 10³ = 10²² ≫ 2⁶³ on exactly the skewed
+    * corpus this operator exists to diagnose; share_ppm converted with
+    * it (counts·10⁶ wraps past 9.2·10¹² events on one key). */
   def skewProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = graft.CacheRegistry.track(Tables(spark, dir).events
@@ -940,8 +951,8 @@ object Analytics {
       "g", "score", "user_id", SkewK)
     ranked.crossJoin(broadcast(tot))
       .select($"rank", $"user_id", $"score".cast("long").as("n_events"),
-        expr("CAST(score AS BIGINT) * 1000000 DIV t").as("share_ppm"),
-        expr("CAST(score AS BIGINT) * n_keys * 1000 DIV t").as("skew_x1000"))
+        expr("CAST(CAST(score AS BIGINT) AS DECIMAL(38,0)) * 1000000 DIV t").as("share_ppm"),
+        expr("CAST(CAST(score AS BIGINT) AS DECIMAL(38,0)) * n_keys * 1000 DIV t").as("skew_x1000"))
       .orderBy($"rank")
   }
 
@@ -953,8 +964,8 @@ object Analytics {
        |    CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank
        |  FROM c)
        |SELECT rank, user_id, n AS n_events,
-       |  n * 1000000 // t AS share_ppm,
-       |  n * n_keys * 1000 // t AS skew_x1000
+       |  CAST(CAST(n AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm,
+       |  CAST(CAST(n AS HUGEINT) * n_keys * 1000 // t AS BIGINT) AS skew_x1000
        |FROM r CROSS JOIN tot WHERE rank <= $SkewK ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------- №127 salted_join
@@ -1123,6 +1134,9 @@ object Analytics {
     * uniform, so at sf0.01+ no day clears 1.5× its trailing week (all
     * verdicts false — the healthy-system read); at the spec's sf0.001 the
     * small-sample noise fires 13 bursts, exercising both branches. */
+  /** Overflow bound (r11 audit): the compare multiplies a per-(type,
+    * day) count by 14 and a 7-day sum by 3 — BIGINT holds to n ≈
+    * 6.6·10¹⁷ events/day/type, ~5 orders past a 100 TB/day feed. */
   val BurstNumer = 3L // threshold = BurstNumer / BurstDenom × trailing mean
   val BurstDenom = 2L
 
@@ -1178,6 +1192,11 @@ object Analytics {
     * for). */
   val AttrWindowMs: Long = 7L * 86400000L
 
+  /** Overflow bound (r11 audit): no cross-multiplication anywhere —
+    * credits are cents DIV n plus a remainder, and the widest value is
+    * the corpus-total credited_cents sum: 10¹² purchases × 10⁶ cents =
+    * 10¹⁸ < 2⁶³. Headroom stands at 100 TB; past ~10¹³ purchases the
+    * two total columns (only) would need DECIMAL(38). */
   def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).events

@@ -943,6 +943,10 @@ object PipelineQueries {
     * at-scale answer (ρ's sampling error at n=400 is ~0.05). */
   val RankSampleK = 400
 
+  /** Overflow bound (r11 audit): Σd² over the FIXED 400-doc sample is
+    * ≤ n³/3 ≈ 2.1·10⁷, and 6·Σd² another ×6 — BIGINT headroom to a
+    * sample of ~2·10⁶ docs (n³ < 2⁶³); the sample size is the dial,
+    * not the corpus, so the bound cannot erode with scale. */
   def rankCorrelation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -1082,6 +1082,10 @@ object TextQueries {
        |  WHERE split_part(pr, ' ', 1) <> '' AND split_part(pr, ' ', 2) <> ''
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Overflow bound (r11 audit): cond_ppm multiplies one bigram's count
+    * by 10⁶ — wraps only past 9.2·10¹² occurrences of a single bigram,
+    * i.e. a bigram owning ~37% of a 2.5·10¹³-token corpus; the most
+    * frequent English bigram carries ~1%. Headroom stands at 100 TB. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = bigramCounts(spark, dir)
@@ -1954,6 +1958,10 @@ object TextQueries {
     * ttr_ppm = vocab·10⁶ DIV tokens. PRECONDITION: dense doc_ids (the
     * generator's contract; №138's note) — the bucket grid is
     * doc_id·10 DIV N. */
+  /** Overflow bound (r11 audit): ttr_ppm multiplies vocab_cum (distinct
+    * TYPES, not tokens) by 10⁶ — Heaps' law caps V ≈ K·T^β ≈ 1.6·10¹¹
+    * types at 2.5·10¹³ tokens, so the product stays ≤ ~1.6·10¹⁷ < 2⁶³;
+    * tokens_cum itself is never multiplied. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

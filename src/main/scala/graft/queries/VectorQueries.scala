@@ -613,6 +613,16 @@ object VectorQueries {
     * hash agg (bounded key space — map-side partials carry the corpus),
     * then a dims-row self-join; output 64 rows at any corpus size.
     * PRECONDITION: dense vec_ids (generator contract) for the half grid. */
+  /** The drift ratio in DECIMAL(38,0) — shared with DriftOverflowSpec,
+    * which proves the BIGINT form WRAPS on constructible magnitudes.
+    * Bound: |sum| ≤ n·10⁴ (quantized |x| ≤ 1), so |sum·n| ≤ n²·10⁴ —
+    * 10²⁶ at n = 10¹¹ vectors, far past 2⁶³ ≈ 9.2·10¹⁸ (BIGINT wraps
+    * once n exceeds ~3·10⁷ with saturated components) but comfortably
+    * inside 38 digits even ×10⁶. */
+  private[queries] val driftShiftPpmExpr: String =
+    """abs(CAST(sum_a AS DECIMAL(38,0)) * n_b - CAST(sum_b AS DECIMAL(38,0)) * n_a) * 1000000
+      | DIV greatest(abs(CAST(sum_a AS DECIMAL(38,0))) * n_b + abs(CAST(sum_b AS DECIMAL(38,0))) * n_a, 1)""".stripMargin
+
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables(spark, dir).embeddings
     val n = v.agg((max(col("vec_id")) + 1).as("n"))
@@ -628,8 +638,7 @@ object VectorQueries {
       .select(col("dim"), col("n_vec").as("n_b"), col("sum_q").as("sum_b"))
     a.join(b, "dim")
       .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
-        expr("""abs(sum_a * n_b - sum_b * n_a) * 1000000
-                DIV greatest(abs(sum_a) * n_b + abs(sum_b) * n_a, 1)""").as("shift_ppm"))
+        expr(driftShiftPpmExpr).as("shift_ppm"))
       .orderBy(col("dim"))
   }
 
@@ -647,8 +656,8 @@ object VectorQueries {
        |  SELECT half, dim, count(*) AS n_vec, CAST(sum(q) AS BIGINT) AS sum_q
        |  FROM ed_p GROUP BY half, dim)
        |SELECT a.dim, a.n_vec AS n_a, b.n_vec AS n_b, a.sum_q AS sum_a, b.sum_q AS sum_b,
-       |  (abs(a.sum_q * b.n_vec - b.sum_q * a.n_vec) * 1000000)
-       |    // greatest(abs(a.sum_q) * b.n_vec + abs(b.sum_q) * a.n_vec, 1) AS shift_ppm
+       |  CAST((abs(CAST(a.sum_q AS HUGEINT) * b.n_vec - CAST(b.sum_q AS HUGEINT) * a.n_vec) * 1000000)
+       |    // greatest(abs(CAST(a.sum_q AS HUGEINT)) * b.n_vec + abs(CAST(b.sum_q AS HUGEINT)) * a.n_vec, 1) AS BIGINT) AS shift_ppm
        |FROM (SELECT * FROM ed_g WHERE half = 0) a
        |JOIN (SELECT * FROM ed_g WHERE half = 1) b USING (dim)
        |ORDER BY dim""".stripMargin
