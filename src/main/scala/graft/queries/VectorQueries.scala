@@ -1226,6 +1226,237 @@ object VectorQueries {
        |${PqMs.map(pqSelect).mkString("\nUNION ALL\n")}
        |ORDER BY method, q_id""".stripMargin
 
+  // ---------------------------------------------------------------- №160 knn_ivf_pq
+  /** IVF-PQ search with ASYMMETRIC distance (ADC — Jégou et al. 2011
+    * §IV): the composition a production vector store actually runs at
+    * 100 TB, built from the repo's own parts — №27's IVF cells prune the
+    * corpus to the probed cells, №121's per-subspace codebooks compress
+    * each candidate to M byte codes, and the query scores candidates
+    * WITHOUT touching float vectors: per subspace, the float query
+    * precomputes a [[PqCodebook]]-entry LOOKUP TABLE (round(dot(q_m,
+    * codeword), 6) — the deterministic sequential fold), and a
+    * candidate's score is the M-term LUT sum for its codes. The float
+    * corpus never loads at query time; an optional EXACT re-rank then
+    * rescored only the top [[RerankR]] shortlist per query with true
+    * cosine (the standard two-stage ADC + re-rank).
+    *
+    * Scale shape (the plan the operator is FOR): index build is ONE
+    * aggregation pass — cell AND all M codes resolve in a single
+    * map-side-combining max_by aggregation against one broadcast
+    * codebook union (centroids tagged m = −1), never a join of two
+    * corpus-sized frames. Query time: candidate generation is a
+    * broadcast equi-join of the codes frame against the (queries ×
+    * probe) cell list; scoring is M broadcast equi-joins against the
+    * (queries × codebook) LUTs — NO shuffle touches the corpus until
+    * the bounded grouped top-k; the re-rank joins the tiny shortlist
+    * BROADCAST into one corpus scan. PlanRegressionSpec pins: every
+    * corpus-side join is broadcast, zero data exchanges before top-k.
+    *
+    * Measured honestly (the №27c discipline): per (M, query) the row
+    * carries hits@[[K]] of ADC alone, of ADC + exact re-rank, AND of
+    * exact scoring over the same probed cells (n_hits_ivf — the probe
+    * ceiling), all vs the FLOAT gold top-K — so the PQ-attributable
+    * loss (ivf − rr), the re-rank's recovery (rr − adc), and the probe
+    * ceiling are separately readable. All integer/6dp-deterministic:
+    * oracle reproduces every code, LUT entry, and rank. */
+  val RerankR: Int = 4 * K
+
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = graft.CacheRegistry.track(v.filter(col("vec_id") >= NQueries).persist())
+    val gold = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id")).persist())
+
+    // shared sample: centroids AND every subspace codebook slice from ONE
+    // driver-side collect (refinedCentroids' contract at k = Centroids)
+    val full = hashSample(corpus)
+    val d = full.headOption.map(_.length).getOrElse(0)
+    val centroids = lloydRefine(full, Centroids).toSeq.toDF("c_id", "c_emb")
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+
+    val perM = PqMs.map { bigM =>
+      val w = d / bigM
+      def subCol(src: Column, m: Int): Column = {
+        val lo = m * w + 1
+        if (m < bigM - 1) slice(src, lo, w) else slice(src, lo, d - m * w)
+      }
+      val cbs = (0 until bigM).map { m =>
+        val hi = if (m < bigM - 1) (m + 1) * w else d
+        lloydRefine(full.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+      }
+      // ONE build pass: centroids ride the same broadcast union as the
+      // subspace codebooks (m = −1), so cell + M codes are one hash agg
+      val cbAll = (cbs.zipWithIndex.map { case (cb, m) =>
+        cb.select(lit(m).as("m"), col("c_id"), col("c_emb"))
+      } :+ centroids.select(lit(-1).as("m"), col("c_id"), col("c_emb"))).reduce(_ unionAll _)
+      val subbed = (0 until bigM).foldLeft(corpus) { (df, m) =>
+        df.withColumn(s"sub_$m", subCol(col("emb"), m))
+      }
+      val scos = (0 until bigM).foldLeft(
+        when(col("m") === -1, cosine6(col("emb"), col("c_emb")))) { (acc, m) =>
+        acc.when(col("m") === m, cosine6(col(s"sub_$m"), col("c_emb")))
+      }
+      val aggs = expr("max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = -1)").as("cell") +:
+        (0 until bigM).map(m =>
+          expr(s"max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"code_$m"))
+      val codes = subbed.join(broadcast(cbAll))
+        .withColumn("scos", scos)
+        .groupBy(col("vec_id"))
+        .agg(aggs.head, aggs.tail: _*)
+
+      // ADC lookup tables: (queries × codebook) per subspace — broadcast
+      val luts = (0 until bigM).map { m =>
+        queries.crossJoin(broadcast(cbs(m)))
+          .select(col("q_id"), col("c_id").as(s"code_$m"),
+            round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m), col("c_emb")) + lit(1e-9), 6)
+              .as(s"part_$m"))
+      }
+      val cand = (0 until bigM).foldLeft(
+        codes.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+        df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+      }
+      val adcExpr = round((0 until bigM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+      val scored = graft.CacheRegistry.track(
+        cand.select(col("q_id"), col("vec_id"), adcExpr.as("adc")).persist())
+      val topAdc = topKRanked(scored, "q_id", "adc", "vec_id", K).select(col("q_id"), col("vec_id"))
+      // exact re-rank of the bounded shortlist: broadcast into ONE corpus scan
+      val shortlist = topKRanked(scored, "q_id", "adc", "vec_id", RerankR)
+        .select(col("q_id"), col("vec_id"))
+      val rescored = corpus.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      val topRr = topKRanked(rescored, "q_id", "cos", "vec_id", K).select(col("q_id"), col("vec_id"))
+      // the probe ceiling: exact scoring over the SAME probed cells
+      val topIvf = topKRanked(
+        codes.select(col("vec_id"), col("cell"))
+          .join(corpus, "vec_id")
+          .join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos")),
+        "q_id", "cos", "vec_id", K).select(col("q_id"), col("vec_id"))
+      // hit rollups are workload-bounded (≤ NQueries·K rows) — broadcast
+      // them so the grading tail never plans a sort-merge exchange
+      def hitsOf(top: DataFrame, name: String): DataFrame =
+        gold.join(broadcast(top), Seq("q_id", "vec_id")).groupBy(col("q_id")).agg(count(lit(1)).as(name))
+      queries.select(col("q_id"))
+        .join(broadcast(hitsOf(topAdc, "h_adc")), Seq("q_id"), "left")
+        .join(broadcast(hitsOf(topRr, "h_rr")), Seq("q_id"), "left")
+        .join(broadcast(hitsOf(topIvf, "h_ivf")), Seq("q_id"), "left")
+        .select(lit(s"ivfpq_m$bigM").as("method"), col("q_id"),
+          coalesce(col("h_adc"), lit(0L)).as("n_hits_adc"),
+          coalesce(col("h_rr"), lit(0L)).as("n_hits_rr"),
+          coalesce(col("h_ivf"), lit(0L)).as("n_hits_ivf"),
+          round(coalesce(col("h_adc"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_adc"),
+          round(coalesce(col("h_rr"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_rr"),
+          round(coalesce(col("h_ivf"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_ivf"))
+    }
+    perM.reduce(_ unionAll _).orderBy(col("method"), col("q_id"))
+  }
+
+  /** Per-geometry oracle CTEs for [[knnIvfPqSql]]. */
+  private def ivfPqCtes(bigM: Int): String = {
+    val p = s"ip$bigM"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $bigM)"
+      if (m < bigM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${bigM - 1} * $w + 1, len($src))"
+    }
+    val subs = (0 until bigM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("emb", m)} AS emb FROM c)").mkString(",\n")
+    val cents = (0 until bigM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val codeCtes = (0 until bigM).map { m =>
+      s"""${p}c$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM ${p}s$m s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutCtes = (0 until bigM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until bigM).foldLeft(s"${p}c0")((acc, m) => s"$acc JOIN ${p}c$m USING (vec_id)")
+    val lutJoin = (0 until bigM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until bigM).map(m => s"part_$m").mkString(" + ")
+    s"""$subs,
+       |$cents,
+       |$codeCtes,
+       |$lutCtes,
+       |${p}codes AS (SELECT * FROM $codeJoin),
+       |${p}cand AS (
+       |  SELECT pr.q_id, cd.vec_id, round($adcSum + 0.000000001, 6) AS adc
+       |  FROM ${p}codes cd JOIN cells ON cells.vec_id = cd.vec_id
+       |  JOIN probes pr ON pr.cell = cells.cell $lutJoin),
+       |${p}adcr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM ${p}cand),
+       |${p}topadc AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $K),
+       |${p}short AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $RerankR),
+       |${p}rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("c.emb", "q.q_emb")} DESC, s.vec_id) AS rank
+       |  FROM ${p}short s JOIN c ON c.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id),
+       |${p}toprr AS (SELECT q_id, vec_id FROM ${p}rr WHERE rank <= $K),
+       |${p}ha AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN ${p}topadc t USING (q_id, vec_id) GROUP BY g.q_id),
+       |${p}hr AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN ${p}toprr t USING (q_id, vec_id) GROUP BY g.q_id)""".stripMargin
+  }
+
+  private def ivfPqSelect(bigM: Int): String = {
+    val p = s"ip$bigM"
+    s"""SELECT 'ivfpq_m$bigM' AS method, b.q_id,
+       |  coalesce(a.h, 0) AS n_hits_adc, coalesce(r.h, 0) AS n_hits_rr, coalesce(iv.h, 0) AS n_hits_ivf,
+       |  round(CAST(coalesce(a.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_adc,
+       |  round(CAST(coalesce(r.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_rr,
+       |  round(CAST(coalesce(iv.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_ivf
+       |FROM (SELECT DISTINCT q_id FROM gold) b
+       |LEFT JOIN ${p}ha a USING (q_id)
+       |LEFT JOIN ${p}hr r USING (q_id)
+       |LEFT JOIN hivf iv USING (q_id)""".stripMargin
+  }
+
+  val knnIvfPqSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |goldr AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("c.emb", "q.q_emb")} DESC, c.vec_id) AS rank
+       |  FROM c, q),
+       |gold AS (SELECT q_id, vec_id FROM goldr WHERE rank <= $K),
+       |${refinedCentSql("c", "")},
+       |cells AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |ivfr AS (
+       |  SELECT pr.q_id, cells.vec_id,
+       |    row_number() OVER (PARTITION BY pr.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes pr USING (cell)
+       |  JOIN c cc ON cc.vec_id = cells.vec_id JOIN q qq ON qq.q_id = pr.q_id),
+       |topivf AS (SELECT q_id, vec_id FROM ivfr WHERE rank <= $K),
+       |hivf AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN topivf t USING (q_id, vec_id) GROUP BY g.q_id),
+       |${PqMs.map(ivfPqCtes).mkString(",\n")}
+       |${PqMs.map(ivfPqSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY method, q_id""".stripMargin
+
   // ---------------------------------------------------------------- №83 embed_knn
   /** Retrieval over the MODEL-FREE embeddings (№82 doc_embed) — the
     * text→vector bridge driven end to end: top-[[K]] cosine neighbours

@@ -248,6 +248,19 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("knn_ivf_pq: every corpus-side join is broadcast (probes/LUTs/shortlist); no SMJ/SHJ anywhere") {
+    val plan = ExportQueriesPlanHelper.exec(VectorQueries.knnIvfPq(spark, sf))
+    val txt = plan.toString
+    // query-time contract: candidate generation + ADC scoring + re-rank
+    // never shuffle the corpus — codebooks, probes, LUTs and the bounded
+    // shortlist all arrive as broadcasts; the only exchanges are the
+    // build aggregation and the bounded grouped top-k
+    assert(!txt.contains("SortMergeJoin"), s"SMJ in the ivf-pq plan:\n$txt")
+    assert(!txt.contains("ShuffledHashJoin"), s"SHJ in the ivf-pq plan:\n$txt")
+    assert(txt.contains("BroadcastHashJoin"), s"no broadcast joins found:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("semantic_dedup scale mode never broadcasts the corpus-growing dropped set") {
     val df = VectorQueries.semanticDedupWith(spark, sf, "shuffle")
     val plan = ExportQueriesPlanHelper.exec(df)
