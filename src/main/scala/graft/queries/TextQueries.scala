@@ -2414,6 +2414,82 @@ object HashDedup {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №161 dedup_minhash_capped
+  /** №22's band join with the [[BucketCapConfKey]] guard ACTIVE, as its
+    * own ORACLE-CHECKED row (BucketCapSpec pins the drop semantics on a
+    * handcrafted corpus; this row pins them against DuckDB on the live
+    * one): per band — buckets total, buckets/rows dropped by the cap,
+    * the candidate pairs the cap AVOIDED (the quadratic term the
+    * SCALING.md adversarial table measures at ×10), and the pairs still
+    * found. The proof-sized cap ([[CappedProofCap]] = 2) is chosen to
+    * BITE on the gate corpus (the dup-injection makes 3-4-member
+    * buckets); production caps sit at 32-128 (the guard exists for
+    * template clusters of thousands, not legit near-dup pairs). Output
+    * is [[Bands]] rows at any corpus size; the drop is never silent —
+    * it IS the row. */
+  val CappedProofCap = 2
+
+  def dedupMinhashCapped(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val bands = graft.CacheRegistry.track(
+      bandRowsOf(minhashSigFrom(tok), Bands).persist())
+    val sizes = graft.CacheRegistry.track(
+      bands.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("bucket_n")).persist())
+    val eligible = bands.join(sizes, Seq("band", "band_key"))
+      .filter(col("bucket_n") <= CappedProofCap)
+    val found = eligible.as("a").join(eligible.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.band").as("band")).agg(count(lit(1)).as("pairs_found"))
+    sizes.groupBy(col("band")).agg(
+        count(lit(1)).as("buckets_total"),
+        sum(when(col("bucket_n") > CappedProofCap, 1L).otherwise(0L)).as("buckets_dropped"),
+        sum(when(col("bucket_n") > CappedProofCap, col("bucket_n")).otherwise(0L)).as("rows_dropped"),
+        sum(when(col("bucket_n") > CappedProofCap,
+          expr("bucket_n * (bucket_n - 1) DIV 2")).otherwise(0L)).as("pairs_avoided"))
+      .join(found, Seq("band"), "left")
+      .withColumn("pairs_found", coalesce(col("pairs_found"), lit(0L)))
+      .orderBy(col("band"))
+  }
+
+  val dedupMinhashCappedSql: String = {
+    val minCols = (0 until NumHashes).map(k => s"min(md5('$k|' || sh)) AS m$k").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val key = "md5(" + (b * R until (b + 1) * R).map(k => s"m$k").mkString(" || ") + ")"
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $dupCorpusSql,
+       |d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM d WHERE len(ws) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |bsz AS (SELECT band, band_key, count(*) AS bucket_n FROM bands GROUP BY 1, 2),
+       |elig AS (
+       |  SELECT b.doc_id, b.band, b.band_key FROM bands b
+       |  JOIN bsz USING (band, band_key) WHERE bucket_n <= $CappedProofCap),
+       |found AS (
+       |  SELECT a.band, count(*) AS pairs_found
+       |  FROM elig a JOIN elig b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY a.band),
+       |acct AS (
+       |  SELECT band, count(*) AS buckets_total,
+       |    CAST(sum(CASE WHEN bucket_n > $CappedProofCap THEN 1 ELSE 0 END) AS BIGINT) AS buckets_dropped,
+       |    CAST(sum(CASE WHEN bucket_n > $CappedProofCap THEN bucket_n ELSE 0 END) AS BIGINT) AS rows_dropped,
+       |    CAST(sum(CASE WHEN bucket_n > $CappedProofCap THEN bucket_n * (bucket_n - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_avoided
+       |  FROM bsz GROUP BY band)
+       |SELECT acct.band, buckets_total, buckets_dropped, rows_dropped, pairs_avoided,
+       |  coalesce(found.pairs_found, 0) AS pairs_found
+       |FROM acct LEFT JOIN found ON found.band = acct.band
+       |ORDER BY acct.band""".stripMargin
+  }
+
   // ---------------------------------------------------------------- №23 dedup_simhash
   /** 96-bit SimHash (struct of two 48-bit longs — see [[graft.functions.SimHash96]]
     * for why 96): per distinct token, h = first 24 md5 hex chars; bit b of

@@ -41,6 +41,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_c_sweep", // knn_ivf's centroid-broadcast assignment, once per C
     "vocab_growth", // single-row max-doc-id broadcast for the bucket grid
     "embedding_drift", // single-row max-vec-id broadcast for the half grid
+    "knn_ivf_pq", // constant-size LUT broadcasts (queries × codebook — the pq_quantize class)
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
