@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * Output: the `adversarial` section of `SCALING.md` (spliced between
   * markers; [[ScaleStress]]'s full rewrite preserves it).
   *
-  * Usage: graft.ScaleAdversarial [factor] (default 10). */
+  * Usage: graft.ScaleAdversarial [factors] (default "10"). */
 object ScaleAdversarial {
 
   val HotPct = 1   // ~1% of docs carry the template
@@ -88,7 +88,8 @@ object ScaleAdversarial {
   }
 
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.trim.toInt).getOrElse(10)
+    val factors = args.headOption.getOrElse("10").split(",").map(_.trim.toInt).toSeq
+    val factor = factors.max
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,8 +101,8 @@ object ScaleAdversarial {
       "lsh_tuning" -> (HashDedup.lshTuning _))
 
     val adv1 = generate(spark, 1)
-    val advF = generate(spark, factor)
-    val dirs = Seq(("base x1", "/root/testdata/sf0.1"), ("adv x1", adv1), (s"adv x$factor", advF))
+    val dirs = Seq(("base x1", "/root/testdata/sf0.1"), ("adv x1", adv1)) ++
+      factors.map(f => (s"adv x$f", generate(spark, f)))
 
     def setCaps(on: Boolean): Unit =
       if (on) {
@@ -140,7 +141,7 @@ object ScaleAdversarial {
     }
 
     // the guard's accounting on the adversarial ×F corpus
-    val tokF = CacheRegistry.track(TextQueries.dupCorpusTok(spark, advF).persist())
+    val tokF = CacheRegistry.track(TextQueries.dupCorpusTok(spark, advDir(factor)).persist())
     val bandRows = HashDedup.bandRowsOf(HashDedup.minhashSigFrom(tokF), HashDedup.Bands)
     val acct = HashDedup.cappedBucketStats(bandRows, Cap)
       .agg(sum(col("buckets_dropped")), sum(col("rows_dropped")), sum(col("pairs_avoided")))
@@ -157,17 +158,21 @@ object ScaleAdversarial {
     sb.append(s"grows with the corpus). Guard: bucket/gram cap = $Cap\n")
     sb.append(s"(`spark.graft.lsh.bucketCap` / `spark.graft.ppjoin.gramCap`, default OFF\n")
     sb.append(s"— every driver oracle runs uncapped). local[$cpus], 1 timed run after warmup.\n\n")
-    sb.append(s"| query | base ×1 | adv ×1 | adv ×1 capped | adv ×$factor | adv ×$factor capped | uncapped ×$factor/×1 | capped ×$factor/×1 |\n")
-    sb.append("|---|---|---|---|---|---|---|---|\n")
+    val fCols = factors.map(f => s"adv ×$f | adv ×$f capped").mkString(" | ")
+    val rCols = factors.map(f => s"uncapped ×$f/×1 | capped ×$f/×1").mkString(" | ")
+    sb.append(s"| query | base ×1 | adv ×1 | adv ×1 capped | $fCols | $rCols |\n")
+    sb.append("|---|---|---|" + ("|---" * (factors.size * 4)) + "|\n")
     rows.foreach { case (name, cells) =>
       val b1 = cells(("base x1", false))._1
       val a1 = cells(("adv x1", false))._1
       val a1c = cells(("adv x1", true))._1
-      val aF = cells((s"adv x$factor", false))._1
-      val aFc = cells((s"adv x$factor", true))._1
-      val ratioU = aF / a1
-      val ratioC = aFc / a1c
-      sb.append(f"| $name | $b1%.2fs | $a1%.2fs | $a1c%.2fs | $aF%.2fs | $aFc%.2fs | $ratioU%.1f× | $ratioC%.1f× |\n")
+      val fCells = factors.map { f =>
+        f"${cells((s"adv x$f", false))._1}%.2fs | ${cells((s"adv x$f", true))._1}%.2fs"
+      }.mkString(" | ")
+      val ratios = factors.map { f =>
+        f"${cells((s"adv x$f", false))._1 / a1}%.1f× | ${cells((s"adv x$f", true))._1 / a1c}%.1f×"
+      }.mkString(" | ")
+      sb.append(f"| $name | $b1%.2fs | $a1%.2fs | $a1c%.2fs | $fCells | $ratios |\n")
     }
     sb.append(f"""
       |Candidate-volume evidence (rows out of the pair/tuning frames, adv ×$factor):

@@ -181,14 +181,18 @@ object ScaleStress {
         |  don't grow with the corpus), not super-linearity.
         |- The dedup family (minhash bands, PPJoin prefix filter, recall harness)
         |  scales by its CANDIDATE count: disjoint copy token-spaces mean candidates
-        |  grow with the corpus, not quadratically — measured 2.9–3.8× at ×10.
-        |- knn_graph is the deliberate contrast: `c64` freezes the centroid count
-        |  (candidate join is O(n²·P/C) — the ratio climbs with every ×F and is the
-        |  line that goes quadratic at 100 TB), `cscaled` turns the
-        |  spark.graft.knn.centroids dial as C ∝ √n — the classic IVF balance where
-        |  assignment O(n·C) and probe O(n²·P/C) both run at O(n^1.5) — and is both
-        |  absolutely faster and flatter. (C ∝ n was measured first and is WORSE:
-        |  it makes the assignment itself quadratic — 15.2× at ×10.)
+        |  grow with the corpus, not quadratically — measured 1.9–3.9× at ×10.
+        |- knn_graph is the deliberate contrast: `c64` freezes the centroid count —
+        |  its candidate join is O(n²·P/C), the term that goes quadratic at 100 TB —
+        |  while `cscaled` turns the spark.graft.knn.centroids dial as C ∝ √n (the
+        |  classic IVF balance: assignment O(n·C) and probe O(n²·P/C) both O(n^1.5)).
+        |  At the measured SFs the constant-cost floor still dominates both lines
+        |  (the ×30 cells converge, 11.4s vs 12.0s; cscaled is absolutely faster
+        |  through ×10) — the quadratic term is the PREDICTED divergence past the
+        |  measured range (c64's candidates grow ×F², cscaled's ×F^1.5), which is
+        |  why the dial exists even though this corpus hasn't crossed the knee.
+        |  (C ∝ n was measured first and is WORSE: it turns the assignment itself
+        |  quadratic — 15.2× at ×10 in the r10 run.)
         |- The retrieval harnesses (hybrid_search, retrieval_eval) run ~1.5× above
         |  their own ×1→×10 trend at ×30: the exact embedding gold ranking holds
         |  Q×N scored rows through one executor-memory window, where spill/GC
@@ -196,8 +200,13 @@ object ScaleStress {
         |  far from quadratic; on a real cluster this is executor-count headroom,
         |  not an algorithmic cliff.
         |""".stripMargin)
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
-      sb.toString.getBytes("UTF-8"))
+    // preserve ScaleAdversarial's spliced section across the rewrite
+    val p = java.nio.file.Paths.get("SCALING.md")
+    val prev = if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p) else ""
+    val b = prev.indexOf("<!-- adversarial:begin -->")
+    val e = prev.indexOf("<!-- adversarial:end -->")
+    val adv = if (b >= 0 && e > b) "\n" + prev.substring(b, e + "<!-- adversarial:end -->".length) + "\n" else ""
+    java.nio.file.Files.write(p, (sb.toString + adv).getBytes("UTF-8"))
     println(sb.toString)
     spark.stop()
   }
