@@ -161,7 +161,7 @@ object ScaleAdversarial {
     val fCols = factors.map(f => s"adv ×$f | adv ×$f capped").mkString(" | ")
     val rCols = factors.map(f => s"uncapped ×$f/×1 | capped ×$f/×1").mkString(" | ")
     sb.append(s"| query | base ×1 | adv ×1 | adv ×1 capped | $fCols | $rCols |\n")
-    sb.append("|---|---|---|" + ("|---" * (factors.size * 4)) + "|\n")
+    sb.append("|---" * (4 + factors.size * 4) + "|\n")
     rows.foreach { case (name, cells) =>
       val b1 = cells(("base x1", false))._1
       val a1 = cells(("adv x1", false))._1
