@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** №160 knn_ivf_pq behavioral pins beyond the oracle (which already
+  * recomputes every code, LUT entry and rank independently): the
+  * measured relationships the operator's story rests on, on the
+  * deterministic proof corpus. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ADC + re-rank: shapes, bounds, and the measured recovery ordering") {
+    val rows = VectorQueries.knnIvfPq(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(rows.size == VectorQueries.PqMs.size * VectorQueries.NQueries)
+    rows.foreach { case (m, q, hAdc, hRr, hIvf, rAdc, rRr, rIvf) =>
+      for ((h, r) <- Seq((hAdc, rAdc), (hRr, rRr), (hIvf, rIvf))) {
+        assert(h >= 0 && h <= VectorQueries.K, s"$m q$q hits out of range: $h")
+        assert(math.abs(r - h.toDouble / VectorQueries.K) < 1e-5, s"$m q$q recall/hits mismatch")
+      }
+    }
+    val byMethod = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.map(_._3).sum.toDouble, rs.map(_._4).sum.toDouble, rs.map(_._5).sum.toDouble)
+    }.toMap
+    byMethod.foreach { case (m, (adc, rr, ivf)) =>
+      // the exact re-rank RECOVERS what lossy ADC ranking dropped — on
+      // this corpus it recovers the full probe ceiling (the shortlist
+      // at 4K covers the probed candidates' gold members)
+      assert(rr >= adc, s"$m: re-rank lost recall vs raw ADC ($rr < $adc)")
+      assert(rr == ivf, s"$m: re-rank did not reach the probe ceiling at proof SF ($rr != $ivf)")
+    }
+    // the compression-fidelity ordering: more subspaces → finer ADC
+    assert(byMethod("ivfpq_m4")._1 >= byMethod("ivfpq_m2")._1,
+      "m4 ADC recall below m2 — the fidelity ordering inverted")
+  }
+}
