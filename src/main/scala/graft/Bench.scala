@@ -136,8 +136,11 @@ object Bench {
     // (steady-state numbers, comparable across rounds)
     val interleave = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
     val order = selected.toSeq
-    for ((name, fn) <- order if name == "knn_index_update") {
-      graft.queries.VectorQueries.dropIndexUpdateCaches(spark, sfDir)
+    val coldDrops: Map[String, (SparkSession, String) => Unit] = Map(
+      "knn_index_update" -> (graft.queries.VectorQueries.dropIndexUpdateCaches _),
+      "knn_ivf_pq_update" -> (graft.queries.VectorQueries.dropIvfPqUpdateCaches _))
+    for ((name, fn) <- order; drop <- coldDrops.get(name)) {
+      drop(spark, sfDir)
       runOnce(fn, s"$name(cold)").foreach { case (_, d) => coldBuilds(name) = d }
     }
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]](

@@ -1261,6 +1261,36 @@ object VectorQueries {
     * oracle reproduces every code, LUT entry, and rank. */
   val RerankR: Int = 4 * K
 
+  /** Subvector slice m of an M-way split over d dims (last slice takes
+    * the remainder). */
+  private def subCol(src: Column, m: Int, bigM: Int, d: Int): Column = {
+    val w = d / bigM
+    val lo = m * w + 1
+    if (m < bigM - 1) slice(src, lo, w) else slice(src, lo, d - m * w)
+  }
+
+  /** ONE-pass IVF-PQ encode: (vec_id, emb) → (vec_id, cell,
+    * code_0..code_{M-1}) in a single max_by aggregation against the
+    * broadcast model union (m = −1 rows are the IVF centroids, m ≥ 0 the
+    * subspace codebooks). Shared by №160 (in-memory model) and №162 (the
+    * persisted frozen model) — the encode semantics cannot fork. */
+  private def encodeCells(src: DataFrame, cbAll: DataFrame, bigM: Int, d: Int): DataFrame = {
+    val subbed = (0 until bigM).foldLeft(src) { (df, m) =>
+      df.withColumn(s"sub_$m", subCol(col("emb"), m, bigM, d))
+    }
+    val scos = (0 until bigM).foldLeft(
+      when(col("m") === -1, cosine6(col("emb"), col("c_emb")))) { (acc, m) =>
+      acc.when(col("m") === m, cosine6(col(s"sub_$m"), col("c_emb")))
+    }
+    val aggs = expr("max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = -1)").as("cell") +:
+      (0 until bigM).map(m =>
+        expr(s"max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    subbed.join(broadcast(cbAll))
+      .withColumn("scos", scos)
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
@@ -1284,10 +1314,6 @@ object VectorQueries {
 
     val perM = PqMs.map { bigM =>
       val w = d / bigM
-      def subCol(src: Column, m: Int): Column = {
-        val lo = m * w + 1
-        if (m < bigM - 1) slice(src, lo, w) else slice(src, lo, d - m * w)
-      }
       val cbs = (0 until bigM).map { m =>
         val hi = if (m < bigM - 1) (m + 1) * w else d
         lloydRefine(full.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
@@ -1297,26 +1323,13 @@ object VectorQueries {
       val cbAll = (cbs.zipWithIndex.map { case (cb, m) =>
         cb.select(lit(m).as("m"), col("c_id"), col("c_emb"))
       } :+ centroids.select(lit(-1).as("m"), col("c_id"), col("c_emb"))).reduce(_ unionAll _)
-      val subbed = (0 until bigM).foldLeft(corpus) { (df, m) =>
-        df.withColumn(s"sub_$m", subCol(col("emb"), m))
-      }
-      val scos = (0 until bigM).foldLeft(
-        when(col("m") === -1, cosine6(col("emb"), col("c_emb")))) { (acc, m) =>
-        acc.when(col("m") === m, cosine6(col(s"sub_$m"), col("c_emb")))
-      }
-      val aggs = expr("max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = -1)").as("cell") +:
-        (0 until bigM).map(m =>
-          expr(s"max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"code_$m"))
-      val codes = subbed.join(broadcast(cbAll))
-        .withColumn("scos", scos)
-        .groupBy(col("vec_id"))
-        .agg(aggs.head, aggs.tail: _*)
+      val codes = encodeCells(corpus, cbAll, bigM, d)
 
       // ADC lookup tables: (queries × codebook) per subspace — broadcast
       val luts = (0 until bigM).map { m =>
         queries.crossJoin(broadcast(cbs(m)))
           .select(col("q_id"), col("c_id").as(s"code_$m"),
-            round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m), col("c_emb")) + lit(1e-9), 6)
+            round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, bigM, d), col("c_emb")) + lit(1e-9), 6)
               .as(s"part_$m"))
       }
       val cand = (0 until bigM).foldLeft(
@@ -1456,6 +1469,198 @@ object VectorQueries {
        |${PqMs.map(ivfPqCtes).mkString(",\n")}
        |${PqMs.map(ivfPqSelect).mkString("\nUNION ALL\n")}
        |ORDER BY method, q_id""".stripMargin
+
+  // ---------------------------------------------------------------- №162 knn_ivf_pq_update
+  /** The PRODUCTION serving composition at 100 TB — №160's IVF-PQ ADC
+    * search over a PERSISTED index with INCREMENTAL maintenance (№72's
+    * bucketed layout × №119's arrivals economics × №160's asymmetric
+    * scoring, one operator):
+    *
+    *   - the frozen MODEL (IVF centroids + all M subspace codebooks,
+    *     trained on the BASE corpus's hash sample) persists once per
+    *     corpus version ([[cachedModel]] — a constant-size table);
+    *   - the BASE codes (vec_id, cell, code_0..M−1 — M bytes per vector,
+    *     the only per-vector state the store keeps) persist as №72's
+    *     bucketed+sorted-on-cell layout, built ONCE and scanned with no
+    *     exchange on every subsequent search (plan-pinned);
+    *   - daily ARRIVALS encode in one broadcast pass (batch-sized work —
+    *     the №119 economics: touch the day's vectors, never the store);
+    *   - search = ADC over union(bucketed scan, arrivals) with broadcast
+    *     probes + LUTs, then the exact [[RerankR]]-shortlist re-rank.
+    *
+    * Because per-vector encoding under a FROZEN model is independent,
+    * the incremental union ≡ a full re-encode of base ∪ batch under the
+    * same model — IvfPqSpec pins row-for-row equality (scores AND
+    * ranks), and the oracle computes the full form (model from base, one
+    * encode over everything). Output = the re-ranked top-[[K]] with
+    * EXACT cosine per hit — the results-shaped row (№119's), not №160's
+    * grading-shaped one. Geometry fixed at M = [[PquM]] (the measured
+    * better end of №160's curve). */
+  val PquM = 4
+
+  /** Bench hook (the [[dropIndexUpdateCaches]] twin): drop №162's
+    * persisted model + bucketed code table so the cold first-build cost
+    * is measurable as its own artifact number. */
+  def dropIvfPqUpdateCaches(spark: SparkSession, dir: String): Unit = {
+    Seq(("graft_models", s"graft_ivfpqu_model_${dirKey(dir)}_m$PquM"),
+        ("graft_bucketed", s"graft_ivfpqu_codes_${dirKey(dir)}_m$PquM")).foreach {
+      case (store, t) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), store, t)
+        if (java.nio.file.Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+    }
+  }
+
+  /** The frozen №162 model table: (m, c_id, c_emb) with m = −1 the IVF
+    * centroids, m ∈ [0, M) the subspace codebooks — trained on the BASE
+    * sample, persisted build-if-absent. */
+  private def ivfPqUpdateModel(spark: SparkSession, dir: String, base: DataFrame): DataFrame =
+    cachedModel(spark, s"graft_ivfpqu_model_${dirKey(dir)}_m$PquM") {
+      import spark.implicits._
+      val full = hashSample(base)
+      val d = full.headOption.map(_.length).getOrElse(0)
+      val w = d / PquM
+      val cents = lloydRefine(full, Centroids).toSeq.toDF("c_id", "c_emb")
+        .select(lit(-1).as("m"), col("c_id"), col("c_emb"))
+      val cbs = (0 until PquM).map { m =>
+        val hi = if (m < PquM - 1) (m + 1) * w else d
+        lloydRefine(full.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+          .select(lit(m).as("m"), col("c_id"), col("c_emb"))
+      }
+      (cbs :+ cents).reduce(_ unionAll _)
+    }
+
+  /** Search over an arbitrary codes frame under the frozen model —
+    * shared by the incremental operator and its full-rebuild spec twin. */
+  private def ivfPqSearch(spark: SparkSession, codes: DataFrame, model: DataFrame,
+                          corpus: DataFrame, queries: DataFrame, d: Int): DataFrame = {
+    val centroids = model.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val luts = (0 until PquM).map { m =>
+      queries.crossJoin(broadcast(model.filter(col("m") === m).select(col("c_id"), col("c_emb"))))
+        .select(col("q_id"), col("c_id").as(s"code_$m"),
+          round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, PquM, d), col("c_emb")) + lit(1e-9), 6)
+            .as(s"part_$m"))
+    }
+    val cand = (0 until PquM).foldLeft(
+      codes.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+      df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+    }
+    val adcExpr = round((0 until PquM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+    val shortlist = topKRanked(
+      cand.select(col("q_id"), col("vec_id"), adcExpr.as("adc")),
+      "q_id", "adc", "vec_id", RerankR).select(col("q_id"), col("vec_id"))
+    val rescored = corpus.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+    topKRanked(rescored, "q_id", "cos", "vec_id", K)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnIvfPqUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val batch = corpus.filter(col("vec_id") % BatchMod === 0)
+    val model = ivfPqUpdateModel(spark, dir, base)
+    val d = model.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    val baseCodes = graft.sources.Bucketing.bucketedCached(
+      spark, s"graft_ivfpqu_codes_${dirKey(dir)}_m$PquM", "cell")(
+      encodeCells(base, model, PquM, d))
+    val arrivals = encodeCells(batch, model, PquM, d)
+    ivfPqSearch(spark, baseCodes.unionByName(arrivals), model, corpus, queries, d)
+  }
+
+  /** Full-rebuild twin under the same frozen model (the spec's equality
+    * counterpart and the oracle's formulation). */
+  private[queries] def knnIvfPqUpdateFullRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val model = ivfPqUpdateModel(spark, dir, base)
+    val d = model.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    ivfPqSearch(spark, encodeCells(corpus, model, PquM, d), model, corpus, queries, d)
+  }
+
+  val knnIvfPqUpdateSql: String = {
+    val p = "ipu"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $PquM)"
+      if (m < PquM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${PquM - 1} * $w + 1, len($src))"
+    }
+    val subs = (0 until PquM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("emb", m)} AS emb FROM b)").mkString(",\n")
+    val cents = (0 until PquM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val codeCtes = (0 until PquM).map { m =>
+      s"""${p}c$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM (SELECT vec_id, ${subOf("emb", m)} AS emb FROM c) s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutCtes = (0 until PquM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until PquM).foldLeft(s"${p}c0")((acc, m) => s"$acc JOIN ${p}c$m USING (vec_id)")
+    val lutJoin = (0 until PquM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until PquM).map(m => s"part_$m").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $BatchMod <> 0),
+       |${refinedCentSql("b", "")},
+       |$subs,
+       |$cents,
+       |cells AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |$codeCtes,
+       |$lutCtes,
+       |${p}codes AS (SELECT * FROM $codeJoin),
+       |${p}cand AS (
+       |  SELECT pr.q_id, cd.vec_id, round($adcSum + 0.000000001, 6) AS adc
+       |  FROM ${p}codes cd JOIN cells ON cells.vec_id = cd.vec_id
+       |  JOIN probes pr ON pr.cell = cells.cell $lutJoin),
+       |${p}adcr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM ${p}cand),
+       |${p}short AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $RerankR),
+       |${p}rr AS (
+       |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
+       |  FROM ${p}short s JOIN c cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id)
+       |SELECT q_id, vec_id, cos, rank FROM ${p}rr WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------- №83 embed_knn
   /** Retrieval over the MODEL-FREE embeddings (№82 doc_embed) — the

@@ -42,6 +42,7 @@ class PlanLintSpec extends SparkSpec {
     "vocab_growth", // single-row max-doc-id broadcast for the bucket grid
     "embedding_drift", // single-row max-vec-id broadcast for the half grid
     "knn_ivf_pq", // constant-size LUT broadcasts (queries × codebook — the pq_quantize class)
+    "knn_ivf_pq_update", // same LUT broadcasts over the persisted layout
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
@@ -55,6 +56,7 @@ class PlanLintSpec extends SparkSpec {
       "dedup_incremental_bloom", // bloom sketch aggregation collects on build
       "bucketed_join", // writes the bucketed tables on build
       "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
+      "knn_ivf_pq_update", // writes the persisted model + bucketed code table on build (plan pinned)
       "stream_asof", // streaming replay runs on build
       "corpus_split", // runs the clusterLabels convergence loop on build
       "graph_centrality", // runs the N-count job + unrolled iterations on build

@@ -34,4 +34,21 @@ class IvfPqSpec extends SparkSpec {
     assert(byMethod("ivfpq_m4")._1 >= byMethod("ivfpq_m2")._1,
       "m4 ADC recall below m2 — the fidelity ordering inverted")
   }
+
+  test("№162 incremental serving ≡ full re-encode under the frozen model; arrivals reach the top-k") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSeq
+    val inc = rows(VectorQueries.knnIvfPqUpdate(spark, sf))
+    graft.CacheRegistry.releaseAll(spark)
+    val full = rows(VectorQueries.knnIvfPqUpdateFullRebuild(spark, sf))
+    graft.CacheRegistry.releaseAll(spark)
+    // per-vector encode under a frozen model is independent ⇒ the
+    // incremental union must equal the full re-encode row-for-row
+    // (scores AND ranks)
+    assert(inc == full, "incremental union diverged from the full rebuild under the same model")
+    assert(inc.size == VectorQueries.NQueries * VectorQueries.K)
+    // non-vacuous: the daily arrivals (vec_id % 20 == 0) genuinely
+    // reach the served top-k — the maintenance path is doing real work
+    assert(inc.exists(_._2 % 20 == 0), "no arrival in any top-k — the incremental path went untested")
+  }
 }

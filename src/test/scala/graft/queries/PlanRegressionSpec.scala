@@ -383,6 +383,30 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf_pq_update: persisted code table reaches the probe join with NO base-side exchange") {
+    val df = VectorQueries.knnIvfPqUpdate(spark, sf)
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // the №119 pin applied to the PQ serving shape: the bucketed CODE
+    // table (M bytes per vector — the store's only per-vector state)
+    // must stream into the broadcast probe join unshuffled; arrivals
+    // encode + the top-k exchange downstream are expected
+    // walk the path from the bucketed code SCAN up to the first join it
+    // feeds: that segment must contain no shuffle (the union with the
+    // arrivals encode and columnar wrappers are fine); everything above
+    // the join (adc top-k exchange, re-rank) legitimately shuffles the
+    // workload-bounded candidate frame, not the store
+    def pathToScan(node: org.apache.spark.sql.execution.SparkPlan): Option[List[org.apache.spark.sql.execution.SparkPlan]] =
+      if (node.children.isEmpty && node.toString.contains("graft_ivfpqu_codes")) Some(List(node))
+      else node.children.view.flatMap(pathToScan).headOption.map(node :: _)
+    val path = pathToScan(plan)
+    assert(path.nonEmpty, s"no scan of the persisted code table in the plan:\n$plan")
+    val scanUp = path.get.reverse // scan .. root
+    val belowJoin = scanUp.takeWhile(!_.isInstanceOf[BroadcastHashJoinExec])
+    assert(belowJoin.size < scanUp.size, s"code scan never reaches a broadcast probe join:\n$plan")
+    assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"persisted code side re-shuffled below the probe join:\n$plan")
+  }
+
   test("dedup_incremental bloom mode: membership probe prunes the base SCAN, below the join") {
     val df = TextQueries.dedupIncrementalWith(spark, sf, "bloom")
     val plan = ExportQueriesPlanHelper.exec(df)
