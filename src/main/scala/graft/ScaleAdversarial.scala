@@ -97,6 +97,7 @@ object ScaleAdversarial {
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash" -> (HashDedup.dedupMinhash _),
+      "dedup_simhash" -> (HashDedup.dedupSimhash _),
       "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
       "lsh_tuning" -> (HashDedup.lshTuning _))
 

@@ -1608,4 +1608,118 @@ object Analytics {
        |SELECT status, count(*) AS n_docs,
        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- №163 value_quantile_sketch
+  /** №158's dyadic quantile grid on the EVENT-VALUE domain — the
+    * unbounded-cardinality case the sketch exists for: per-type cents
+    * span [0, 2¹⁶) with ~18k DISTINCT values (vs №158's ~100 token
+    * counts), exactly where the №124/№133 histogram formulation's
+    * value-keyed hash agg stops being "domain-bounded" and the
+    * constant-state grid (levels·depth·width counters per type, here
+    * 16·3·64 = 3k longs) takes over. Same machinery, bigger levels dial
+    * — the [[graft.functions.DyadicCountMin]] scaladoc's "levels tracks
+    * the value domain" claim EXERCISED, not asserted.
+    *
+    * Estimate definition, one-sidedness (est ≤ exact, every row), and
+    * the measured in-row error are №158's verbatim; candidates are the
+    * present (type, cents) values (the est-rank read-out is still
+    * data-bounded here — the full-domain read-out №62's scale path
+    * demonstrates is the alternative when even distinct values are too
+    * many). Targets: deciles + p99 per event type. */
+  val VqLevels = 16 // cents domain [0, 65536)
+  val VqDepth = 3
+  val VqWidth = 256
+  val VqMax: Int = (1 << VqLevels) - 1
+
+  def valueQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.{TextQueries => TQ}
+    val vals = Tables(spark, dir).events
+      .select($"event_type",
+        least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)).as("v"))
+    val hist = vals.groupBy($"event_type", $"v").agg(count(lit(1)).as("cnt"))
+    val slots = vals.groupBy($"event_type")
+      .agg(graft.functions.DyadicCountMin.sketch($"v", VqLevels, VqDepth, VqWidth).as("g"))
+      .select($"event_type", posexplode($"g"))
+      .select($"event_type", $"pos".cast("long").as("i"), $"col".as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n_ev"))
+    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), "event_type")
+    val er = cum.select($"event_type", $"v")
+      .withColumn("l", explode(sequence(lit(0), lit(VqLevels - 1))))
+      .filter(expr("(shiftright(v + 1, l) & 1) = 1"))
+      .withColumn("idx", expr("shiftright(v + 1, l) - 1"))
+      .withColumn("d", explode(sequence(lit(0), lit(VqDepth - 1))))
+      .withColumn("i", expr(s"(l * $VqDepth + d) * $VqWidth + ${TQ.qsSlotExprW(VqWidth)}"))
+      .join(broadcast(slots), Seq("event_type", "i"))
+      .groupBy($"event_type", $"v", $"l").agg(min($"c").as("pq"))
+      .groupBy($"event_type", $"v").agg(sum($"pq").as("er"))
+    val ranks = cum.join(er, Seq("event_type", "v"), "left")
+      .withColumn("est_rank",
+        when($"v" === VqMax.toLong, $"n_ev").otherwise(coalesce($"er", lit(0L))))
+    val aggs = TQ.QuantilePcts.flatMap(q => Seq(
+      min(when(lit(100) * $"cum" >= lit(q) * $"n_ev", $"v")).as(s"x$q"),
+      min(when(lit(100) * $"est_rank" >= lit(q) * $"n_ev", $"v")).as(s"e$q")))
+    ranks.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+      .select($"event_type", expr(s"stack(${TQ.QuantilePcts.length}, " +
+        TQ.QuantilePcts.map(q => s"$q, x$q, e$q").mkString(", ") +
+        ") AS (pct, cents_exact, cents_est)"))
+      .withColumn("err", $"cents_est" - $"cents_exact")
+      .orderBy($"event_type", $"pct")
+  }
+
+  val valueQuantileSketchSql: String = {
+    val slot = s"CAST(list_sum(list_transform(range(0, 15), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || '|' || CAST(l AS VARCHAR) || ':' || " +
+      s"CAST(idx AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1) " +
+      s"* (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) AS BIGINT) % $VqWidth"
+    val pcts = graft.queries.TextQueries.QuantilePcts
+    val mins = pcts.map(q =>
+      s"min(CASE WHEN 100*cum >= $q*n_ev THEN v END) AS x$q,\n    " +
+        s"min(CASE WHEN 100*est_rank >= $q*n_ev THEN v END) AS e$q").mkString(",\n    ")
+    val unpivot = pcts
+      .map(q => s"SELECT event_type, $q AS pct, x$q AS cents_exact, e$q AS cents_est FROM vq_a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vq_v AS (
+       |  SELECT event_type,
+       |    least(CAST(round(value * 100 + 0.000000001) AS BIGINT), $VqMax) AS v
+       |  FROM events),
+       |vq_h AS (SELECT event_type, v, count(*) AS cnt FROM vq_v GROUP BY 1, 2),
+       |vq_n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_ev FROM vq_h GROUP BY event_type),
+       |vq_lv AS (SELECT l FROM range(0, $VqLevels) t(l)),
+       |vq_dd AS (SELECT d FROM range(0, $VqDepth) t(d)),
+       |vq_g AS (
+       |  SELECT event_type, l, d, $slot AS slot, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT event_type, l, v >> l AS idx, cnt FROM vq_h CROSS JOIN vq_lv)
+       |  CROSS JOIN vq_dd GROUP BY 1, 2, 3, 4),
+       |vq_c AS (
+       |  SELECT event_type, v,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum
+       |  FROM vq_h),
+       |vq_dec AS (
+       |  SELECT event_type, v, l, ((v + 1) >> l) - 1 AS idx
+       |  FROM vq_c CROSS JOIN vq_lv WHERE ((v + 1) >> l) & 1 = 1),
+       |vq_pq AS (
+       |  SELECT dec.event_type, dec.v, dec.l, min(coalesce(g.c, 0)) AS pq
+       |  FROM (SELECT event_type, v, l, idx, d, $slot AS slot
+       |        FROM vq_dec CROSS JOIN vq_dd) dec
+       |  LEFT JOIN vq_g g ON g.event_type = dec.event_type AND g.l = dec.l
+       |    AND g.d = dec.d AND g.slot = dec.slot
+       |  GROUP BY 1, 2, 3),
+       |vq_er AS (SELECT event_type, v, CAST(sum(pq) AS BIGINT) AS er FROM vq_pq GROUP BY 1, 2),
+       |vq_r AS (
+       |  SELECT c.event_type, c.v, c.cum, n.n_ev,
+       |    CASE WHEN c.v = $VqMax THEN n.n_ev ELSE coalesce(s.er, 0) END AS est_rank
+       |  FROM vq_c c JOIN vq_n n USING (event_type)
+       |  LEFT JOIN vq_er s ON s.event_type = c.event_type AND s.v = c.v),
+       |vq_a AS (
+       |  SELECT event_type, $mins
+       |  FROM vq_r GROUP BY event_type)
+       |SELECT event_type, pct, cents_exact, cents_est,
+       |  cents_est - cents_exact AS err
+       |FROM ($unpivot) ORDER BY event_type, pct""".stripMargin
+  }
 }

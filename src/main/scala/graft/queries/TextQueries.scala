@@ -2179,10 +2179,13 @@ object TextQueries {
 
   /** Spark-SQL slot of the (d, "l:idx") dyadic counter — the
     * [[graft.functions.CountMin.slot]] recipe with the level baked in.
-    * Shared with №62 corpus_stats' scale path (one hash recipe). */
-  private[queries] def qsSlotExpr: String =
+    * Shared with №62 corpus_stats' scale path and №163's event-value
+    * twin (one hash recipe, any width). */
+  private[queries] def qsSlotExprW(width: Int): String =
     s"CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', CAST(l AS STRING), ':', " +
-      s"CAST(idx AS STRING))), 1, 15), 16, 10) AS BIGINT) % $QsWidth"
+      s"CAST(idx AS STRING))), 1, 15), 16, 10) AS BIGINT) % $width"
+
+  private[queries] def qsSlotExpr: String = qsSlotExprW(QsWidth)
 
   /** Estimate + exact verify given the per-source flattened grid
     * (source, i, c) — shared by the batch row (native-aggregate slots)
@@ -2519,7 +2522,17 @@ object HashDedup {
                 else expr(s"(hi >> ${BandBits * (i - 2)}) & $mask")
       fp.select(col("doc_id"), lit(i).as("band"), key.as("band_key"))
     }.reduce(_ unionAll _)
-    val cand = bands.as("a").join(bands.as("b"),
+    // same hot-bucket exposure as the minhash band join (a boilerplate
+    // cluster's identical fingerprints share every band key) — honor the
+    // same conf'd cap (default off; every oracle runs uncapped)
+    val cap = bucketCapOf(tok.sparkSession)
+    val eligible =
+      if (cap <= 0) bands
+      else bands.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_key"))))
+        .filter(col("bucket_n") <= cap).drop("bucket_n")
+    val cand = eligible.as("a").join(eligible.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()

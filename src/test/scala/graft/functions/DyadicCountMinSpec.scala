@@ -91,6 +91,24 @@ class DyadicCountMinSpec extends SparkSpec {
     assert(got == expected, "engine quantile estimates diverge from the plain-Scala grid")
   }
 
+  test("value_quantile_sketch (№163, the 2¹⁶ cents domain): one-sided, monotone, real collisions") {
+    val rows = graft.queries.Analytics.valueQuantileSketch(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(rows.size == TextQueries.QuantilePcts.size * 5) // 5 event types
+    rows.foreach { case (t, pct, exact, est, err) =>
+      assert(est <= exact, s"$t p$pct OVERestimated: est=$est exact=$exact — one-sidedness broken")
+      assert(err == est - exact)
+      assert(exact >= 0 && exact <= graft.queries.Analytics.VqMax)
+    }
+    assert(rows.exists(_._5 < 0L), "zero error everywhere on an 18k-distinct-value domain")
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val byPct = rs.sortBy(_._2)
+      assert(byPct.map(_._3).sliding(2).forall(p => p.head <= p.last), s"$t exact not monotone")
+      assert(byPct.map(_._4).sliding(2).forall(p => p.head <= p.last), s"$t est not monotone")
+    }
+  }
+
   test("stream ≡ batch: sharded streamed grids SUM to the batch answer; replay crossed micro-batches") {
     val streamRows = graft.streaming.StreamQuantile.streamQuantile(spark, sf)
       .as[(String, Int, Long, Long, Long)].collect().toSeq

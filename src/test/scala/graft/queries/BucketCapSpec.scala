@@ -66,6 +66,21 @@ class BucketCapSpec extends SparkSpec {
     } finally { t.unpersist(); () }
   }
 
+  test("simhash band cap: identical-fingerprint hot bucket dropped, genuine cluster survives") {
+    val t = tok.persist()
+    try {
+      def pairs(): Set[(Long, Long)] = HashDedup.dedupSimhashFrom(t)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      // identical docs → identical fingerprints → hamming 0 in every band
+      val full = pairs()
+      assert(full.size == Hot * (Hot - 1) / 2 + 1, s"expected full verified set, got ${full.size}")
+      val capped = withCaps(bucket = Cap, gram = 0)(pairs())
+      assert(capped == Set((1000L, 1001L)),
+        s"simhash cap must drop exactly the template cluster, got $capped")
+      assert(withCaps(bucket = Hot, gram = 0)(pairs()) == full, "over-sized cap must be a no-op")
+    } finally { t.unpersist(); () }
+  }
+
   test("prefix-gram cap: stop-grams leave candidate generation, genuine cluster verified unchanged") {
     val t = tok.persist()
     try {
