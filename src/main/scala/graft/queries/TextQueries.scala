@@ -2181,7 +2181,7 @@ object TextQueries {
     * [[graft.functions.CountMin.slot]] recipe with the level baked in.
     * Shared with №62 corpus_stats' scale path and №163's event-value
     * twin (one hash recipe, any width). */
-  private[queries] def qsSlotExprW(width: Int): String =
+  private[graft] def qsSlotExprW(width: Int): String =
     s"CAST(conv(substring(md5(concat(CAST(d AS STRING), '|', CAST(l AS STRING), ':', " +
       s"CAST(idx AS STRING))), 1, 15), 16, 10) AS BIGINT) % $width"
 
