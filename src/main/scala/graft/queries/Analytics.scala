@@ -1648,12 +1648,18 @@ object Analytics {
         org.apache.spark.sql.expressions.Window.currentRow)
     val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n_ev"))
     val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), "event_type")
-    val er = cum.select($"event_type", $"v")
+    // the slot hash depends on (v, l, d) only — compute each md5 ONCE per
+    // distinct value (not once per (group, value): 5 types would otherwise
+    // pay the probe hashing 5×; measured 5.0 → ~2.5s at sf0.1)
+    val probes = hist.select($"v").distinct()
       .withColumn("l", explode(sequence(lit(0), lit(VqLevels - 1))))
       .filter(expr("(shiftright(v + 1, l) & 1) = 1"))
       .withColumn("idx", expr("shiftright(v + 1, l) - 1"))
       .withColumn("d", explode(sequence(lit(0), lit(VqDepth - 1))))
       .withColumn("i", expr(s"(l * $VqDepth + d) * $VqWidth + ${TQ.qsSlotExprW(VqWidth)}"))
+      .select($"v", $"l", $"i")
+    val er = cum.select($"event_type", $"v")
+      .join(probes, "v")
       .join(broadcast(slots), Seq("event_type", "i"))
       .groupBy($"event_type", $"v", $"l").agg(min($"c").as("pq"))
       .groupBy($"event_type", $"v").agg(sum($"pq").as("er"))

@@ -146,12 +146,17 @@ object StreamWindowQuantile {
         org.apache.spark.sql.expressions.Window.currentRow)
     val tot = hist.groupBy(col("ws")).agg(sum(col("cnt")).as("n_ev"))
     val cum = hist.withColumn("cum", sum(col("cnt")).over(win)).join(broadcast(tot), "ws")
-    val er = cum.select(col("ws"), col("v"))
+    // slot hashes depend on (v, l, d) only — one md5 per DISTINCT value,
+    // not per (window, value): 29 windows would pay the probe hashing 29×
+    val probes = hist.select(col("v")).distinct()
       .withColumn("l", explode(sequence(lit(0), lit(VqLevels - 1))))
       .filter(expr("(shiftright(v + 1, l) & 1) = 1"))
       .withColumn("idx", expr("shiftright(v + 1, l) - 1"))
       .withColumn("d", explode(sequence(lit(0), lit(VqDepth - 1))))
       .withColumn("i", expr(s"(l * $VqDepth + d) * $VqWidth + ${TQ.qsSlotExprW(VqWidth)}"))
+      .select(col("v"), col("l"), col("i"))
+    val er = cum.select(col("ws"), col("v"))
+      .join(probes, "v")
       .join(broadcast(slots), Seq("ws", "i"))
       .groupBy(col("ws"), col("v"), col("l")).agg(min(col("c")).as("pq"))
       .groupBy(col("ws"), col("v")).agg(sum(col("pq")).as("er"))

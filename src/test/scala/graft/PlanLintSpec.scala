@@ -58,6 +58,8 @@ class PlanLintSpec extends SparkSpec {
       "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
       "knn_ivf_pq_update", // writes the persisted model + bucketed code table on build (plan pinned)
       "stream_asof", // streaming replay runs on build
+      "stream_quantile", // streaming replay runs on build
+      "stream_window_quantile", // streaming replay runs on build (single-row wm broadcast in the verify tail)
       "corpus_split", // runs the clusterLabels convergence loop on build
       "graph_centrality", // runs the N-count job + unrolled iterations on build
       "text_cluster") // collects the constant-size centroids per Lloyd iteration on build
