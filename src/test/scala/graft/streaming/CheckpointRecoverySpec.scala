@@ -170,6 +170,63 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(key(rec) == key(batch), "recovered state diverges from the batch aggregation")
   }
 
+  test("windowed SKETCH state (№164's shape): killed + recovered per-window grids ≡ uninterrupted, byte-for-byte") {
+    // the 4th state shape: a custom TypedImperativeAggregate buffer
+    // (the dyadic grid) as WINDOWED append-mode state — the recovery
+    // must restore serialized aggregate buffers, not just counters
+    import graft.queries.Analytics.{VqDepth, VqLevels, VqWidth, VqMax}
+    val events = graft.Tables(spark, sf).events
+      .select($"event_id", $"ts_ms", $"value")
+    def shape(s: DataFrame): DataFrame = s
+      .withColumn("ts_utc", timestamp_millis($"ts_ms"))
+      .withColumn("v", least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)))
+      .withWatermark("ts_utc", "1800 seconds")
+      .groupBy(window($"ts_utc", "86400 seconds"))
+      .agg(graft.functions.DyadicCountMin.sketch($"v", VqLevels, VqDepth, VqWidth).as("g"))
+      .select(unix_millis($"window.start").as("ws"), $"g")
+    var attempt = 0
+    var result: Option[(Set[(Long, Seq[Long])], Set[(Long, Seq[Long])])] = None
+    while (result.isEmpty && attempt < 4) {
+      attempt += 1
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_rec_wq_")
+      val name = s"ckpt_rec_wq_${System.nanoTime()}"
+      result = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
+        val inDir = land(events, scratch, "event_id")
+        def stream = spark.readStream.schema(events.schema.toDDL)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        def sinkTo(path: java.nio.file.Path, ckpt: java.nio.file.Path) =
+          shape(stream).writeStream.format("parquet")
+            .option("path", path.toString).outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+        val refPath = scratch.resolve("out_ref")
+        val qa = sinkTo(refPath, scratch.resolve("ckpt_ref")).start()
+        register(qa); qa.awaitTermination()
+        val ref = spark.read.parquet(refPath.toString)
+          .as[(Long, Seq[Long])].collect().toSet
+        val killPath = scratch.resolve("out_kill")
+        val ckpt = scratch.resolve("ckpt_kill")
+        val (killed, batchesBeforeKill) =
+          killMidStream(() => sinkTo(killPath, ckpt).start(), register)
+        if (!killed) None
+        else {
+          val qc = sinkTo(killPath, ckpt).start()
+          register(qc); qc.awaitTermination()
+          assert(batchesBeforeKill >= 2, s"killed after only $batchesBeforeKill data batches")
+          assert(dataBatches(qc) >= 1, "recovered run processed nothing — the kill was vacuous")
+          val rec = spark.read.parquet(killPath.toString)
+            .as[(Long, Seq[Long])].collect().toSet
+          Some((ref, rec))
+        }
+      }
+    }
+    assert(result.nonEmpty, "could not land a mid-stream kill in 4 attempts")
+    val (ref, rec) = result.get
+    assert(ref.nonEmpty, "no windows closed — scenario vacuous")
+    assert(rec == ref,
+      "recovered per-window grids diverge — serialized aggregate buffers did not survive the kill")
+  }
+
   test("watermarked append windows: checkpointed watermark resumes; closed-window set ≡ uninterrupted") {
     // append + recovery needs a FAULT-TOLERANT sink (the memory sink
     // refuses to resume a checkpoint): the parquet file sink, whose
