@@ -44,8 +44,12 @@ object ScaleStress {
   private val Base = "/root/testdata/sf0.1"
   private val Small = "/root/testdata/sf0.01"
 
+  /** Versioned cache dir: generate() reuses existing parquet, so the
+    * name must change whenever the copy-derivation scheme does (v2 =
+    * fixed-width letter copy tags) — a stale cache from an older scheme
+    * would silently poison SCALING.md numbers. */
   def scaledDir(factor: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$factor"
+    s"${System.getProperty("java.io.tmpdir")}/graft_scale_v2_x$factor"
 
   private def signs(c: Int, dims: Int): Seq[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")

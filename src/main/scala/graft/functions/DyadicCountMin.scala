@@ -108,13 +108,25 @@ case class DyadicCountMin(
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.map(x => x: Any))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    // version tag first, same contract as [[MisraGries.serialize]]:
+    // grid buffers outlive runs inside durable streaming-state
+    // checkpoints (№164 windows them), so a future layout change must
+    // fail cleanly on old bytes instead of decoding garbage counters.
+    val bb = java.nio.ByteBuffer.allocate(1 + buf.length * 8)
+    bb.put(DyadicCountMin.FormatVersion)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ver = bb.get()
+    require(ver == DyadicCountMin.FormatVersion,
+      s"DyadicCountMin buffer format $ver != ${DyadicCountMin.FormatVersion}: " +
+        "state written by an incompatible version; clear the checkpoint")
+    require(bytes.length == 1 + levels * depth * width * 8,
+      s"DyadicCountMin buffer length ${bytes.length} != geometry " +
+        s"($levels, $depth, $width): state written under different dials")
     Array.fill(levels * depth * width)(bb.getLong)
   }
 
@@ -127,6 +139,9 @@ case class DyadicCountMin(
 }
 
 object DyadicCountMin {
+  /** Serialized-buffer format version (see [[DyadicCountMin.serialize]]). */
+  val FormatVersion: Byte = 1
+
   /** Column API: the flattened levels×depth×width counter grid
     * (index = (l·depth + d)·width + slot). */
   def sketch(value: Column, levels: Int, depth: Int, width: Int): Column =

@@ -1634,9 +1634,16 @@ object Analytics {
   def valueQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.queries.{TextQueries => TQ}
+    // clamp BOTH ends and drop NULLs explicitly: the sketch's JVM update
+    // clamps negatives to 0 and skips NULLs internally, so the exact-side
+    // histogram (and the DuckDB oracle) must apply the identical domain
+    // map or the pinned est ≤ exact / oracle equalities would silently
+    // ride on a value ≥ 0 generator contract
     val vals = Tables(spark, dir).events
+      .where($"value".isNotNull)
       .select($"event_type",
-        least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)).as("v"))
+        greatest(least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"),
+          lit(VqMax.toLong)), lit(0L)).as("v"))
     val hist = vals.groupBy($"event_type", $"v").agg(count(lit(1)).as("cnt"))
     val slots = vals.groupBy($"event_type")
       .agg(graft.functions.DyadicCountMin.sketch($"v", VqLevels, VqDepth, VqWidth).as("g"))
@@ -1691,8 +1698,8 @@ object Analytics {
       .mkString("\n  UNION ALL ")
     s"""WITH vq_v AS (
        |  SELECT event_type,
-       |    least(CAST(round(value * 100 + 0.000000001) AS BIGINT), $VqMax) AS v
-       |  FROM events),
+       |    greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), $VqMax), 0) AS v
+       |  FROM events WHERE value IS NOT NULL),
        |vq_h AS (SELECT event_type, v, count(*) AS cnt FROM vq_v GROUP BY 1, 2),
        |vq_n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_ev FROM vq_h GROUP BY event_type),
        |vq_lv AS (SELECT l FROM range(0, $VqLevels) t(l)),

@@ -467,7 +467,17 @@ object PipelineQueries {
     * one-sided rank-overcount bias (est ≤ exact, №158's guarantee), so
     * no oracle equality — CorpusStatsApproxSpec pins the one-sidedness,
     * an exact plain-Scala grid replay, and bounds the drift instead. */
-  def corpusStatsWith(spark: SparkSession, dir: String, exact: Boolean): DataFrame = {
+  def corpusStatsWith(spark: SparkSession, dir: String, exact: Boolean): DataFrame =
+    corpusStatsWith(spark, dir, exact, levels = 0)
+
+  /** `levels` sizes the sketch's value domain to [0, 2^levels): ≤ 0 reads
+    * conf `spark.graft.corpusStats.levels` (default [[TextQueries.QsLevels]],
+    * the gate geometry — 10 bits / 1023 tokens; 17 covers 128k-token
+    * contexts). The clamp is never silent: approx output carries
+    * `n_clamped` (docs whose n_tok exceeded the domain and were reported
+    * AT the ceiling), so a corpus that outgrows the dial is visible in
+    * the audit row itself, not discovered when p99 flatlines. */
+  def corpusStatsWith(spark: SparkSession, dir: String, exact: Boolean, levels: Int): DataFrame = {
     import spark.implicits._
     val base = Tables(spark, dir).documents
       .select($"lang", size(words($"text")).cast("long").as("n_tok"))
@@ -485,10 +495,16 @@ object PipelineQueries {
           round($"p99" + 1e-9, 6).as("p99"))
         .orderBy($"lang")
     else {
-      val (lv, dp, wd, mx) =
-        (TextQueries.QsLevels, TextQueries.QsDepth, TextQueries.QsWidth, TextQueries.QsMax)
+      val lv =
+        if (levels > 0) levels
+        else spark.conf.getOption("spark.graft.corpusStats.levels")
+          .map(_.toInt).getOrElse(TextQueries.QsLevels)
+      require(lv >= 1 && lv <= 20, s"corpusStats levels $lv out of sketch range [1, 20]")
+      val (dp, wd) = (TextQueries.QsDepth, TextQueries.QsWidth)
+      val mx = (1L << lv) - 1
       val agg = base.groupBy($"lang").agg(
         count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum(when($"n_tok" > mx, 1L).otherwise(0L)).as("n_clamped"),
         graft.functions.DyadicCountMin.sketch(least($"n_tok", lit(mx)), lv, dp, wd).as("g"))
       val slots = agg.select($"lang", posexplode($"g"))
         .select($"lang", $"pos".cast("long").as("i"), $"col".as("c"))
@@ -511,12 +527,13 @@ object PipelineQueries {
         min(when(lit(100) * $"est_rank" >= lit(50) * $"n_docs", $"v")).as("p50"),
         min(when(lit(100) * $"est_rank" >= lit(90) * $"n_docs", $"v")).as("p90"),
         min(when(lit(100) * $"est_rank" >= lit(99) * $"n_docs", $"v")).as("p99"))
-      agg.select($"lang", $"n_docs", $"n_tokens").join(pcts, "lang")
+      agg.select($"lang", $"n_docs", $"n_tokens", $"n_clamped").join(pcts, "lang")
         .select($"lang", $"n_docs", $"n_tokens",
           round($"n_tokens".cast("double") / $"n_docs" + 1e-9, 6).as("mean_tok"),
           round($"p50".cast("double") + 1e-9, 6).as("p50"),
           round($"p90".cast("double") + 1e-9, 6).as("p90"),
-          round($"p99".cast("double") + 1e-9, 6).as("p99"))
+          round($"p99".cast("double") + 1e-9, 6).as("p99"),
+          $"n_clamped")
         .orderBy($"lang")
     }
   }

@@ -126,13 +126,7 @@ object JsonlSnapshotSink {
       buf.toArray
     }
 
-    val chunked = ExportOps.withChunkIds(
-        records.select(col("topic"), col("record"), col("manifest_line"),
-          col("key_byte"), col("key_hash"), col("eid")), maxBytes)
-      .withColumn("object_key",
-        ExportOps.snapshotName(prefix, col("topic"), col("pstart"), col("pstop"), col("batch"),
-          codec.extension))
-      .select(col("object_key"), col("key_hash"), col("eid"), col("record"), col("manifest_line"))
+    val chunked = chunkedFrame(records, prefix, maxBytes, codec)
 
     // One shuffle on the object key (high-cardinality, even); groups are
     // contiguous after the within-partition sort, so the writer is a
@@ -146,7 +140,38 @@ object JsonlSnapshotSink {
       .sortWithinPartitions(col("object_key"), col("key_hash"), col("eid"))
       .select(col("object_key"), col("record"), col("manifest_line"))
       .as[(String, String, String)]
-      .mapPartitions { rows =>
+      .mapPartitions(rows => writePartitionBody(rows, root, codec, keys, confEntries))
+      .collect()  // EAGER: the write executes exactly once, HERE — a lazy
+      // summary would re-run the side-effecting writer stage on every
+      // action a caller takes on it. The summary is one row per OBJECT
+      // (not per record): bounded driver-side even at scale (raise
+      // maxBytes with the data; 10⁶ objects ≈ tens of MB).
+      .toSeq.toDF("object_key", "n_records", "jsonl_bytes")
+  }
+
+  /** Chunk assignment + object naming for `records` — the exact frame the
+    * writer partitions on (private[graft] so SinkSpeculationSpec can feed
+    * the identical row set to racing attempt bodies). */
+  private[graft] def chunkedFrame(records: DataFrame, prefix: String, maxBytes: Long,
+      codec: SnapshotCodec): DataFrame =
+    ExportOps.withChunkIds(
+        records.select(col("topic"), col("record"), col("manifest_line"),
+          col("key_byte"), col("key_hash"), col("eid")), maxBytes)
+      .withColumn("object_key",
+        ExportOps.snapshotName(prefix, col("topic"), col("pstart"), col("pstop"), col("batch"),
+          codec.extension))
+      .select(col("object_key"), col("key_hash"), col("eid"), col("record"), col("manifest_line"))
+
+  /** The per-task writer body: one streaming pass over (object_key,
+    * record, manifest_line) rows sorted by object key, dot-temp +
+    * atomic-rename commit per object. Extracted (private[graft]) so
+    * SinkSpeculationSpec can drive TWO LIVE attempt contexts through it
+    * concurrently against one root — the `spark.speculation` duplicate-
+    * attempt race SinkRetrySpec's kill-then-retry cannot reach. */
+  private[graft] def writePartitionBody(
+      rows: Iterator[(String, String, String)], root: String,
+      codec: SnapshotCodec, keys: SnapshotKeyProvider,
+      confEntries: Array[(String, String)]): Iterator[(String, Long, Long)] = {
         if (rows.isEmpty) Iterator.empty
         else {
           // file:// fast path: Hadoop's LocalFileSystem costs ~1ms per
@@ -287,13 +312,6 @@ object JsonlSnapshotSink {
           }
           out.iterator
         }
-      }
-      .collect()  // EAGER: the write executes exactly once, HERE — a lazy
-      // summary would re-run the side-effecting writer stage on every
-      // action a caller takes on it. The summary is one row per OBJECT
-      // (not per record): bounded driver-side even at scale (raise
-      // maxBytes with the data; 10⁶ objects ≈ tens of MB).
-      .toSeq.toDF("object_key", "n_records", "jsonl_bytes")
   }
 
   /** Decrypt + decompress every data object back to (object_key, record)

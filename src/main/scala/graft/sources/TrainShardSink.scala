@@ -60,7 +60,19 @@ object TrainShardSink {
       .sortWithinPartitions(col("shard"), col("pos"))
       .select(col("shard"), col("line"))
       .as[(Int, String)]
-      .mapPartitions { rows =>
+      .mapPartitions(rows => writePartitionBody(rows, root, nShards, codec, confEntries))
+      .collect() // eager: the side-effecting write must run exactly once
+      .toSeq.toDF("shard_file", "n_seqs", "txt_bytes")
+  }
+
+  /** The per-task writer body: one streaming pass over (shard, line) rows
+    * sorted by shard, dot-temp + rename-first commit per shard file.
+    * Extracted (private[graft]) so SinkSpeculationSpec can race two live
+    * attempt contexts against one root (the `spark.speculation` case). */
+  private[graft] def writePartitionBody(
+      rows: Iterator[(Int, String)], root: String, nShards: Int,
+      codec: SnapshotCodec,
+      confEntries: Array[(String, String)]): Iterator[(String, Long, Long)] = {
         if (rows.isEmpty) Iterator.empty
         else {
           val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -119,9 +131,6 @@ object TrainShardSink {
           }
           out.iterator
         }
-      }
-      .collect() // eager: the side-effecting write must run exactly once
-      .toSeq.toDF("shard_file", "n_seqs", "txt_bytes")
   }
 
   /** Decompress + re-parse every shard file back to typed rows — the

@@ -89,7 +89,13 @@ object StreamWindowQuantile {
         .parquet(inDir.toString)
       val grids = stream
         .withColumn("ts_utc", timestamp_millis(col("ts_ms")))
-        .withColumn("v", least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)))
+        // domain map mirrors №163 exactly (greatest/least/NOT NULL): the
+        // sketch's internal negative-clamp and NULL-skip must match the
+        // exact-side histogram or the est ≤ exact pin rides on the
+        // generator's value ≥ 0 contract
+        .where(col("value").isNotNull)
+        .withColumn("v", greatest(least(
+          expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)), lit(0L)))
         .withWatermark("ts_utc", s"${StreamLate.DelayMs / 1000} seconds")
         .groupBy(window(col("ts_utc"), s"${StreamLate.WindowMs / 1000} seconds"))
         .agg(graft.functions.DyadicCountMin.sketch(col("v"), VqLevels, VqDepth, VqWidth).as("g"))
@@ -118,8 +124,10 @@ object StreamWindowQuantile {
     import graft.queries.Analytics.VqMax
     val w = StreamLate.WindowMs
     val e = graft.Tables(spark, dir).events
+      .where(col("value").isNotNull)
       .select((col("event_id") % 3).as("band"), col("ts_ms").as("ms"),
-        least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"), lit(VqMax.toLong)).as("v"))
+        greatest(least(expr("CAST(round(value * 100 + 0.000000001) AS BIGINT)"),
+          lit(VqMax.toLong)), lit(0L)).as("v"))
     val wm0 = e.filter(col("band") === 0)
       .agg((max(col("ms")) - StreamLate.DelayMs).as("wm0"))
     e.crossJoin(broadcast(wm0))
@@ -189,8 +197,8 @@ object StreamWindowQuantile {
       .mkString("\n  UNION ALL ")
     s"""WITH wq_e AS (
        |  SELECT event_id % 3 AS band, epoch_ms(ts) AS ms,
-       |    least(CAST(round(value * 100 + 0.000000001) AS BIGINT), $VqMax) AS v
-       |  FROM events),
+       |    greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), $VqMax), 0) AS v
+       |  FROM events WHERE value IS NOT NULL),
        |wq_m0 AS (SELECT max(ms) - ${StreamLate.DelayMs} AS wm FROM wq_e WHERE band = 0),
        |wq_mf AS (SELECT max(ms) - ${StreamLate.DelayMs} AS wm FROM wq_e),
        |wq_acc AS (

@@ -127,6 +127,18 @@ class DyadicCountMinSpec extends SparkSpec {
     val buf = sk.createAggregationBuffer()
     buf(0) = 42L; buf(buf.length - 1) = Long.MaxValue / 3
     assert(sk.deserialize(sk.serialize(buf)).toSeq == buf.toSeq)
+    // version-tagged (the MisraGries checkpoint contract): old/corrupt
+    // bytes fail loudly, and a grid serialized under different dials is
+    // rejected by the length check instead of decoding shifted counters
+    val bytes = sk.serialize(buf)
+    assert(bytes.length == 1 + buf.length * 8 && bytes(0) == DyadicCountMin.FormatVersion)
+    val stale = bytes.clone(); stale(0) = (DyadicCountMin.FormatVersion + 1).toByte
+    assert(intercept[IllegalArgumentException](sk.deserialize(stale))
+      .getMessage.contains("incompatible version"))
+    val otherGeom = DyadicCountMin(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), lv, dp, wd * 2)
+    assert(intercept[IllegalArgumentException](otherGeom.deserialize(bytes))
+      .getMessage.contains("geometry"))
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.range(10).select($"id".cast("string").as("s"))
         .agg(DyadicCountMin.sketch(col("s"), lv, dp, wd).as("sk")).collect()

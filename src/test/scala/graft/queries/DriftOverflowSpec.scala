@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
 class DriftOverflowSpec extends SparkSpec {
   import spark.implicits._
 
+  // the provoked ANSI overflow IS a task failure (retried, fails again)
+  override protected def expectsTaskFailures: Boolean = true
+
   // n = 2^31 vectors per half with near-saturated mean component sums:
   // sum ≈ n·10⁴ ≈ 2.1·10¹³, product sum·n ≈ 4.6·10²² ≫ 2⁶³
   private val n = 2147483648L

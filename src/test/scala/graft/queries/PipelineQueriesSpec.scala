@@ -113,11 +113,12 @@ class PipelineQueriesSpec extends SparkSpec {
     val (lv, dp, wd, mx) =
       (TextQueries.QsLevels, TextQueries.QsDepth, TextQueries.QsWidth, TextQueries.QsMax)
     val approx = PipelineQueries.corpusStatsWith(spark, sf, exact = false).collect()
-    val toks = TextQueries.tokenCount(spark, sf)
+    val rawToks = TextQueries.tokenCount(spark, sf)
       .join(graft.Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), col("ws_tokens").cast("long").as("n_tok"))
       .collect().groupBy(_.getString(0)).view
-      .mapValues(_.map(r => math.min(r.getLong(1), mx.toLong)).sorted).toMap
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    val toks = rawToks.view.mapValues(_.map(math.min(_, mx.toLong)).sorted).toMap
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val lang = r.getString(0)
@@ -148,6 +149,10 @@ class PipelineQueriesSpec extends SparkSpec {
       }
       // the audit columns stay exact: mean is n_tokens/n_docs regardless of mode
       assert(r.getLong(1) == n)
+      // the domain clamp is surfaced, not silent: n_clamped counts docs
+      // reported AT the ceiling because raw n_tok exceeded 2^levels − 1
+      assert(r.getLong(7) == rawToks(lang).count(_ > mx.toLong),
+        s"$lang n_clamped=${r.getLong(7)} != recount")
     }
     // the sketch genuinely deviates somewhere at this width (earns 'approx')
     val exactRows = PipelineQueries.corpusStatsWith(spark, sf, exact = true).collect()
@@ -155,6 +160,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(approx.exists(r =>
       (4 to 6).exists(i => r.getDouble(i) != exactRows(r.getString(0)).getDouble(i))),
       "approx ≡ exact everywhere — width too wide to exercise the sketch")
+  }
+
+  test("corpus_stats approx mode: levels is a dial (param ≡ conf), clamp surfaced on narrow domains") {
+    import org.apache.spark.sql.functions._
+    val lv = 6 // domain [0, 64): this corpus's documents exceed it for sure
+    val mx = (1L << lv) - 1
+    val narrow = PipelineQueries.corpusStatsWith(spark, sf, exact = false, levels = lv)
+      .collect()
+    val raw = TextQueries.tokenCount(spark, sf)
+      .join(graft.Tables(spark, sf).documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("ws_tokens").cast("long").as("n_tok"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    assert(narrow.exists(_.getLong(7) > 0), "narrow domain never clamped — dial untested")
+    narrow.foreach { r =>
+      assert(r.getLong(7) == raw(r.getString(0)).count(_ > mx),
+        s"${r.getString(0)}: n_clamped miscounted")
+      for (i <- 4 to 6)
+        assert(r.getDouble(i) <= mx.toDouble, "percentile escaped the clamped domain")
+    }
+    // the conf route is the same dial
+    spark.conf.set("spark.graft.corpusStats.levels", lv.toString)
+    try {
+      val viaConf = PipelineQueries.corpusStatsWith(spark, sf, exact = false).collect()
+      assert(viaConf.map(_.toSeq).toSeq == narrow.map(_.toSeq).toSeq,
+        "conf-dialed run diverges from param-dialed run")
+    } finally spark.conf.unset("spark.graft.corpusStats.levels")
   }
 
   test("vocab_coverage: oov bounded per doc, corpus-level token accounting conserved") {

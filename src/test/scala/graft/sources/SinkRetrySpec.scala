@@ -17,6 +17,9 @@ import java.util.concurrent.atomic.AtomicInteger
   * `mockfs://` (the Hadoop-API path hdfs/s3a take). */
 class SinkRetrySpec extends SparkSpec {
 
+  // this suite's entire point is injected attempt failures
+  override protected def expectsTaskFailures: Boolean = true
+
   private def noJsonlFault(): Unit = JsonlSnapshotSink.faultInjector = (_, _, _) => ()
   private def noShardFault(): Unit = TrainShardSink.faultInjector = (_, _, _) => ()
 
