@@ -46,8 +46,11 @@ object ScaleAdversarial {
       "consent to our privacy policy and terms of service read more about " +
       "how we process personal data in the policy page footer")
 
+  /** Versioned like [[ScaleStress.scaledDir]]: the adv corpus derives
+    * from the scale replica, so a scheme change there must invalidate
+    * this cache too. */
   def advDir(factor: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_scale_adv_x$factor"
+    s"${System.getProperty("java.io.tmpdir")}/graft_scale_adv_v2_x$factor"
 
   /** ×factor replica with the template injected AFTER the copy transform
     * — all copies share ONE raw boilerplate, so the hot cluster is
@@ -90,16 +93,28 @@ object ScaleAdversarial {
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.getOrElse("10").split(",").map(_.trim.toInt).toSeq
     val factor = factors.max
+    // optional 2nd arg: comma list restricting the query sweep (dev use;
+    // the committed SCALING.md block always comes from a full run)
+    val qsel: Option[Set[String]] = args.drop(1).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.queries.{HashDedup, TextQueries}
+    import graft.queries.{CurationQueries, HashDedup, TextQueries}
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash" -> (HashDedup.dedupMinhash _),
       "dedup_simhash" -> (HashDedup.dedupSimhash _),
       "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
-      "lsh_tuning" -> (HashDedup.lshTuning _))
+      "lsh_tuning" -> (HashDedup.lshTuning _),
+      // the LINE/WINDOW family: no candidate self-join — the mark-back is
+      // row-LINEAR, a boilerplate line is a hot shuffle KEY (straggler
+      // risk), not a quadratic pair generator. Measured at/below linear
+      // at ×30 (AQE skew-split absorbs the fat partition), so the LSH
+      // cap confs deliberately do NOT apply; the capped leg is a second
+      // timing sample for these two.
+      "line_dedup" -> (CurationQueries.lineDedup _),
+      "dedup_substring" -> (CurationQueries.dedupSubstring _))
+      .filter { case (n, _) => qsel.forall(_.contains(n)) }
 
     val adv1 = generate(spark, 1)
     val dirs = Seq(("base x1", "/root/testdata/sf0.1"), ("adv x1", adv1)) ++
@@ -192,8 +207,25 @@ object ScaleAdversarial {
       |UNCAPPED adv ×$factor/×1 ratio carries the quadratic template term
       |(cluster size grows ×$factor ⇒ its pair count grows ×${factor * factor});
       |the CAPPED ratio restores the linear band.
+      |
+      |Per-family cap guidance (what the table says to DO at 100 TB):
+      |- `dedup_minhash` / `dedup_ngram_jaccard` / `lsh_tuning`: cap ON for
+      |  duplicate-heavy corpora — the template cluster concentrates in few
+      |  band buckets / prefix-gram lists, and the cap converts the quadratic
+      |  term back to linear with the accounted recall trade above.
+      |- `dedup_simhash`: leave the cap OFF. Its template cluster FRAGMENTS
+      |  across band keys (signature-dependent), so the cap cuts almost no
+      |  candidates while paying the window/size-join overhead — measured NET
+      |  SLOWER capped at every scale in this table. Capping is per-signature
+      |  economics, not a blanket rule.
+      |- `line_dedup` / `dedup_substring`: no cap exists and none is needed —
+      |  no candidate self-join anywhere; the boilerplate line is a hot
+      |  shuffle KEY (row-linear mark-back, AQE skew-split absorbs the fat
+      |  partition), and the measured ×F/×1 ratios above stay at/below the
+      |  linear band. Their capped columns are second timing samples only.
       |""".stripMargin)
-    splice(sb.toString)
+    // a restricted dev sweep must not overwrite the committed full table
+    if (qsel.isEmpty) splice(sb.toString)
     println(sb.toString)
     spark.stop()
   }

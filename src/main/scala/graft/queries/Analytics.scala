@@ -1735,4 +1735,167 @@ object Analytics {
        |  cents_est - cents_exact AS err
        |FROM ($unpivot) ORDER BY event_type, pct""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №165 log_quantile_sketch
+  /** №158/№163's dyadic quantile grid for UNBOUNDED / heavy-tailed value
+    * domains — the case a linear grid cannot dial into: DyadicCountMin
+    * caps at levels = 20, so any domain past 2²⁰ (dollar amounts,
+    * latencies in µs, byte sizes) is out of reach of the direct
+    * formulation. The standard fix (HDR-histogram / DDSketch public
+    * layout) is a LOG-LINEAR bucket transform: octave e = ⌊log₂ v⌋ and a
+    * linear sub-bucket of [[LqSub]] slices inside the octave, so
+    * bucket = e·S + (v − 2ᵉ)·S ∕ 2ᵉ. The bucket domain for ALL of BIGINT
+    * is e ≤ 62 ⇒ bucket ≤ 62·16+15 = 1007 < 2¹⁰ — a 10-level grid now
+    * covers every positive 64-bit value, trading the value-domain
+    * exactness for a bounded RELATIVE error ≤ 1/S per side from
+    * bucketing (plus the grid's one-sided rank error).
+    *
+    * Everything stays integer-exact cross-engine: e is
+    * `length(bin(v)) − 1` (binary-string length, no float log), the
+    * sub-bucket is a shift (S = 16 = 2⁴), and the decode returns the
+    * bucket's LOWER edge — so est ≤ exact holds in the VALUE domain too
+    * (bucket() is monotone; the grid's est bucket ≤ exact bucket; the
+    * lower edge ≤ every member). For octaves below S (e < 4) the
+    * transform is lossless (sub-bucket stride 2^(4−e) decodes exactly).
+    *
+    * Input: a deterministic heavy-tail stretch of event cents
+    * (amt = cents² ∕ 100 + 1, density ∝ 1/√x over ~2²⁶ distinct
+    * magnitudes) — wide enough that the direct №163 grid could NOT hold
+    * it at oracle-checkable width, which is the whole point. Output per
+    * (event_type, pct): exact amount quantile, est bucket, its decoded
+    * lower edge, and the measured relative error (one-sided ≥ 0,
+    * ≤ 1/S + collision effect — measured, not asserted). */
+  val LqSub = 16     // linear sub-buckets per octave (relative err ≤ 1/16)
+  val LqSubBits = 4  // log2(LqSub): sub-bucket math is pure shifts
+  val LqLevels = 10  // bucket ≤ 62·16+15 = 1007 < 2^10: ALL of BIGINT fits
+  val LqDepth = 3
+  val LqWidth = 256  // grid rank error small vs the 1/S bucketing term
+
+  def logQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.queries.{TextQueries => TQ}
+    val cents = "greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), 65535), 0)"
+    val vals = Tables(spark, dir).events
+      .where($"value".isNotNull)
+      .select($"event_type", expr(s"($cents * $cents) DIV 100 + 1").as("amt"))
+      .withColumn("e", expr("length(bin(amt)) - 1"))
+      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), e)"))
+      .withColumn("b", expr(s"CAST(e AS BIGINT) * $LqSub + CASE WHEN e >= $LqSubBits " +
+        s"THEN shiftright(amt - p, e - $LqSubBits) " +
+        s"ELSE shiftleft(amt - p, $LqSubBits - e) END"))
+      .select($"event_type", $"amt", $"b")
+    val hist = vals.groupBy($"event_type", $"amt", $"b").agg(count(lit(1)).as("cnt"))
+    val slots = vals.groupBy($"event_type")
+      .agg(graft.functions.DyadicCountMin.sketch($"b", LqLevels, LqDepth, LqWidth).as("g"))
+      .select($"event_type", posexplode($"g"))
+      .select($"event_type", $"pos".cast("long").as("i"), $"col".as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"amt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n_ev"))
+    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), "event_type")
+    // №163's probe-dedup: the slot hash depends on (b, l, d) only
+    val probes = hist.select($"b").distinct()
+      .withColumn("l", explode(sequence(lit(0), lit(LqLevels - 1))))
+      .filter(expr("(shiftright(b + 1, l) & 1) = 1"))
+      .withColumn("idx", expr("shiftright(b + 1, l) - 1"))
+      .withColumn("d", explode(sequence(lit(0), lit(LqDepth - 1))))
+      .withColumn("i", expr(s"(l * $LqDepth + d) * $LqWidth + ${TQ.qsSlotExprW(LqWidth)}"))
+      .select($"b", $"l", $"i")
+    // no v = max special case (№163's clamp artifact): bucket + 1 ≤ 1008
+    // < 2^levels, so the dyadic decomposition always stays inside the grid
+    val er = cum.select($"event_type", $"b").distinct()
+      .join(probes, "b")
+      .join(broadcast(slots), Seq("event_type", "i"))
+      .groupBy($"event_type", $"b", $"l").agg(min($"c").as("pq"))
+      .groupBy($"event_type", $"b").agg(sum($"pq").as("er"))
+    val ranks = cum.join(er, Seq("event_type", "b"), "left")
+      .withColumn("est_rank", coalesce($"er", lit(0L)))
+    val aggs = TQ.QuantilePcts.flatMap(q => Seq(
+      min(when(lit(100) * $"cum" >= lit(q) * $"n_ev", $"amt")).as(s"x$q"),
+      min(when(lit(100) * $"est_rank" >= lit(q) * $"n_ev", $"b")).as(s"e$q")))
+    ranks.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+      .select($"event_type", expr(s"stack(${TQ.QuantilePcts.length}, " +
+        TQ.QuantilePcts.map(q => s"$q, x$q, e$q").mkString(", ") +
+        ") AS (pct, amt_exact, b_est)"))
+      .withColumn("e2", expr(s"b_est DIV $LqSub"))
+      .withColumn("amt_est_lo", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(e2 AS INT)) + " +
+        s"CASE WHEN e2 >= $LqSubBits THEN shiftleft(b_est % $LqSub, CAST(e2 AS INT) - $LqSubBits) " +
+        s"ELSE shiftright(b_est % $LqSub, $LqSubBits - CAST(e2 AS INT)) END"))
+      .select($"event_type", $"pct", $"amt_exact", $"b_est", $"amt_est_lo",
+        round(($"amt_exact" - $"amt_est_lo").cast("double") / $"amt_exact" + 1e-9, 6).as("rel_err"))
+      .orderBy($"event_type", $"pct")
+  }
+
+  val logQuantileSketchSql: String = {
+    val slot = s"CAST(list_sum(list_transform(range(0, 15), j -> " +
+      s"(strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || '|' || CAST(l AS VARCHAR) || ':' || " +
+      s"CAST(idx AS VARCHAR)), CAST(j + 1 AS INT), 1)) - 1) " +
+      s"* (CAST(1 AS BIGINT) << CAST(4 * (14 - j) AS INT)))) AS BIGINT) % $LqWidth"
+    val pcts = graft.queries.TextQueries.QuantilePcts
+    val mins = pcts.map(q =>
+      s"min(CASE WHEN 100*cum >= $q*n_ev THEN amt END) AS x$q,\n    " +
+        s"min(CASE WHEN 100*est_rank >= $q*n_ev THEN b END) AS e$q").mkString(",\n    ")
+    val unpivot = pcts
+      .map(q => s"SELECT event_type, $q AS pct, x$q AS amt_exact, e$q AS b_est FROM lq_a")
+      .mkString("\n  UNION ALL ")
+    s"""WITH lq_c AS (
+       |  SELECT event_type,
+       |    greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), 65535), 0) AS c
+       |  FROM events WHERE value IS NOT NULL),
+       |lq_v AS (
+       |  SELECT event_type, amt,
+       |    CAST(length(bin(amt)) - 1 AS BIGINT) AS e,
+       |    CAST(1 AS BIGINT) << CAST(length(bin(amt)) - 1 AS INT) AS p
+       |  FROM (SELECT event_type, (c * c) // 100 + 1 AS amt FROM lq_c)),
+       |lq_b AS (
+       |  SELECT event_type, amt,
+       |    e * $LqSub + CASE WHEN e >= $LqSubBits
+       |      THEN (amt - p) >> CAST(e - $LqSubBits AS INT)
+       |      ELSE (amt - p) << CAST($LqSubBits - e AS INT) END AS b
+       |  FROM lq_v),
+       |lq_h AS (SELECT event_type, amt, b, count(*) AS cnt FROM lq_b GROUP BY 1, 2, 3),
+       |lq_n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_ev FROM lq_h GROUP BY event_type),
+       |lq_lv AS (SELECT l FROM range(0, $LqLevels) t(l)),
+       |lq_dd AS (SELECT d FROM range(0, $LqDepth) t(d)),
+       |lq_g AS (
+       |  SELECT event_type, l, d, $slot AS slot, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT event_type, l, b >> CAST(l AS INT) AS idx, cnt FROM lq_h CROSS JOIN lq_lv)
+       |  CROSS JOIN lq_dd GROUP BY 1, 2, 3, 4),
+       |lq_cum AS (
+       |  SELECT event_type, amt, b,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY amt) AS BIGINT) AS cum
+       |  FROM lq_h),
+       |lq_db AS (SELECT DISTINCT event_type, b FROM lq_h),
+       |lq_dec AS (
+       |  SELECT event_type, b, l, ((b + 1) >> CAST(l AS INT)) - 1 AS idx
+       |  FROM lq_db CROSS JOIN lq_lv WHERE ((b + 1) >> CAST(l AS INT)) & 1 = 1),
+       |lq_pq AS (
+       |  SELECT dec.event_type, dec.b, dec.l, min(coalesce(g.c, 0)) AS pq
+       |  FROM (SELECT event_type, b, l, idx, d, $slot AS slot
+       |        FROM lq_dec CROSS JOIN lq_dd) dec
+       |  LEFT JOIN lq_g g ON g.event_type = dec.event_type AND g.l = dec.l
+       |    AND g.d = dec.d AND g.slot = dec.slot
+       |  GROUP BY 1, 2, 3),
+       |lq_er AS (SELECT event_type, b, CAST(sum(pq) AS BIGINT) AS er FROM lq_pq GROUP BY 1, 2),
+       |lq_r AS (
+       |  SELECT c.event_type, c.amt, c.b, c.cum, n.n_ev, coalesce(s.er, 0) AS est_rank
+       |  FROM lq_cum c JOIN lq_n n USING (event_type)
+       |  LEFT JOIN lq_er s ON s.event_type = c.event_type AND s.b = c.b),
+       |lq_a AS (
+       |  SELECT event_type, $mins
+       |  FROM lq_r GROUP BY event_type),
+       |lq_out AS (
+       |  SELECT event_type, pct, amt_exact, b_est, b_est // $LqSub AS e2 FROM ($unpivot))
+       |SELECT event_type, pct, amt_exact, b_est,
+       |  (CAST(1 AS BIGINT) << CAST(e2 AS INT)) + CASE WHEN e2 >= $LqSubBits
+       |    THEN (b_est % $LqSub) << CAST(e2 - $LqSubBits AS INT)
+       |    ELSE (b_est % $LqSub) >> CAST($LqSubBits - e2 AS INT) END AS amt_est_lo,
+       |  round(CAST(amt_exact - ((CAST(1 AS BIGINT) << CAST(e2 AS INT)) + CASE WHEN e2 >= $LqSubBits
+       |    THEN (b_est % $LqSub) << CAST(e2 - $LqSubBits AS INT)
+       |    ELSE (b_est % $LqSub) >> CAST($LqSubBits - e2 AS INT) END) AS DOUBLE) / amt_exact
+       |    + 0.000000001, 6) AS rel_err
+       |FROM lq_out ORDER BY event_type, pct""".stripMargin
+  }
 }
