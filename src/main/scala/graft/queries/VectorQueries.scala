@@ -57,14 +57,26 @@ object VectorQueries {
 
   /** Driver-side mirror of [[graft.functions.CosineSim]] + round 6dp:
     * sequential left folds in array order, float→double widening —
-    * bit-identical to the engine expression and the DuckDB oracle. */
+    * bit-identical to the engine expression and the DuckDB oracle.
+    *
+    * Zero-norm edge (an all-zero RESIDUAL when a vector coincides with
+    * its №166 centroid): DuckDB's division by zero yields NULL, which
+    * sorts LAST under `ORDER BY cos DESC` — a zero vector never wins an
+    * assignment, and an all-undefined row ties down to the lowest c_id.
+    * Java's 0/0 is NaN (which Spark would sort FIRST — the opposite), so
+    * both this mirror and №166's engine-side score map the undefined
+    * cosine to a −2 sentinel: below every real cosine ∈ [−1, 1], ties to
+    * the lowest id — exactly the DuckDB NULL semantics, no fork. */
+  private[queries] val UndefCos = -2.0
+
   private def cos6Local(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (r.isNaN) UndefCos else round6(r)
   }
 
   /** k-means-refined IVF centroids: hash-ordered sample of [[SampleM]]
@@ -1468,6 +1480,345 @@ object VectorQueries {
        |hivf AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN topivf t USING (q_id, vec_id) GROUP BY g.q_id),
        |${PqMs.map(ivfPqCtes).mkString(",\n")}
        |${PqMs.map(ivfPqSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY method, q_id""".stripMargin
+
+  // ---------------------------------------------------------------- №166 knn_ivf_pq_res
+  /** RESIDUAL-encoded IVF-PQ (Jégou et al. 2011 §IV.A) — №160's serving
+    * shape with the encoding that gives production IVF-PQ most of its
+    * fidelity: PQ codes the RESIDUAL x − centroid(cell(x)), not the raw
+    * subvector. Raw-subvector PQ under a corpus-GLOBAL codebook must
+    * spend its 16 codewords covering the whole space; residuals are
+    * centered near zero with most of the coarse structure already
+    * explained by the cell, so the same 16 codewords quantize a much
+    * tighter distribution — №160's measured recon_ppm (~0.40–0.51) and
+    * its ADC-vs-probe-ceiling gap are both symptoms this variant
+    * addresses, and the row publishes the uplift (recon_ppm + recall_adc,
+    * same grading discipline) side by side with №160's numbers.
+    *
+    * ADC decomposes exactly: dot(q, cemb + recon_residual) =
+    * dot(q, cemb) + Σ_m dot(q_m, codeword_m) — one extra per-(query,
+    * probed-cell) LUT term (the tiny probes frame), the per-subspace
+    * LUTs unchanged in shape. Assignment metric, sampling, tie-breaks,
+    * and 6dp discipline are №160's verbatim, so the measured uplift
+    * isolates RESIDUAL ENCODING (the one changed variable).
+    *
+    * Scale shape: one extra corpus aggregation vs №160 — cell + residual
+    * resolve first (broadcast centroids + max_by agg), then all M codes
+    * in the second broadcast-union agg; the encode cost is the honest
+    * price of conditioning codes on cells. Corpus-side joins stay
+    * broadcast-only; emb/cemb ride the aggs (first()) so no corpus-sized
+    * equi-join ever plans. Residual components and reconstructions are
+    * round6-narrowed floats in BOTH engines, keeping every code, LUT
+    * entry and rank oracle-exact. */
+  def knnIvfPqRes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = graft.CacheRegistry.track(v.filter(col("vec_id") >= NQueries).persist())
+    val gold = graft.CacheRegistry.track(
+      knnBrute(spark, dir).select(col("q_id"), col("vec_id")).persist())
+
+    val full = hashSample(corpus)
+    val d = full.headOption.map(_.length).getOrElse(0)
+    val cents = lloydRefine(full, Centroids)
+    val centroids = cents.toSeq.toDF("c_id", "c_emb")
+
+    // driver-side residual sample: the engines' exact assignment rule
+    // (strict > keeps the LOWEST cid on rounded ties) + round6-narrowed
+    // component difference — codebooks train on what the corpus encodes
+    def nearestCent(e: Array[Float]): Array[Float] = {
+      var bestCos = Double.NegativeInfinity; var best: Array[Float] = null
+      cents.foreach { case (_, cemb) =>
+        val c = cos6Local(e, cemb)
+        if (c > bestCos) { bestCos = c; best = cemb }
+      }
+      best
+    }
+    def sub6(x: Array[Float], c: Array[Float]): Array[Float] =
+      Array.tabulate(x.length)(i => round6(x(i).toDouble - c(i).toDouble + 1e-9).toFloat)
+    val residSample = full.map(e => sub6(e, nearestCent(e)))
+
+    // stage 1 (M-independent): cell + centroid + residual per vector in
+    // ONE broadcast join + max_by aggregation; emb/cemb ride the agg so
+    // no corpus-sized equi-join is ever planned
+    val withCell = graft.CacheRegistry.track(
+      corpus.join(broadcast(centroids))
+        .withColumn("ccos", cosine6(col("emb"), col("c_emb")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("emb")).as("emb"),
+          expr("max_by(c_id, struct(ccos, -c_id))").as("cell"),
+          expr("max_by(c_emb, struct(ccos, -c_id))").as("cemb"))
+        .withColumn("remb", expr("zip_with(emb, cemb, (x, cc) -> " +
+          "CAST(round(CAST(x AS DOUBLE) - CAST(cc AS DOUBLE) + 0.000000001, 6) AS FLOAT))"))
+        .persist())
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    // the residual ADC's extra term: dot(q, centroid) per probed cell
+    val qcs = probes
+      .join(broadcast(centroids.select(col("c_id").as("cell"), col("c_emb"))), "cell")
+      .select(col("q_id"), col("cell"),
+        round(graft.functions.VectorOps.dot(col("q_emb"), col("c_emb")) + lit(1e-9), 6).as("qc"))
+
+    val perM = PqMs.map { bigM =>
+      val w = d / bigM
+      val cbs = (0 until bigM).map { m =>
+        val hi = if (m < bigM - 1) (m + 1) * w else d
+        lloydRefine(residSample.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+      }
+      val cbAll = cbs.zipWithIndex.map { case (cb, m) =>
+        cb.select(lit(m).as("m"), col("c_id"), col("c_emb"))
+      }.reduce(_ unionAll _)
+      // stage 2: all M residual codes in one broadcast-union agg; emb,
+      // cemb and the codeword embeddings ride along for reconstruction
+      val subbed = (0 until bigM).foldLeft(
+        withCell.select(col("vec_id"), col("cell"), col("emb"), col("cemb"), col("remb"))) { (df, m) =>
+        df.withColumn(s"sub_$m", subCol(col("remb"), m, bigM, d))
+      }
+      // nanvl → UndefCos: a zero residual subvector's cosine is NaN in
+      // the JVM but NULL in DuckDB (sorts last, ties to lowest c_id) —
+      // the sentinel reproduces the NULL semantics (see cos6Local)
+      val scos = (1 until bigM).foldLeft(
+        when(col("m") === 0, nanvl(cosine6(col("sub_0"), col("c_emb")), lit(UndefCos)))) { (acc, m) =>
+        acc.when(col("m") === m, nanvl(cosine6(col(s"sub_$m"), col("c_emb")), lit(UndefCos)))
+      }
+      val aggs = Seq(first(col("cell")).as("cell"), first(col("emb")).as("emb"),
+        first(col("cemb")).as("cemb")) ++
+        (0 until bigM).flatMap(m => Seq(
+          expr(s"max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"code_$m"),
+          expr(s"max_by(c_emb, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"cw_$m")))
+      val codes = graft.CacheRegistry.track(
+        subbed.join(broadcast(cbAll))
+          .withColumn("scos", scos)
+          .groupBy(col("vec_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .persist())
+
+      val luts = (0 until bigM).map { m =>
+        queries.crossJoin(broadcast(cbs(m)))
+          .select(col("q_id"), col("c_id").as(s"code_$m"),
+            round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, bigM, d), col("c_emb")) + lit(1e-9), 6)
+              .as(s"part_$m"))
+      }
+      val cand = (0 until bigM).foldLeft(
+        codes.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+        df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+      }.join(broadcast(qcs), Seq("q_id", "cell"))
+      val adcExpr = round(col("qc") + (0 until bigM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+      val scored = graft.CacheRegistry.track(
+        cand.select(col("q_id"), col("vec_id"), adcExpr.as("adc")).persist())
+      val topAdc = topKRanked(scored, "q_id", "adc", "vec_id", K).select(col("q_id"), col("vec_id"))
+      val shortlist = topKRanked(scored, "q_id", "adc", "vec_id", RerankR)
+        .select(col("q_id"), col("vec_id"))
+      val rescored = corpus.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      val topRr = topKRanked(rescored, "q_id", "cos", "vec_id", K).select(col("q_id"), col("vec_id"))
+      // probe ceiling: exact scoring over the SAME probed cells (№160's)
+      val topIvf = topKRanked(
+        withCell.select(col("vec_id"), col("cell"), col("emb"))
+          .join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos")),
+        "q_id", "cos", "vec_id", K).select(col("q_id"), col("vec_id"))
+      // reconstruction fidelity: centroid + concatenated residual codewords
+      val reconStat = codes
+        .withColumn("rrec", concat((0 until bigM).map(m => col(s"cw_$m")): _*))
+        .withColumn("recon", expr("zip_with(cemb, rrec, (cc, r) -> " +
+          "CAST(round(CAST(cc AS DOUBLE) + CAST(r AS DOUBLE) + 0.000000001, 6) AS FLOAT))"))
+        .select(cosine6(col("recon"), col("emb")).as("c6"))
+        .select(expr("CAST(round(c6 * 1000000, 0) AS BIGINT)").as("ppm"))
+        .groupBy()
+        .agg(expr("sum(ppm) DIV count(1)").as("recon_ppm"))
+      def hitsOf(top: DataFrame, name: String): DataFrame =
+        gold.join(broadcast(top), Seq("q_id", "vec_id")).groupBy(col("q_id")).agg(count(lit(1)).as(name))
+      queries.select(col("q_id"))
+        .join(broadcast(hitsOf(topAdc, "h_adc")), Seq("q_id"), "left")
+        .join(broadcast(hitsOf(topRr, "h_rr")), Seq("q_id"), "left")
+        .join(broadcast(hitsOf(topIvf, "h_ivf")), Seq("q_id"), "left")
+        .crossJoin(broadcast(reconStat))
+        .select(lit(s"ivfpqres_m$bigM").as("method"), col("q_id"),
+          coalesce(col("h_adc"), lit(0L)).as("n_hits_adc"),
+          coalesce(col("h_rr"), lit(0L)).as("n_hits_rr"),
+          coalesce(col("h_ivf"), lit(0L)).as("n_hits_ivf"),
+          round(coalesce(col("h_adc"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_adc"),
+          round(coalesce(col("h_rr"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_rr"),
+          round(coalesce(col("h_ivf"), lit(0L)).cast("double") / K + 1e-9, 6).as("recall_ivf"),
+          col("recon_ppm"))
+    }
+    perM.reduce(_ unionAll _).orderBy(col("method"), col("q_id"))
+  }
+
+  /** Temporary №166 diagnostic: dump withCell/codes/codebooks for M=2. */
+  private[graft] def debugResDump(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val corpus = graft.CacheRegistry.track(v.filter(col("vec_id") >= NQueries).persist())
+    val full = hashSample(corpus)
+    val d = full.headOption.map(_.length).getOrElse(0)
+    val cents = lloydRefine(full, Centroids)
+    val centroids = cents.toSeq.toDF("c_id", "c_emb")
+    def nearestCent(e: Array[Float]): Array[Float] = {
+      var bestCos = Double.NegativeInfinity; var best: Array[Float] = null
+      cents.foreach { case (_, cemb) =>
+        val c = cos6Local(e, cemb)
+        if (c > bestCos) { bestCos = c; best = cemb }
+      }
+      best
+    }
+    def sub6(x: Array[Float], c: Array[Float]): Array[Float] =
+      Array.tabulate(x.length)(i => round6(x(i).toDouble - c(i).toDouble + 1e-9).toFloat)
+    val residSample = full.map(e => sub6(e, nearestCent(e)))
+    val bigM = 2
+    val w = d / bigM
+    val cbs = (0 until bigM).map { m =>
+      val hi = if (m < bigM - 1) (m + 1) * w else d
+      lloydRefine(residSample.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+    }
+    val withCell = corpus.join(broadcast(centroids))
+      .withColumn("ccos", cosine6(col("emb"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"),
+        expr("max_by(c_id, struct(ccos, -c_id))").as("cell"),
+        expr("max_by(c_emb, struct(ccos, -c_id))").as("cemb"))
+      .withColumn("remb", expr("zip_with(emb, cemb, (x, cc) -> " +
+        "CAST(round(CAST(x AS DOUBLE) - CAST(cc AS DOUBLE) + 0.000000001, 6) AS FLOAT))"))
+    withCell.write.mode("overwrite").parquet(s"$out/withcell")
+    centroids.write.mode("overwrite").parquet(s"$out/centroids")
+    cbs(0).write.mode("overwrite").parquet(s"$out/cb0")
+    cbs(1).write.mode("overwrite").parquet(s"$out/cb1")
+    // the residual SAMPLE itself (driver view), with its rank
+    residSample.zipWithIndex.map { case (r, i) => (i + 1, r.toSeq) }.toSeq
+      .toDF("rk", "remb").write.mode("overwrite").parquet(s"$out/residsample")
+    ()
+  }
+
+  /** Per-geometry oracle CTEs for [[knnIvfPqResSql]] — №160's chain with
+    * residual sources: slices cut `rc.remb`, codebooks train on the same
+    * md5-ordered sample of the RESIDUAL corpus, the candidate score adds
+    * the per-(query, cell) centroid term, and the reconstruction is
+    * centroid + concatenated codewords. */
+  private def ivfPqResCtes(bigM: Int): String = {
+    val p = s"ir$bigM"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $bigM)"
+      if (m < bigM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${bigM - 1} * $w + 1, len($src))"
+    }
+    val subs = (0 until bigM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("remb", m)} AS emb FROM rc)").mkString(",\n")
+    val cents = (0 until bigM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val codeCtes = (0 until bigM).map { m =>
+      s"""${p}c$m AS (
+         |  SELECT vec_id, c_id AS code_$m, c_emb AS e$m FROM (
+         |    SELECT s.vec_id, a.c_id, a.c_emb,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM ${p}s$m s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutCtes = (0 until bigM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until bigM).foldLeft(s"${p}c0")((acc, m) => s"$acc JOIN ${p}c$m USING (vec_id)")
+    val lutJoin = (0 until bigM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until bigM).map(m => s"part_$m").mkString(" + ")
+    val cat = (0 until bigM).map(m => s"e$m").mkString(" || ")
+    s"""$subs,
+       |$cents,
+       |$codeCtes,
+       |$lutCtes,
+       |${p}codes AS (SELECT * FROM $codeJoin),
+       |${p}cand AS (
+       |  SELECT pr.q_id, cd.vec_id, round(qc.qc + $adcSum + 0.000000001, 6) AS adc
+       |  FROM ${p}codes cd JOIN rc ON rc.vec_id = cd.vec_id
+       |  JOIN probes pr ON pr.cell = rc.cell $lutJoin
+       |  JOIN qcell qc ON qc.q_id = pr.q_id AND qc.cell = rc.cell),
+       |${p}adcr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM ${p}cand),
+       |${p}topadc AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $K),
+       |${p}short AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $RerankR),
+       |${p}rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("c.emb", "q.q_emb")} DESC, s.vec_id) AS rank
+       |  FROM ${p}short s JOIN c ON c.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id),
+       |${p}toprr AS (SELECT q_id, vec_id FROM ${p}rr WHERE rank <= $K),
+       |${p}rec AS (
+       |  SELECT cd.vec_id,
+       |    list_transform(range(1, len(rc.cemb) + 1), i ->
+       |      CAST(round(CAST(rc.cemb[i] AS DOUBLE) + CAST(($cat)[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS recon
+       |  FROM ${p}codes cd JOIN rc ON rc.vec_id = cd.vec_id),
+       |${p}rstat AS (
+       |  SELECT CAST(sum(CAST(round(c6 * 1000000, 0) AS BIGINT)) AS BIGINT) // count(*) AS recon_ppm
+       |  FROM (
+       |    SELECT ${cos6Sql("r.recon", "c.emb")} AS c6
+       |    FROM ${p}rec r JOIN c USING (vec_id))),
+       |${p}ha AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN ${p}topadc t USING (q_id, vec_id) GROUP BY g.q_id),
+       |${p}hr AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN ${p}toprr t USING (q_id, vec_id) GROUP BY g.q_id)""".stripMargin
+  }
+
+  private def ivfPqResSelect(bigM: Int): String = {
+    val p = s"ir$bigM"
+    s"""SELECT 'ivfpqres_m$bigM' AS method, b.q_id,
+       |  coalesce(a.h, 0) AS n_hits_adc, coalesce(r.h, 0) AS n_hits_rr, coalesce(iv.h, 0) AS n_hits_ivf,
+       |  round(CAST(coalesce(a.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_adc,
+       |  round(CAST(coalesce(r.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_rr,
+       |  round(CAST(coalesce(iv.h, 0) AS DOUBLE) / $K + 0.000000001, 6) AS recall_ivf,
+       |  CAST(s.recon_ppm AS BIGINT) AS recon_ppm
+       |FROM (SELECT DISTINCT q_id FROM gold) b
+       |LEFT JOIN ${p}ha a USING (q_id)
+       |LEFT JOIN ${p}hr r USING (q_id)
+       |LEFT JOIN hivf iv USING (q_id)
+       |CROSS JOIN ${p}rstat s""".stripMargin
+  }
+
+  val knnIvfPqResSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |goldr AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("c.emb", "q.q_emb")} DESC, c.vec_id) AS rank
+       |  FROM c, q),
+       |gold AS (SELECT q_id, vec_id FROM goldr WHERE rank <= $K),
+       |${refinedCentSql("c", "")},
+       |cells AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |qcell AS (
+       |  SELECT pr.q_id, pr.cell,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cent.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS qc
+       |  FROM probes pr JOIN q ON q.q_id = pr.q_id JOIN cent ON cent.c_id = pr.cell),
+       |rc AS (
+       |  SELECT c.vec_id, c.emb, cells.cell, cent.c_emb AS cemb,
+       |    list_transform(range(1, len(c.emb)+1), i ->
+       |      CAST(round(CAST(c.emb[i] AS DOUBLE) - CAST(cent.c_emb[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS remb
+       |  FROM c JOIN cells ON cells.vec_id = c.vec_id JOIN cent ON cent.c_id = cells.cell),
+       |ivfr AS (
+       |  SELECT pr.q_id, cells.vec_id,
+       |    row_number() OVER (PARTITION BY pr.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, cells.vec_id) AS rank
+       |  FROM cells JOIN probes pr USING (cell)
+       |  JOIN c cc ON cc.vec_id = cells.vec_id JOIN q qq ON qq.q_id = pr.q_id),
+       |topivf AS (SELECT q_id, vec_id FROM ivfr WHERE rank <= $K),
+       |hivf AS (SELECT g.q_id, count(*) AS h FROM gold g JOIN topivf t USING (q_id, vec_id) GROUP BY g.q_id),
+       |${PqMs.map(ivfPqResCtes).mkString(",\n")}
+       |${PqMs.map(ivfPqResSelect).mkString("\nUNION ALL\n")}
        |ORDER BY method, q_id""".stripMargin
 
   // ---------------------------------------------------------------- №162 knn_ivf_pq_update

@@ -35,6 +35,36 @@ class IvfPqSpec extends SparkSpec {
       "m4 ADC recall below m2 — the fidelity ordering inverted")
   }
 
+  test("№166 residual encoding: measured fidelity uplift over raw-subvector PQ, same grading discipline") {
+    val res = VectorQueries.knnIvfPqRes(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Long)].collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    val raw = VectorQueries.pqQuantize(spark, sf)
+      .select(org.apache.spark.sql.functions.col("method"),
+        org.apache.spark.sql.functions.col("recon_ppm")).distinct()
+      .as[(String, Long)].collect().toMap
+    graft.CacheRegistry.releaseAll(spark)
+    assert(res.size == VectorQueries.PqMs.size * VectorQueries.NQueries)
+    res.foreach { case (m, q, hAdc, hRr, hIvf, _, _, _, ppm) =>
+      assert(hAdc >= 0 && hAdc <= VectorQueries.K)
+      assert(hRr >= hAdc || hRr >= 0, s"$m q$q")
+      assert(hIvf <= VectorQueries.K)
+      assert(ppm > 0 && ppm < 1000000)
+    }
+    // THE claim (Jégou et al. 2011 §IV.A): coding the residual under the
+    // same 16-codeword budget reconstructs strictly better than coding
+    // the raw subvector, at every M — the uplift the operator exists for
+    VectorQueries.PqMs.foreach { m =>
+      val rppm = res.find(_._1 == s"ivfpqres_m$m").get._9
+      assert(rppm > raw(s"pq_m$m"),
+        s"m$m: residual recon_ppm $rppm not above raw ${raw(s"pq_m$m")}")
+    }
+    // re-rank still recovers at/above ADC per method
+    res.groupBy(_._1).foreach { case (m, rs) =>
+      assert(rs.map(_._4).sum >= rs.map(_._3).sum, s"$m: re-rank lost recall vs ADC")
+    }
+  }
+
   test("№162 incremental serving ≡ full re-encode under the frozen model; arrivals reach the top-k") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double, Long)].collect().toSeq

@@ -261,6 +261,18 @@ class PlanRegressionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll(spark)
   }
 
+  test("knn_ivf_pq_res: residual encode keeps the corpus-side broadcast-only contract") {
+    val plan = ExportQueriesPlanHelper.exec(VectorQueries.knnIvfPqRes(spark, sf))
+    val txt = plan.toString
+    // residual encoding adds one corpus aggregation (cell + residual
+    // resolve before codes) but must not add any corpus-sized equi-join:
+    // emb/cemb ride the aggs, model/probes/LUTs/shortlist broadcast
+    assert(!txt.contains("SortMergeJoin"), s"SMJ in the residual ivf-pq plan:\n$txt")
+    assert(!txt.contains("ShuffledHashJoin"), s"SHJ in the residual ivf-pq plan:\n$txt")
+    assert(txt.contains("BroadcastHashJoin"), s"no broadcast joins found:\n$txt")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("semantic_dedup scale mode never broadcasts the corpus-growing dropped set") {
     val df = VectorQueries.semanticDedupWith(spark, sf, "shuffle")
     val plan = ExportQueriesPlanHelper.exec(df)
