@@ -220,7 +220,14 @@ object Bench {
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     // persist this run's per-query minima so the NEXT run has a band —
     // the min (not the median) because contention only ever inflates
-    BenchHistory.record(sfDir, stats.collect { case (k, runs) if runs.nonEmpty => k -> runs.map(_._2).min }.toMap)
+    // cold-build series ride the same history under "<name>__cold" keys
+    // (r11 verdict: cold_build_s lived only in the per-round artifact, so
+    // cold-build drift across rounds was untracked while steady floors
+    // were) — the "__cold" suffix can never collide with a query name, so
+    // the band-aware re-run lookup above is unaffected
+    BenchHistory.record(sfDir,
+      stats.collect { case (k, runs) if runs.nonEmpty => k -> runs.map(_._2).min }.toMap ++
+        coldBuilds.map { case (k, d) => s"${k}__cold" -> d })
     spark.stop()
     // a run with failed queries must not report success (r7: 44 failures
     // under rc=0 and a '[success]' trailer)
