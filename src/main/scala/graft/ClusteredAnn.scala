@@ -31,30 +31,47 @@ object ClusteredAnn {
   val NClusters = 16
   val NoiseScale = 0.35
 
-  /** Versioned like the other generated-corpus caches. */
+  /** Versioned like the other generated-corpus caches (v2 = the
+    * integer-exact bin-length cluster assignment — no float log2, so the
+    * №167 DuckDB oracle reproduces the whole corpus). */
   def dir(n: Int): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_clustered_v1_n$n"
+    s"${System.getProperty("java.io.tmpdir")}/graft_clustered_v2_n$n"
 
-  private def u01(seed: String): String =
-    s"(conv(substring(md5($seed), 1, 8), 16, 10) / 4294967296.0)"
+  /** 32-bit md5-derived uniform as EXACT double fractions: u/2³² is a
+    * power-of-two division — bit-exact in any IEEE engine. */
+  private def u32(seed: String): String =
+    s"conv(substring(md5($seed), 1, 8), 16, 10)"
 
-  /** Deterministic clustered corpus, embeddings.parquet schema
-    * (vec_id, embedding float[dims], label = cluster id). */
+  /** Geometric cluster id from the TOP SET BIT of the 32-bit hash —
+    * P(cluster k) ≈ 2^−(k+1), head-heavy like real embedding corpora —
+    * computed from `length(bin(u+1))`, an INTEGER formulation both
+    * engines share exactly (the №165 octave trick; no float log). */
+  private[graft] def clusterExpr(seed: String): String =
+    s"CAST(greatest(0, least(${NClusters - 1}, 32 - length(bin(${u32(seed)} + 1)))) AS INT)"
+
+  /** One embedding component: md5 center ± NoiseScale·md5 noise,
+    * round6-narrowed float (the corpus discipline everywhere else).
+    * Every term is an exact double (power-of-two fractions), so the
+    * product/sum/round chain is bit-identical cross-engine. */
+  private[graft] def componentExpr: String =
+    s"""CAST(round(
+       |  (${u32("concat('cc|', label, '|', j)")} / 2147483648.0 - 1.0)
+       |  + $NoiseScale * (2.0 * ${u32("concat('nz|', vec_id, '|', j)")} / 4294967296.0 - 1.0)
+       |  + 0.000000001, 6) AS FLOAT)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** Deterministic clustered frame (vec_id, embedding float[dims],
+    * label = cluster id) — a pure function of vec_id. */
+  def frame(spark: SparkSession, n: Int, dims: Int): DataFrame =
+    spark.range(0, n.toLong).select(col("id").as("vec_id"))
+      .withColumn("label", expr(clusterExpr("concat('cl|', vec_id)")))
+      .withColumn("embedding", expr(s"transform(sequence(0, ${dims - 1}), j -> $componentExpr)"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  /** Materialized corpus, embeddings.parquet schema. */
   def generate(spark: SparkSession, n: Int, dims: Int = 64): String = {
     val out = dir(n)
     if (new java.io.File(s"$out/embeddings.parquet").exists) return out
-    val cluster = s"CAST(least(${NClusters - 1}, " +
-      s"floor(-log2(${u01(s"concat('cl|', vec_id)")} + 1e-12))) AS INT)"
-    val comp =
-      s"""CAST(round(
-         |  (conv(substring(md5(concat('cc|', label, '|', j)), 1, 8), 16, 10) / 2147483648.0 - 1.0)
-         |  + $NoiseScale * (2.0 * ${u01(s"concat('nz|', vec_id, '|', j)")} - 1.0)
-         |  + 0.000000001, 6) AS FLOAT)""".stripMargin.replaceAll("\n\\s*", " ")
-    spark.range(0, n.toLong).select(col("id").as("vec_id"))
-      .withColumn("label", expr(cluster))
-      .withColumn("embedding", expr(s"transform(sequence(0, ${dims - 1}), j -> $comp)"))
-      .select(col("vec_id"), col("embedding"), col("label"))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    frame(spark, n, dims).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     out
   }
 

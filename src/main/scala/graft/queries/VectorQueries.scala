@@ -2455,4 +2455,75 @@ object VectorQueries {
          |SELECT node AS vec_id, r AS rank_scaled FROM r$PrIters ORDER BY vec_id""".stripMargin)
     sb.toString
   }
+
+  // ---------------------------------------------------------------- №167 clustered_corpus
+  /** The [[graft.ClusteredAnn]] generator ITSELF under the oracle — the
+    * §16 clustered-geometry ANN table rests on this corpus, so its
+    * generation is held to the same cross-engine discipline as every
+    * operator: the DuckDB oracle REGENERATES the whole corpus from
+    * `range(0, n)` (md5-hash fractions are exact power-of-two-denominator
+    * doubles; the geometric cluster id is the top set bit of the 32-bit
+    * hash via `length(bin(u+1))` — the №165 octave trick, no float log
+    * anywhere) and recomputes the census: per-cluster sizes plus the mean
+    * cosine of members to their OWN center and to the HEAD (cluster 0)
+    * center in exact integer ppm. A hash mismatch means the two engines
+    * disagree on a single generated component, a cluster assignment, or
+    * the separation the §16 table claims — so head-heavy sizes AND
+    * intra ≫ inter geometry are oracle-pinned facts, not spec-only ones.
+    * Self-contained: reads no tables (the `dir` argument is unused), so
+    * the row costs the same at every gate SF. */
+  val CcN = 500
+  val CcDims = 32
+
+  def clusteredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val centComp = (label: String) =>
+      s"CAST(round(conv(substring(md5(concat('cc|', $label, '|', j)), 1, 8), 16, 10) / 2147483648.0 - 1.0 " +
+        s"+ 0.000000001, 6) AS FLOAT)"
+    graft.ClusteredAnn.frame(spark, CcN, CcDims)
+      .withColumn("own_cent", expr(s"transform(sequence(0, ${CcDims - 1}), j -> ${centComp("label")})"))
+      .withColumn("head_cent", expr(s"transform(sequence(0, ${CcDims - 1}), j -> ${centComp("'0'")})"))
+      .select(col("label"),
+        cosine6(col("embedding"), col("own_cent")).as("c_own"),
+        cosine6(col("embedding"), col("head_cent")).as("c_head"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(CAST(round(c_own * 1000000, 0) AS BIGINT)) DIV count(1)").as("own_ppm"),
+        expr("sum(CAST(round(c_head * 1000000, 0) AS BIGINT)) DIV count(1)").as("head_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val clusteredCorpusSql: String = {
+    def u32(seed: String) =
+      s"CAST(list_sum(list_transform(range(0, 8), k -> " +
+        s"(strpos('0123456789abcdef', substr(md5($seed), CAST(k + 1 AS INT), 1)) - 1) " +
+        s"* (CAST(1 AS BIGINT) << CAST(4 * (7 - k) AS INT)))) AS BIGINT)"
+    val ns = graft.ClusteredAnn.NoiseScale
+    val embComp =
+      s"""CAST(round((${u32("'cc|' || label || '|' || j")} / 2147483648.0 - 1.0)
+         |      + $ns * (2.0 * ${u32("'nz|' || vec_id || '|' || j")} / 4294967296.0 - 1.0)
+         |      + 0.000000001, 6) AS FLOAT)""".stripMargin.replaceAll("\n\\s*", " ")
+    val centComp = (label: String) =>
+      s"CAST(round(${u32(s"'cc|' || $label || '|' || j")} / 2147483648.0 - 1.0 + 0.000000001, 6) AS FLOAT)"
+    s"""WITH cc_ids AS (SELECT CAST(range AS BIGINT) AS vec_id FROM range(0, $CcN)),
+       |cc_l AS (
+       |  SELECT vec_id, CAST(greatest(0, least(${graft.ClusteredAnn.NClusters - 1},
+       |    32 - length(bin(${u32("'cl|' || vec_id")} + 1)))) AS INT) AS label
+       |  FROM cc_ids),
+       |cc_e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(0, $CcDims), j -> $embComp) AS emb
+       |  FROM cc_l),
+       |cc_cent AS (
+       |  SELECT label, list_transform(range(0, $CcDims), j -> ${centComp("label")}) AS cent
+       |  FROM (SELECT DISTINCT label FROM cc_l)),
+       |cc_head AS (
+       |  SELECT list_transform(range(0, $CcDims), j -> ${centComp("'0'")}) AS cent),
+       |cc_s AS (
+       |  SELECT e.label, ${cos6Sql("e.emb", "c.cent")} AS c_own, ${cos6Sql("e.emb", "h.cent")} AS c_head
+       |  FROM cc_e e JOIN cc_cent c USING (label) CROSS JOIN cc_head h)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(CAST(round(c_own * 1000000, 0) AS BIGINT)) AS BIGINT) // count(*) AS own_ppm,
+       |  CAST(sum(CAST(round(c_head * 1000000, 0) AS BIGINT)) AS BIGINT) // count(*) AS head_ppm
+       |FROM cc_s GROUP BY label ORDER BY label""".stripMargin
+  }
 }

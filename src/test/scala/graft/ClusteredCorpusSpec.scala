@@ -66,4 +66,20 @@ class ClusteredCorpusSpec extends SparkSpec {
     assert(mIntra > mInter + 0.3,
       f"separation too weak: intra $mIntra%.3f vs inter $mInter%.3f — not meaningfully clustered")
   }
+
+  test("№167 census row: head-heavy sizes and own-center affinity ≫ head-center affinity, oracle-shaped") {
+    val rows = graft.queries.VectorQueries.clusteredCorpus(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._2).sum == graft.queries.VectorQueries.CcN)
+    // head-heavy: label 0 is the largest cluster
+    assert(rows.maxBy(_._2)._1 == 0, s"cluster 0 not the head: ${rows.toSeq}")
+    rows.foreach { case (label, _, ownPpm, headPpm) =>
+      // members sit close to their own center…
+      assert(ownPpm > 500000, s"label $label own_ppm $ownPpm — noise drowns the center")
+      // …and, for every non-head cluster, far closer than to the head's
+      if (label != 0) assert(ownPpm > headPpm + 300000,
+        s"label $label: own $ownPpm vs head $headPpm — separation not oracle-visible")
+      else assert(ownPpm == headPpm, "label 0's own and head centers must coincide")
+    }
+  }
 }

@@ -43,6 +43,7 @@ class PlanLintSpec extends SparkSpec {
     "embedding_drift", // single-row max-vec-id broadcast for the half grid
     "knn_ivf_pq", // constant-size LUT broadcasts (queries × codebook — the pq_quantize class)
     "knn_ivf_pq_update", // same LUT broadcasts over the persisted layout
+    "knn_ivf_pq_res", // same LUT class + the single-row recon_ppm broadcast (the №121 rstat shape)
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
