@@ -1771,24 +1771,53 @@ object Analytics {
   val LqDepth = 3
   val LqWidth = 256  // grid rank error small vs the 1/S bucketing term
 
+  /** The heavy-tail stretch: value cents → amt ∈ [1, ~2²⁶). */
+  private[graft] val LqAmtSql: String = {
+    val cents = "greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), 65535), 0)"
+    s"(($cents * $cents) DIV 100 + 1)"
+  }
+
+  /** The log-linear bucket of a positive BIGINT SQL expression `amt` —
+    * ONE definition shared by the batch row and №168's streaming twin
+    * (octave from binary-string length, shift-only sub-bucket). */
+  private[graft] def logBucketSql(amt: String): String = {
+    val e = s"(length(bin($amt)) - 1)"
+    val p = s"shiftleft(CAST(1 AS BIGINT), $e)"
+    s"(CAST($e AS BIGINT) * $LqSub + CASE WHEN $e >= $LqSubBits " +
+      s"THEN shiftright(($amt) - $p, $e - $LqSubBits) " +
+      s"ELSE shiftleft(($amt) - $p, $LqSubBits - $e) END)"
+  }
+
+  /** (event_type, amt, b) for the events table — the shared input frame. */
+  private[graft] def logBucketVals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .where($"value".isNotNull)
+      .select($"event_type", expr(LqAmtSql).as("amt"))
+      .withColumn("b", expr(logBucketSql("amt")))
+      .select($"event_type", $"amt", $"b")
+  }
+
   def logQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.queries.{TextQueries => TQ}
-    val cents = "greatest(least(CAST(round(value * 100 + 0.000000001) AS BIGINT), 65535), 0)"
-    val vals = Tables(spark, dir).events
-      .where($"value".isNotNull)
-      .select($"event_type", expr(s"($cents * $cents) DIV 100 + 1").as("amt"))
-      .withColumn("e", expr("length(bin(amt)) - 1"))
-      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), e)"))
-      .withColumn("b", expr(s"CAST(e AS BIGINT) * $LqSub + CASE WHEN e >= $LqSubBits " +
-        s"THEN shiftright(amt - p, e - $LqSubBits) " +
-        s"ELSE shiftleft(amt - p, $LqSubBits - e) END"))
-      .select($"event_type", $"amt", $"b")
-    val hist = vals.groupBy($"event_type", $"amt", $"b").agg(count(lit(1)).as("cnt"))
+    val vals = logBucketVals(spark, dir)
     val slots = vals.groupBy($"event_type")
       .agg(graft.functions.DyadicCountMin.sketch($"b", LqLevels, LqDepth, LqWidth).as("g"))
       .select($"event_type", posexplode($"g"))
       .select($"event_type", $"pos".cast("long").as("i"), $"col".as("c"))
+    logQuantileFromSlots(spark, dir, slots)
+  }
+
+  /** Estimate + exact verify + decode from the flattened per-type grid
+    * (event_type, i, c) — shared by the batch row (native-aggregate
+    * slots) and №168's streaming twin (driver-summed shard grids), so
+    * the read-out arithmetic cannot fork between the access paths. */
+  private[graft] def logQuantileFromSlots(spark: SparkSession, dir: String,
+      slots: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.queries.{TextQueries => TQ}
+    val vals = logBucketVals(spark, dir)
+    val hist = vals.groupBy($"event_type", $"amt", $"b").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"amt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
