@@ -1482,6 +1482,25 @@ object VectorQueries {
        |${PqMs.map(ivfPqSelect).mkString("\nUNION ALL\n")}
        |ORDER BY method, q_id""".stripMargin
 
+  /** Driver-side residual sample: the engines' exact assignment rule
+    * (strict > keeps the LOWEST cid on rounded ties) + round6-narrowed
+    * component difference — residual codebooks must train on exactly
+    * what the corpus encodes. Shared by №166 and №169. */
+  private def residSampleOf(full: Array[Array[Float]],
+      cents: Array[(Long, Array[Float])]): Array[Array[Float]] = {
+    def nearestCent(e: Array[Float]): Array[Float] = {
+      var bestCos = Double.NegativeInfinity; var best: Array[Float] = null
+      cents.foreach { case (_, cemb) =>
+        val c = cos6Local(e, cemb)
+        if (c > bestCos) { bestCos = c; best = cemb }
+      }
+      best
+    }
+    def sub6(x: Array[Float], c: Array[Float]): Array[Float] =
+      Array.tabulate(x.length)(i => round6(x(i).toDouble - c(i).toDouble + 1e-9).toFloat)
+    full.map(e => sub6(e, nearestCent(e)))
+  }
+
   // ---------------------------------------------------------------- №166 knn_ivf_pq_res
   /** RESIDUAL-encoded IVF-PQ (Jégou et al. 2011 §IV.A) — №160's serving
     * shape with the encoding that gives production IVF-PQ most of its
@@ -1524,20 +1543,7 @@ object VectorQueries {
     val cents = lloydRefine(full, Centroids)
     val centroids = cents.toSeq.toDF("c_id", "c_emb")
 
-    // driver-side residual sample: the engines' exact assignment rule
-    // (strict > keeps the LOWEST cid on rounded ties) + round6-narrowed
-    // component difference — codebooks train on what the corpus encodes
-    def nearestCent(e: Array[Float]): Array[Float] = {
-      var bestCos = Double.NegativeInfinity; var best: Array[Float] = null
-      cents.foreach { case (_, cemb) =>
-        val c = cos6Local(e, cemb)
-        if (c > bestCos) { bestCos = c; best = cemb }
-      }
-      best
-    }
-    def sub6(x: Array[Float], c: Array[Float]): Array[Float] =
-      Array.tabulate(x.length)(i => round6(x(i).toDouble - c(i).toDouble + 1e-9).toFloat)
-    val residSample = full.map(e => sub6(e, nearestCent(e)))
+    val residSample = residSampleOf(full, cents)
 
     // stage 1 (M-independent): cell + centroid + residual per vector in
     // ONE broadcast join + max_by aggregation; emb/cemb ride the agg so
@@ -2000,6 +2006,239 @@ object VectorQueries {
        |  SELECT pr.q_id, cd.vec_id, round($adcSum + 0.000000001, 6) AS adc
        |  FROM ${p}codes cd JOIN cells ON cells.vec_id = cd.vec_id
        |  JOIN probes pr ON pr.cell = cells.cell $lutJoin),
+       |${p}adcr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM ${p}cand),
+       |${p}short AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $RerankR),
+       |${p}rr AS (
+       |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
+       |  FROM ${p}short s JOIN c cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id)
+       |SELECT q_id, vec_id, cos, rank FROM ${p}rr WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №169 knn_ivf_pq_res_update
+  /** №162's production serving shape with №166's RESIDUAL encoding —
+    * the composition a store would actually deploy once it adopts the
+    * measured-better encoder: the frozen model (IVF centroids + M
+    * RESIDUAL-trained subspace codebooks, from the BASE corpus's hash
+    * sample residualized under the base centroids) persists once per
+    * corpus version; base residual CODES persist as the bucketed-on-cell
+    * layout scanned exchange-free into the probe join (plan-pinned);
+    * daily arrivals residual-encode in TWO broadcast passes (cell +
+    * residual resolve, then codes — №166's honest extra pass, batch-sized
+    * here); search = residual ADC (per-(query, probed-cell) centroid dot
+    * + LUT sums) + exact shortlist re-rank.
+    *
+    * Frozen-model independence holds exactly as in №162 — per-vector
+    * residual encoding depends only on the vector and the model, so the
+    * incremental union ≡ a full re-encode (IvfPqSpec pins scores AND
+    * ranks); the oracle computes the full form. Output = №162's
+    * results-shaped top-[[K]] with exact cosine. Geometry M = [[PquM]]. */
+  def knnIvfPqResUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val batch = corpus.filter(col("vec_id") % BatchMod === 0)
+    val model = ivfPqResUpdateModel(spark, dir, base)
+    val d = model.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    val baseCodes = graft.sources.Bucketing.bucketedCached(
+      spark, s"graft_ivfpqru_codes_${dirKey(dir)}_m$PquM", "cell")(
+      encodeCellsRes(base, model, PquM, d))
+    val arrivals = encodeCellsRes(batch, model, PquM, d)
+    ivfPqResSearch(spark, baseCodes.unionByName(arrivals), model, corpus, queries, d)
+  }
+
+  /** Full-rebuild twin under the same frozen model (spec equality +
+    * the oracle's formulation). */
+  private[queries] def knnIvfPqResUpdateFullRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val model = ivfPqResUpdateModel(spark, dir, base)
+    val d = model.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    ivfPqResSearch(spark, encodeCellsRes(corpus, model, PquM, d), model, corpus, queries, d)
+  }
+
+  /** Frozen residual model: centroids from the base sample; codebooks
+    * from the base sample's RESIDUALS under those centroids. */
+  private def ivfPqResUpdateModel(spark: SparkSession, dir: String, base: DataFrame): DataFrame =
+    cachedModel(spark, s"graft_ivfpqru_model_${dirKey(dir)}_m$PquM") {
+      import spark.implicits._
+      val full = hashSample(base)
+      val d = full.headOption.map(_.length).getOrElse(0)
+      val w = d / PquM
+      val cents = lloydRefine(full, Centroids)
+      val residSample = residSampleOf(full, cents)
+      val cbs = (0 until PquM).map { m =>
+        val hi = if (m < PquM - 1) (m + 1) * w else d
+        lloydRefine(residSample.map(_.slice(m * w, hi)), PqCodebook).toSeq.toDF("c_id", "c_emb")
+          .select(lit(m).as("m"), col("c_id"), col("c_emb"))
+      }
+      (cbs :+ cents.toSeq.toDF("c_id", "c_emb")
+        .select(lit(-1).as("m"), col("c_id"), col("c_emb"))).reduce(_ unionAll _)
+    }
+
+  /** Residual encode of `src` under a frozen model union — №166's two
+    * stages as a shared function: cell + residual resolve in one
+    * broadcast-centroid agg, then all M codes in one broadcast-codebook
+    * agg. Returns (vec_id, cell, code_0..M−1) — the store's per-vector
+    * state. */
+  private def encodeCellsRes(src: DataFrame, model: DataFrame, bigM: Int, d: Int): DataFrame = {
+    val centroids = model.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+    val withCell = src.join(broadcast(centroids))
+      .withColumn("ccos", cosine6(col("emb"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(c_id, struct(ccos, -c_id))").as("cell"),
+        expr("max_by(c_emb, struct(ccos, -c_id))").as("cemb"),
+        first(col("emb")).as("emb"))
+      .withColumn("remb", expr("zip_with(emb, cemb, (x, cc) -> " +
+        "CAST(round(CAST(x AS DOUBLE) - CAST(cc AS DOUBLE) + 0.000000001, 6) AS FLOAT))"))
+    val cbAll = model.filter(col("m") >= 0)
+    val subbed = (0 until bigM).foldLeft(
+      withCell.select(col("vec_id"), col("cell"), col("remb"))) { (df, m) =>
+      df.withColumn(s"sub_$m", subCol(col("remb"), m, bigM, d))
+    }
+    val scos = (1 until bigM).foldLeft(
+      when(col("m") === 0, nanvl(cosine6(col("sub_0"), col("c_emb")), lit(UndefCos)))) { (acc, m) =>
+      acc.when(col("m") === m, nanvl(cosine6(col(s"sub_$m"), col("c_emb")), lit(UndefCos)))
+    }
+    val aggs = first(col("cell")).as("cell") +:
+      (0 until bigM).map(m =>
+        expr(s"max_by(c_id, struct(scos, -c_id)) FILTER (WHERE m = $m)").as(s"code_$m"))
+    subbed.join(broadcast(cbAll))
+      .withColumn("scos", scos)
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Residual ADC search under a frozen model — [[ivfPqSearch]] plus the
+    * per-(query, probed-cell) centroid-dot term. */
+  private def ivfPqResSearch(spark: SparkSession, codes: DataFrame, model: DataFrame,
+                             corpus: DataFrame, queries: DataFrame, d: Int): DataFrame = {
+    val centroids = model.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val qcs = probes
+      .join(broadcast(centroids.select(col("c_id").as("cell"), col("c_emb"))), "cell")
+      .select(col("q_id"), col("cell"),
+        round(graft.functions.VectorOps.dot(col("q_emb"), col("c_emb")) + lit(1e-9), 6).as("qc"))
+    val luts = (0 until PquM).map { m =>
+      queries.crossJoin(broadcast(model.filter(col("m") === m).select(col("c_id"), col("c_emb"))))
+        .select(col("q_id"), col("c_id").as(s"code_$m"),
+          round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, PquM, d), col("c_emb")) + lit(1e-9), 6)
+            .as(s"part_$m"))
+    }
+    val cand = (0 until PquM).foldLeft(
+      codes.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+      df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+    }.join(broadcast(qcs), Seq("q_id", "cell"))
+    val adcExpr = round(col("qc") + (0 until PquM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+    val shortlist = topKRanked(
+      cand.select(col("q_id"), col("vec_id"), adcExpr.as("adc")),
+      "q_id", "adc", "vec_id", RerankR).select(col("q_id"), col("vec_id"))
+    val rescored = corpus.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+    topKRanked(rescored, "q_id", "cos", "vec_id", K)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Bench hook: drop the persisted residual model + bucketed residual
+    * code table (the №162 cold-build discipline for №169). */
+  def dropIvfPqResUpdateCaches(spark: SparkSession, dir: String): Unit = {
+    Seq(("graft_models", s"graft_ivfpqru_model_${dirKey(dir)}_m$PquM"),
+        ("graft_bucketed", s"graft_ivfpqru_codes_${dirKey(dir)}_m$PquM")).foreach {
+      case (store, t) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), store, t)
+        if (java.nio.file.Files.exists(path)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+    }
+  }
+
+  val knnIvfPqResUpdateSql: String = {
+    val p = "ipru"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $PquM)"
+      if (m < PquM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${PquM - 1} * $w + 1, len($src))"
+    }
+    // residual codebooks train on the BASE sample's residuals; codes for
+    // the WHOLE corpus come from the corpus residual frame rc
+    val bsubs = (0 until PquM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("remb", m)} AS emb FROM brc)").mkString(",\n")
+    val cents = (0 until PquM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val codeCtes = (0 until PquM).map { m =>
+      s"""${p}c$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM (SELECT vec_id, ${subOf("remb", m)} AS emb FROM rc) s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutCtes = (0 until PquM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until PquM).foldLeft(s"${p}c0")((acc, m) => s"$acc JOIN ${p}c$m USING (vec_id)")
+    val lutJoin = (0 until PquM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until PquM).map(m => s"part_$m").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $BatchMod <> 0),
+       |${refinedCentSql("b", "")},
+       |cells AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT c.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY ${cos6Sql("c.emb", "cent.c_emb")} DESC, cent.c_id) AS crank
+       |    FROM c, cent) x WHERE crank = 1),
+       |rc AS (
+       |  SELECT c.vec_id,
+       |    list_transform(range(1, len(c.emb)+1), i ->
+       |      CAST(round(CAST(c.emb[i] AS DOUBLE) - CAST(cent.c_emb[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS remb,
+       |    cells.cell
+       |  FROM c JOIN cells ON cells.vec_id = c.vec_id JOIN cent ON cent.c_id = cells.cell),
+       |brc AS (SELECT rc.vec_id, rc.remb FROM rc WHERE rc.vec_id % $BatchMod <> 0),
+       |probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |qcell AS (
+       |  SELECT pr.q_id, pr.cell,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cent.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS qc
+       |  FROM probes pr JOIN q ON q.q_id = pr.q_id JOIN cent ON cent.c_id = pr.cell),
+       |$bsubs,
+       |$cents,
+       |$codeCtes,
+       |$lutCtes,
+       |${p}codes AS (SELECT * FROM $codeJoin),
+       |${p}cand AS (
+       |  SELECT pr.q_id, cd.vec_id, round(qc.qc + $adcSum + 0.000000001, 6) AS adc
+       |  FROM ${p}codes cd JOIN rc ON rc.vec_id = cd.vec_id
+       |  JOIN probes pr ON pr.cell = rc.cell $lutJoin
+       |  JOIN qcell qc ON qc.q_id = pr.q_id AND qc.cell = rc.cell),
        |${p}adcr AS (
        |  SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank

@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkSpec {
     "knn_ivf_pq", // constant-size LUT broadcasts (queries × codebook — the pq_quantize class)
     "knn_ivf_pq_update", // same LUT broadcasts over the persisted layout
     "knn_ivf_pq_res", // same LUT class + the single-row recon_ppm broadcast (the №121 rstat shape)
+    "knn_ivf_pq_res_update", // same LUT broadcasts over the persisted residual layout
     "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
@@ -58,6 +59,7 @@ class PlanLintSpec extends SparkSpec {
       "bucketed_join", // writes the bucketed tables on build
       "knn_graph_indexed", // writes the bucketed IVF index on build (plan pinned in PlanRegressionSpec)
       "knn_ivf_pq_update", // writes the persisted model + bucketed code table on build (plan pinned)
+      "knn_ivf_pq_res_update", // writes the persisted residual model + bucketed codes on build
       "stream_asof", // streaming replay runs on build
       "stream_quantile", // streaming replay runs on build
       "stream_window_quantile", // streaming replay runs on build (single-row wm broadcast in the verify tail)

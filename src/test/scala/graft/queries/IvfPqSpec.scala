@@ -81,4 +81,18 @@ class IvfPqSpec extends SparkSpec {
     // reach the served top-k — the maintenance path is doing real work
     assert(inc.exists(_._2 % 20 == 0), "no arrival in any top-k — the incremental path went untested")
   }
+
+  test("№169 residual incremental serving ≡ full re-encode under the frozen residual model") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().toSeq
+    val inc = rows(VectorQueries.knnIvfPqResUpdate(spark, sf))
+    graft.CacheRegistry.releaseAll(spark)
+    val full = rows(VectorQueries.knnIvfPqResUpdateFullRebuild(spark, sf))
+    graft.CacheRegistry.releaseAll(spark)
+    // residual encoding is still per-vector independent under a frozen
+    // model (cell → residual → codes is a pure function of the vector)
+    assert(inc == full, "residual incremental union diverged from the full rebuild")
+    assert(inc.size == VectorQueries.NQueries * VectorQueries.K)
+    assert(inc.exists(_._2 % 20 == 0), "no arrival in any top-k — maintenance path untested")
+  }
 }

@@ -419,6 +419,23 @@ class PlanRegressionSpec extends SparkSpec {
       s"persisted code side re-shuffled below the probe join:\n$plan")
   }
 
+  test("knn_ivf_pq_res_update: persisted residual code table reaches the probe join with NO base-side exchange") {
+    val df = VectorQueries.knnIvfPqResUpdate(spark, sf)
+    val plan = ExportQueriesPlanHelper.exec(df)
+    // №162's pin applied to the residual serving shape: same bucketed
+    // store contract, different table
+    def pathToScan(node: org.apache.spark.sql.execution.SparkPlan): Option[List[org.apache.spark.sql.execution.SparkPlan]] =
+      if (node.children.isEmpty && node.toString.contains("graft_ivfpqru_codes")) Some(List(node))
+      else node.children.view.flatMap(pathToScan).headOption.map(node :: _)
+    val path = pathToScan(plan)
+    assert(path.nonEmpty, s"no scan of the persisted residual code table in the plan:\n$plan")
+    val scanUp = path.get.reverse
+    val belowJoin = scanUp.takeWhile(!_.isInstanceOf[BroadcastHashJoinExec])
+    assert(belowJoin.size < scanUp.size, s"residual code scan never reaches a broadcast probe join:\n$plan")
+    assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"persisted residual code side re-shuffled below the probe join:\n$plan")
+  }
+
   test("dedup_incremental bloom mode: membership probe prunes the base SCAN, below the join") {
     val df = TextQueries.dedupIncrementalWith(spark, sf, "bloom")
     val plan = ExportQueriesPlanHelper.exec(df)
