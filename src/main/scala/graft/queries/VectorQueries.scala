@@ -1286,7 +1286,7 @@ object VectorQueries {
     * broadcast model union (m = −1 rows are the IVF centroids, m ≥ 0 the
     * subspace codebooks). Shared by №160 (in-memory model) and №162 (the
     * persisted frozen model) — the encode semantics cannot fork. */
-  private def encodeCells(src: DataFrame, cbAll: DataFrame, bigM: Int, d: Int): DataFrame = {
+  private[graft] def encodeCells(src: DataFrame, cbAll: DataFrame, bigM: Int, d: Int): DataFrame = {
     val subbed = (0 until bigM).foldLeft(src) { (df, m) =>
       df.withColumn(s"sub_$m", subCol(col("emb"), m, bigM, d))
     }
@@ -1894,7 +1894,7 @@ object VectorQueries {
 
   /** Search over an arbitrary codes frame under the frozen model —
     * shared by the incremental operator and its full-rebuild spec twin. */
-  private def ivfPqSearch(spark: SparkSession, codes: DataFrame, model: DataFrame,
+  private[graft] def ivfPqSearch(spark: SparkSession, codes: DataFrame, model: DataFrame,
                           corpus: DataFrame, queries: DataFrame, d: Int): DataFrame = {
     val centroids = model.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
     val probes = queries.join(broadcast(centroids))
@@ -1939,6 +1939,26 @@ object VectorQueries {
       encodeCells(base, model, PquM, d))
     val arrivals = encodeCells(batch, model, PquM, d)
     ivfPqSearch(spark, baseCodes.unionByName(arrivals), model, corpus, queries, d)
+  }
+
+  /** №170's hook: the №162 serving context — frozen model, persisted
+    * bucketed base codes, and the pieces the streaming ingest twin needs
+    * to encode arrivals and search identically. Returns (model,
+    * baseCodes, d, corpus, queries, arrivalVectors). */
+  private[graft] def ivfPqIngestContext(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int, DataFrame, DataFrame, DataFrame) = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % BatchMod =!= 0)
+    val batch = corpus.filter(col("vec_id") % BatchMod === 0)
+    val model = ivfPqUpdateModel(spark, dir, base)
+    val d = model.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    val baseCodes = graft.sources.Bucketing.bucketedCached(
+      spark, s"graft_ivfpqu_codes_${dirKey(dir)}_m$PquM", "cell")(
+      encodeCells(base, model, PquM, d))
+    (model, baseCodes, d, corpus, queries, batch)
   }
 
   /** Full-rebuild twin under the same frozen model (the spec's equality

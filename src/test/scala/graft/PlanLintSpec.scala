@@ -63,6 +63,8 @@ class PlanLintSpec extends SparkSpec {
       "stream_asof", // streaming replay runs on build
       "stream_quantile", // streaming replay runs on build
       "stream_window_quantile", // streaming replay runs on build (single-row wm broadcast in the verify tail)
+      "stream_log_quantile", // streaming replay runs on build
+      "stream_vector_ingest", // streaming replay + persisted model/codes build
       "corpus_split", // runs the clusterLabels convergence loop on build
       "graph_centrality", // runs the N-count job + unrolled iterations on build
       "text_cluster") // collects the constant-size centroids per Lloyd iteration on build
