@@ -283,4 +283,26 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(rec == ref, "recovered closed-window set diverges from the uninterrupted run")
     assert(ref.nonEmpty, "no windows closed — the watermark never advanced; scenario vacuous")
   }
+
+  test("frozen-model encode state (№170's shape): killed + recovered codes ≡ uninterrupted ≡ batch encode") {
+    // the 5th state shape: a stream-static broadcast join feeding
+    // per-key max_by state — recovery must not re-encode a committed
+    // arrival (duplicate rows in complete mode would fork the codes) nor
+    // lose one mid-batch
+    import graft.queries.VectorQueries
+    val (model, _, d, _, _, batch) = VectorQueries.ivfPqIngestContext(spark, sf)
+    // hash-banding: arrivals' vec_id ≡ 0 (mod 20) covers only 2 residues
+    // of % 8 — a derived band column keeps all 8 bands populated so the
+    // kill window is wide enough to land reliably
+    val banded = batch.withColumn("band", pmod(hash($"vec_id"), lit(Bands)))
+    val (ref, rec) = recoveredRows(banded, "band", s =>
+      VectorQueries.encodeCells(s, model, VectorQueries.PquM, d),
+      "complete")
+    def key(rows: Seq[org.apache.spark.sql.Row]) = rows.map(_.toSeq).sortBy(_.head.toString)
+    assert(key(rec) == key(ref), "recovered codes diverge from the uninterrupted run")
+    // and ≡ the batch encode: the stream+recovery is an access path
+    val batchCodes = VectorQueries.encodeCells(batch, model, VectorQueries.PquM, d).collect().toSeq
+    graft.CacheRegistry.releaseAll(spark)
+    assert(key(rec) == key(batchCodes), "recovered codes diverge from the batch encode")
+  }
 }
