@@ -1670,7 +1670,10 @@ object Analytics {
       .join(broadcast(slots), Seq("event_type", "i"))
       .groupBy($"event_type", $"v", $"l").agg(min($"c").as("pq"))
       .groupBy($"event_type", $"v").agg(sum($"pq").as("er"))
-    val ranks = cum.join(er, Seq("event_type", "v"), "left")
+    // er is bounded by the DISTINCT (type, cents) pairs — value-domain
+    // data, not row data — so broadcasting it keeps the read-out tail
+    // off the sort-merge path the captured plan otherwise shows
+    val ranks = cum.join(broadcast(er), Seq("event_type", "v"), "left")
       .withColumn("est_rank",
         when($"v" === VqMax.toLong, $"n_ev").otherwise(coalesce($"er", lit(0L))))
     val aggs = TQ.QuantilePcts.flatMap(q => Seq(
@@ -1839,7 +1842,8 @@ object Analytics {
       .join(broadcast(slots), Seq("event_type", "i"))
       .groupBy($"event_type", $"b", $"l").agg(min($"c").as("pq"))
       .groupBy($"event_type", $"b").agg(sum($"pq").as("er"))
-    val ranks = cum.join(er, Seq("event_type", "b"), "left")
+    // er ≤ 1008 buckets per type by construction — broadcast (see №163)
+    val ranks = cum.join(broadcast(er), Seq("event_type", "b"), "left")
       .withColumn("est_rank", coalesce($"er", lit(0L)))
     val aggs = TQ.QuantilePcts.flatMap(q => Seq(
       min(when(lit(100) * $"cum" >= lit(q) * $"n_ev", $"amt")).as(s"x$q"),
