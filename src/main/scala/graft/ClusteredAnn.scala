@@ -124,6 +124,34 @@ object ClusteredAnn {
       System.err.println(f"[clustered-ann] $qname%-16s $label%-16s ${secs}%6.1fs  ${agg.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.3f" }.mkString(" ")}")
     }
 
+    // serving compositions (№162 raw / №169 residual): recall@K of the
+    // served top-K vs brute gold, plus COLD (fresh model + bucketed
+    // index build) and STEADY wall — the numbers §16's next-round item
+    // asks for on realistic geometry
+    val servers: Seq[(String, (SparkSession, String) => DataFrame, (SparkSession, String) => Unit)] = Seq(
+      ("knn_ivf_pq_update", VectorQueries.knnIvfPqUpdate _, VectorQueries.dropIvfPqUpdateCaches _),
+      ("knn_ivf_pq_res_update", VectorQueries.knnIvfPqResUpdate _, VectorQueries.dropIvfPqResUpdateCaches _))
+    for ((label, d) <- corpora; (name, fn, drop) <- servers) {
+      drop(spark, d)
+      val t0 = System.nanoTime()
+      fn(spark, d).queryExecution.toRdd.count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      CacheRegistry.releaseAll(spark)
+      val t1 = System.nanoTime()
+      val served = fn(spark, d).select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val steady = (System.nanoTime() - t1) / 1e9
+      CacheRegistry.releaseAll(spark)
+      val gold = VectorQueries.knnBrute(spark, d).select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheRegistry.releaseAll(spark)
+      val recall = served.intersect(gold).size.toDouble / gold.size
+      rows.getOrElseUpdate(s"serving `$name` recall@K (steady s / cold s)",
+          scala.collection.mutable.LinkedHashMap.empty)
+        .update(label, f"$recall%.3f ($steady%.2f / $cold%.2f)")
+      System.err.println(f"[clustered-ann] serving $name%-22s $label%-16s recall $recall%.3f steady ${steady}%.2fs cold ${cold}%.2fs")
+    }
+
     val sb = new StringBuilder
     sb.append("\n### Clustered vs isotropic ANN dials (generated by `graft.ClusteredAnn`)\n\n")
     sb.append(s"Same operators, constants (${queries.VectorQueries.Centroids} cells, probe ${queries.VectorQueries.Probe}, " +
@@ -151,6 +179,13 @@ object ClusteredAnn {
       |data too, in the opposite direction. The residual variant stays at or
       |above raw PQ on BOTH geometries, consistent with its №166 fidelity
       |uplift.
+      |
+      |The SERVING rows (№162/№169, recall of the served top-K with steady and
+      |cold wall) inherit the COMPRESSION dial's direction, not the IVF dial's:
+      |their shortlist is chosen by ADC over 16-codeword codes, so clustered
+      |geometry lowers served recall slightly even while raw IVF recall rises —
+      |and the residual encoder stays ahead of raw on BOTH geometries at
+      |equal steady cost, which is the measured case for adopting it (№169).
       |""".stripMargin)
     splice(sb.toString)
     println(sb.toString)
