@@ -1816,17 +1816,29 @@ object Analytics {
     * slots) and №168's streaming twin (driver-summed shard grids), so
     * the read-out arithmetic cannot fork between the access paths. */
   private[graft] def logQuantileFromSlots(spark: SparkSession, dir: String,
-      slots: DataFrame): DataFrame = {
+      slots: DataFrame): DataFrame =
+    logQuantileReadout(spark, logBucketVals(spark, dir), slots,
+      "event_type", "event_type", graft.queries.TextQueries.QuantilePcts)
+
+  /** The KEY-GENERIC form of the read-out: `vals` is (key, amt, b) — the
+    * exact value rows the grid absorbed — and `slots` the flattened
+    * per-key grid (key, i, c); returns (outKey, pct, amt_exact, b_est,
+    * amt_est_lo, rel_err) per pct. Generic over the grouping key so №165
+    * (per event_type), №168 (same key, streamed slots) and №171 (per
+    * watermark WINDOW, accepted-set vals) all run this one definition —
+    * the read-out arithmetic cannot fork across the access paths. */
+  private[graft] def logQuantileReadout(spark: SparkSession, vals: DataFrame,
+      slots: DataFrame, key: String, outKey: String, pcts: Seq[Int]): DataFrame = {
     import spark.implicits._
     import graft.queries.{TextQueries => TQ}
-    val vals = logBucketVals(spark, dir)
-    val hist = vals.groupBy($"event_type", $"amt", $"b").agg(count(lit(1)).as("cnt"))
+    val k = col(key)
+    val hist = vals.groupBy(k, $"amt", $"b").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type").orderBy($"amt")
+      .partitionBy(k).orderBy($"amt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = hist.groupBy($"event_type").agg(sum($"cnt").as("n_ev"))
-    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), "event_type")
+    val tot = hist.groupBy(k).agg(sum($"cnt").as("n_ev"))
+    val cum = hist.withColumn("cum", sum($"cnt").over(w)).join(broadcast(tot), key)
     // №163's probe-dedup: the slot hash depends on (b, l, d) only
     val probes = hist.select($"b").distinct()
       .withColumn("l", explode(sequence(lit(0), lit(LqLevels - 1))))
@@ -1837,28 +1849,28 @@ object Analytics {
       .select($"b", $"l", $"i")
     // no v = max special case (№163's clamp artifact): bucket + 1 ≤ 1008
     // < 2^levels, so the dyadic decomposition always stays inside the grid
-    val er = cum.select($"event_type", $"b").distinct()
+    val er = cum.select(k, $"b").distinct()
       .join(probes, "b")
-      .join(broadcast(slots), Seq("event_type", "i"))
-      .groupBy($"event_type", $"b", $"l").agg(min($"c").as("pq"))
-      .groupBy($"event_type", $"b").agg(sum($"pq").as("er"))
-    // er ≤ 1008 buckets per type by construction — broadcast (see №163)
-    val ranks = cum.join(broadcast(er), Seq("event_type", "b"), "left")
+      .join(broadcast(slots), Seq(key, "i"))
+      .groupBy(k, $"b", $"l").agg(min($"c").as("pq"))
+      .groupBy(k, $"b").agg(sum($"pq").as("er"))
+    // er ≤ 1008 buckets per key by construction — broadcast (see №163)
+    val ranks = cum.join(broadcast(er), Seq(key, "b"), "left")
       .withColumn("est_rank", coalesce($"er", lit(0L)))
-    val aggs = TQ.QuantilePcts.flatMap(q => Seq(
+    val aggs = pcts.flatMap(q => Seq(
       min(when(lit(100) * $"cum" >= lit(q) * $"n_ev", $"amt")).as(s"x$q"),
       min(when(lit(100) * $"est_rank" >= lit(q) * $"n_ev", $"b")).as(s"e$q")))
-    ranks.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
-      .select($"event_type", expr(s"stack(${TQ.QuantilePcts.length}, " +
-        TQ.QuantilePcts.map(q => s"$q, x$q, e$q").mkString(", ") +
+    ranks.groupBy(k).agg(aggs.head, aggs.tail: _*)
+      .select(k.as(outKey), expr(s"stack(${pcts.length}, " +
+        pcts.map(q => s"$q, x$q, e$q").mkString(", ") +
         ") AS (pct, amt_exact, b_est)"))
       .withColumn("e2", expr(s"b_est DIV $LqSub"))
       .withColumn("amt_est_lo", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(e2 AS INT)) + " +
         s"CASE WHEN e2 >= $LqSubBits THEN shiftleft(b_est % $LqSub, CAST(e2 AS INT) - $LqSubBits) " +
         s"ELSE shiftright(b_est % $LqSub, $LqSubBits - CAST(e2 AS INT)) END"))
-      .select($"event_type", $"pct", $"amt_exact", $"b_est", $"amt_est_lo",
+      .select(col(outKey), $"pct", $"amt_exact", $"b_est", $"amt_est_lo",
         round(($"amt_exact" - $"amt_est_lo").cast("double") / $"amt_exact" + 1e-9, 6).as("rel_err"))
-      .orderBy($"event_type", $"pct")
+      .orderBy(col(outKey), $"pct")
   }
 
   val logQuantileSketchSql: String = {

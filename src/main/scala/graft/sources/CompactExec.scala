@@ -32,20 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object CompactExec {
 
-  private def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      val children = try {
-        val b = Vector.newBuilder[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-      children.foreach(rm)
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   private def countDataFiles(root: java.nio.file.Path): Long = {
     var n = 0L
     java.nio.file.Files.walk(root).forEach { p =>
@@ -89,7 +75,7 @@ object CompactExec {
         .withColumn("n_files_before", lit(filesBefore))
         .withColumn("n_files_after", lit(filesAfter))
         .orderBy(col("bin"))
-    } finally rm(scratch)
+    } finally graft.Fs.rmTree(scratch)
   }
 
   /** Oracle: per-bin rollup of the SAME first-fit arithmetic compact_plan

@@ -39,20 +39,6 @@ object RetentionSweep {
   def retentionSweep(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_retention_")
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        val children = try {
-          val b = Vector.newBuilder[java.nio.file.Path]
-          val it = s.iterator()
-          while (it.hasNext) b += it.next()
-          b.result()
-        } finally s.close()
-        children.foreach(rm)
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-
     try {
       // materialize the №115 layout shape: one dir per day, one file per
       // day, normalized contract columns (layout-blind ts_ms)
@@ -81,7 +67,7 @@ object RetentionSweep {
       val keptBefore = listing(untouched)
 
       // 1. metadata-only drop of whole expired partitions
-      expired.foreach(f => rm(f.toPath))
+      expired.foreach(f => graft.Fs.rmTree(f.toPath))
       // 2. row-level rewrite of the ONE boundary partition
       boundary.foreach { bDir =>
         val tmp = root.resolve("_rewrite_tmp")
@@ -89,7 +75,7 @@ object RetentionSweep {
           .filter(col("ts_ms") >= CutoffMs)
           .coalesce(1)
           .write.parquet(tmp.toString)
-        rm(bDir.toPath)
+        graft.Fs.rmTree(bDir.toPath)
         java.nio.file.Files.createDirectories(bDir.toPath)
         val ts = java.nio.file.Files.list(tmp)
         try {
@@ -103,7 +89,7 @@ object RetentionSweep {
             }
           }
         } finally ts.close()
-        rm(tmp)
+        graft.Fs.rmTree(tmp)
       }
       val untouchedIntact = listing(dateDirs().filter(f => dateOf(f) > BoundaryDate)) == keptBefore
 
@@ -123,7 +109,7 @@ object RetentionSweep {
         .withColumn("n_untouched", lit(untouched.size.toLong))
         .withColumn("untouched_intact", lit(untouchedIntact))
         .orderBy(col("date"))
-    } finally rm(root)
+    } finally graft.Fs.rmTree(root)
   }
 
   /** Oracle from the raw unpartitioned events: survivors per day with the

@@ -32,20 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object SchemaEvolution {
 
-  private def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      val children = try {
-        val b = Vector.newBuilder[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-      children.foreach(rm)
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   /** Write the two-generation layout under one directory; returns root.
     * Generation split on doc_id parity — deterministic, every SF. The
     * added column is a pure function of the row so both engines can
@@ -71,7 +57,7 @@ object SchemaEvolution {
         coalesce(sum(col("quality_score")), lit(0L)).as("sum_score"))
       .orderBy(col("lang"))
       .collect()
-    rm(root)
+    graft.Fs.rmTree(root)
     import spark.implicits._
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toDF("lang", "n_docs", "n_scored", "sum_score")

@@ -102,50 +102,13 @@ object StreamDedup {
     val name = s"stream_dedup_files_${System.nanoTime()}"
     // scratch (input files + checkpoint) is per-run; removed AFTER the
     // query stops (ReplayHarness runs andThen last)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        // close the DirectoryStream before deleting children — Files.list
-        // holds a directory fd open until closed
-        val s = java.nio.file.Files.list(p)
-        val children = try {
-          val b = Vector.newBuilder[java.nio.file.Path]
-          val it = s.iterator()
-          while (it.hasNext) b += it.next()
-          b.result()
-        } finally s.close()
-        children.foreach(rm)
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    val out = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
+    val out = ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
       // land each id band as parquet files with strictly increasing mod
       // times — a DISTRIBUTED write (2 files per band keeps the replay
       // multi-file within bands too)
-      Seq(0L, 1000000L, 2000000L).zipWithIndex.foreach { case (band, i) =>
-        val bandDir = scratch.resolve(s"band$i")
+      ReplayHarness.landBands(scratch, inDir, Seq(0L, 1000000L, 2000000L).map { band =>
         corpus.filter(col("doc_id") >= band && col("doc_id") < band + 1000000L)
-          .coalesce(2).write.parquet(bandDir.toString)
-        val listing = java.nio.file.Files.list(bandDir)
-        try {
-          val parts = listing.iterator()
-          var j = 0
-          while (parts.hasNext) {
-            val p = parts.next()
-            if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
-              val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
-              java.nio.file.Files.move(p, dst)
-              // bands strictly ordered BY MTIME — the whole determinism
-              // contract (original precedes its exact copy under
-              // maxFilesPerTrigger=1) rides on this succeeding, so a
-              // filesystem that rejects/coarsens setLastModified must fail
-              // the replay loudly, not silently reorder micro-batches
-              require(dst.toFile.setLastModified(60000L * (i + 1) + j),
-                s"setLastModified failed for $dst — file-order determinism contract broken")
-              j += 1
-            }
-          }
-        } finally listing.close()
-      }
+          .coalesce(2) })
       val stream = spark.readStream
         .schema("doc_id LONG, text STRING, event_ms LONG")
         .option("maxFilesPerTrigger", "1") // one file per micro-batch: the state path crosses batches

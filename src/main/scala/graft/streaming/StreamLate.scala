@@ -44,43 +44,12 @@ object StreamLate {
     val events = graft.Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        val children = try {
-          val b = Vector.newBuilder[java.nio.file.Path]
-          val it = s.iterator()
-          while (it.hasNext) b += it.next()
-          b.result()
-        } finally s.close()
-        children.foreach(rm)
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-
     val name = s"stream_late_${System.nanoTime()}"
     val emitted: Array[(Long, Long)] = ReplayHarness.replay(spark, 8, name,
-      andThen = () => rm(scratch)) { register =>
+      andThen = () => graft.Fs.rmTree(scratch)) { register =>
       // one FILE per band: the batch sequence IS the band sequence
-      (0 until 3).foreach { i =>
-        val bandDir = scratch.resolve(s"band$i")
-        events.filter(col("event_id") % 3 === i).coalesce(1).write.parquet(bandDir.toString)
-        val listing = java.nio.file.Files.list(bandDir)
-        try {
-          val parts = listing.iterator()
-          var j = 0
-          while (parts.hasNext) {
-            val p = parts.next()
-            if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
-              val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
-              java.nio.file.Files.move(p, dst)
-              require(dst.toFile.setLastModified(60000L * (i + 1) + j),
-                s"setLastModified failed for $dst — file-order determinism contract broken")
-              j += 1
-            }
-          }
-        } finally listing.close()
-      }
+      ReplayHarness.landBands(scratch, inDir, (0 until 3).map { i =>
+        events.filter(col("event_id") % 3 === i).coalesce(1) })
       val stream = spark.readStream
         .schema("event_id LONG, user_id LONG, event_type STRING, ts_ms LONG")
         .option("maxFilesPerTrigger", "1")

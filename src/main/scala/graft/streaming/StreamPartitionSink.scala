@@ -32,20 +32,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamPartitionSink {
 
-  private def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      val children = try {
-        val b = Vector.newBuilder[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-      children.foreach(rm)
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   /** One run of the partitioned file-sink stream to completion —
     * idempotent under the checkpoint's sink log (spec re-runs it N times
     * and pins the committed file set unchanged). */
@@ -86,7 +72,7 @@ object StreamPartitionSink {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("date"))
       .collect()
-    rm(scratch)
+    graft.Fs.rmTree(scratch)
     import spark.implicits._
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toDF("date", "n_events", "n_users")

@@ -34,45 +34,14 @@ object StreamVectorIngest {
     val scratch = java.nio.file.Files.createTempDirectory("graft_stream_vec_")
     val inDir = scratch.resolve("in"); java.nio.file.Files.createDirectories(inDir)
 
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        val children = try {
-          val b = Vector.newBuilder[java.nio.file.Path]
-          val it = s.iterator()
-          while (it.hasNext) b += it.next()
-          b.result()
-        } finally s.close()
-        children.foreach(rm)
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-
     val name = s"stream_vec_${System.nanoTime()}"
     // collected INSIDE the replay (the harness drops the memory view on
     // exit); batch-sized by the state contract — the day's arrivals
     val (codeRows, codeSchema) = ReplayHarness.replay(spark, 8, name,
-      andThen = () => rm(scratch)) { register =>
-      (0 until 3).foreach { i =>
-        val bandDir = scratch.resolve(s"band$i")
+      andThen = () => graft.Fs.rmTree(scratch)) { register =>
+      ReplayHarness.landBands(scratch, inDir, (0 until 3).map { i =>
         batch.filter((col("vec_id").cast("long") / 20 % 3).cast("int") === i)
-          .coalesce(1).write.parquet(bandDir.toString)
-        val listing = java.nio.file.Files.list(bandDir)
-        try {
-          val parts = listing.iterator()
-          var j = 0
-          while (parts.hasNext) {
-            val p = parts.next()
-            if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
-              val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
-              java.nio.file.Files.move(p, dst)
-              require(dst.toFile.setLastModified(60000L * (i + 1) + j),
-                s"setLastModified failed for $dst — file-order determinism contract broken")
-              j += 1
-            }
-          }
-        } finally listing.close()
-      }
+          .coalesce(1) })
       val stream = spark.readStream
         .schema("vec_id LONG, emb ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1") // encode genuinely spans micro-batches

@@ -39,20 +39,6 @@ object StreamWindowQuantile {
   /** Engine-reported watermark-dropped rows of the last replay. */
   private[graft] var lastDropped: Long = -1L
 
-  private def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      val children = try {
-        val b = Vector.newBuilder[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-      children.foreach(rm)
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   /** The emitted (window_start_ms, grid) pairs of one watermarked replay
     * over the №153 landing. */
   private[graft] def emittedGrids(spark: SparkSession, dir: String): Array[(Long, Seq[Long])] = {
@@ -63,26 +49,9 @@ object StreamWindowQuantile {
     val events = graft.Tables(spark, dir).events
       .select(col("event_id"), col("ts_ms"), col("value"))
     val name = s"stream_wq_${System.nanoTime()}"
-    ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
-      (0 until 3).foreach { i =>
-        val bandDir = scratch.resolve(s"band$i")
-        events.filter(col("event_id") % 3 === i).coalesce(1).write.parquet(bandDir.toString)
-        val listing = java.nio.file.Files.list(bandDir)
-        try {
-          val parts = listing.iterator()
-          var j = 0
-          while (parts.hasNext) {
-            val p = parts.next()
-            if (p.getFileName.toString.startsWith("part-") && p.getFileName.toString.endsWith(".parquet")) {
-              val dst = inDir.resolve(f"band${i}_$j%03d.parquet")
-              java.nio.file.Files.move(p, dst)
-              require(dst.toFile.setLastModified(60000L * (i + 1) + j),
-                s"setLastModified failed for $dst — file-order determinism contract broken")
-              j += 1
-            }
-          }
-        } finally listing.close()
-      }
+    ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
+      ReplayHarness.landBands(scratch, inDir, (0 until 3).map { i =>
+        events.filter(col("event_id") % 3 === i).coalesce(1) })
       val stream = spark.readStream
         .schema("event_id LONG, ts_ms LONG, value DOUBLE")
         .option("maxFilesPerTrigger", "1")

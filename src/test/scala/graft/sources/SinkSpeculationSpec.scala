@@ -72,11 +72,7 @@ class SinkSpeculationSpec extends SparkSpec {
 
   private def freshDir(tag: String): String = {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft_spec_race_$tag"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(d))
+    graft.Fs.rmTree(java.nio.file.Paths.get(d))
     d
   }
 
@@ -277,15 +273,7 @@ class SinkSpeculationSpec extends SparkSpec {
       assert(direct == directBefore + orphanRows,
         "control failed: direct partition read should see the planted orphan")
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.list(p)
-          try s.iterator().asScala.toList.foreach(rm) finally s.close()
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rm(scratch)
+      graft.Fs.rmTree(scratch)
     }
   }
 }

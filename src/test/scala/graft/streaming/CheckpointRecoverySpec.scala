@@ -29,20 +29,6 @@ class CheckpointRecoverySpec extends SparkSpec {
 
   private val Bands = 8
 
-  private def rm(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      val children = try {
-        val b = Vector.newBuilder[java.nio.file.Path]
-        val it = s.iterator()
-        while (it.hasNext) b += it.next()
-        b.result()
-      } finally s.close()
-      children.foreach(rm)
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   /** Land `df` as [[Bands]] one-file bands with strictly increasing
     * mtimes (the №36d file-order determinism contract). */
   private def land(df: DataFrame, scratch: java.nio.file.Path, bandCol: String): java.nio.file.Path = {
@@ -99,7 +85,7 @@ class CheckpointRecoverySpec extends SparkSpec {
       val nameB = s"${name}_b"
       val nameC = s"${name}_c"
       try {
-        val got = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
+        val got = ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
           val inDir = land(df, scratch, bandCol)
           def stream = spark.readStream.schema(df.schema.toDDL)
             .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -190,7 +176,7 @@ class CheckpointRecoverySpec extends SparkSpec {
       attempt += 1
       val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_rec_wq_")
       val name = s"ckpt_rec_wq_${System.nanoTime()}"
-      result = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
+      result = ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
         val inDir = land(events, scratch, "event_id")
         def stream = spark.readStream.schema(events.schema.toDDL)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -246,7 +232,7 @@ class CheckpointRecoverySpec extends SparkSpec {
       attempt += 1
       val scratch = java.nio.file.Files.createTempDirectory("graft_ckpt_rec_wm_")
       val name = s"ckpt_rec_wm_${System.nanoTime()}"
-      result = ReplayHarness.replay(spark, 8, name, andThen = () => rm(scratch)) { register =>
+      result = ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
         val inDir = land(events, scratch, "event_id")
         def stream = spark.readStream.schema(events.schema.toDDL)
           .option("maxFilesPerTrigger", "1").parquet(inDir.toString)

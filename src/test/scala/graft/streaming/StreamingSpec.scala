@@ -347,20 +347,7 @@ class StreamingSpec extends SparkSpec {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          val children = try {
-            val b = Vector.newBuilder[java.nio.file.Path]
-            val it = s.iterator()
-            while (it.hasNext) b += it.next()
-            b.result()
-          } finally s.close()
-          children.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(scratch)
+      graft.Fs.rmTree(scratch)
     }
   }
 
