@@ -2681,6 +2681,180 @@ object HashDedup {
        |FROM g ORDER BY bands""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №173 dedup_minhash_multiprobe
+  /** MULTI-PROBE LSH for the minhash band family — the recall lever that
+    * does NOT grow the index (Lv et al. 2007's query-directed probing,
+    * re-derived for minhash banding): №148 shows recall climbs with the
+    * band count, but each extra band adds an index row per document —
+    * at 100 TB that is index storage and shuffle volume. Multi-probe
+    * instead PERTURBS the query side: for each band and each of its r
+    * row positions, probe the band key with that position's minhash
+    * replaced by the document's SECOND-smallest hash under the same
+    * hash function — exactly the key a near-duplicate that lost this
+    * document's min-shingle would land on. The index keeps [[Bands]]
+    * rows per doc; the probe side issues bands·r extra LOOKUPS per doc
+    * (probe rows join the unchanged base keys — an asymmetric join, so
+    * a pair is found when either side's perturbation reaches the other).
+    *
+    * Signatures here are 48-bit NUMERIC minhashes (first 12 hex nibbles
+    * of the salted md5 — the simhash parse, exact in a double) so min
+    * AND second-min come from ONE aggregation pass:
+    * [[graft.functions.TopKByScore]] with k=2 on the negated hash —
+    * bounded heap, map-side partials, no second shingle-frame shuffle.
+    * (№22's md5-string signature has no one-pass second-min; the
+    * numeric re-key is this operator's own format, graded on its own
+    * base row.) Output per mode (`base` / `multiprobe`): index rows,
+    * probe rows (the lookup bill), candidate pairs, and P/R against the
+    * №24 PPJoin truth — the same-corpus, same-truth discipline of №64/
+    * №148. Banding is [[MpBands]]=2 (the hard point of №148's sweep;
+    * at №22's b=4 this corpus measures recall 1.0 and probing is
+    * vacuous). Measured (sf0.01): base b=2 finds 134/139 truth pairs;
+    * multi-probe recovers the missing 5 → 139/139 at the SAME 1200
+    * index rows (b=4 needs 2400 for that recall), 7200 probe lookups,
+    * and precision stays 1.0 — the perturbed keys emit zero junk
+    * candidates here because a second-min collision is itself a
+    * near-dup signal. Oracle recomputes signatures (min + filtered
+    * second-min), both key sets and both candidate joins;
+    * MultiprobeSpec pins the direction contracts (recall strictly up,
+    * index unchanged, probe bill ≤ bands·r per doc, precision floor). */
+  /** The multiprobe row's banding: the HARD point of №148's sweep (b=2,
+    * r=6 — where base recall has real headroom; at №22's b=4 the sweep
+    * measures recall 1.0 on this corpus and any probing is vacuous). */
+  val MpBands = 2
+  val MpR: Int = NumHashes / MpBands
+
+  def dedupMinhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val sh = tok
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
+    // (doc, k, h48): one row per hash function per distinct shingle
+    val hn = sh.select(col("doc_id"), posexplode(array((0 until NumHashes).map(k =>
+        expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)")): _*)))
+      .select(col("doc_id"), col("pos").as("k"), col("col").as("h"))
+    // min + second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact
+    // in the double score), heap partials map-side
+    val two = hn.groupBy(col("doc_id"), col("k"))
+      .agg(graft.functions.TopKByScore.topK((-col("h")).cast("double"), col("h"), 2).as("t"))
+      .select(col("doc_id"), col("k"), col("t")(0)("id").as("m"),
+        when(size(col("t")) >= 2, col("t")(1)("id")).as("s"))
+    val pivots = (0 until NumHashes).flatMap(k => Seq(
+      max(when(col("k") === k, col("m"))).as(s"m$k"),
+      max(when(col("k") === k, col("s"))).as(s"s$k")))
+    val sig = graft.CacheRegistry.track(
+      two.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*).persist())
+    def keyOf(cols: Seq[Column]): Column = md5(concat_ws("|", cols.map(_.cast("string")): _*))
+    val baseRows = graft.CacheRegistry.track((0 until MpBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        keyOf((b * MpR until (b + 1) * MpR).map(k => col(s"m$k"))).as("band_key"))
+    }.reduce(_ unionAll _).persist())
+    val probeRows = graft.CacheRegistry.track((0 until MpBands).flatMap { b =>
+      (0 until MpR).map { j =>
+        val perturbed = (b * MpR until (b + 1) * MpR).map(k =>
+          if (k == b * MpR + j) col(s"s$k") else col(s"m$k"))
+        sig.filter(col(s"s${b * MpR + j}").isNotNull)
+          .select(col("doc_id"), lit(b).as("band"), keyOf(perturbed).as("band_key"))
+      }
+    }.reduce(_ unionAll _).persist())
+    val baseCand = graft.CacheRegistry.track(
+      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
+    val probeCand = probeRows.as("a").join(baseRows.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val mpCand = graft.CacheRegistry.track(
+      baseCand.unionAll(probeCand).distinct().persist())
+    def grade(mode: String, pairs: DataFrame, probeBill: Column): DataFrame =
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(baseRows.agg(count(lit(1)).as("n_index_rows"))))
+        .crossJoin(broadcast(probeRows.agg(probeBill.cast("long").as("n_probe_rows"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(pairs.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .select(lit(mode).as("mode"), col("n_index_rows"), col("n_probe_rows"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    grade("base", baseCand, count(lit(1)) * 0)
+      .unionAll(grade("multiprobe", mpCand, count(lit(1))))
+      .orderBy(col("mode"))
+  }
+
+  val dedupMinhashMultiprobeSql: String = {
+    def hex12(src: String): String =
+      s"CAST(list_sum(list_transform(range(1, 13), i -> " +
+        s"CAST(strpos('0123456789abcdef', substr($src, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (12 - i)))) AS BIGINT)"
+    def keySql(cols: Seq[String]): String =
+      "md5(" + cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ") + ")"
+    val basePivot = (0 until NumHashes).flatMap(k => Seq(
+      s"max(CASE WHEN k = $k THEN m END) AS m$k",
+      s"max(CASE WHEN k = $k THEN s END) AS s$k")).mkString(",\n    ")
+    val baseRows = (0 until MpBands).map { b =>
+      s"SELECT doc_id, $b AS band, ${keySql((b * MpR until (b + 1) * MpR).map(k => s"m$k"))} AS band_key FROM mp_sig"
+    }.mkString("\n  UNION ALL ")
+    val probeRows = (0 until MpBands).flatMap { b =>
+      (0 until MpR).map { j =>
+        val cols = (b * MpR until (b + 1) * MpR).map(k => if (k == b * MpR + j) s"s$k" else s"m$k")
+        s"SELECT doc_id, $b AS band, ${keySql(cols)} AS band_key FROM mp_sig WHERE s${b * MpR + j} IS NOT NULL"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
+       |$dupCorpusSql,
+       |mp_d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |mp_sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM mp_d WHERE len(ws) >= 3),
+       |mp_hn AS (
+       |  SELECT doc_id, k, ${hex12("md5(CAST(k AS VARCHAR) || '|' || sh)")} AS h
+       |  FROM mp_sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS k)),
+       |mp_m1 AS (SELECT doc_id, k, min(h) AS m FROM mp_hn GROUP BY 1, 2),
+       |mp_m2 AS (
+       |  SELECT h.doc_id, h.k, min(h.h) AS s
+       |  FROM mp_hn h JOIN mp_m1 USING (doc_id, k) WHERE h.h > mp_m1.m GROUP BY 1, 2),
+       |mp_two AS (
+       |  SELECT m1.doc_id, m1.k, m1.m, m2.s
+       |  FROM mp_m1 m1 LEFT JOIN mp_m2 m2 USING (doc_id, k)),
+       |mp_sig AS (
+       |  SELECT doc_id,
+       |    $basePivot
+       |  FROM mp_two GROUP BY doc_id),
+       |mp_base AS (
+       |  $baseRows),
+       |mp_probe AS (
+       |  $probeRows),
+       |mp_bc AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mp_base a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |mp_pc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM mp_probe a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+       |mp_mc AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
+       |mp_g AS (
+       |  SELECT 'base' AS mode,
+       |    (SELECT count(*) FROM mp_base) AS n_index_rows,
+       |    CAST(0 AS BIGINT) AS n_probe_rows,
+       |    (SELECT count(*) FROM mp_bc) AS n_candidates,
+       |    (SELECT count(*) FROM truth) AS n_true,
+       |    (SELECT count(*) FROM mp_bc JOIN truth USING (doc_a, doc_b)) AS n_hit
+       |  UNION ALL
+       |  SELECT 'multiprobe',
+       |    (SELECT count(*) FROM mp_base),
+       |    (SELECT count(*) FROM mp_probe),
+       |    (SELECT count(*) FROM mp_mc),
+       |    (SELECT count(*) FROM truth),
+       |    (SELECT count(*) FROM mp_mc JOIN truth USING (doc_a, doc_b)))
+       |SELECT mode, n_index_rows, n_probe_rows, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
+       |FROM mp_g ORDER BY mode""".stripMargin
+  }
+
   val dedupRecallSql: String =
     s"""WITH truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
        |mh AS (SELECT doc_a, doc_b FROM (${dedupMinhashSql.replace("\n", "\n  ")})),
