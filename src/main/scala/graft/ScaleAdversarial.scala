@@ -106,6 +106,10 @@ object ScaleAdversarial {
       "dedup_simhash" -> (HashDedup.dedupSimhash _),
       "dedup_ngram_jaccard" -> (TextQueries.dedupNgramJaccard _),
       "lsh_tuning" -> (HashDedup.lshTuning _),
+      // №173: its probe join matches probe keys against base BUCKETS, so
+      // the template cluster is probed by its own members — the capped leg
+      // exercises cappedBandRows on the probe join's base side
+      "dedup_minhash_multiprobe" -> (HashDedup.dedupMinhashMultiprobe _),
       // the LINE/WINDOW family: no candidate self-join — the mark-back is
       // row-LINEAR, a boilerplate line is a hot shuffle KEY (straggler
       // risk), not a quadratic pair generator. Measured at/below linear
@@ -218,6 +222,13 @@ object ScaleAdversarial {
       |  candidates while paying the window/size-join overhead — measured NET
       |  SLOWER capped at every scale in this table. Capping is per-signature
       |  economics, not a blanket rule.
+      |- `dedup_minhash_multiprobe`: cap ON under duplicate-heavy data, same
+      |  reason as the band self-join — its probe join matches perturbed keys
+      |  against base BUCKETS, so an uncapped template bucket is probed by the
+      |  whole template cluster (probeRows·cluster ≈ quadratic again); with
+      |  the cap the bound is probeRows·cap — linear. Its timing also carries
+      |  the №24 truth harness (the grading side), so compare its capped
+      |  column against `dedup_ngram_jaccard`'s, not against №22.
       |- `line_dedup` / `dedup_substring`: no cap exists and none is needed —
       |  no candidate self-join anywhere; the boilerplate line is a hot
       |  shuffle KEY (row-linear mark-back, AQE skew-split absorbs the fat

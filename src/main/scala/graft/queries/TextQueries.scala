@@ -2364,14 +2364,21 @@ object HashDedup {
     * filtered BEFORE the self-join (the size agg shuffles on the same
     * (band, band_key) the join hashes on — co-partitioned, no extra
     * exchange shape), so the quadratic blow-up never materializes. */
-  private[queries] def bandPairsOf(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** [[BucketCapConfKey]] eligibility filter over a band-row frame —
+    * shared by the self-join pair generator and №173's probe join (where
+    * capping the BASE side alone bounds candidates at probeRows·cap —
+    * linear — since each probe key matches at most one bucket). */
+  private[queries] def cappedBandRows(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cap = bucketCapOf(bands.sparkSession)
-    val eligible =
-      if (cap <= 0) bands
-      else bands.withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("band_key"))))
-        .filter(col("bucket_n") <= cap).drop("bucket_n")
+    if (cap <= 0) bands
+    else bands.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= cap).drop("bucket_n")
+  }
+
+  private[queries] def bandPairsOf(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val eligible = cappedBandRows(bands)
     eligible.as("a").join(eligible.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2761,7 +2768,11 @@ object HashDedup {
     }.reduce(_ unionAll _).persist())
     val baseCand = graft.CacheRegistry.track(
       bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
-    val probeCand = probeRows.as("a").join(baseRows.as("b"),
+    // the probe join honors the same bucket cap as the self-join: capping
+    // the base side bounds probe candidates at probeRows·cap (linear) —
+    // without it a boilerplate bucket probed by its whole template
+    // cluster re-grows the quadratic term the cap exists to kill
+    val probeCand = probeRows.as("a").join(cappedBandRows(baseRows).as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),

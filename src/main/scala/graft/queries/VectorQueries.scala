@@ -2946,7 +2946,7 @@ object VectorQueries {
          |    FROM rb_all a, rb${n}cent c) x WHERE crank = 1)""".stripMargin
     def phaseCtes(n: Int): String =
       s"""rb_occ$n AS (
-         |  SELECT count(*) AS cells_used, max(cn) AS max_cell_n, sum(cn) AS n_store
+         |  SELECT count(*) AS cells_used, max(cn) AS max_cell_n, CAST(sum(cn) AS BIGINT) AS n_store
          |  FROM (SELECT cell, count(*) AS cn FROM rb_cells$n GROUP BY cell)),
          |rb_t$n AS (
          |  SELECT CAST(sum(CAST(round(ccos * 1000000 + 0.000000001) AS BIGINT)) // count(*) AS BIGINT) AS mean_ccos_ppm
@@ -2986,13 +2986,13 @@ object VectorQueries {
        |${cellsCte(1)},
        |rb_pc AS (
        |  SELECT cell,
-       |    sum(CASE WHEN vec_id % $RebalArrMod = 0 THEN 1 ELSE 0 END) AS n_a,
-       |    sum(CASE WHEN vec_id % $RebalArrMod = 0 THEN 0 ELSE 1 END) AS n_b
+       |    CAST(sum(CASE WHEN vec_id % $RebalArrMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN vec_id % $RebalArrMod = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
        |  FROM rb_cells0 GROUP BY cell),
        |rb_tv AS (
        |  SELECT CAST(sum(abs(CAST(n_a AS HUGEINT) * nn_b - CAST(n_b AS HUGEINT) * nn_a)) * 1000000
        |    // (2 * CAST(max(nn_a) AS HUGEINT) * max(nn_b)) AS BIGINT) AS tv_ppm
-       |  FROM (SELECT cell, n_a, n_b, sum(n_a) OVER () AS nn_a, sum(n_b) OVER () AS nn_b FROM rb_pc)),
+       |  FROM (SELECT cell, n_a, n_b, CAST(sum(n_a) OVER () AS BIGINT) AS nn_a, CAST(sum(n_b) OVER () AS BIGINT) AS nn_b FROM rb_pc)),
        |rb_gs AS (
        |  SELECT q.q_id, a.vec_id,
        |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("a.emb", "q.q_emb")} DESC, a.vec_id) AS rank

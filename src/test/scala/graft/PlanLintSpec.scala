@@ -45,7 +45,9 @@ class PlanLintSpec extends SparkSpec {
     "knn_ivf_pq_update", // same LUT broadcasts over the persisted layout
     "knn_ivf_pq_res", // same LUT class + the single-row recon_ppm broadcast (the №121 rstat shape)
     "knn_ivf_pq_res_update", // same LUT broadcasts over the persisted residual layout
-    "corpus_overlap") // S-row totals pair frame (S = #sources, bounded)
+    "corpus_overlap", // S-row totals pair frame (S = #sources, bounded)
+    "knn_ivf_rebalance", // centroid broadcasts + single-row occupancy/tightness/hits/tv rollups
+    "dedup_minhash_multiprobe") // dedup_recall's single-row count totals per mode
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
@@ -63,6 +65,7 @@ class PlanLintSpec extends SparkSpec {
       "stream_asof", // streaming replay runs on build
       "stream_quantile", // streaming replay runs on build
       "stream_window_quantile", // streaming replay runs on build (single-row wm broadcast in the verify tail)
+      "stream_window_log_quantile", // same replay + wm broadcast, log-bucket domain
       "stream_log_quantile", // streaming replay runs on build
       "stream_vector_ingest", // streaming replay + persisted model/codes build
       "corpus_split", // runs the clusterLabels convergence loop on build
