@@ -2738,21 +2738,20 @@ object HashDedup {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
-    // (doc, k, h48): one row per hash function per distinct shingle
-    val hn = sh.select(col("doc_id"), posexplode(array((0 until NumHashes).map(k =>
-        expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)")): _*)))
-      .select(col("doc_id"), col("pos").as("k"), col("col").as("h"))
-    // min + second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact
-    // in the double score), heap partials map-side
-    val two = hn.groupBy(col("doc_id"), col("k"))
-      .agg(graft.functions.TopKByScore.topK((-col("h")).cast("double"), col("h"), 2).as("t"))
-      .select(col("doc_id"), col("k"), col("t")(0)("id").as("m"),
-        when(size(col("t")) >= 2, col("t")(1)("id")).as("s"))
-    val pivots = (0 until NumHashes).flatMap(k => Seq(
-      max(when(col("k") === k, col("m"))).as(s"m$k"),
-      max(when(col("k") === k, col("s"))).as(s"s$k")))
+    // 12 hash columns per shingle row (NO ×K row explode — the heaps run
+    // as K wide aggregate columns over the same frame), then min +
+    // second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact in the
+    // double score), heap partials map-side
+    val hw = sh.select(col("doc_id") +: (0 until NumHashes).map(k =>
+      expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)").as(s"h$k")): _*)
+    val heaps = (0 until NumHashes).map(k =>
+      graft.functions.TopKByScore.topK((-col(s"h$k")).cast("double"), col(s"h$k"), 2).as(s"t$k"))
     val sig = graft.CacheRegistry.track(
-      two.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*).persist())
+      hw.groupBy(col("doc_id")).agg(heaps.head, heaps.tail: _*)
+        .select(col("doc_id") +: (0 until NumHashes).flatMap(k => Seq(
+          col(s"t$k")(0)("id").as(s"m$k"),
+          when(size(col(s"t$k")) >= 2, col(s"t$k")(1)("id")).as(s"s$k"))): _*)
+        .persist())
     def keyOf(cols: Seq[Column]): Column = md5(concat_ws("|", cols.map(_.cast("string")): _*))
     val baseRows = graft.CacheRegistry.track((0 until MpBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
