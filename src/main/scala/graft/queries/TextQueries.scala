@@ -2783,7 +2783,7 @@ object HashDedup {
         .crossJoin(broadcast(baseRows.agg(count(lit(1)).as("n_index_rows"))))
         .crossJoin(broadcast(probeRows.agg(probeBill.cast("long").as("n_probe_rows"))))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(pairs.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .crossJoin(broadcast(pairs.join(broadcast(truth), Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
         .select(lit(mode).as("mode"), col("n_index_rows"), col("n_probe_rows"),
           col("n_candidates"), col("n_true"), col("n_hit"),
           round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),

@@ -2918,7 +2918,7 @@ object VectorQueries {
       val cand = cells.join(broadcast(probeCells), "cell").agg(count(lit(1)).as("n_cand"))
       val hits = ivfSearch(cells.select(col("vec_id"), col("emb"), col("cell")),
           cent, queries, probe, K)
-        .join(gold, Seq("q_id", "vec_id"))
+        .join(broadcast(gold), Seq("q_id", "vec_id"))
         .agg(count(lit(1)).as("n_hits"))
       occ.crossJoin(broadcast(tight)).crossJoin(broadcast(cand))
         .crossJoin(broadcast(hits)).crossJoin(broadcast(tv))
