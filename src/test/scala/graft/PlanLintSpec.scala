@@ -47,7 +47,8 @@ class PlanLintSpec extends SparkSpec {
     "knn_ivf_pq_res_update", // same LUT broadcasts over the persisted residual layout
     "corpus_overlap", // S-row totals pair frame (S = #sources, bounded)
     "knn_ivf_rebalance", // centroid broadcasts + single-row occupancy/tightness/hits/tv rollups
-    "dedup_minhash_multiprobe") // dedup_recall's single-row count totals per mode
+    "dedup_minhash_multiprobe", // dedup_recall's single-row count totals per mode
+    "dedup_multiprobe_ranked") // same single-row count totals, once per budget
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
