@@ -110,9 +110,27 @@ object VectorQueries {
 
   /** [[Lloyd]] iterations over a driver-side sample (see
     * [[refinedCentroids]] for the exactness contract). */
-  private def lloydRefine(sample: Array[Array[Float]], k: Int): Array[(Long, Array[Float])] = {
-    var cents: Array[(Long, Array[Float])] =
-      sample.take(k).zipWithIndex.map { case (e, i) => ((i + 1).toLong, e) }
+  private def lloydRefine(sample: Array[Array[Float]], k: Int): Array[(Long, Array[Float])] =
+    lloydIter(sample, sample.take(k).zipWithIndex.map { case (e, i) => ((i + 1).toLong, e) })
+
+  /** WARM-start refinement: the same Lloyd iterations seeded from an
+    * EXISTING model instead of the sample prefix — cell IDENTITY is
+    * preserved (a cell's centroid moves with the data instead of being
+    * renamed), which is what makes №175's delta rewrite meaningful:
+    * under a cold re-train every vector "changes cell" by renaming
+    * alone. Production retrains warm for exactly this reason. */
+  private[queries] def refinedCentroidsWarm(spark: SparkSession, corpus: DataFrame,
+                                            seed: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seedArr = seed.select(col("c_id"), col("c_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    lloydIter(hashSample(corpus, math.max(SampleM, 4 * seedArr.length)), seedArr)
+      .toSeq.toDF("c_id", "c_emb")
+  }
+
+  private def lloydIter(sample: Array[Array[Float]],
+                        seed: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] = {
+    var cents: Array[(Long, Array[Float])] = seed
     for (_ <- 1 to Lloyd) {
       val assigned: Array[(Long, Array[Float])] = sample.map { e =>
         // cents is cid-ascending; strict > keeps the LOWEST cid on rounded
@@ -142,7 +160,8 @@ object VectorQueries {
   /** The oracle's mirror of [[refinedCentroids]]: CTE chain `{p}samp →
     * {p}c0 → ({p}a_i assign, {p}g_i group, {p}c_i update)×Lloyd → {p}cent`
     * over source relation `src(vec_id, emb)`. */
-  private def refinedCentSql(src: String, p: String, k: Int = Centroids): String = {
+  private def refinedCentSql(src: String, p: String, k: Int = Centroids,
+                             warmFrom: String = null): String = {
     def assign(it: Int): String = {
       val centSrc = if (it == 1) s"${p}c0" else s"${p}c${it - 1}"
       s"""${p}a$it AS (
@@ -159,10 +178,15 @@ object VectorQueries {
          |    CAST(round(list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE))) / n + 0.000000001, 6) AS FLOAT)) AS cemb
          |  FROM ${p}g$it)""".stripMargin
     val iters = (1 to Lloyd).map(it => assign(it) + ",\n" + update(it)).mkString(",\n")
+    // warm start ([[refinedCentroidsWarm]]): c0 = the existing model's
+    // (c_id, c_emb) instead of the sample prefix — identity-preserving
+    val c0 =
+      if (warmFrom == null) s"${p}c0 AS (SELECT rk AS cid, emb AS cemb FROM ${p}samp WHERE rk <= $k)"
+      else s"${p}c0 AS (SELECT c_id AS cid, c_emb AS cemb FROM $warmFrom)"
     s"""${p}samp AS (
        |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
        |  FROM $src QUALIFY rk <= $SampleM),
-       |${p}c0 AS (SELECT rk AS cid, emb AS cemb FROM ${p}samp WHERE rk <= $k),
+       |$c0,
        |$iters,
        |${p}cent AS (SELECT cid AS c_id, cemb AS c_emb FROM ${p}c$Lloyd)""".stripMargin
   }
@@ -2933,6 +2957,150 @@ object VectorQueries {
       phaseRow("t0_stale", cells0, cent0, p)
         .unionAll(phaseRow("t1_rebalanced", cells1, cent1, p))
     }.reduce(_ unionAll _).orderBy(col("phase"), col("probe"))
+  }
+
+  // ---------------------------------------------------------------- №175 knn_ivf_rebalance_inc
+  /** INCREMENTAL rebalance — №172 decides WHEN, this is HOW at 100 TB,
+    * and the WARM start is the whole trick: re-training cold renames
+    * every centroid identity, so ~99% of vectors "change cell" by
+    * relabeling alone (measured — the first cut of this operator did
+    * exactly that) and the delta degenerates to a full rewrite. Seeding
+    * Lloyd from the LIVE model ([[refinedCentroidsWarm]] — what
+    * production retrains actually do) preserves identity: centroids
+    * move WITH the data, and "changed" means a vector genuinely crossed
+    * a moved boundary. Measured under №172's heavy drift (sf0.01): 31
+    * of 490 vectors move (6.3%), 18 of 64 cells touched, 259 rows
+    * written (53% — touched cells include hot ones); under milder drift
+    * moved_ppm IS the saving.
+    *
+    * Assignment under a broadcast model is a pure per-vector function,
+    * so old and new assignments are two broadcast passes, and the
+    * PERSISTED cell-partitioned store needs only its TOUCHED partitions
+    * rewritten — cells that gained or lost members — via dynamic
+    * partition overwrite ([[deltaRewrite]]); untouched cells' files
+    * survive byte-for-byte (spec pins names/sizes/mtimes). The one real
+    * trap is pinned too: a cell whose members ALL leave receives no
+    * data in the dynamic overwrite, so its stale partition would
+    * survive as GHOST rows — emptied partitions are deleted explicitly,
+    * and the row's `n_store_diff` column is computed FROM THE FILES
+    * (read the store back, symmetric-diff against the target): the
+    * oracle predicts 0, so a ghost or lost row diverges the driver's
+    * hash, not just a spec. Oracle recomputes both refinements (warm
+    * seed mirrored as the c0 CTE) and every count relationally. */
+  def knnIvfRebalanceInc(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % RebalArrMod =!= 0)
+    val arrivals = corpus.filter(col("vec_id") % RebalArrMod === 0)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val all = graft.CacheRegistry.track(base.unionByName(arrivals).persist())
+    val cent0 = refinedCentroids(spark, base, Centroids)
+    // WARM re-train: Lloyd seeded from the live model over the current
+    // store's sample — cell identity survives, so "changed" means the
+    // vector actually crossed a moved boundary, not a renamed label
+    val cent1 = refinedCentroidsWarm(spark, all, cent0)
+    val j = graft.CacheRegistry.track(
+      cellsOf(all, cent0).select(col("vec_id"), col("emb"), col("cell").as("cell0"))
+        .join(cellsOf(all, cent1).select(col("vec_id"), col("cell").as("cell1")), "vec_id")
+        .persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_ivfrebinc_${dirKey(dir)}").toString
+    val emptied = partialRewrite(store,
+      j.select(col("vec_id"), col("emb"), col("cell0").as("cell")),
+      j.select(col("vec_id"), col("emb"), col("cell1").as("cell")))
+    // the files ARE the proof: read the store back and diff against the
+    // target assignment — the oracle predicts zero
+    val back = spark.read.parquet(store).select(col("vec_id"), col("cell"))
+    val want = j.select(col("vec_id"), col("cell1").as("cell"))
+    val diff = back.except(want).unionAll(want.except(back)).agg(count(lit(1)).as("n_store_diff"))
+    val chg = j.filter(col("cell0") =!= col("cell1"))
+    val touched = chg.select(col("cell0").as("cell"))
+      .unionAll(chg.select(col("cell1").as("cell"))).distinct()
+    val written = j.join(broadcast(touched.withColumnRenamed("cell", "cell1")), "cell1")
+      .agg(count(lit(1)).as("n_rows_written"))
+    j.agg(count(lit(1)).as("n_total"),
+        sum(when(col("cell0") =!= col("cell1"), 1L).otherwise(0L)).as("n_changed"))
+      .crossJoin(broadcast(touched.agg(count(lit(1)).as("cells_touched"))))
+      .crossJoin(broadcast(written))
+      .crossJoin(broadcast(diff))
+      .select(col("n_total"), col("n_changed"),
+        expr("n_changed * 1000000 DIV n_total").as("moved_ppm"),
+        lit(Centroids.toLong).as("cells_total"), col("cells_touched"),
+        lit(emptied.length.toLong).as("cells_emptied"),
+        col("n_rows_written"),
+        expr("n_rows_written * 1000000 DIV n_total").as("write_bill_ppm"),
+        col("n_store_diff"))
+  }
+
+  /** The delta-rewrite mechanism (shared with IvfRebalanceSpec's
+    * synthetic ghost scenario): land `oldA` as the cell-partitioned
+    * store ([[landStore]]), then bring it to `newA` by dynamically
+    * overwriting ONLY the partitions of cells that gained or lost
+    * members ([[deltaRewrite]]), deleting emptied cells' partitions
+    * explicitly (dynamic overwrite never clears a partition it writes
+    * no data to). Returns the emptied cell ids. */
+  private[queries] def partialRewrite(store: String, oldA: DataFrame,
+                                      newA: DataFrame): Array[Long] = {
+    landStore(store, oldA)
+    deltaRewrite(store, oldA, newA)
+  }
+
+  private[queries] def landStore(store: String, a: DataFrame): Unit =
+    a.write.partitionBy("cell").mode("overwrite").parquet(store)
+
+  private[queries] def deltaRewrite(store: String, oldA: DataFrame,
+                                    newA: DataFrame): Array[Long] = {
+    val moved = oldA.select(col("vec_id"), col("cell").as("cell0"))
+      .join(newA.select(col("vec_id"), col("cell").as("cell1")), "vec_id")
+      .filter(col("cell0") =!= col("cell1"))
+    val touched = moved.select(col("cell0").as("cell"))
+      .unionAll(moved.select(col("cell1").as("cell"))).distinct()
+    newA.join(broadcast(touched), "cell")
+      .select(col("vec_id"), col("emb"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    val emptied = touched.except(newA.select(col("cell")).distinct())
+      .collect().map(_.getLong(0)).sorted // ≤ C rows by construction
+    emptied.foreach(c => graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+    emptied
+  }
+
+  val knnIvfRebalanceIncSql: String = {
+    s"""WITH ri_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |ri_c AS (SELECT vec_id, emb FROM ri_v WHERE vec_id >= $NQueries),
+       |ri_b AS (SELECT vec_id, emb FROM ri_c WHERE vec_id % $RebalArrMod <> 0),
+       |ri_r AS (SELECT vec_id, list_transform(emb, x -> CAST(round(CAST(x AS DOUBLE) * $RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT)) AS emb
+       |  FROM ri_c WHERE vec_id % $RebalArrMod = 0),
+       |ri_all AS (SELECT * FROM ri_b UNION ALL SELECT * FROM ri_r),
+       |${refinedCentSql("ri_b", "ri0")},
+       |${refinedCentSql("ri_all", "ri1", Centroids, warmFrom = "ri0cent")},
+       |ri_a0 AS (
+       |  SELECT vec_id, c_id AS cell0 FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+       |    FROM ri_all a, ri0cent c) x WHERE r = 1),
+       |ri_a1 AS (
+       |  SELECT vec_id, c_id AS cell1 FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+       |    FROM ri_all a, ri1cent c) x WHERE r = 1),
+       |ri_j AS (SELECT vec_id, cell0, cell1 FROM ri_a0 JOIN ri_a1 USING (vec_id)),
+       |ri_chg AS (SELECT * FROM ri_j WHERE cell0 <> cell1),
+       |ri_t AS (SELECT DISTINCT cell FROM (
+       |  SELECT cell0 AS cell FROM ri_chg UNION ALL SELECT cell1 FROM ri_chg)),
+       |ri_stats AS (
+       |  SELECT
+       |    (SELECT count(*) FROM ri_j) AS n_total,
+       |    (SELECT count(*) FROM ri_chg) AS n_changed,
+       |    (SELECT count(*) FROM ri_t) AS cells_touched,
+       |    (SELECT count(*) FROM ri_t WHERE cell NOT IN (SELECT DISTINCT cell1 FROM ri_j)) AS cells_emptied,
+       |    (SELECT count(*) FROM ri_j WHERE cell1 IN (SELECT cell FROM ri_t)) AS n_rows_written)
+       |SELECT n_total, n_changed,
+       |  n_changed * 1000000 // n_total AS moved_ppm,
+       |  CAST($Centroids AS BIGINT) AS cells_total, cells_touched, cells_emptied,
+       |  n_rows_written, n_rows_written * 1000000 // n_total AS write_bill_ppm,
+       |  CAST(0 AS BIGINT) AS n_store_diff
+       |FROM ri_stats""".stripMargin
   }
 
   val knnIvfRebalanceSql: String = {

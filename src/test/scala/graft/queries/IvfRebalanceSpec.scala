@@ -65,4 +65,70 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(f("t1_rebalanced", pw, "n_hits") * 10 >= f("t0_stale", p0, "n_hits") * 8,
       "rebalanced wide-probe recall fell below 80% of the stale narrow-probe hits")
   }
+
+  test("№175 incremental rebalance: warm start keeps movement small, the rewrite partial, the store exact") {
+    val r = VectorQueries.knnIvfRebalanceInc(spark, sf).head()
+    val (nTotal, nChanged, movedPpm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (cellsTotal, cellsTouched) = (r.getLong(3), r.getLong(4))
+    val (billPpm, storeDiff) = (r.getLong(7), r.getLong(8))
+    // warm start preserves identity: only boundary-crossers move (a cold
+    // re-train renames every cell and "moves" ~99% — the degenerate form
+    // this operator exists to avoid)
+    assert(nChanged > 0L, "no vector moved — the drift scenario is vacuous")
+    assert(movedPpm < 200000L, s"warm re-train moved ${movedPpm}ppm — identity not preserved")
+    // the rewrite is genuinely partial, and the files match the target
+    assert(cellsTouched < cellsTotal, "every cell touched — nothing incremental about it")
+    assert(billPpm < 1000000L, s"write bill ${billPpm}ppm — the delta rewrote the whole store")
+    assert(storeDiff == 0L, "store read-back diverged from the target assignment")
+    assert(nTotal > 0L)
+  }
+
+  test("partialRewrite: untouched partitions keep their files; an emptied cell leaves no ghost partition") {
+    import spark.implicits._
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_spec_prw_${System.nanoTime()}").toString
+    try {
+      val emb = Seq(1.0f)
+      // cell 10 untouched (vecs 1, 2); vec 3 moves 20 → 30 emptying cell
+      // 20; cell 30 gains. Old side lands as THREE part files per its
+      // repartition — the untouched-partition proof is that exact file
+      // set surviving the delta.
+      val oldA = Seq((1L, emb, 10L), (2L, emb, 10L), (3L, emb, 20L), (4L, emb, 30L))
+        .toDF("vec_id", "emb", "cell").repartition(3)
+      val newA = Seq((1L, emb, 10L), (2L, emb, 10L), (3L, emb, 30L), (4L, emb, 30L))
+        .toDF("vec_id", "emb", "cell")
+      def parts(cell: String): Map[String, (Long, Long)] = {
+        val d = java.nio.file.Paths.get(store, cell)
+        val s = java.nio.file.Files.list(d)
+        try {
+          val b = Map.newBuilder[String, (Long, Long)]
+          val it = s.iterator()
+          while (it.hasNext) {
+            val p = it.next(); val n = p.getFileName.toString
+            if (n.endsWith(".parquet"))
+              b += n -> ((java.nio.file.Files.size(p), p.toFile.lastModified()))
+          }
+          b.result()
+        } finally s.close()
+      }
+      VectorQueries.landStore(store, oldA)
+      val c10Before = parts("cell=10")
+      assert(c10Before.nonEmpty)
+      Thread.sleep(1100) // mtime resolution: a rewrite MUST read as newer
+      val emptied = VectorQueries.deltaRewrite(store, oldA, newA)
+      assert(emptied.toSeq == Seq(20L), s"emptied cells ${emptied.toSeq}, want [20]")
+      assert(java.nio.file.Files.notExists(java.nio.file.Paths.get(store, "cell=20")),
+        "ghost partition survived — dynamic overwrite never clears loser-only cells")
+      val back = spark.read.parquet(store).select($"vec_id", $"cell")
+        .as[(Long, Long)].collect().toSet
+      assert(back == Set((1L, 10L), (2L, 10L), (3L, 30L), (4L, 30L)),
+        s"store content wrong after delta: $back")
+      // the untouched partition's EXACT files survive (names, sizes,
+      // mtimes) — the delta never opened cell=10
+      assert(parts("cell=10") == c10Before,
+        "untouched partition's files were rewritten by the delta")
+    } finally {
+      graft.Fs.rmTree(java.nio.file.Paths.get(store))
+    }
+  }
 }
