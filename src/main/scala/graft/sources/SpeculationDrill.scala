@@ -10,8 +10,10 @@ import java.util.concurrent.atomic.AtomicInteger
   * SinkSpeculationSpec's deterministic two-attempt race cannot reach:
   * there, the spec IS the scheduler; here, `spark.speculation=true` and
   * Spark's own TaskSetManager decides to launch the duplicate attempt,
-  * kills the loser, and the dot-temp commit protocol of
-  * [[TrainShardSink.writePartitionBody]] must still yield one winner.
+  * kills the loser, and the dot-temp commit protocols of BOTH physical
+  * sinks — [[TrainShardSink.writePartitionBody]] (race A) and
+  * [[JsonlSnapshotSink.writePartitionBody]] (race B, per-object commits
+  * + manifests under encryption) — must still yield one winner each.
   *
   * Why a dedicated main and not a spec: `TaskSchedulerImpl` only starts
   * its speculation thread when `!isLocal`, so `local[N]` — the shared
@@ -133,6 +135,46 @@ object SpeculationDrill {
         s"scheduler launched no speculative attempt (speculative=${speculative.get()})")
       check(killed.get() >= 1,
         s"no loser attempt was killed (killed=${killed.get()}) — the race never resolved")
+      val (specA, killedA) = (speculative.get(), killed.get())
+
+      // ------------------------------------------------ race B: jsonl snapshot
+      // same straggler shape through JsonlSnapshotSink's task body: 8
+      // partitions of 3 objects × 150 records; the slow partition's
+      // attempt 0 crawls per record. Object keys are synthetic (readBack
+      // and the stub key provider are generic over the key string).
+      val jroot = scratch.resolve("jout").toString
+      val objsPer = 3; val recsPer = 150; val jSleep = 25L
+      spark.sparkContext.parallelize(0 until nShards, nShards)
+        .mapPartitions { parts =>
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.attemptNumber()).getOrElse(0)
+          parts.flatMap { s =>
+            val rows = (0 until objsPer).iterator.flatMap { o =>
+              (0 until recsPer).iterator.map { p =>
+                if (s == slow && attempt == 0) Thread.sleep(jSleep)
+                (f"exports/drill-$s%02d-${o + 1}%06d.txt.gz.enc",
+                  s"""{"s":$s,"o":$o,"p":$p}""", s"$s|$o|$p")
+              }
+            }
+            JsonlSnapshotSink.writePartitionBody(
+              rows, jroot, GzipSnapshotCodec,
+              JsonlSnapshotSink.StubDerivedKeyProvider, confEntries)
+          }
+        }
+        .collect()
+      Thread.sleep(1500)
+      val (specB, killedB) = (speculative.get() - specA, killed.get() - killedA)
+      check(specB >= 1, s"jsonl race: no speculative attempt (specB=$specB)")
+      check(killedB >= 1, s"jsonl race: no loser kill (killedB=$killedB)")
+      val jBack = JsonlSnapshotSink.readBack(spark, jroot)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val jWant = (for (s <- 0 until nShards; o <- 0 until objsPer; p <- 0 until recsPer)
+        yield (f"exports/drill-$s%02d-${o + 1}%06d.txt.gz.enc", s"""{"s":$s,"o":$o,"p":$p}""")).sorted
+      check(jBack == jWant, "jsonl read-back diverged under the real-scheduler race")
+      val jTmpVisible = spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.tmp")
+        .load(s"$jroot/data").count()
+      check(jTmpVisible == 0, s"$jTmpVisible jsonl temps visible through a reader glob")
       // accounting: whichever attempts survived, exactly the 8 shards report
       check(summaries.map(_._1).toSet ==
         (0 until nShards).map(TrainShardSink.shardFile(_, nShards)).toSet,
@@ -161,9 +203,11 @@ object SpeculationDrill {
         .option("pathGlobFilter", "*.tmp").load(s"$root/shards").count()
       check(visibleThroughGlob == 0, s"$visibleThroughGlob temps visible through a reader glob")
 
-      println(s"""{"speculative":${speculative.get()},"killed":${killed.get()},""" +
+      println(s"""{"speculative":$specA,"killed":$killedA,""" +
         s""""visible":${names.count(_.endsWith(".gz"))},"tmp_on_disk":$tmpOnDisk,""" +
-        s""""tmp_visible":$visibleThroughGlob,"back_ok":${back == expectedLines.sorted},"ok":$ok}""")
+        s""""tmp_visible":$visibleThroughGlob,"back_ok":${back == expectedLines.sorted},""" +
+        s""""speculative_jsonl":$specB,"killed_jsonl":$killedB,""" +
+        s""""back_ok_jsonl":${jBack == jWant},"tmp_visible_jsonl":$jTmpVisible,"ok":$ok}""")
     } finally {
       spark.stop()
       org.apache.spark.deploy.graftbridge.ClusterBridge.stop(clusterEnvs)

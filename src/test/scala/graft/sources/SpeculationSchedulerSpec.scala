@@ -55,6 +55,11 @@ class SpeculationSchedulerSpec extends AnyFunSuite {
     assert(field("visible") == SpeculationDrill.NShards.toLong, s"wrong visible shard count: $verdict")
     assert(field("tmp_visible") == 0, s"loser litter visible to readers: $verdict")
     assert(verdict.contains(""""back_ok":true"""), s"read-back diverged: $verdict")
+    // race B: the jsonl snapshot sink under the same scheduler
+    assert(field("speculative_jsonl") >= 1, s"jsonl race: no speculative launch: $verdict")
+    assert(field("killed_jsonl") >= 1, s"jsonl race: no loser kill: $verdict")
+    assert(field("tmp_visible_jsonl") == 0, s"jsonl loser litter visible: $verdict")
+    assert(verdict.contains(""""back_ok_jsonl":true"""), s"jsonl read-back diverged: $verdict")
     assert(verdict.contains(""""ok":true"""), s"drill self-check failed: $verdict")
   }
 }
