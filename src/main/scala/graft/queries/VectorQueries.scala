@@ -16,7 +16,7 @@ object VectorQueries {
   /** DuckDB dot product over DOUBLE-cast elements, sequential list_sum. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cos6Sql(a: String, b: String): String =
+  private[graft] def cos6Sql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
   val NearDupTau = 0.99
@@ -89,7 +89,7 @@ object VectorQueries {
     * Returns a local (c_id, c_emb) frame — a constant broadcast, cheaper
     * than the previous in-plan sample (no re-scan per consumer). Empty
     * clusters drop (both engines agree: group-by semantics). */
-  private[queries] def refinedCentroids(spark: SparkSession, corpus: DataFrame,
+  private[graft] def refinedCentroids(spark: SparkSession, corpus: DataFrame,
                                         k: Int = -1): DataFrame = {
     import spark.implicits._
     // k = -1: resolve from the session conf (scaling harness); callers that
@@ -160,7 +160,7 @@ object VectorQueries {
   /** The oracle's mirror of [[refinedCentroids]]: CTE chain `{p}samp →
     * {p}c0 → ({p}a_i assign, {p}g_i group, {p}c_i update)×Lloyd → {p}cent`
     * over source relation `src(vec_id, emb)`. */
-  private def refinedCentSql(src: String, p: String, k: Int = Centroids,
+  private[graft] def refinedCentSql(src: String, p: String, k: Int = Centroids,
                              warmFrom: String = null): String = {
     def assign(it: Int): String = {
       val centSrc = if (it == 1) s"${p}c0" else s"${p}c${it - 1}"
@@ -337,7 +337,7 @@ object VectorQueries {
     * partial) — a per-vector window would shuffle AND sort
     * |corpus|×|centroids| rows. Tiebreak: max(struct(ccos, -c_id)) ==
     * (cosine desc, centroid id asc), matching the oracle's row_number. */
-  private def cellsOf(corpus: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def cellsOf(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("emb"), col("c_id"), cosine6(col("emb"), col("c_emb")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -346,7 +346,7 @@ object VectorQueries {
 
   /** Probe + search over a PRE-BUILT cell assignment ([[knnRecall]] shares
     * one assignment across its probe widths — only this part varies). */
-  private def ivfSearch(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+  private[graft] def ivfSearch(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
                         probe: Int, k: Int): DataFrame = {
     // probe: top-P centroids per query via the bounded-heap aggregate
     val probes = queries.join(broadcast(centroids))

@@ -68,6 +68,7 @@ class PlanLintSpec extends SparkSpec {
       "stream_window_quantile", // streaming replay runs on build (single-row wm broadcast in the verify tail)
       "stream_window_log_quantile", // same replay + wm broadcast, log-bucket domain
       "knn_ivf_rebalance_inc", // writes + delta-rewrites the cell-partitioned store on build
+      "stream_serve_search", // interleaved ingest+search replay runs on build
       "stream_log_quantile", // streaming replay runs on build
       "stream_vector_ingest", // streaming replay + persisted model/codes build
       "corpus_split", // runs the clusterLabels convergence loop on build
