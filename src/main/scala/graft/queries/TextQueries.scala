@@ -2860,6 +2860,17 @@ object HashDedup {
       .persist())
     val baseCand = graft.CacheRegistry.track(
       bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
+    // ONE probe join for every budget: each probe-found pair carries its
+    // TIER (the smallest budget that reaches it — min matching pr);
+    // budget T's candidate set is then a filter, not a re-join
+    val probeTier = graft.CacheRegistry.track(
+      ranked.as("a").join(cappedBandRows(baseRows).as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"), col("a.pr"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(min(col("pr")).as("tier"))
+        .persist())
     def grade(t: Int, pairs: DataFrame, bill: Column): DataFrame =
       pairs.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(broadcast(ranked.agg(bill.cast("long").as("n_probe_rows"))))
@@ -2872,7 +2883,7 @@ object HashDedup {
     val budgets = MpProbeSweep :+ (MpBands * MpR)
     val rows = grade(0, baseCand, count(lit(1)) * 0) +: budgets.map { t =>
       val cand = graft.CacheRegistry.track(baseCand
-        .unionAll(mpProbeCand(ranked.filter(col("pr") <= t), baseRows))
+        .unionAll(probeTier.filter(col("tier") <= t).select(col("doc_a"), col("doc_b")))
         .distinct().persist())
       grade(t, cand, sum(when(col("pr") <= t, 1L).otherwise(0L)))
     }
