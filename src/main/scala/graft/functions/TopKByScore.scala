@@ -20,11 +20,19 @@ import java.util.PriorityQueue
   *
   * Order: score DESC, id ASC (deterministic under 6dp-rounded score ties).
   * Result: array<struct<score double, id bigint>> sorted in rank order.
+  *
+  * `distinct = true` keeps the k best DISTINCT (score, id) entries — an
+  * exact duplicate of a held entry is skipped (O(k) containment scan,
+  * fine for the small-k second-min use). The multiprobe signature's
+  * second-min needs this: the DuckDB oracle's `min(h) WHERE h > m` is
+  * the second DISTINCT hash, so a within-doc 48-bit collision must not
+  * make the heap emit s = m (gap 0, probe key == base key).
   */
 case class TopKByScore(
     score: Expression,
     id: Expression,
     k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]] {
@@ -55,6 +63,7 @@ case class TopKByScore(
   }
 
   private def offer(buf: PriorityQueue[(Double, Long)], e: (Double, Long)): Unit = {
+    if (distinct && buf.contains(e)) return
     if (buf.size < k) buf.offer(e)
     else if (heapOrdering.compare(e, buf.peek()) > 0) { buf.poll(); buf.offer(e) }
   }
@@ -113,4 +122,10 @@ object TopKByScore {
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnBridge.toCol(TopKByScore(
       ColumnBridge.toExpr(score), ColumnBridge.toExpr(id), k).toAggregateExpression())
+
+  /** As [[topK]] but keeps the k best DISTINCT (score, id) entries. */
+  def topKDistinct(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.toCol(TopKByScore(
+      ColumnBridge.toExpr(score), ColumnBridge.toExpr(id), k,
+      distinct = true).toAggregateExpression())
 }

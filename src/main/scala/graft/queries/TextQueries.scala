@@ -2743,8 +2743,12 @@ object HashDedup {
     // double score), heap partials map-side
     val hw = sh.select(col("doc_id") +: (0 until NumHashes).map(k =>
       expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)").as(s"h$k")): _*)
+    // DISTINCT top-2: the oracle's mp_m2 is min(h) WHERE h > m — the
+    // second DISTINCT hash — so a within-doc 48-bit collision must not
+    // yield s = m (gap 0, probe key == base key, a latent cross-engine
+    // divergence that fires probabilistically at large corpora)
     val heaps = (0 until NumHashes).map(k =>
-      graft.functions.TopKByScore.topK((-col(s"h$k")).cast("double"), col(s"h$k"), 2).as(s"t$k"))
+      graft.functions.TopKByScore.topKDistinct((-col(s"h$k")).cast("double"), col(s"h$k"), 2).as(s"t$k"))
     hw.groupBy(col("doc_id")).agg(heaps.head, heaps.tail: _*)
       .select(col("doc_id") +: (0 until NumHashes).flatMap(k => Seq(
         col(s"t$k")(0)("id").as(s"m$k"),

@@ -124,7 +124,13 @@ object VectorQueries {
     import spark.implicits._
     val seedArr = seed.select(col("c_id"), col("c_emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    lloydIter(hashSample(corpus, math.max(SampleM, 4 * seedArr.length)), seedArr)
+    // sample size PINNED to SampleM — the warm oracle CTE always samples
+    // QUALIFY rk <= SampleM, so a max(SampleM, 4·k) here would silently
+    // fork driver and oracle the moment a seed model exceeds SampleM/4
+    // centroids; the guard makes the dial's headroom explicit instead
+    require(seedArr.length * 4 <= SampleM,
+      s"warm seed has ${seedArr.length} centroids; SampleM=$SampleM gives <4 sample vectors per cell")
+    lloydIter(hashSample(corpus, SampleM), seedArr)
       .toSeq.toDF("c_id", "c_emb")
   }
 
@@ -3012,7 +3018,7 @@ object VectorQueries {
     // target assignment — the oracle predicts zero
     val back = spark.read.parquet(store).select(col("vec_id"), col("cell"))
     val want = j.select(col("vec_id"), col("cell1").as("cell"))
-    val diff = back.except(want).unionAll(want.except(back)).agg(count(lit(1)).as("n_store_diff"))
+    val diff = storeMultisetDiff(back, want)
     val chg = j.filter(col("cell0") =!= col("cell1"))
     val touched = chg.select(col("cell0").as("cell"))
       .unionAll(chg.select(col("cell1").as("cell"))).distinct()
@@ -3031,6 +3037,18 @@ object VectorQueries {
         expr("n_rows_written * 1000000 DIV n_total").as("write_bill_ppm"),
         col("n_store_diff"))
   }
+
+  /** MULTISET read-back diff (one row, `n_store_diff`): except() is
+    * set-based, so a duplicated (vec_id, cell) row in the read-back
+    * store — e.g. a partition both surviving and rewritten — would
+    * collapse and report 0. Full-outer join of groupBy-count frames
+    * sees membership drift AND row duplication; the oracle predicts 0. */
+  private[queries] def storeMultisetDiff(back: DataFrame, want: DataFrame): DataFrame =
+    back.groupBy(col("vec_id"), col("cell")).agg(count(lit(1)).as("nb"))
+      .join(want.groupBy(col("vec_id"), col("cell")).agg(count(lit(1)).as("nw")),
+        Seq("vec_id", "cell"), "full_outer")
+      .agg(coalesce(sum(abs(coalesce(col("nb"), lit(0L)) - coalesce(col("nw"), lit(0L)))), lit(0L))
+        .as("n_store_diff"))
 
   /** The delta-rewrite mechanism (shared with IvfRebalanceSpec's
     * synthetic ghost scenario): land `oldA` as the cell-partitioned

@@ -66,4 +66,30 @@ class MultiprobeSpec extends SparkSpec {
       assert(hit(ts(1)) - hit(0L) <= added / 2,
         s"gap ranking suddenly front-loads (T=${ts(1)} adds ${hit(ts(1)) - hit(0L)} of $added) — re-narrate №174")
   }
+
+  test("second-min is strict-DISTINCT: a duplicated min hash yields the next distinct value, not s = m") {
+    // the oracle's mp_m2 is min(h) WHERE h > m — the second DISTINCT
+    // hash. The signature heap must agree when a within-doc 48-bit
+    // collision duplicates the min (else gap = 0 and the probe key
+    // degenerates to the base key): topKDistinct skips the duplicate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 7L), (1L, 7L), (1L, 9L), (1L, 12L),
+                 (2L, 5L), (2L, 5L), (2L, 5L)).toDF("doc_id", "h")
+    val two = df.groupBy($"doc_id")
+      .agg(graft.functions.TopKByScore.topKDistinct((-$"h").cast("double"), $"h", 2).as("t"))
+      .select($"doc_id", $"t"(0)("id").as("m"),
+        when(size($"t") >= 2, $"t"(1)("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(two(1L) == ((7L, Some(9L))), s"doc 1: expected (7, Some(9)), got ${two(1L)}")
+    // all hashes identical → no second DISTINCT exists → s is NULL
+    // (oracle: mp_m2 has no row; probe rows for that position vanish)
+    assert(two(2L) == ((5L, None)), s"doc 2: expected (5, None), got ${two(2L)}")
+    // and the relational mirror of mp_m2 agrees
+    val oracle = df.as("a").groupBy($"a.doc_id").agg(min($"a.h").as("m"))
+      .join(df.as("b"), Seq("doc_id"))
+      .filter($"b.h" > $"m").groupBy($"doc_id").agg(min($"b.h").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oracle.get(1L).contains(9L) && !oracle.contains(2L))
+  }
 }

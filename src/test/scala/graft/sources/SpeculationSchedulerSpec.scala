@@ -38,10 +38,23 @@ class SpeculationSchedulerSpec extends AnyFunSuite {
     pb.environment().put("SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
     pb.redirectErrorStream(false)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    // drain BOTH pipes on background threads: a blocking readAllBytes on
+    // stdout deadlocks if the child fills the stderr pipe (Spark WARN
+    // spew, worst exactly under the failure storms the 240s timeout
+    // exists for) — the child blocks on stderr writes, stdout never
+    // closes, and the timeout is never reached
+    def drain(in: java.io.InputStream): (Thread, java.io.ByteArrayOutputStream) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val t = new Thread(() => try in.transferTo(buf) finally in.close())
+      t.setDaemon(true); t.start(); (t, buf)
+    }
+    val (tOut, outBuf) = drain(proc.getInputStream)
+    val (tErr, errBuf) = drain(proc.getErrorStream)
     val done = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) proc.destroyForcibly()
+    tOut.join(10000); tErr.join(10000)
+    val out = outBuf.toString("UTF-8")
+    val err = errBuf.toString("UTF-8")
     assert(done, "drill JVM did not finish within 240s")
     val verdict = out.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
       .getOrElse(fail(s"no JSON verdict from the drill; stderr tail:\n${err.takeRight(2000)}"))
