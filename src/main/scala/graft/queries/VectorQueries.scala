@@ -3063,8 +3063,16 @@ object VectorQueries {
     deltaRewrite(store, oldA, newA)
   }
 
+  /** Cluster by the partition key before a partitioned write: without
+    * it every input task writes a file into every cell directory it
+    * happens to hold (tasks × cells tiny files and as many commits);
+    * clustered, each cell's data is one task's contiguous write — the
+    * same discipline a 100 TB store needs to avoid the small-files
+    * problem. */
+  private def byCell(a: DataFrame): DataFrame = a.repartition(col("cell"))
+
   private[queries] def landStore(store: String, a: DataFrame): Unit =
-    a.write.partitionBy("cell").mode("overwrite").parquet(store)
+    byCell(a).write.partitionBy("cell").mode("overwrite").parquet(store)
 
   private[queries] def deltaRewrite(store: String, oldA: DataFrame,
                                     newA: DataFrame): Array[Long] = {
@@ -3073,14 +3081,244 @@ object VectorQueries {
       .filter(col("cell0") =!= col("cell1"))
     val touched = moved.select(col("cell0").as("cell"))
       .unionAll(moved.select(col("cell1").as("cell"))).distinct()
-    newA.join(broadcast(touched), "cell")
-      .select(col("vec_id"), col("emb"), col("cell"))
+    byCell(newA.join(broadcast(touched), "cell")
+        .select(col("vec_id"), col("emb"), col("cell")))
       .write.partitionBy("cell").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(store)
     val emptied = touched.except(newA.select(col("cell")).distinct())
       .collect().map(_.getLong(0)).sorted // ≤ C rows by construction
     emptied.foreach(c => graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
     emptied
+  }
+
+  // ---------------------------------------------------------------- №177 knn_serve_rebalance
+  /** SERVE-DURING-REBALANCE — the consistency corner №175 and №176
+    * leave open between them: №176 pins read visibility under INGEST,
+    * №175 partially rewrites the store's cell partitions for a model
+    * change, and a search running DURING that rewrite must see every
+    * cell at exactly the old or the new layout — never a torn cell,
+    * never a lost vector. A naive in-place delta rewrite CANNOT promise
+    * that: a vector moving cell 5 → 9 vanishes for any reader between
+    * cell 5's rewrite and cell 9's (and is doubled in the other order).
+    * Reference analogue: the reads the export serves while
+    * S3StreamingWriter rotates objects (app/batch/S3StreamingWriter.kt:77-175)
+    * — an object is visible whole or not at all, never half-rotated.
+    *
+    * The protocol that closes it is ADD-THEN-REMOVE, in per-cell-atomic
+    * waves over the №175 store:
+    *   - gain waves (cells that receive movers, ascending, two waves):
+    *     rewrite cell c to m0(c) ∪ incomers(c) — add-only;
+    *   - loss waves (cells that lose movers, ascending, two waves):
+    *     rewrite cell c to its final m1(c) — drops leavers, whose new
+    *     copies are ALREADY live because every gain wave ran first.
+    * At every intermediate point each cell is at exactly one of its
+    * three layouts (old / old∪incoming / new) and every vector has ≥1
+    * live copy; a mover has two during its overlap window, and because
+    * both copies carry the SAME embedding, dedup by (q_id, vec_id)
+    * makes the served result exact — the duplicate is a visibility
+    * artifact, not an answer change. The write bill is the measured
+    * PRICE of serving through the rebalance: gaining cells are written
+    * twice (once per phase) where №175's offline rewrite writes each
+    * touched cell once.
+    *
+    * The row executes the full lifecycle against the PHYSICAL store:
+    * land at the stale assignment, apply the four waves as dynamic
+    * partition overwrites (emptied loss cells' partitions deleted — the
+    * №175 ghost discipline), and serve №172's drifted query traffic at
+    * five checkpoints — stage 0 (pre-rebalance, routed by the stale
+    * model) and after each wave (stages 1-4, routed by the re-trained
+    * model: the router flips at rebalance start; membership catches up
+    * wave by wave). Every serve READS THE FILES BACK — n_rows/n_vecs
+    * come from the store, so a lost vector, ghost partition or torn
+    * wave diverges the driver hash, not just a spec. The closed form
+    * the DuckDB oracle rebuilds: stayers always live in their cell;
+    * a mover's old copy lives until its cell0's loss wave, its new copy
+    * from its cell1's gain wave — both refinements (warm seed mirrored),
+    * wave numbering (ceil-half splits), all five memberships and all
+    * five deduped searches recomputed relationally.
+    * ServeRebalanceSpec pins the invariants the hash can't name:
+    * per-cell membership equals exactly one protocol layout at every
+    * stage, no vector is ever absent, the final store is assignment1,
+    * and some served result genuinely changes mid-rebalance (the
+    * interleaving is not vacuous). */
+  def knnServeRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    // №172's drifted traffic: today's queries come from the new encoder
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), expr(rebalDriftSql("emb")).as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % RebalArrMod =!= 0)
+    val arrivals = corpus.filter(col("vec_id") % RebalArrMod === 0)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val all = graft.CacheRegistry.track(base.unionByName(arrivals).persist())
+    val cent0 = refinedCentroids(spark, base, Centroids)
+    val cent1 = refinedCentroidsWarm(spark, all, cent0)
+    val j = graft.CacheRegistry.track(
+      cellsOf(all, cent0).select(col("vec_id"), col("emb"), col("cell").as("cell0"))
+        .join(cellsOf(all, cent1).select(col("vec_id"), col("cell").as("cell1")), "vec_id")
+        .persist())
+    // ONE bounded collect feeds every schedule decision: the mover set
+    // (≤ corpus movers) plus assignment1's per-cell counts (≤ C rows) —
+    // wave membership, ceil-half splits and the emptied-cell check are
+    // all driver-side arithmetic after this
+    val moverRows = j.filter(col("cell0") =!= col("cell1"))
+      .select(col("cell0"), col("cell1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m1Counts: Map[Long, Long] = j.groupBy(col("cell1")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gainCells = moverRows.map(_._2).distinct.sorted
+    val lossCells = moverRows.map(_._1).distinct.sorted
+    val (g1, g2) = gainCells.splitAt((gainCells.length + 1) / 2)
+    val (l1, l2) = lossCells.splitAt((lossCells.length + 1) / 2)
+
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_servereb_${dirKey(dir)}").toString
+    landStore(store, j.select(col("vec_id"), col("emb"), col("cell0").as("cell")))
+
+    def gainWave(w: Array[Long]): Unit = if (w.nonEmpty) {
+      // cell c → m0(c) ∪ incomers(c): add-only, losers stay put
+      byCell(j.filter(col("cell0").isin(w.map(Long.box): _*))
+          .select(col("vec_id"), col("emb"), col("cell0").as("cell"))
+          .unionAll(j.filter(col("cell1").isin(w.map(Long.box): _*) && col("cell0") =!= col("cell1"))
+            .select(col("vec_id"), col("emb"), col("cell1").as("cell"))))
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+    }
+    def lossWave(w: Array[Long]): Unit = if (w.nonEmpty) {
+      byCell(j.filter(col("cell1").isin(w.map(Long.box): _*))
+          .select(col("vec_id"), col("emb"), col("cell1").as("cell")))
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+      // a loss cell whose members ALL left gets no data in the dynamic
+      // overwrite — delete its stale partition (№175's ghost discipline;
+      // m1Counts already knows which wave cells land empty)
+      w.filter(c => !m1Counts.contains(c)).foreach(c =>
+        graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+    }
+
+    def probesOf(cent: DataFrame): DataFrame = queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val probes0 = graft.CacheRegistry.track(probesOf(cent0).persist())
+    val probes1 = graft.CacheRegistry.track(probesOf(cent1).persist())
+
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[(Long, Long)])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    def serve(stage: Int, probes: DataFrame): Unit = {
+      // the files ARE the snapshot: read back, search, collect EAGERLY
+      // (bounded: NQueries·K rows) before the next wave mutates the store
+      // the partition column round-trips as INT (directory-name
+      // inference) — normalize to the assignment's LONG
+      val back = spark.read.parquet(store)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      // dedup the dual copies of in-overlap movers: both carry the same
+      // embedding, so distinct (q_id, vec_id, cos) is exact. Census and
+      // search ride ONE job (the census agg crossJoins the ranked rows).
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val census = back
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_vecs"))
+      topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect().foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_vecs"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+      if (captureStages)
+        captured += ((stage, back.select(col("vec_id"), col("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))))
+    }
+
+    serve(0, probes0)
+    gainWave(g1); serve(1, probes1)
+    gainWave(g2); serve(2, probes1)
+    lossWave(l1); serve(3, probes1)
+    lossWave(l2); serve(4, probes1)
+    if (captureStages) lastStageCells = captured.toSeq
+
+    import spark.implicits._
+    out.toSeq.toDF("stage", "n_rows", "n_vecs", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+  }
+
+  /** Spec hook: per-stage (vec_id, cell) store snapshots of the last
+    * [[knnServeRebalance]] run — collected ONLY when the spec opts in
+    * (a corpus-sized collect has no place in the production path). */
+  private[graft] var captureStages: Boolean = false
+  private[graft] var lastStageCells: Seq[(Int, Array[(Long, Long)])] = Seq.empty
+
+  val knnServeRebalanceSql: String = {
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def waveCte(name: String, src: String, lo: Int): String =
+      s"""$name AS (
+         |  SELECT cell, CASE WHEN rn <= (cnt + 1) // 2 THEN $lo ELSE ${lo + 1} END AS w FROM (
+         |    SELECT cell, row_number() OVER (ORDER BY cell) AS rn, count(*) OVER () AS cnt
+         |    FROM (SELECT DISTINCT $src AS cell FROM sr_m)))""".stripMargin
+    def memCte(s: Int): String =
+      s"""sr_mem$s AS (
+         |  SELECT vec_id, emb, cell0 AS cell FROM sr_j WHERE cell0 = cell1
+         |  UNION ALL SELECT vec_id, emb, cell0 FROM sr_mw WHERE lw > $s
+         |  UNION ALL SELECT vec_id, emb, cell1 FROM sr_mw WHERE gw <= $s)""".stripMargin
+    def searchCte(s: Int): String = {
+      val m = if (s == 0) 0 else 1
+      s"""sr_cand$s AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM sr_mem$s e JOIN sr_p$m p USING (cell)),
+         |sr_r$s AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sr_cand$s),
+         |sr_cnt$s AS (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs FROM sr_mem$s)""".stripMargin
+    }
+    def probeCte(m: Int): String =
+      s"""sr_p$m AS (
+         |  SELECT q_id, q_emb, c_id AS cell FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+         |    FROM sr_q q, sr${m}cent c) x WHERE prank <= $Probe)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_vecs, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM sr_r$s r, sr_cnt$s c WHERE r.rank <= $K""".stripMargin
+    s"""WITH sr_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sr_q AS (SELECT vec_id AS q_id, ${drift.format("emb")} AS q_emb
+       |  FROM sr_v WHERE vec_id < $NQueries),
+       |sr_c AS (SELECT vec_id, emb FROM sr_v WHERE vec_id >= $NQueries),
+       |sr_b AS (SELECT vec_id, emb FROM sr_c WHERE vec_id % $RebalArrMod <> 0),
+       |sr_r AS (SELECT vec_id, ${drift.format("emb")} AS emb
+       |  FROM sr_c WHERE vec_id % $RebalArrMod = 0),
+       |sr_all AS (SELECT * FROM sr_b UNION ALL SELECT * FROM sr_r),
+       |${refinedCentSql("sr_b", "sr0")},
+       |${refinedCentSql("sr_all", "sr1", Centroids, warmFrom = "sr0cent")},
+       |sr_a0 AS (
+       |  SELECT vec_id, c_id AS cell0 FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+       |    FROM sr_all a, sr0cent c) x WHERE r = 1),
+       |sr_a1 AS (
+       |  SELECT vec_id, c_id AS cell1 FROM (
+       |    SELECT a.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+       |    FROM sr_all a, sr1cent c) x WHERE r = 1),
+       |sr_j AS (
+       |  SELECT a.vec_id, a.emb, a0.cell0, a1.cell1
+       |  FROM sr_all a JOIN sr_a0 a0 USING (vec_id) JOIN sr_a1 a1 USING (vec_id)),
+       |sr_m AS (SELECT vec_id, emb, cell0, cell1 FROM sr_j WHERE cell0 <> cell1),
+       |${waveCte("sr_g", "cell1", 1)},
+       |${waveCte("sr_l", "cell0", 3)},
+       |sr_mw AS (
+       |  SELECT m.vec_id, m.emb, m.cell0, m.cell1, l.w AS lw, g.w AS gw
+       |  FROM sr_m m JOIN sr_l l ON m.cell0 = l.cell JOIN sr_g g ON m.cell1 = g.cell),
+       |${probeCte(0)},
+       |${probeCte(1)},
+       |${(0 to 4).map(memCte).mkString(",\n")},
+       |${(0 to 4).map(searchCte).mkString(",\n")}
+       |${(0 to 4).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
   }
 
   val knnIvfRebalanceIncSql: String = {
