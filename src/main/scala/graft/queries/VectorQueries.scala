@@ -3250,6 +3250,197 @@ object VectorQueries {
   private[graft] var captureStages: Boolean = false
   private[graft] var lastStageCells: Seq[(Int, Array[(Long, Long)])] = Seq.empty
 
+  // ---------------------------------------------------------------- №178 knn_ivf_calendar
+  /** THE COMPOSED MAINTENANCE CALENDAR — №119 applies nightly arrival
+    * deltas, №175 applies a model change; a real store does BOTH against
+    * ONE persisted layout, interleaved. Four maintenance events against
+    * the same cell-partitioned store:
+    *   E1, E2  nightly drifted arrivals, assigned under the live model
+    *           and APPENDED to their cells' partitions (new files only —
+    *           the nightly bill is batch-sized, existing files untouched);
+    *   E3      the drift having accumulated, a WARM model re-train + №175
+    *           delta rewrite (touched cells rewritten wholesale, emptied
+    *           cells' ghosts deleted);
+    *   E4      the next night's arrivals under the NEW model.
+    * What the composition measures that neither row alone can: the
+    * WRITE AMPLIFICATION where the two delta kinds overlap — an arrival
+    * row appended in E1/E2 whose cell the rebalance then touches is
+    * written AGAIN in E3 (`rearr_rows`, with `overlap_cells` counting
+    * the cells hit by both) — against the composed-vs-naive headline
+    * (`composed_bill` = batch+delta rows vs `naive_bill` = a full store
+    * rewrite at every event, `saved_ppm` the saving). Exactness is
+    * proven FROM THE FILES (№175's discipline): the store is read back
+    * after the calendar and multiset-diffed against the closed-form
+    * final state — every pre-E3 vector at its warm-model assignment,
+    * E4's arrivals at theirs; the oracle predicts 0, so a ghost row,
+    * lost append or double-kept rewrite diverges the driver hash.
+    * MaintenanceCalendarSpec additionally pins the file-level append
+    * contract (E1/E2 create files, never rewrite existing ones;
+    * rebalance-untouched cells' files survive the whole calendar
+    * byte-identical) and the composed bill genuinely beating naive. */
+  val CalMod = 6 // arrival night n = vec_id % CalMod == n, n ∈ {1,2,3}
+
+  /** Spec hooks (spec-only collects, same discipline as
+    * [[captureStages]]): store file census after events E0/E2/E3/E4
+    * (relative path → (size, mtime)) and the rebalance's touched cells. */
+  private[graft] var captureCalendar: Boolean = false
+  private[graft] var lastCalendarFiles: Seq[(String, Map[String, (Long, Long)])] = Seq.empty
+  private[graft] var lastCalendarTouched: Set[Long] = Set.empty
+
+  private def touchedOf(j: DataFrame): Set[Long] = {
+    val chg = j.filter(col("cell0") =!= col("cell1"))
+    chg.select(col("cell0")).unionAll(chg.select(col("cell1"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  def knnIvfCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(!(col("vec_id") % CalMod).isin(1L, 2L, 3L))
+    def night(n: Int): DataFrame = corpus.filter(col("vec_id") % CalMod === n)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val a1 = night(1); val a2 = night(2); val a3 = night(3)
+    val cent0 = refinedCentroids(spark, base, Centroids)
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_ivfcal_${dirKey(dir)}").toString
+
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, (Long, Long)])]
+    def snap(ev: String): Unit = if (captureCalendar) {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(store)
+      snaps += ((ev, java.nio.file.Files.walk(root).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          // data files only: _SUCCESS markers and .crc shadows are
+          // commit-protocol artifacts the append legitimately refreshes
+          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(p => root.relativize(p).toString ->
+          ((java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+        .toMap))
+    }
+
+    // E0: land the base at the live model's assignment
+    landStore(store, cellsOf(base, cent0).select(col("vec_id"), col("emb"), col("cell")))
+    snap("E0")
+    // E1/E2: nightly appends — batch-sized work, new files only
+    def append(batch: DataFrame, cent: DataFrame): Unit =
+      byCell(cellsOf(batch, cent).select(col("vec_id"), col("emb"), col("cell")))
+        .write.partitionBy("cell").mode("append").parquet(store)
+    append(a1, cent0)
+    append(a2, cent0)
+    snap("E2")
+
+    // E3: the model change — warm re-train over the CURRENT store, then
+    // №175's delta rewrite of exactly the cells that gained/lost members
+    val cur = graft.CacheRegistry.track(
+      base.unionByName(a1).unionByName(a2).persist())
+    val cent1 = refinedCentroidsWarm(spark, cur, cent0)
+    val j = graft.CacheRegistry.track(
+      cellsOf(cur, cent0).select(col("vec_id"), col("emb"), col("cell").as("cell0"))
+        .join(cellsOf(cur, cent1).select(col("vec_id"), col("cell").as("cell1")), "vec_id")
+        .persist())
+    val emptied = deltaRewrite(store,
+      j.select(col("vec_id"), col("emb"), col("cell0").as("cell")),
+      j.select(col("vec_id"), col("emb"), col("cell1").as("cell")))
+    snap("E3")
+    // E4: the next night lands under the NEW model
+    append(a3, cent1)
+    snap("E4")
+    if (captureCalendar) {
+      lastCalendarFiles = snaps.toSeq
+      lastCalendarTouched = touchedOf(j)
+    }
+
+    // the files are the proof: final store ≡ closed-form final state
+    val back = spark.read.parquet(store)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val want = j.select(col("vec_id"), col("cell1").as("cell"))
+      .unionByName(cellsOf(a3, cent1).select(col("vec_id"), col("cell")))
+    val diff = storeMultisetDiff(back, want)
+
+    val chg = j.filter(col("cell0") =!= col("cell1"))
+    val touched = graft.CacheRegistry.track(
+      chg.select(col("cell0").as("cell"))
+        .unionAll(chg.select(col("cell1").as("cell"))).distinct().persist())
+    val rebalRows = j.join(broadcast(touched.withColumnRenamed("cell", "cell1")), "cell1")
+      .agg(count(lit(1)).as("rows_rebal"))
+    // amplification: arrival rows written in E1/E2 then AGAIN in E3
+    val arrIds = a1.select(col("vec_id")).unionAll(a2.select(col("vec_id")))
+    val rearr = j.join(arrIds, "vec_id")
+      .join(broadcast(touched.withColumnRenamed("cell", "cell1")), "cell1")
+      .agg(count(lit(1)).as("rearr_rows"))
+    val overlap = j.join(arrIds, "vec_id").select(col("cell0").as("cell")).distinct()
+      .join(broadcast(touched), "cell").agg(count(lit(1)).as("overlap_cells"))
+    val counts = base.agg(count(lit(1)).as("n_base"))
+      .crossJoin(broadcast(a1.agg(count(lit(1)).as("n_arr1"))))
+      .crossJoin(broadcast(a2.agg(count(lit(1)).as("n_arr2"))))
+      .crossJoin(broadcast(a3.agg(count(lit(1)).as("n_arr3"))))
+      .crossJoin(broadcast(chg.agg(count(lit(1)).as("n_moved"))))
+      .crossJoin(broadcast(touched.agg(count(lit(1)).as("cells_touched"))))
+      .crossJoin(broadcast(rebalRows)).crossJoin(broadcast(rearr))
+      .crossJoin(broadcast(overlap)).crossJoin(broadcast(diff))
+    counts.select(col("n_base"), col("n_arr1"), col("n_arr2"), col("n_arr3"),
+        col("n_moved"), col("cells_touched"), lit(emptied.length.toLong).as("cells_emptied"),
+        col("rows_rebal"), col("rearr_rows"), col("overlap_cells"),
+        (col("n_arr1") + col("n_arr2") + col("rows_rebal") + col("n_arr3")).as("composed_bill"),
+        // naive = full store rewrite at each of E1..E4: base 4×, A1 4×
+        // (present from E1 on), A2 3×, A3 once
+        (lit(4L) * col("n_base") + lit(4L) * col("n_arr1") + lit(3L) * col("n_arr2")
+          + col("n_arr3")).as("naive_bill"),
+        col("n_store_diff"))
+      .select(col("*"),
+        expr("(naive_bill - composed_bill) * 1000000 DIV naive_bill").as("saved_ppm"))
+  }
+
+  val knnIvfCalendarSql: String = {
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def assign(src: String, cent: String, as: String): String =
+      s"""SELECT vec_id, c_id AS $as FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src a, $cent c) x WHERE r = 1""".stripMargin
+    s"""WITH mc_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |mc_c AS (SELECT vec_id, emb FROM mc_v WHERE vec_id >= $NQueries),
+       |mc_b AS (SELECT vec_id, emb FROM mc_c WHERE vec_id % $CalMod NOT IN (1, 2, 3)),
+       |mc_a1 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM mc_c WHERE vec_id % $CalMod = 1),
+       |mc_a2 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM mc_c WHERE vec_id % $CalMod = 2),
+       |mc_a3 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM mc_c WHERE vec_id % $CalMod = 3),
+       |mc_cur AS (SELECT * FROM mc_b UNION ALL SELECT * FROM mc_a1 UNION ALL SELECT * FROM mc_a2),
+       |${refinedCentSql("mc_b", "mc0")},
+       |${refinedCentSql("mc_cur", "mc1", Centroids, warmFrom = "mc0cent")},
+       |mc_j0 AS (${assign("mc_cur", "mc0cent", "cell0")}),
+       |mc_j1 AS (${assign("mc_cur", "mc1cent", "cell1")}),
+       |mc_j AS (SELECT vec_id, cell0, cell1 FROM mc_j0 JOIN mc_j1 USING (vec_id)),
+       |mc_chg AS (SELECT * FROM mc_j WHERE cell0 <> cell1),
+       |mc_t AS (SELECT DISTINCT cell FROM (
+       |  SELECT cell0 AS cell FROM mc_chg UNION ALL SELECT cell1 FROM mc_chg)),
+       |mc_arr AS (SELECT vec_id FROM mc_a1 UNION ALL SELECT vec_id FROM mc_a2),
+       |mc_s AS (
+       |  SELECT
+       |    (SELECT count(*) FROM mc_b) AS n_base,
+       |    (SELECT count(*) FROM mc_a1) AS n_arr1,
+       |    (SELECT count(*) FROM mc_a2) AS n_arr2,
+       |    (SELECT count(*) FROM mc_a3) AS n_arr3,
+       |    (SELECT count(*) FROM mc_chg) AS n_moved,
+       |    (SELECT count(*) FROM mc_t) AS cells_touched,
+       |    (SELECT count(*) FROM mc_t WHERE cell NOT IN (SELECT DISTINCT cell1 FROM mc_j)) AS cells_emptied,
+       |    (SELECT count(*) FROM mc_j WHERE cell1 IN (SELECT cell FROM mc_t)) AS rows_rebal,
+       |    (SELECT count(*) FROM mc_j j JOIN mc_arr a USING (vec_id) WHERE j.cell1 IN (SELECT cell FROM mc_t)) AS rearr_rows,
+       |    (SELECT count(*) FROM (SELECT DISTINCT j.cell0 AS cell FROM mc_j j JOIN mc_arr a USING (vec_id)) c
+       |       WHERE c.cell IN (SELECT cell FROM mc_t)) AS overlap_cells)
+       |SELECT n_base, n_arr1, n_arr2, n_arr3, n_moved, cells_touched, cells_emptied,
+       |  rows_rebal, rearr_rows, overlap_cells,
+       |  n_arr1 + n_arr2 + rows_rebal + n_arr3 AS composed_bill,
+       |  4 * n_base + 4 * n_arr1 + 3 * n_arr2 + n_arr3 AS naive_bill,
+       |  CAST(0 AS BIGINT) AS n_store_diff,
+       |  (4 * n_base + 4 * n_arr1 + 3 * n_arr2 + n_arr3
+       |    - (n_arr1 + n_arr2 + rows_rebal + n_arr3)) * 1000000
+       |    // (4 * n_base + 4 * n_arr1 + 3 * n_arr2 + n_arr3) AS saved_ppm
+       |FROM mc_s""".stripMargin
+  }
+
   val knnServeRebalanceSql: String = {
     val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
       s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
