@@ -2119,7 +2119,12 @@ object VectorQueries {
   /** Frozen residual model: centroids from the base sample; codebooks
     * from the base sample's RESIDUALS under those centroids. */
   private def ivfPqResUpdateModel(spark: SparkSession, dir: String, base: DataFrame): DataFrame =
-    cachedModel(spark, s"graft_ivfpqru_model_${dirKey(dir)}_m$PquM") {
+    resModelOf(spark, s"graft_ivfpqru_model_${dirKey(dir)}_m$PquM", base)
+
+  /** [[ivfPqResUpdateModel]] under a caller-chosen cache table (№181
+    * trains the same shape over a different base split). */
+  private def resModelOf(spark: SparkSession, table: String, base: DataFrame): DataFrame =
+    cachedModel(spark, table) {
       import spark.implicits._
       val full = hashSample(base)
       val d = full.headOption.map(_.length).getOrElse(0)
@@ -3044,9 +3049,13 @@ object VectorQueries {
     * collapse and report 0. Full-outer join of groupBy-count frames
     * sees membership drift AND row duplication; the oracle predicts 0. */
   private[queries] def storeMultisetDiff(back: DataFrame, want: DataFrame): DataFrame =
-    back.groupBy(col("vec_id"), col("cell")).agg(count(lit(1)).as("nb"))
-      .join(want.groupBy(col("vec_id"), col("cell")).agg(count(lit(1)).as("nw")),
-        Seq("vec_id", "cell"), "full_outer")
+    multisetDiff(back, want, Seq("vec_id", "cell"))
+
+  private[queries] def multisetDiff(back: DataFrame, want: DataFrame,
+                                    cols: Seq[String]): DataFrame =
+    back.groupBy(cols.map(col): _*).agg(count(lit(1)).as("nb"))
+      .join(want.groupBy(cols.map(col): _*).agg(count(lit(1)).as("nw")),
+        cols, "full_outer")
       .agg(coalesce(sum(abs(coalesce(col("nb"), lit(0L)) - coalesce(col("nw"), lit(0L)))), lit(0L))
         .as("n_store_diff"))
 
@@ -3439,6 +3448,301 @@ object VectorQueries {
        |    - (n_arr1 + n_arr2 + rows_rebal + n_arr3)) * 1000000
        |    // (4 * n_base + 4 * n_arr1 + 3 * n_arr2 + n_arr3) AS saved_ppm
        |FROM mc_s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- №181 knn_res_rebalance
+  /** RESIDUAL-MODEL REBALANCE — the cost №175's warm retrain hides when
+    * the store adopted №169's residual encoding: residual codes are
+    * RELATIVE to their cell's centroid, so ANY centroid move invalidates
+    * the codes of every member — and a global warm retrain moves every
+    * centroid, degenerating the delta re-encode to a full one. The
+    * design that keeps the delta meaningful is LOCAL MODEL REPAIR:
+    * re-center only the [[RepairTop]] arrival-hottest cells (one sample
+    * M-step under the live assignment — the same md5-sample Lloyd
+    * discipline as every refinement, restricted to the repaired cells;
+    * codebooks stay FROZEN, the residual distribution being near
+    * stationary). Then code validity is per-vector and EXACT: a code is
+    * stale iff its vector's new cell is repaired (centroid moved under
+    * it) or its assignment changed (it crossed a boundary a repaired
+    * centroid moved) — everything else is byte-identical by the pure-
+    * function argument, so incremental ≡ full re-encode is PROVABLE,
+    * not approximate. The row executes it against the physical store:
+    * land full codes under the live model, re-encode ONLY the stale set
+    * (`n_reenc` — the compute bill), rewrite exactly the touched cell
+    * partitions (`rows_written` — the IO bill; ghosts deleted), read
+    * the store back and multiset-diff against a FULL re-encode under
+    * the repaired model (oracle predicts 0 — the equality is proven
+    * from the files), then serve №169's residual-ADC search from the
+    * read-back store. `n_code_changed` publishes the honest interior:
+    * how many re-encoded vectors actually changed state (the rest of
+    * the bill bought certainty, not change). Oracle rebuilds the base
+    * refinement, the hot-cell census, the repair M-step, frozen
+    * codebooks, both code assignments and the served search;
+    * ResRebalanceSpec pins delta ≡ full row-for-row, the stale-set
+    * characterization (outside it, codes0 ≡ codes1), and repair
+    * actually moving centroids. */
+  val RepairTop = 4
+
+  def knnResRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % RebalArrMod =!= 0)
+    val arrivals = corpus.filter(col("vec_id") % RebalArrMod === 0)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val cur = graft.CacheRegistry.track(base.unionByName(arrivals).persist())
+    val model0 = resModelOf(spark, s"graft_resreb_model_${dirKey(dir)}_m$PquM", base)
+    val d = model0.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    val codeCols = (0 until PquM).map(m => s"code_$m")
+
+    // the serving store: full residual codes under the live model
+    val codes0 = graft.CacheRegistry.track(encodeCellsRes(cur, model0, PquM, d).persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_resreb_${dirKey(dir)}").toString
+    landStore(store, codes0)
+
+    // LOCAL REPAIR: top-RepairTop arrival-hot cells re-centered with one
+    // sample M-step; all other centroids and all codebooks untouched
+    val hotSet = codes0.filter(col("vec_id") % RebalArrMod === 0)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_a"))
+      .orderBy(col("n_a").desc, col("cell")).limit(RepairTop)
+      .collect().map(_.getLong(0)).toSet
+    val cent0Arr = model0.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val samp = hashSample(cur, SampleM)
+    val assigned = samp.map { e =>
+      var bestCid = 0L; var bestCos = Double.NegativeInfinity
+      cent0Arr.foreach { case (cid, ce) =>
+        val cv = cos6Local(e, ce)
+        if (cv > bestCos) { bestCos = cv; bestCid = cid }
+      }
+      (bestCid, e)
+    }
+    // groupBy preserves encounter (= sample rank) order per key — the
+    // oracle's list(ORDER BY rk), same contract as lloydIter
+    val means = assigned.groupBy(_._1).map { case (cid, members) =>
+      val n = members.length
+      cid -> Array.tabulate(members(0)._2.length) { i =>
+        var s = 0.0
+        members.foreach(m => s += m._2(i).toDouble)
+        round6(s / n + 1e-9).toFloat
+      }
+    }
+    val cent1df = cent0Arr.map { case (cid, ce) =>
+      if (hotSet(cid) && means.contains(cid)) (cid, means(cid)) else (cid, ce)
+    }.toSeq.toDF("c_id", "c_emb")
+    val model1 = graft.CacheRegistry.track(
+      cent1df.select(lit(-1).as("m"), col("c_id"), col("c_emb"))
+        .unionByName(model0.filter(col("m") >= 0).select(col("m"), col("c_id"), col("c_emb")))
+        .persist())
+
+    // the stale set: new cell repaired, or assignment changed
+    val cells1 = cellsOf(cur, cent1df).select(col("vec_id"), col("cell").as("cell1"))
+    val j = graft.CacheRegistry.track(
+      codes0.withColumnRenamed("cell", "cell0").join(cells1, "vec_id").persist())
+    val isStale = col("cell1").isin(hotSet.toSeq.map(Long.box): _*) ||
+      col("cell0") =!= col("cell1")
+    val reenc = j.filter(isStale)
+    // compute bill: re-encode ONLY the stale vectors under the repaired model
+    val fresh = graft.CacheRegistry.track(
+      encodeCellsRes(cur.join(reenc.select(col("vec_id")), "vec_id"), model1, PquM, d)
+        .persist())
+    val touchedArr = reenc.select(col("cell0").as("cell"))
+      .unionAll(reenc.select(col("cell1").as("cell"))).distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ C
+    // IO bill: touched partitions rewritten wholesale — stale rows fresh,
+    // unchanged stayers carried from the live store state
+    val keep = j.filter(!isStale && col("cell0").isin(touchedArr.map(Long.box): _*))
+      .select((col("vec_id") +: col("cell0").as("cell") +: codeCols.map(col)): _*)
+    val newContent = graft.CacheRegistry.track(
+      fresh.select((col("vec_id") +: col("cell") +: codeCols.map(col)): _*)
+        .unionByName(keep).persist())
+    byCell(newContent).write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    val presentCells = newContent.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touchedArr.filterNot(presentCells).foreach(c =>
+      graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+
+    // the files are the proof: read back ≡ a FULL re-encode under model1
+    val back = graft.CacheRegistry.track(spark.read.parquet(store)
+      .select((col("vec_id") +: col("cell").cast("long").as("cell") +: codeCols.map(col)): _*)
+      .persist())
+    val full = encodeCellsRes(cur, model1, PquM, d)
+    val diff = multisetDiff(back,
+      full.select((col("vec_id") +: col("cell") +: codeCols.map(col)): _*),
+      "vec_id" +: "cell" +: codeCols)
+    val changed = fresh.as("f")
+      .join(codes0.withColumnRenamed("cell", "cell0").as("o"), "vec_id")
+      .filter(col("f.cell") =!= col("o.cell0") ||
+        codeCols.map(cc => col(s"f.$cc") =!= col(s"o.$cc")).reduce(_ || _))
+      .agg(count(lit(1)).as("n_code_changed"))
+
+    val summary = j.agg(count(lit(1)).as("n_total"),
+        sum(when(col("cell0") =!= col("cell1"), 1L).otherwise(0L)).as("n_moved"),
+        sum(when(isStale, 1L).otherwise(0L)).as("n_reenc"))
+      .crossJoin(broadcast(newContent.agg(count(lit(1)).as("rows_written"))))
+      .crossJoin(broadcast(changed)).crossJoin(broadcast(diff))
+      .select(col("n_total"), lit(hotSet.size.toLong).as("n_repaired"),
+        col("n_moved"), col("n_reenc"),
+        expr("n_reenc * 1000000 DIV n_total").as("reenc_bill_ppm"),
+        col("rows_written"),
+        expr("rows_written * 1000000 DIV n_total").as("write_bill_ppm"),
+        col("n_code_changed"), col("n_store_diff"))
+    ivfPqResSearch(spark, back, model1, cur, queries, d)
+      .crossJoin(broadcast(summary))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Bench hook: drop №181's persisted residual model (the №162
+    * cold-build discipline — the parquet code store re-lands every run
+    * and needs no drop). */
+  def dropResRebalanceCaches(spark: SparkSession, dir: String): Unit = {
+    val t = s"graft_resreb_model_${dirKey(dir)}_m$PquM"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", t)
+    if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+  }
+
+  val knnResRebalanceSql: String = {
+    val p = "rrb"
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $PquM)"
+      if (m < PquM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${PquM - 1} * $w + 1, len($src))"
+    }
+    def residCte(name: String, src: String, cells: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT s.vec_id, cl.cell,
+         |    list_transform(range(1, len(s.emb)+1), i ->
+         |      CAST(round(CAST(s.emb[i] AS DOUBLE) - CAST(ct.c_emb[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS remb
+         |  FROM $src s JOIN $cells cl ON cl.vec_id = s.vec_id JOIN $cent ct ON ct.c_id = cl.cell)""".stripMargin
+    def assignCte(name: String, src: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT s.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src s, $cent c) x WHERE r = 1)""".stripMargin
+    // code assignment of residual frame `rc` against the frozen codebooks
+    def codeCtes(tag: String, rc: String): String = (0 until PquM).map { m =>
+      s"""${p}$tag$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM (SELECT vec_id, ${subOf("remb", m)} AS emb FROM $rc) s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    def codesJoin(tag: String): String =
+      (1 until PquM).foldLeft(s"${p}$tag" + "0")((acc, m) => s"$acc JOIN ${p}$tag$m USING (vec_id)")
+    val bsubs = (0 until PquM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("remb", m)} AS emb FROM ${p}rc0b)").mkString(",\n")
+    val cents = (0 until PquM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val lutCtes = (0 until PquM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val lutJoin = (0 until PquM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until PquM).map(m => s"part_$m").mkString(" + ")
+    val codeNe = (0 until PquM).map(m => s"c1.code_$m <> c0.code_$m").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $RebalArrMod <> 0),
+       |r AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM c WHERE vec_id % $RebalArrMod = 0),
+       |cur AS (SELECT * FROM b UNION ALL SELECT * FROM r),
+       |${refinedCentSql("b", s"${p}0")},
+       |${assignCte(s"${p}cells0", "cur", s"${p}0cent")},
+       |${p}hot AS (SELECT cell FROM (
+       |  SELECT cell, count(*) AS n_a FROM ${p}cells0
+       |  WHERE vec_id % $RebalArrMod = 0 GROUP BY cell
+       |  ORDER BY n_a DESC, cell LIMIT $RepairTop)),
+       |${p}samp AS (
+       |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM cur QUALIFY rk <= $SampleM),
+       |${p}sa AS (
+       |  SELECT rk, emb, cid FROM (
+       |    SELECT s.rk, s.emb, c.c_id AS cid,
+       |      row_number() OVER (PARTITION BY s.rk ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS rr
+       |    FROM ${p}samp s, ${p}0cent c) x WHERE rr = 1),
+       |${p}sg AS (SELECT cid, list(emb ORDER BY rk) AS embs, count(*) AS n FROM ${p}sa GROUP BY cid),
+       |${p}su AS (
+       |  SELECT cid, list_transform(range(1, len(embs[1]) + 1), i ->
+       |    CAST(round(list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE))) / n + 0.000000001, 6) AS FLOAT)) AS cemb
+       |  FROM ${p}sg),
+       |cent AS (
+       |  SELECT c.c_id,
+       |    CASE WHEN c.c_id IN (SELECT cell FROM ${p}hot) AND u.cemb IS NOT NULL
+       |      THEN u.cemb ELSE c.c_emb END AS c_emb
+       |  FROM ${p}0cent c LEFT JOIN ${p}su u ON u.cid = c.c_id),
+       |${assignCte(s"${p}cells1", "cur", "cent")},
+       |${residCte(s"${p}rc0b", "b", s"${p}cells0", s"${p}0cent")},
+       |$bsubs,
+       |$cents,
+       |${residCte(s"${p}rc0", "cur", s"${p}cells0", s"${p}0cent")},
+       |${residCte(s"${p}rc1", "cur", s"${p}cells1", "cent")},
+       |${codeCtes("o", s"${p}rc0")},
+       |${codeCtes("n", s"${p}rc1")},
+       |${p}codes0 AS (SELECT * FROM ${codesJoin("o")}),
+       |${p}codes1 AS (SELECT * FROM ${codesJoin("n")}),
+       |${p}j AS (
+       |  SELECT a.vec_id, a.cell AS cell0, b.cell AS cell1,
+       |    (b.cell IN (SELECT cell FROM ${p}hot) OR a.cell <> b.cell) AS stale
+       |  FROM ${p}cells0 a JOIN ${p}cells1 b USING (vec_id)),
+       |${p}tch AS (SELECT DISTINCT cell FROM (
+       |  SELECT cell0 AS cell FROM ${p}j WHERE stale
+       |  UNION ALL SELECT cell1 FROM ${p}j WHERE stale)),
+       |${p}chg AS (
+       |  SELECT count(*) AS n_code_changed
+       |  FROM ${p}j j JOIN ${p}codes1 c1 USING (vec_id) JOIN ${p}codes0 c0 USING (vec_id)
+       |  WHERE j.stale AND (j.cell0 <> j.cell1 OR $codeNe)),
+       |probes AS (
+       |  SELECT q_id, c_id AS cell FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "cent.c_emb")} DESC, cent.c_id) AS prank
+       |    FROM q, cent) x WHERE prank <= $Probe),
+       |qcell AS (
+       |  SELECT pr.q_id, pr.cell,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cent.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS qc
+       |  FROM probes pr JOIN q ON q.q_id = pr.q_id JOIN cent ON cent.c_id = pr.cell),
+       |$lutCtes,
+       |${p}cand AS (
+       |  SELECT pr.q_id, cd.vec_id, round(qc.qc + $adcSum + 0.000000001, 6) AS adc
+       |  FROM ${p}codes1 cd JOIN ${p}rc1 rc ON rc.vec_id = cd.vec_id
+       |  JOIN probes pr ON pr.cell = rc.cell $lutJoin
+       |  JOIN qcell qc ON qc.q_id = pr.q_id AND qc.cell = rc.cell),
+       |${p}adcr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+       |  FROM ${p}cand),
+       |${p}short AS (SELECT q_id, vec_id FROM ${p}adcr WHERE rank <= $RerankR),
+       |${p}rr AS (
+       |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
+       |  FROM ${p}short s JOIN cur cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id),
+       |${p}sum AS (
+       |  SELECT
+       |    (SELECT count(*) FROM ${p}j) AS n_total,
+       |    (SELECT count(*) FROM ${p}hot) AS n_repaired,
+       |    (SELECT count(*) FROM ${p}j WHERE cell0 <> cell1) AS n_moved,
+       |    (SELECT count(*) FROM ${p}j WHERE stale) AS n_reenc,
+       |    (SELECT count(*) FROM ${p}j WHERE cell1 IN (SELECT cell FROM ${p}tch)) AS rows_written,
+       |    (SELECT n_code_changed FROM ${p}chg) AS n_code_changed)
+       |SELECT rr.q_id, rr.vec_id, rr.cos, rr.rank,
+       |  s.n_total, s.n_repaired, s.n_moved, s.n_reenc,
+       |  s.n_reenc * 1000000 // s.n_total AS reenc_bill_ppm,
+       |  s.rows_written, s.rows_written * 1000000 // s.n_total AS write_bill_ppm,
+       |  s.n_code_changed, CAST(0 AS BIGINT) AS n_store_diff
+       |FROM ${p}rr rr, ${p}sum s WHERE rr.rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val knnServeRebalanceSql: String = {
