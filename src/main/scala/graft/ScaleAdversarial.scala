@@ -110,6 +110,14 @@ object ScaleAdversarial {
       // the template cluster is probed by its own members — the capped leg
       // exercises cappedBandRows on the probe join's base side
       "dedup_minhash_multiprobe" -> (HashDedup.dedupMinhashMultiprobe _),
+      // №179: the pipeline under BOTH pair-finding modes — the 100 TB
+      // dedup design decision is this table's candidate/wall trade (the
+      // capped legs exercise the gram cap for ppjoin and the bucket cap
+      // for the banded multiprobe mode)
+      "dedup_pipeline" -> ((s: SparkSession, d: String) =>
+        CurationQueries.dedupPipelineWith(s, d, "ppjoin")),
+      "dedup_pipeline_mp" -> ((s: SparkSession, d: String) =>
+        CurationQueries.dedupPipelineWith(s, d, "minhash_mp")),
       // the LINE/WINDOW family: no candidate self-join — the mark-back is
       // row-LINEAR, a boilerplate line is a hot shuffle KEY (straggler
       // risk), not a quadratic pair generator. Measured at/below linear

@@ -224,9 +224,34 @@ object CurationQueries {
     * recursive transitive-closure CTE and joins them back — a fully
     * independent formulation of the whole pipeline.
     */
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** Pair-finding mode of the pipeline: `ppjoin` (№24's prefix filter,
+    * the default) or `minhash_mp` (№173's banded multiprobe) — selected
+    * via conf, the [[graft.queries.CurationQueries.lineDedup]]
+    * auto/shuffle precedent. The modes differ ONLY in candidate
+    * generation; both verify with the same exact τ=3/5 test, so on a
+    * corpus where multiprobe recall is 1.0 (the gate corpora — measured
+    * by №173) the pipelines are row-identical (DedupPipelineModeSpec).
+    * At 100 TB the banded mode is the design that survives: candidate
+    * cost is bucket-bounded (with the cap guards), where the prefix
+    * join's gram lists grow with every boilerplate cluster. */
+  val PairModeConfKey = "spark.graft.dedup.pairMode"
+
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelineWith(spark, dir, spark.conf.get(PairModeConfKey, "ppjoin"))
+
+  private[graft] def dedupPipelineWith(spark: SparkSession, dir: String,
+                                         mode: String): DataFrame = {
     import spark.implicits._
-    val labels = TextQueries.clusterLabels(spark, dir)
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val edges = mode match {
+      case "ppjoin" => TextQueries.dedupNgramJaccardFrom(tok).select($"doc_a", $"doc_b")
+      case "minhash_mp" =>
+        TextQueries.verifyPairsOf(TextQueries.shingleFrameOf(tok),
+          HashDedup.mpCandidatesFrom(tok)).select($"doc_a", $"doc_b")
+      case other => throw new IllegalArgumentException(
+        s"$PairModeConfKey must be ppjoin | minhash_mp, got $other")
+    }
+    val labels = TextQueries.clusterLabelsFrom(spark, edges)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("n_members"))
     dupCorpus(spark, dir)
       .join(labels, Seq("doc_id"), "left")
@@ -239,6 +264,14 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** №179 `dedup_pipeline_mp`: the pipeline under the banded-multiprobe
+    * pair-finding mode, as its own driver row — the oracle rebuilds the
+    * multiprobe candidate generation, the exact verification and the
+    * recursive closure independently (NOT assuming mode equality, which
+    * is a measured property of the corpus, not a theorem). */
+  def dedupPipelineMp(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelineWith(spark, dir, "minhash_mp")
+
   val dedupPipelineSql: String =
     s"""WITH RECURSIVE ${TextQueries.clusterCteSql},
        |lab AS (SELECT doc_id, min(r) AS lbl FROM reach GROUP BY doc_id),
@@ -249,6 +282,38 @@ object CurationQueries {
        |  CAST(len(${wordsSql("j.text")}) AS BIGINT) AS n_tok
        |FROM j JOIN k ON j.cluster = k.cluster
        |WHERE j.doc_id = j.cluster
+       |ORDER BY doc_id""".stripMargin
+
+  val dedupPipelineMpSql: String =
+    s"""WITH RECURSIVE ${HashDedup.mpChainSql},
+       |mp_pc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM mp_probe a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+       |mp_all AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
+       |pv_s AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |pv_e AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM mp_all c JOIN pv_s a ON a.doc_id = c.doc_a JOIN pv_s b ON b.doc_id = c.doc_b
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 5
+       |    >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 3),
+       |pv_nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM pv_e UNION ALL SELECT doc_b FROM pv_e) u),
+       |pv_sym AS (SELECT doc_a AS s, doc_b AS d FROM pv_e UNION ALL SELECT doc_b, doc_a FROM pv_e),
+       |pv_reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM pv_nodes
+       |  UNION
+       |  SELECT pv_sym.s, pv_reach.r FROM pv_sym JOIN pv_reach ON pv_reach.doc_id = pv_sym.d),
+       |pv_lab AS (SELECT doc_id, min(r) AS lbl FROM pv_reach GROUP BY doc_id),
+       |pv_j AS (SELECT c.doc_id, coalesce(l.lbl, c.doc_id) AS cluster, c.text
+       |      FROM corpus c LEFT JOIN pv_lab l ON c.doc_id = l.doc_id),
+       |pv_k AS (SELECT cluster, count(*) AS n_members FROM pv_j GROUP BY cluster)
+       |SELECT pv_j.doc_id, pv_k.n_members,
+       |  CAST(len(${wordsSql("pv_j.text")}) AS BIGINT) AS n_tok
+       |FROM pv_j JOIN pv_k ON pv_j.cluster = pv_k.cluster
+       |WHERE pv_j.doc_id = pv_j.cluster
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- №50 dedup_substring

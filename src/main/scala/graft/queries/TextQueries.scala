@@ -343,13 +343,35 @@ object TextQueries {
     // shingling chain into every consumer and the regex/sort/distinct work
     // runs ~10x per row. At cluster scale this is the classic
     // "cache the normalized corpus before a multi-consumer DAG" pattern.
-    val c = graft.CacheRegistry.track(tok
+    val c = shingleFrameOf(tok)
+    verifyPairsOf(c, ppjoinCandidatesOf(c)).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The persisted 5-gram shingle frame (doc_id, sh, n_sh, pfx) behind
+    * №24 — persisted because it feeds a multi-consumer DAG (prefix
+    * explode + two verification join-backs); without the
+    * materialization boundary CollapseProject inlines the whole
+    * shingling chain into every consumer and the regex/sort/distinct
+    * work runs ~10x per row. Callers build it ONCE and share. */
+  private[graft] def shingleFrameOf(tok: DataFrame): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    graft.CacheRegistry.track(tok
       .withColumn("sh", expr(ShingleCase))
       .withColumn("n_sh", size($"sh"))
       // prefix length for τ=3/5: n − ⌈3n/5⌉ + 1  (= ⌊2n/5⌋+1)
       .withColumn("pfx", expr("slice(sh, 1, greatest(n_sh - CAST((3*n_sh + 4) DIV 5 AS INT) + 1, 0))"))
       .select($"doc_id", $"sh", $"n_sh", $"pfx")
       .persist())
+  }
+
+  /** №24's PPJoin prefix-filter candidate generation over the shingle
+    * frame — one of the two selectable pair-finding modes of
+    * [[CurationQueries.dedupPipeline]] (the other is №173's banded
+    * multiprobe, [[HashDedup.mpCandidatesFrom]]). */
+  private[queries] def ppjoinCandidatesOf(c: DataFrame): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
     val allPrefixGrams = c.select($"doc_id", explode($"pfx").as("gram"))
     // conf'd stop-gram drop (see GramCapConfKey): the df agg shuffles on
     // the same gram key the candidate join hashes on
@@ -359,10 +381,20 @@ object TextQueries {
       else allPrefixGrams.withColumn("df",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
         .filter($"df" <= cap).drop("df")
-    val candidates = prefixGrams.as("a").join(prefixGrams.as("b"),
+    prefixGrams.as("a").join(prefixGrams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** EXACT verification of an arbitrary (doc_a, doc_b) candidate frame
+    * against the 5-gram shingle sets — integer cross-multiplied τ=3/5,
+    * identical whatever generated the candidates (the mode contract:
+    * pair-finding modes differ only in candidate GENERATION; every
+    * surviving pair passes the same exact test). */
+  private[graft] def verifyPairsOf(c: DataFrame, candidates: DataFrame): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
     candidates
       .join(c.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"n_sh".as("n_a")), "doc_a")
       .join(c.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"n_sh".as("n_b")), "doc_b")
@@ -370,7 +402,6 @@ object TextQueries {
       .filter($"common" * 5 >= ($"n_a" + $"n_b" - $"common") * 3)
       .select($"doc_a", $"doc_b", $"common", $"n_a", $"n_b",
         round($"common".cast("double") / ($"n_a" + $"n_b" - $"common") + 1e-9, 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** №24's CTE chain up to the verified-pairs frame `vp` (and the shingle
@@ -531,7 +562,7 @@ object TextQueries {
   /** Label-propagation body over an already-built (doc_a, doc_b) edge
     * frame — callers that also consume the edges directly (corpus_split's
     * leakage audit) persist it once and share. */
-  private[queries] def clusterLabelsFrom(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private[graft] def clusterLabelsFrom(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     // iteration frames are component-count-sized (hundreds of rows), not
     // corpus-sized: run the loop at a narrow shuffle width — 32 partitions
@@ -2793,6 +2824,20 @@ object HashDedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
 
+  /** №173's candidate GENERATION as a pair-finding mode for
+    * [[CurationQueries.dedupPipeline]]: base band pairs ∪ multiprobe
+    * pairs, deduped — candidates only; the pipeline verifies them with
+    * the same exact τ=3/5 test as the PPJoin mode
+    * ([[TextQueries.verifyPairsOf]]). Honors [[BucketCapConfKey]] on
+    * BOTH joins (bucket self-join and the probe join's base side). */
+  private[graft] def mpCandidatesFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    bandPairsOf(baseRows).select(col("doc_a"), col("doc_b"))
+      .unionAll(mpProbeCand(mpProbeRows(sig), baseRows))
+      .distinct()
+  }
+
   def dedupMinhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
     val truth = graft.CacheRegistry.track(
@@ -2898,7 +2943,7 @@ object HashDedup {
     * → 48-bit hashes → (min, second-min) → signature pivot → base keys →
     * probe keys (with the gap + (band, j) ranking columns №174 orders
     * on; №173 ignores them) → base candidate pairs `mp_bc`. */
-  private def mpChainSql: String = {
+  private[queries] def mpChainSql: String = {
     def hex12(src: String): String =
       s"CAST(list_sum(list_transform(range(1, 13), i -> " +
         s"CAST(strpos('0123456789abcdef', substr($src, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (12 - i)))) AS BIGINT)"
