@@ -170,3 +170,68 @@ object SimHash96 {
   def simhash96(tokens: Column): Column =
     ColumnBridge.toCol(SimHash96(ColumnBridge.toExpr(tokens)))
 }
+
+/** [[SimHash96]] plus the raw per-bit SUMS — the query-directed probing
+  * statistic for №182's Hamming-ball multiprobe: bit b of the fingerprint
+  * is sign(sums[b]), so |sums[b]| is the MARGIN by which the corpus of
+  * tokens voted that bit — a near-duplicate's edit flips the low-margin
+  * bits first (unlike minhash's exchangeable hash space, the margin
+  * carries real metric structure — №174 vs №181). Same single pass as
+  * SimHash96; the sums array (96 ints) is the only addition.
+  * Struct ordering: (hi, lo, sums) with sums[b] the signed vote for bit b
+  * (b < 48 → lo half, else hi), matching the oracle's `bits` CTE.
+  */
+case class SimHash96Sums(tokens: Expression) extends UnaryExpression {
+  override def child: Expression = tokens
+  override def dataType: DataType = SimHash96Sums.schema
+  override def prettyName: String = "simhash96_sums"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash96Sums.fingerprintWithSums(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash96Sums.fingerprintWithSums($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
+object SimHash96Sums {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  val schema: StructType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false),
+    StructField("sums", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  def fingerprintWithSums(tokens: ArrayData): InternalRow = {
+    val counts = new Array[Int](SimHash96.Bits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val (hi, lo) = SimHash96.tokenHash(tokens.getUTF8String(i).toString)
+        var b = 0
+        while (b < SimHash96.Half) {
+          if (((lo >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((hi >> b) & 1L) == 1L) counts(SimHash96.Half + b) += 1 else counts(SimHash96.Half + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fpHi = 0L; var fpLo = 0L
+    var b = 0
+    while (b < SimHash96.Half) {
+      if (counts(b) > 0) fpLo |= (1L << b)
+      if (counts(SimHash96.Half + b) > 0) fpHi |= (1L << b)
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](fpHi, fpLo,
+      new GenericArrayData(counts.map(c => c: Any))))
+  }
+
+  def simhash96Sums(tokens: Column): Column =
+    ColumnBridge.toCol(SimHash96Sums(ColumnBridge.toExpr(tokens)))
+}

@@ -2582,33 +2582,223 @@ object HashDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val dedupSimhashSql: String = {
+  /** Shared oracle CTE chain for №23/№182: corpus → tokens → per-token
+    * 96-bit hash halves → per-bit signed vote sums (`bits` — №182's
+    * margin statistic is |s|) → fingerprint halves `fp`. */
+  private[queries] def simhashFpChainSql: String = {
     // 48-bit halves of the first 24 hex chars of md5(tok), per-nibble shifts
     def hexParse(from: Int): String =
       s"CAST(list_sum(list_transform(range($from, ${from + 12}), i -> " +
         s"CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT) << (4 * (${from + 11} - i)))) AS BIGINT)"
-    s"""WITH $dupCorpusSql,
+    s"""$dupCorpusSql,
        |toks AS (
        |  SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM corpus),
-       |tc AS (
+       |tc AS MATERIALIZED (
        |  SELECT doc_id, tok, count(*) AS cnt, ${hexParse(1)} AS h_hi, ${hexParse(13)} AS h_lo
        |  FROM toks GROUP BY doc_id, tok),
-       |bits AS (
+       |bits AS MATERIALIZED (
        |  SELECT doc_id, b.b,
        |    sum(CASE WHEN (CASE WHEN b.b < 48 THEN (h_lo >> b.b) & 1 ELSE (h_hi >> (b.b - 48)) & 1 END) = 1
        |      THEN cnt ELSE -cnt END) AS s
        |  FROM tc, (SELECT unnest(range(0, $SimBits)) AS b) b
        |  GROUP BY doc_id, b.b),
-       |fp AS (
+       |fp AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 AND b >= 48 THEN CAST(1 AS BIGINT) << (b - 48) ELSE 0 END) AS BIGINT) AS hi,
        |    CAST(sum(CASE WHEN s > 0 AND b < 48 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS lo
-       |  FROM bits GROUP BY doc_id)
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashFpChainSql
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- №182 dedup_simhash_multiprobe
+  /** HAMMING-BALL MULTI-PROBE for the simhash family — №173's recall
+    * lever carried to №23, where the probe ranking is finally on home
+    * ground (Lv et al. 2007's query-directed probing was DERIVED for
+    * metric-structured hashes like simhash's bit votes; minhash needed
+    * №181's DF detour). Banding at the hard point: TWO 48-bit bands
+    * (half №23's index — 2 rows/doc vs 4 — and a 2⁴⁸ key space, so the
+    * quadratic bucket cliff moves out another 2²⁴×), where pigeonhole
+    * only guarantees pairs with a ZERO-diff half; a hamming ≤ 3 pair
+    * split (1,1)/(1,2)/(2,1) across the halves is MISSED by base
+    * banding. Radius-1 probes close exactly that gap: every h ≤ 3 pair
+    * has some half with ≤ 1 differing bit, so flipping single bits
+    * reaches full h ≤ 3 recall at 48 flips/band — and the per-bit vote
+    * MARGIN |Σ±cnt| says WHICH bits a near-dup's edit flips first (the
+    * low-margin ones: a bit flips when the token diff crosses its vote
+    * boundary), so rank flips margin-ASC and spend Q ≪ 48.
+    *
+    * Truth is EXACT, not sampled: №23's own 4×24 banding + verify is
+    * provably complete for hamming ≤ 3 (≤ 3 diffs over 4 disjoint bands
+    * leave one band untouched), so `n_true` is the full h ≤ 3 pair set
+    * computed by machinery already oracle-pinned. Candidates (base ∪
+    * budgeted probes) are verified with the same exact bit_count test;
+    * prec = verification yield, rec = verified/truth. One probe join
+    * serves both rankings × all budgets via per-ranking tiers (№181's
+    * discipline); the margin-DESC control inverts the claim. Measured
+    * (sf0.01): base 2-band verifies 75/87 h≤3 pairs; margin_asc
+    * recovers 8 of the 12 missed at Q=1 and ALL 12 at Q=2 flips/band
+    * (rec 1.0 at a 4·docs lookup bill, half №23's index), while
+    * margin_desc recovers ZERO through Q=8 — the margin IS informative,
+    * completing the №174/№181/№182 triptych (uninformative proxy /
+    * informative detour / natively informative score). */
+  val SimMpSweep: Seq[Int] = Seq(1, 2, 4, 8)
+  val SimMpMax: Int = SimMpSweep.max
+
+  def dedupSimhashMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    // fingerprint + per-bit vote sums in the SAME single native pass
+    val fp = graft.CacheRegistry.track(tok
+      .select(col("doc_id"), graft.functions.SimHash96Sums.simhash96Sums(col("ws")).as("f"))
+      .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"), col("f.sums").as("sums"))
+      .persist())
+    // truth: №23's 4×24 band+verify — pigeonhole-COMPLETE for h ≤ HammingMax
+    val truth = graft.CacheRegistry.track(
+      dedupSimhashFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val baseRows = graft.CacheRegistry.track(
+      fp.select(col("doc_id"), lit(0).as("band"), col("lo").as("band_key"))
+        .unionAll(fp.select(col("doc_id"), lit(1).as("band"), col("hi").as("band_key")))
+        .persist())
+    val eligible = cappedBandRows(baseRows)
+    val baseCand = graft.CacheRegistry.track(
+      eligible.as("a").join(eligible.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        .persist())
+    // radius-1 probe keys ranked by vote margin within (doc, band); both
+    // directions numbered once, rows kept if EITHER ranking can spend them
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"), col("band"))
+    val ranked = graft.CacheRegistry.track(fp
+      .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("sums")).as(Seq("gb", "s")))
+      .select(col("doc_id"), col("gb"),
+        when(col("gb") < SimHash96Half, lit(0)).otherwise(lit(1)).as("band"),
+        abs(col("s")).as("margin"),
+        expr(s"(CASE WHEN gb < $SimHash96Half THEN lo ELSE hi END) " +
+          s"^ (CAST(1 AS BIGINT) << (gb % $SimHash96Half))").as("probe_key"))
+      .withColumn("rn_asc", row_number().over(w.orderBy(col("margin"), col("gb"))))
+      .withColumn("rn_desc", row_number().over(w.orderBy(col("margin").desc, col("gb"))))
+      .filter(col("rn_asc") <= SimMpMax || col("rn_desc") <= SimMpMax)
+      .persist())
+    // ONE capped probe join; each found pair carries its per-ranking tier
+    val probeTier = graft.CacheRegistry.track(
+      ranked.as("a").join(cappedBandRows(baseRows).as("b"),
+          col("a.band") === col("b.band") && col("a.probe_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          col("a.rn_asc"), col("a.rn_desc"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("rn_asc")).as("t_asc"), min(col("rn_desc")).as("t_desc"))
+        .persist())
+    val fpA = fp.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val fpB = fp.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    def grade(ranking: String, q: Int, cand: DataFrame, bill: Column): DataFrame = {
+      val verified = cand.join(fpA, "doc_a").join(fpB, "doc_b")
+        .filter(expr(s"bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) <= $HammingMax"))
+        .select(col("doc_a"), col("doc_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(baseRows.agg(count(lit(1)).as("n_index_rows"))))
+        .crossJoin(broadcast(ranked.agg(bill.cast("long").as("n_probe_rows"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(verified.join(broadcast(truth), Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))))
+        .select(lit(ranking).as("ranking"), lit(q.toLong).as("flips_q"),
+          col("n_index_rows"), col("n_probe_rows"), col("n_candidates"),
+          col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    }
+    val rankings = Seq("margin_asc" -> ("t_asc", "rn_asc"), "margin_desc" -> ("t_desc", "rn_desc"))
+    val rows = grade("base", 0, baseCand, count(lit(1)) * 0) +:
+      (for { (name, (tcol, rncol)) <- rankings; q <- SimMpSweep } yield {
+        val cand = graft.CacheRegistry.track(baseCand
+          .unionAll(probeTier.filter(col(tcol) <= q).select(col("doc_a"), col("doc_b")))
+          .distinct().persist())
+        grade(name, q, cand, sum(when(col(rncol) <= q, 1L).otherwise(0L)))
+      })
+    rows.reduce(_ unionAll _).orderBy(col("ranking"), col("flips_q"))
+  }
+  private val SimHash96Half = graft.functions.SimHash96.Half
+
+  val dedupSimhashMultiprobeSql: String = {
+    val rankings = Seq("margin_asc" -> "margin ASC", "margin_desc" -> "margin DESC")
+    val candCtes = (for { (name, _) <- rankings; q <- SimMpSweep } yield {
+      s"""sm_c_${name}_$q AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM sm_bc
+         |  UNION
+         |  SELECT doc_a, doc_b FROM sm_tier WHERE t_$name <= $q)""".stripMargin
+    }).mkString(",\n")
+    val verifiedCtes = (for { (name, _) <- rankings; q <- SimMpSweep } yield {
+      s"""sm_v_${name}_$q AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b FROM sm_c_${name}_$q c
+         |  JOIN fp a ON a.doc_id = c.doc_a JOIN fp b ON b.doc_id = c.doc_b
+         |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax)""".stripMargin
+    }).mkString(",\n")
+    val gradeRows =
+      s"""  SELECT 'base' AS ranking, CAST(0 AS BIGINT) AS flips_q,
+         |    (SELECT count(*) FROM sm_base) AS n_index_rows,
+         |    CAST(0 AS BIGINT) AS n_probe_rows,
+         |    (SELECT count(*) FROM sm_bc) AS n_candidates,
+         |    (SELECT count(*) FROM sm_truth) AS n_true,
+         |    (SELECT count(*) FROM sm_vb JOIN sm_truth USING (doc_a, doc_b)) AS n_hit""".stripMargin +:
+      (for { (name, _) <- rankings; q <- SimMpSweep } yield {
+        val rn = if (name == "margin_asc") "rn_asc" else "rn_desc"
+        s"""  SELECT '$name', CAST($q AS BIGINT),
+           |    (SELECT count(*) FROM sm_base),
+           |    (SELECT count(*) FROM sm_ranked WHERE $rn <= $q),
+           |    (SELECT count(*) FROM sm_c_${name}_$q),
+           |    (SELECT count(*) FROM sm_truth),
+           |    (SELECT count(*) FROM sm_v_${name}_$q JOIN sm_truth USING (doc_a, doc_b))""".stripMargin
+      })
+    s"""WITH $simhashFpChainSql,
+       |sm_truth AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax),
+       |sm_base AS MATERIALIZED (
+       |  SELECT doc_id, 0 AS band, lo AS band_key FROM fp
+       |  UNION ALL SELECT doc_id, 1, hi FROM fp),
+       |sm_bc AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sm_base a JOIN sm_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sm_vb AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b FROM sm_bc c
+       |  JOIN fp a ON a.doc_id = c.doc_a JOIN fp b ON b.doc_id = c.doc_b
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $HammingMax),
+       |sm_probe AS (
+       |  SELECT t.doc_id, t.b AS gb,
+       |    CASE WHEN t.b < 48 THEN 0 ELSE 1 END AS band,
+       |    abs(t.s) AS margin,
+       |    xor(CASE WHEN t.b < 48 THEN f.lo ELSE f.hi END,
+       |        CAST(1 AS BIGINT) << (t.b % 48)) AS probe_key
+       |  FROM bits t JOIN fp f USING (doc_id)),
+       |sm_ranked AS MATERIALIZED (
+       |  SELECT doc_id, band, probe_key,
+       |    row_number() OVER (PARTITION BY doc_id, band ORDER BY margin ASC, gb) AS rn_asc,
+       |    row_number() OVER (PARTITION BY doc_id, band ORDER BY margin DESC, gb) AS rn_desc
+       |  FROM sm_probe),
+       |sm_tier AS MATERIALIZED (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+       |    min(a.rn_asc) AS t_margin_asc, min(a.rn_desc) AS t_margin_desc
+       |  FROM sm_ranked a JOIN sm_base b
+       |    ON a.band = b.band AND a.probe_key = b.band_key AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |$candCtes,
+       |$verifiedCtes,
+       |sm_g AS (
+       |${gradeRows.mkString("\n  UNION ALL\n")})
+       |SELECT ranking, flips_q, n_index_rows, n_probe_rows, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
+       |FROM sm_g ORDER BY ranking, flips_q""".stripMargin
   }
 
   // ---------------------------------------------------------------- №64 dedup_recall
@@ -2761,19 +2951,29 @@ object HashDedup {
   val MpBands = 2
   val MpR: Int = NumHashes / MpBands
 
-  /** The 48-bit (min, second-min) signature frame (doc_id, m0..s11) —
-    * ONE definition for №173 and №174 (callers persist). */
-  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sh = tok
+  /** Distinct-per-doc word-3-shingle frame (doc_id, sh) — the shared
+    * upstream of the signature heaps AND №181's shingle document
+    * frequencies (DF = count(*) over this frame, since each (doc, sh)
+    * appears once). */
+  private def mpShingles(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tok
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))")).as("sh"))
-    // 12 hash columns per shingle row (NO ×K row explode — the heaps run
-    // as K wide aggregate columns over the same frame), then min +
-    // second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact in the
-    // double score), heap partials map-side
-    val hw = sh.select(col("doc_id") +: (0 until NumHashes).map(k =>
+
+  /** 12 hash columns per shingle row (NO ×K row explode — the heaps run
+    * as K wide aggregate columns over the same frame). Keeps `sh` so
+    * №181 can identify the argmin shingle. */
+  private def mpHashWide(sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sh.select(col("doc_id") +: col("sh") +: (0 until NumHashes).map(k =>
       expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)").as(s"h$k")): _*)
+
+  /** The 48-bit (min, second-min) signature frame (doc_id, m0..s11) —
+    * ONE definition for №173, №174 and №181 (callers persist). */
+  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // min + second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact
+    // in the double score), heap partials map-side
+    val hw = mpHashWide(mpShingles(tok)).drop("sh")
     // DISTINCT top-2: the oracle's mp_m2 is min(h) WHERE h > m — the
     // second DISTINCT hash — so a within-doc 48-bit collision must not
     // yield s = m (gap 0, probe key == base key, a latent cross-engine
@@ -2939,6 +3139,119 @@ object HashDedup {
     rows.reduce(_ unionAll _).orderBy(col("probes_t"))
   }
 
+  // ---------------------------------------------------------------- №181 dedup_multiprobe_dfrank
+  /** DF-RANKED multi-probe — №174's own named successor: the gap proxy
+    * is provably uninformative for minhash (exchangeable hash space), so
+    * rank the perturbations by a statistic that DOES carry per-position
+    * swap likelihood — the min-shingle's corpus DOCUMENT FREQUENCY.
+    * Probing position k recovers a neighbor exactly when the neighbor
+    * LACKS our argmin shingle there: a shingle shared corpus-wide
+    * (template/boilerplate, high DF) is almost surely in the near-dup
+    * too (probe wasted), while a doc-local shingle (DF≈1 — the mutated
+    * region) is exactly what a near-dup is missing (probe valuable).
+    * So rank RARE-FIRST and measure whether recall front-loads.
+    *
+    * Cost of the score: one extra bounded join at signature time — DF is
+    * count(*) over the distinct-(doc,shingle) frame (the frame the
+    * signature pass already builds), joined back on the shingle key; the
+    * min-shingle's DF then falls out of the SAME per-doc aggregation
+    * shape as the heaps (min(df) over the argmin set {sh : h_k = m_k} —
+    * the min-over-ties form is deterministic in both engines, no
+    * arg_min tie ambiguity). At 100 TB the DF join is shingle-frame
+    * sized — the scale of the signature pass itself, one extra shuffle,
+    * and a Count-Min sketch would approximate it broadcast-side if that
+    * shuffle ever mattered.
+    *
+    * Output: one row per (ranking ∈ gap | df_rare | df_common) ×
+    * (T ∈ [[MpProbeSweep]] ∪ bands·r) plus the shared T=0 base row —
+    * `gap` is №174's curve re-derived on the same frames (the on-row
+    * comparator), `df_common` the deliberate wrong-direction control.
+    * All three rankings number the SAME probe rows, so the probe bill
+    * depends only on T and the T=bands·r rows agree across rankings
+    * (№173's ceiling) — both pinned in MultiprobeSpec. Measured
+    * (sf0.01): df_rare recovers all 5 base-missed pairs at T=2 (rec
+    * 1.0 at a 2·docs lookup bill) where gap climbs linearly (136/138/
+    * 139 at T=4/8/12) and df_common stays at BASE recall through T=4
+    * and only completes at T=12 — the informative-score front-loading
+    * №174's negative result predicted was available, with the
+    * direction confirmed by the control inverting it. */
+  def dedupMultiprobeDfrank(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val shingles = graft.CacheRegistry.track(mpShingles(tok).persist())
+    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val baseCand = graft.CacheRegistry.track(
+      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
+    // DF of the argmin shingle per hash position: DF per shingle (count
+    // over the distinct-per-doc frame), joined to the hash-wide frame,
+    // then min(df) over {sh : h_k = m_k} per doc — ties resolved by min,
+    // identical semantics to the oracle's WHERE h = m GROUP BY form.
+    val dfBySh = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val hwDf = mpHashWide(shingles).join(dfBySh, "sh")
+    val dfAggs = (0 until NumHashes).map(k =>
+      min(when(col(s"h$k") === col(s"m$k"), col("df"))).as(s"df$k"))
+    val dfSig = hwDf
+      .join(sig.select(col("doc_id") +: (0 until NumHashes).map(k => col(s"m$k")): _*), "doc_id")
+      .groupBy(col("doc_id")).agg(dfAggs.head, dfAggs.tail: _*)
+    // probe rows carrying BOTH ranking statistics (gap + df at the
+    // swapped position), then one row_number per ranking over the same
+    // (band, j) tiebreak — the bill column is ranking-independent
+    val sigd = sig.join(dfSig, "doc_id")
+    val probe = (0 until MpBands).flatMap { b =>
+      (0 until MpR).map { j =>
+        val pos = b * MpR + j
+        val perturbed = (b * MpR until (b + 1) * MpR).map(k =>
+          if (k == pos) col(s"s$k") else col(s"m$k"))
+        sigd.filter(col(s"s$pos").isNotNull)
+          .select(col("doc_id"), lit(b).as("band"), lit(j).as("j"),
+            mpKeyOf(perturbed).as("band_key"),
+            (col(s"s$pos") - col(s"m$pos")).as("gap"),
+            col(s"df$pos").as("df"))
+      }
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = graft.CacheRegistry.track(probe
+      .withColumn("pr_gap", row_number().over(w.orderBy(col("gap"), col("band"), col("j"))))
+      .withColumn("pr_rare", row_number().over(w.orderBy(col("df"), col("band"), col("j"))))
+      .withColumn("pr_common", row_number().over(w.orderBy(col("df").desc, col("band"), col("j"))))
+      .persist())
+    // ONE capped probe join for all rankings and budgets: each found pair
+    // carries its per-ranking TIER; a (ranking, T) candidate set is then
+    // a filter over this frame (№174's tier discipline, widened)
+    val probeTier = graft.CacheRegistry.track(
+      ranked.as("a").join(cappedBandRows(baseRows).as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          col("a.pr_gap"), col("a.pr_rare"), col("a.pr_common"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("pr_gap")).as("t_gap"), min(col("pr_rare")).as("t_rare"),
+          min(col("pr_common")).as("t_common"))
+        .persist())
+    def grade(ranking: String, t: Int, pairs: DataFrame, bill: Column): DataFrame =
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(ranked.agg(bill.cast("long").as("n_probe_rows"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(pairs.join(broadcast(truth), Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
+        .select(lit(ranking).as("ranking"), lit(t.toLong).as("probes_t"),
+          col("n_probe_rows"), col("n_candidates"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+    val budgets = MpProbeSweep :+ (MpBands * MpR)
+    val rankings = Seq("gap" -> "t_gap", "df_rare" -> "t_rare", "df_common" -> "t_common")
+    val rows = grade("base", 0, baseCand, count(lit(1)) * 0) +:
+      (for { (name, tcol) <- rankings; t <- budgets } yield {
+        val cand = graft.CacheRegistry.track(baseCand
+          .unionAll(probeTier.filter(col(tcol) <= t).select(col("doc_a"), col("doc_b")))
+          .distinct().persist())
+        grade(name, t, cand, sum(when(col("pr_gap") <= t, 1L).otherwise(0L)))
+      })
+    rows.reduce(_ unionAll _).orderBy(col("ranking"), col("probes_t"))
+  }
+
   /** Shared oracle CTE chain for №173/№174: truth → tokenize → shingles
     * → 48-bit hashes → (min, second-min) → signature pivot → base keys →
     * probe keys (with the gap + (band, j) ranking columns №174 orders
@@ -2963,32 +3276,32 @@ object HashDedup {
           s"FROM mp_sig WHERE s$pos IS NOT NULL"
       }
     }.mkString("\n  UNION ALL ")
-    s"""truth AS (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
+    s"""truth AS MATERIALIZED (SELECT doc_a, doc_b FROM (${TextQueries.dedupNgramJaccardSql.replace("\n", "\n  ")})),
        |$dupCorpusSql,
        |mp_d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
-       |mp_sh AS (
+       |mp_sh AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
        |  FROM mp_d WHERE len(ws) >= 3),
-       |mp_hn AS (
-       |  SELECT doc_id, k, ${hex12("md5(CAST(k AS VARCHAR) || '|' || sh)")} AS h
+       |mp_hn AS MATERIALIZED (
+       |  SELECT doc_id, sh, k, ${hex12("md5(CAST(k AS VARCHAR) || '|' || sh)")} AS h
        |  FROM mp_sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS k)),
-       |mp_m1 AS (SELECT doc_id, k, min(h) AS m FROM mp_hn GROUP BY 1, 2),
+       |mp_m1 AS MATERIALIZED (SELECT doc_id, k, min(h) AS m FROM mp_hn GROUP BY 1, 2),
        |mp_m2 AS (
        |  SELECT h.doc_id, h.k, min(h.h) AS s
        |  FROM mp_hn h JOIN mp_m1 USING (doc_id, k) WHERE h.h > mp_m1.m GROUP BY 1, 2),
        |mp_two AS (
        |  SELECT m1.doc_id, m1.k, m1.m, m2.s
        |  FROM mp_m1 m1 LEFT JOIN mp_m2 m2 USING (doc_id, k)),
-       |mp_sig AS (
+       |mp_sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    $basePivot
        |  FROM mp_two GROUP BY doc_id),
-       |mp_base AS (
+       |mp_base AS MATERIALIZED (
        |  $baseRows),
-       |mp_probe AS (
+       |mp_probe AS MATERIALIZED (
        |  $probeRows),
-       |mp_bc AS (
+       |mp_bc AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM mp_base a JOIN mp_base b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
@@ -3000,7 +3313,7 @@ object HashDedup {
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
        |  FROM mp_probe a JOIN mp_base b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
-       |mp_mc AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
+       |mp_mc AS MATERIALIZED (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
        |mp_g AS (
        |  SELECT 'base' AS mode,
        |    (SELECT count(*) FROM mp_base) AS n_index_rows,
@@ -3023,7 +3336,7 @@ object HashDedup {
   val dedupMultiprobeRankedSql: String = {
     val budgets = MpProbeSweep :+ (MpBands * MpR)
     val candCtes = budgets.map { t =>
-      s"""mr_c$t AS (
+      s"""mr_c$t AS MATERIALIZED (
          |  SELECT doc_a, doc_b FROM mp_bc
          |  UNION
          |  SELECT DISTINCT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
@@ -3043,7 +3356,7 @@ object HashDedup {
            |    (SELECT count(*) FROM mr_c$t JOIN truth USING (doc_a, doc_b))""".stripMargin
       }
     s"""WITH $mpChainSql,
-       |mr_pr AS (
+       |mr_pr AS MATERIALIZED (
        |  SELECT doc_id, band, band_key,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY gap, band, j) AS pr
        |  FROM mp_probe),
@@ -3054,6 +3367,68 @@ object HashDedup {
        |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
        |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
        |FROM mr_g ORDER BY probes_t""".stripMargin
+  }
+
+  val dedupMultiprobeDfrankSql: String = {
+    val budgets = MpProbeSweep :+ (MpBands * MpR)
+    val dfPivot = (0 until NumHashes).map(k =>
+      s"max(CASE WHEN k = $k THEN mdf END) AS df$k").mkString(",\n    ")
+    val dfCase = "CASE p.band * " + MpR + " + p.j " +
+      (0 until NumHashes).map(k => s"WHEN $k THEN s.df$k").mkString(" ") + " END"
+    val rankings = Seq("gap" -> "gap ASC", "df_rare" -> "df ASC", "df_common" -> "df DESC")
+    val candCtes = (for { (name, _) <- rankings; t <- budgets } yield {
+      s"""md_c_${name}_$t AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM mp_bc
+         |  UNION
+         |  SELECT doc_a, doc_b FROM md_tier WHERE t_$name <= $t)""".stripMargin
+    }).mkString(",\n")
+    val tierCols = rankings.map { case (name, _) => s"min(pr_$name) AS t_$name" }.mkString(", ")
+    val prCols = rankings.map { case (name, ord) =>
+      s"row_number() OVER (PARTITION BY doc_id ORDER BY $ord, band, j) AS pr_$name"
+    }.mkString(",\n    ")
+    val gradeRows =
+      s"""  SELECT 'base' AS ranking, CAST(0 AS BIGINT) AS probes_t,
+         |    CAST(0 AS BIGINT) AS n_probe_rows,
+         |    (SELECT count(*) FROM mp_bc) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_true,
+         |    (SELECT count(*) FROM mp_bc JOIN truth USING (doc_a, doc_b)) AS n_hit""".stripMargin +:
+      (for { (name, _) <- rankings; t <- budgets } yield {
+        s"""  SELECT '$name', CAST($t AS BIGINT),
+           |    (SELECT count(*) FROM md_ranked WHERE pr_gap <= $t),
+           |    (SELECT count(*) FROM md_c_${name}_$t),
+           |    (SELECT count(*) FROM truth),
+           |    (SELECT count(*) FROM md_c_${name}_$t JOIN truth USING (doc_a, doc_b))""".stripMargin
+      })
+    s"""WITH $mpChainSql,
+       |md_df AS MATERIALIZED (SELECT sh, count(*) AS df FROM mp_sh GROUP BY sh),
+       |md_mdf AS MATERIALIZED (
+       |  SELECT h.doc_id, h.k, min(d.df) AS mdf
+       |  FROM mp_hn h JOIN mp_m1 USING (doc_id, k) JOIN md_df d USING (sh)
+       |  WHERE h.h = mp_m1.m GROUP BY 1, 2),
+       |md_sigdf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $dfPivot
+       |  FROM md_mdf GROUP BY doc_id),
+       |md_probed AS (
+       |  SELECT p.doc_id, p.band, p.j, p.band_key, p.gap, $dfCase AS df
+       |  FROM mp_probe p JOIN md_sigdf s USING (doc_id)),
+       |md_ranked AS MATERIALIZED (
+       |  SELECT doc_id, band, band_key,
+       |    $prCols
+       |  FROM md_probed),
+       |md_tier AS MATERIALIZED (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+       |    $tierCols
+       |  FROM md_ranked a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |$candCtes,
+       |md_g AS (
+       |${gradeRows.mkString("\n  UNION ALL\n")})
+       |SELECT ranking, probes_t, n_probe_rows, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
+       |FROM md_g ORDER BY ranking, probes_t""".stripMargin
   }
 
   val dedupRecallSql: String =

@@ -67,6 +67,109 @@ class MultiprobeSpec extends SparkSpec {
         s"gap ranking suddenly front-loads (T=${ts(1)} adds ${hit(ts(1)) - hit(0L)} of $added) — re-narrate №174")
   }
 
+  test("№181 df-ranked probing front-loads: rare-first beats gap beats common-first, same bill") {
+    val rows = HashDedup.dedupMultiprobeDfrank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    def hit(rk: String, t: Long) = rows((rk, t)).getLong(5)
+    def bill(rk: String, t: Long) = rows((rk, t)).getLong(2)
+    def cand(rk: String, t: Long) = rows((rk, t)).getLong(3)
+    val budgets = (HashDedup.MpProbeSweep :+ HashDedup.MpBands * HashDedup.MpR).map(_.toLong)
+    val tMax = budgets.last
+    val rankings = Seq("gap", "df_rare", "df_common")
+    // the probe bill depends only on T (all rankings row_number the same
+    // frame), recall is monotone in T within every ranking, and the full
+    // budget erases the ranking (all orderings of the same 12 probes)
+    for (rk <- rankings) {
+      budgets.sliding(2).foreach { case Seq(a, b) =>
+        assert(hit(rk, b) >= hit(rk, a) && cand(rk, b) >= cand(rk, a),
+          s"$rk recall dropped from T=$a to T=$b")
+      }
+      assert(bill(rk, tMax) == bill(rankings.head, tMax))
+      assert(hit(rk, tMax) == hit(rankings.head, tMax) && cand(rk, tMax) == cand(rankings.head, tMax),
+        s"full-budget rows diverge across rankings ($rk)")
+    }
+    for (t <- budgets; rk <- rankings.tail)
+      assert(bill(rk, t) == bill("gap", t), s"probe bill differs across rankings at T=$t")
+    // anchors: the base row matches №174's T=0, the full budget matches
+    // №173's all-probes row
+    val mp = HashDedup.dedupMinhashMultiprobe(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows(("base", 0L)).getLong(5) == mp("base").getLong(5))
+    assert(hit("gap", tMax) == mp("multiprobe").getLong(5))
+    // THE claim (№174's named successor): the min-shingle's document
+    // frequency front-loads where the gap cannot — rare-first recovers
+    // at least half the full-probe gain inside the narrowest budget,
+    // strictly dominates the gap ranking there, and the wrong-direction
+    // control never beats it anywhere (measured sf0.01: df_rare closes
+    // all 5 missed pairs at T=2; gap closes 0)
+    val base = hit("gap", tMax) - rows(("base", 0L)).getLong(5) // pairs probing adds at full budget
+    if (base >= 2) {
+      val t0 = budgets.head
+      assert(hit("df_rare", t0) - rows(("base", 0L)).getLong(5) >= (base + 1) / 2,
+        s"df_rare no longer front-loads (T=$t0 adds ${hit("df_rare", t0) - rows(("base", 0L)).getLong(5)} of $base)")
+      assert(hit("df_rare", t0) > hit("gap", t0),
+        "df_rare no longer beats the gap ranking at the narrow budget — re-narrate №181")
+    }
+    for (t <- budgets)
+      assert(hit("df_rare", t) >= hit("df_common", t),
+        s"common-first beat rare-first at T=$t — the DF direction claim is wrong")
+  }
+
+  test("№182 simhash Hamming-ball probing: margin-asc informative, desc control flat, truth complete") {
+    import org.apache.spark.sql.functions._
+    val rows = HashDedup.dedupSimhashMultiprobe(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    def hit(rk: String, q: Long) = rows((rk, q)).getLong(6)
+    def bill(rk: String, q: Long) = rows((rk, q)).getLong(3)
+    val budgets = HashDedup.SimMpSweep.map(_.toLong)
+    val baseHit = rows(("base", 0L)).getLong(6)
+    val nTrue = rows(("base", 0L)).getLong(5)
+    val nDocs = rows(("base", 0L)).getLong(2) / 2 // 2 index rows per doc
+    // index is 2 rows/doc (half №23's 4) and the bill is exactly 2·Q·docs
+    // for BOTH rankings (all 48 bits exist per band, so budgets saturate)
+    for (rk <- Seq("margin_asc", "margin_desc"); q <- budgets) {
+      assert(bill(rk, q) == 2 * q * nDocs, s"bill at ($rk, Q=$q) not 2*Q*docs")
+      assert(hit(rk, q) >= baseHit && hit(rk, q) <= nTrue)
+    }
+    // monotone in Q within each ranking
+    for (rk <- Seq("margin_asc", "margin_desc"))
+      budgets.sliding(2).foreach { case Seq(a, b) =>
+        assert(hit(rk, b) >= hit(rk, a), s"$rk recall dropped from Q=$a to Q=$b")
+      }
+    // THE claim: the vote margin is informative — asc dominates desc at
+    // every budget, and if banding left headroom, asc recovers at least
+    // half of it by Q=2 while desc recovers at most half by Q=2
+    for (q <- budgets)
+      assert(hit("margin_asc", q) >= hit("margin_desc", q),
+        s"margin_desc beat margin_asc at Q=$q — the margin-direction claim is wrong")
+    val missed = nTrue - baseHit
+    if (missed >= 2) {
+      assert(hit("margin_asc", 2L) - baseHit >= (missed + 1) / 2,
+        s"margin_asc no longer front-loads (Q=2 recovers ${hit("margin_asc", 2L) - baseHit} of $missed)")
+      assert(hit("margin_asc", 2L) > hit("margin_desc", 2L),
+        "asc no longer strictly beats the desc control at Q=2 — re-narrate №182")
+    }
+    // TRUTH COMPLETENESS, checked brute-force at spec scale: №23's 4×24
+    // banding+verify (the row's n_true source) must equal the O(n²)
+    // hamming scan — the pigeonhole theorem made executable — and the
+    // sums-carrying expression must reproduce SimHash96's fingerprint.
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, sf).persist())
+    val fpS = tok.select(col("doc_id"), graft.functions.SimHash96Sums.simhash96Sums(col("ws")).as("f"))
+      .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"))
+    val fp96 = tok.select(col("doc_id"), graft.functions.SimHash96.simhash96(col("ws")).as("f"))
+      .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"))
+    assert(fpS.exceptAll(fp96).isEmpty && fp96.exceptAll(fpS).isEmpty,
+      "SimHash96Sums fingerprint diverged from SimHash96")
+    val brute = fpS.as("a").crossJoin(fpS.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= ${HashDedup.HammingMax}"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val banded = HashDedup.dedupSimhash(spark, sf).select(col("doc_a"), col("doc_b"))
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "4-band truth is NOT the full h<=3 pair set — pigeonhole assumption broken")
+    graft.CacheRegistry.releaseAll(spark)
+  }
+
   test("second-min is strict-DISTINCT: a duplicated min hash yields the next distinct value, not s = m") {
     // the oracle's mp_m2 is min(h) WHERE h > m — the second DISTINCT
     // hash. The signature heap must agree when a within-doc 48-bit
