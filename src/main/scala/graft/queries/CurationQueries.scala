@@ -284,14 +284,12 @@ object CurationQueries {
        |WHERE j.doc_id = j.cluster
        |ORDER BY doc_id""".stripMargin
 
-  val dedupPipelineMpSql: String =
-    s"""WITH RECURSIVE ${HashDedup.mpChainSql},
-       |mp_pc AS (
-       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
-       |  FROM mp_probe a JOIN mp_base b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
-       |mp_all AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
-       |pv_s AS (SELECT doc_id,
+  /** The verification + closure + keeper suffix shared by the multiprobe
+    * pipeline oracles (№180 full, №183 budgeted): consumes `mp_all`
+    * (candidate pairs), re-verifies with the exact τ=3/5 5-gram test,
+    * closes transitively, keeps canonical members. */
+  private def pvPipelineSuffixSql: String =
+    s"""pv_s AS (SELECT doc_id,
        |  list_distinct(list_transform(range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
        |  FROM mp_d),
        |pv_e AS (
@@ -315,6 +313,47 @@ object CurationQueries {
        |FROM pv_j JOIN pv_k ON pv_j.cluster = pv_k.cluster
        |WHERE pv_j.doc_id = pv_j.cluster
        |ORDER BY doc_id""".stripMargin
+
+  val dedupPipelineMpSql: String =
+    s"""WITH RECURSIVE ${HashDedup.mpChainSql},
+       |mp_pc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM mp_probe a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+       |mp_all AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
+       |$pvPipelineSuffixSql""".stripMargin
+
+  // ------------------------------------------------------------ №183 dedup_pipeline_mp_budget
+  /** №183 `dedup_pipeline_mp_budget`: the banded-multiprobe pipeline mode
+    * under a [[HashDedup.MpBudgetConfKey]] probe budget — №181's
+    * rare-first DF ranking put to PRODUCTION work. At 100 TB the probe
+    * join is the multiprobe mode's dominant lookup bill (bands·r extra
+    * keys per doc); the measured front-loading says T=[[PipelineMpBudget]]
+    * rare-first probes buy the same recall on the gate corpora, so the
+    * bill drops 6× (12 → 2 probe rows per doc) with row-identical output
+    * — the equality is MEASURED, not assumed: this row's oracle rebuilds
+    * the DF ranking, the budget filter, the exact verification and the
+    * recursive closure independently, and DedupPipelineModeSpec pins
+    * budget ≡ full-probe ≡ ppjoin rows plus the candidate-count ordering
+    * (budgeted ⊆ full) that makes the saving real rather than vacuous. */
+  val PipelineMpBudget = 2
+
+  def dedupPipelineMpBudget(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set(HashDedup.MpBudgetConfKey, PipelineMpBudget.toString)
+    try dedupPipelineWith(spark, dir, "minhash_mp")
+    finally spark.conf.unset(HashDedup.MpBudgetConfKey)
+  }
+
+  val dedupPipelineMpBudgetSql: String =
+    s"""WITH RECURSIVE ${HashDedup.mpChainSql},
+       |${HashDedup.mpDfRankChainSql},
+       |mp_pc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM mpb_pr a JOIN mp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+       |  WHERE a.pr <= $PipelineMpBudget),
+       |mp_all AS (SELECT doc_a, doc_b FROM mp_bc UNION SELECT doc_a, doc_b FROM mp_pc),
+       |$pvPipelineSuffixSql""".stripMargin
 
   // ---------------------------------------------------------------- №50 dedup_substring
   /** Tokens per window for substring-level dedup (stride 1 — every

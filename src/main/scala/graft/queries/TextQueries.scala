@@ -3029,12 +3029,24 @@ object HashDedup {
     * pairs, deduped — candidates only; the pipeline verifies them with
     * the same exact τ=3/5 test as the PPJoin mode
     * ([[TextQueries.verifyPairsOf]]). Honors [[BucketCapConfKey]] on
-    * BOTH joins (bucket self-join and the probe join's base side). */
+    * BOTH joins (bucket self-join and the probe join's base side), and
+    * [[MpBudgetConfKey]] (№183): a budget T > 0 spends only the top-T
+    * DF-ranked probes per doc (№181's rare-first ranking — the measured
+    * front-loader), cutting the probe bill from bands·r·docs to T·docs. */
+  val MpBudgetConfKey = "spark.graft.dedup.mpBudget"
+
   private[graft] def mpCandidatesFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val budget = tok.sparkSession.conf.get(MpBudgetConfKey, "0").toInt
     val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
     val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val probes =
+      if (budget <= 0) mpProbeRows(sig)
+      else mpProbeRowsDf(tok, sig)
+        .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
+        .filter(col("pr") <= budget)
     bandPairsOf(baseRows).select(col("doc_a"), col("doc_b"))
-      .unionAll(mpProbeCand(mpProbeRows(sig), baseRows))
+      .unionAll(mpProbeCand(probes, baseRows))
       .distinct()
   }
 
@@ -3175,31 +3187,28 @@ object HashDedup {
     * and only completes at T=12 — the informative-score front-loading
     * №174's negative result predicted was available, with the
     * direction confirmed by the control inverting it. */
-  def dedupMultiprobeDfrank(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
-    val truth = graft.CacheRegistry.track(
-      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
-    val shingles = graft.CacheRegistry.track(mpShingles(tok).persist())
-    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
-    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
-    val baseCand = graft.CacheRegistry.track(
-      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
-    // DF of the argmin shingle per hash position: DF per shingle (count
-    // over the distinct-per-doc frame), joined to the hash-wide frame,
-    // then min(df) over {sh : h_k = m_k} per doc — ties resolved by min,
-    // identical semantics to the oracle's WHERE h = m GROUP BY form.
+  /** DF of the argmin shingle per hash position (doc_id, df0..df11): DF
+    * per shingle (count over the distinct-per-doc frame), joined to the
+    * hash-wide frame, then min(df) over {sh : h_k = m_k} per doc — ties
+    * resolved by min, identical semantics to the oracle's WHERE h = m
+    * GROUP BY form. Shared by №181 and №183's budgeted pipeline mode. */
+  private def mpDfSigFrom(shingles: org.apache.spark.sql.DataFrame,
+                          sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dfBySh = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val hwDf = mpHashWide(shingles).join(dfBySh, "sh")
     val dfAggs = (0 until NumHashes).map(k =>
       min(when(col(s"h$k") === col(s"m$k"), col("df"))).as(s"df$k"))
-    val dfSig = hwDf
+    hwDf
       .join(sig.select(col("doc_id") +: (0 until NumHashes).map(k => col(s"m$k")): _*), "doc_id")
       .groupBy(col("doc_id")).agg(dfAggs.head, dfAggs.tail: _*)
-    // probe rows carrying BOTH ranking statistics (gap + df at the
-    // swapped position), then one row_number per ranking over the same
-    // (band, j) tiebreak — the bill column is ranking-independent
-    val sigd = sig.join(dfSig, "doc_id")
-    val probe = (0 until MpBands).flatMap { b =>
+  }
+
+  /** Probe rows carrying BOTH ranking statistics (gap + df at the swapped
+    * position) — №181 numbers them three ways, №183 only rare-first. */
+  private def mpProbeRowsDf(tok: org.apache.spark.sql.DataFrame,
+                            sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigd = sig.join(mpDfSigFrom(mpShingles(tok), sig), "doc_id")
+    (0 until MpBands).flatMap { b =>
       (0 until MpR).map { j =>
         val pos = b * MpR + j
         val perturbed = (b * MpR until (b + 1) * MpR).map(k =>
@@ -3211,6 +3220,19 @@ object HashDedup {
             col(s"df$pos").as("df"))
       }
     }.reduce(_ unionAll _)
+  }
+
+  def dedupMultiprobeDfrank(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val truth = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val baseCand = graft.CacheRegistry.track(
+      bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
+    // one row_number per ranking over the same (band, j) tiebreak — the
+    // bill column is ranking-independent
+    val probe = mpProbeRowsDf(tok, sig)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val ranked = graft.CacheRegistry.track(probe
       .withColumn("pr_gap", row_number().over(w.orderBy(col("gap"), col("band"), col("j"))))
@@ -3429,6 +3451,31 @@ object HashDedup {
        |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
        |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
        |FROM md_g ORDER BY ranking, probes_t""".stripMargin
+  }
+
+  /** Oracle CTEs for the rare-first DF ranking of probe rows (prefix
+    * `mpb_`), appended after [[mpChainSql]]: ends with `mpb_pr`, the
+    * probe rows + `pr` rank ready for a `pr <= T` budget filter —
+    * №183's pipeline-budget oracle consumes it. */
+  private[queries] def mpDfRankChainSql: String = {
+    val dfPivot = (0 until NumHashes).map(k =>
+      s"max(CASE WHEN k = $k THEN mdf END) AS df$k").mkString(",\n    ")
+    val dfCase = "CASE p.band * " + MpR + " + p.j " +
+      (0 until NumHashes).map(k => s"WHEN $k THEN s.df$k").mkString(" ") + " END"
+    s"""mpb_df AS MATERIALIZED (SELECT sh, count(*) AS df FROM mp_sh GROUP BY sh),
+       |mpb_mdf AS MATERIALIZED (
+       |  SELECT h.doc_id, h.k, min(d.df) AS mdf
+       |  FROM mp_hn h JOIN mp_m1 USING (doc_id, k) JOIN mpb_df d USING (sh)
+       |  WHERE h.h = mp_m1.m GROUP BY 1, 2),
+       |mpb_sigdf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $dfPivot
+       |  FROM mpb_mdf GROUP BY doc_id),
+       |mpb_pr AS MATERIALIZED (
+       |  SELECT doc_id, band, band_key,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, band, j) AS pr
+       |  FROM (SELECT p.doc_id, p.band, p.j, p.band_key, $dfCase AS df
+       |        FROM mp_probe p JOIN mpb_sigdf s USING (doc_id)) t)""".stripMargin
   }
 
   val dedupRecallSql: String =

@@ -26,4 +26,28 @@ class DedupPipelineModeSpec extends graft.SparkSpec {
       CurationQueries.dedupPipelineWith(spark, sf, "bogus").collect()
     }
   }
+
+  test("№183 budgeted multiprobe mode: same rows at a 6x smaller probe bill; candidates shrink") {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, sf).persist())
+    // candidate-count ordering: the budget can only REMOVE probe pairs
+    // (base pairs survive any budget) — this is what makes the saving
+    // non-vacuous: the budgeted join consumed fewer probe rows
+    val full = HashDedup.mpCandidatesFrom(tok).count()
+    spark.conf.set(HashDedup.MpBudgetConfKey, "1")
+    val b1 = try HashDedup.mpCandidatesFrom(tok).count()
+      finally spark.conf.unset(HashDedup.MpBudgetConfKey)
+    assert(b1 <= full, s"budget=1 grew candidates ($b1 > $full)")
+    graft.CacheRegistry.releaseAll(spark)
+    // the graded dial: budgeted pipeline ≡ full multiprobe pipeline ≡
+    // ppjoin pipeline on the gate corpus (df_rare front-loading measured
+    // by №181 — full recall inside the budget)
+    val budget = CurationQueries.dedupPipelineMpBudget(spark, sf).collect().toSeq
+    val mp = CurationQueries.dedupPipelineWith(spark, sf, "minhash_mp").collect().toSeq
+    assert(budget.nonEmpty && budget == mp,
+      s"budgeted mode diverged from full multiprobe: ${budget.length} vs ${mp.length} rows; " +
+        s"first diff: ${budget.zip(mp).find { case (a, b) => a != b }}")
+    // the conf must not leak out of the budget row
+    assert(spark.conf.getOption(HashDedup.MpBudgetConfKey).isEmpty,
+      "mpBudget conf leaked after dedupPipelineMpBudget")
+  }
 }
