@@ -98,6 +98,82 @@ object StreamServeSearch {
     graft.queries.VectorQueries.refinedCentroids(spark, base,
       graft.queries.VectorQueries.Centroids)
 
+  // ------------------------------------------------- №184 stream_serve_search_files
+  /** №176's read-visibility contract through the 100 TB ACCESS PATH —
+    * closing the r12 watch item on the driver-side arrival buffer: here
+    * each completed micro-batch APPENDS its arrivals to a serving-store
+    * parquet directory (an executor-side distributed write, never a
+    * driver collect of corpus rows), and every per-batch search READS
+    * THE LANDED FILES BACK and unions them with the base index — the
+    * files are the proof (№175's discipline): a torn append, a
+    * lost batch or an early-visible in-flight row diverges the driver
+    * hash. The served answer is CONTRACT-IDENTICAL to №176's buffered
+    * path — prefix visibility is access-path-independent — so this row
+    * shares №176's oracle verbatim (the knn_graph_indexed ≡ knn_graph
+    * precedent: an access path, not a semantic), and
+    * StreamServeSearchSpec pins row-identity of the two paths plus the
+    * store directory growing file-monotonically per batch. At 100 TB
+    * only this path survives: the day's arrivals stream through
+    * executor memory into the store partition-by-partition; the driver
+    * holds K·queries served rows and nothing else. */
+  private[graft] var lastServedFiles: Seq[(Long, Int)] = Seq.empty
+
+  def streamServeSearchFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.VectorQueries
+    import VectorQueries.{K, NQueries, Probe}
+    val v = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(col("vec_id") % 20 =!= 0)
+    val arrivals = corpus.filter(col("vec_id") % 20 === 0)
+    val cent = refreeze(spark, base)
+    val index = graft.CacheRegistry.track(
+      VectorQueries.cellsOf(base, cent).persist())
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft_stream_servef_")
+    val inDir = scratch.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val servedDir = scratch.resolve("served")
+    val name = s"stream_servef_${System.nanoTime()}"
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+    val fileCounts = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
+      ReplayHarness.landBands(scratch, inDir, (0 until 3).map { i =>
+        arrivals.filter(expr("(vec_id DIV 20) % 3") === i).coalesce(1) })
+      val stream = spark.readStream
+        .schema("vec_id LONG, emb ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (bdf: DataFrame, id: Long) =>
+          // the STORE append is the batch's only materialization — a
+          // distributed write of the batch's rows, no driver buffer
+          bdf.select(col("vec_id"), col("emb"))
+            .write.mode("append").parquet(servedDir.toString)
+          val landed = spark.read.schema("vec_id LONG, emb ARRAY<FLOAT>")
+            .parquet(servedDir.toString)
+          fileCounts += ((id, landed.inputFiles.length))
+          val served = VectorQueries.ivfSearch(
+            index.unionByName(VectorQueries.cellsOf(landed, cent)),
+            cent, queries, Probe, K).collect()
+          results ++= served.map(r =>
+            (id, r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+              r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratch.resolve("ckpt").toString)
+        .start()
+      register(q)
+      q.awaitTermination()
+    }
+    lastServedFiles = fileCounts.toSeq
+    import spark.implicits._
+    results.toSeq.toDF("after_band", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("after_band"), col("q_id"), col("rank"))
+  }
+
   val streamServeSearchSql: String = {
     import graft.queries.VectorQueries
     import VectorQueries.{Centroids, K, NQueries, Probe}
@@ -128,4 +204,8 @@ object StreamServeSearch {
        |${(0 until 3).map(prefixSelect).mkString("\nUNION ALL\n")}
        |ORDER BY after_band, q_id, rank""".stripMargin
   }
+
+  /** The store is an ACCESS PATH, not a semantic: №176's oracle verbatim
+    * (declared after it — object vals initialize in order). */
+  val streamServeSearchFilesSql: String = streamServeSearchSql
 }

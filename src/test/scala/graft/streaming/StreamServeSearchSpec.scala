@@ -35,4 +35,24 @@ class StreamServeSearchSpec extends SparkSpec {
       }
     }
   }
+
+  test("№184 file-backed serving path: row-identical to the buffered path, store grows per batch") {
+    val buffered = StreamServeSearch.streamServeSearch(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val fileBacked = StreamServeSearch.streamServeSearchFiles(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    // the access path changes, the answer must not: prefix visibility is
+    // access-path-independent (the two rows share one oracle)
+    assert(fileBacked == buffered,
+      s"file-backed serving diverged from the driver-buffer path " +
+        s"(${fileBacked.size} vs ${buffered.size} rows)")
+    // the store is REAL: every batch appended files, counts monotone, and
+    // the serve read them back (inputFiles counted at serve time)
+    val fc = StreamServeSearch.lastServedFiles
+    assert(fc.map(_._1) == Seq(0L, 1L, 2L), s"served file counts $fc — batches missing")
+    assert(fc.forall(_._2 > 0), s"a serve saw an empty store: $fc")
+    fc.map(_._2).sliding(2).foreach { w =>
+      assert(w(1) > w(0), s"store file count did not grow across a batch: $fc")
+    }
+  }
 }
