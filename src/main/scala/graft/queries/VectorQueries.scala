@@ -3402,6 +3402,191 @@ object VectorQueries {
         expr("(naive_bill - composed_bill) * 1000000 DIV naive_bill").as("saved_ppm"))
   }
 
+  // ---------------------------------------------------------------- №185 knn_serve_calendar
+  /** SERVING THROUGH THE FULL MAINTENANCE CALENDAR — the composition
+    * №177 and №178 each stop short of: №177 serves through the
+    * rebalance but with no arrivals, №178 interleaves arrivals with the
+    * rebalance but never serves. A real store does all three at once:
+    * queries arrive every minute of the calendar, including WHILE a
+    * nightly batch lands and WHILE the model-change rewrite is mid-wave.
+    * This row serves №172's drifted traffic at SIX checkpoints of №178's
+    * event sequence against one persisted cell-partitioned store:
+    *   S0 after E0 (base landed, routed by the live model);
+    *   S1/S2 after each nightly append (appended rows must be visible
+    *     the moment their batch commits — №184's contract, here on the
+    *     maintenance store);
+    *   S3 MID-REBALANCE, after the gain phase of №177's add-then-remove
+    *     protocol (router already flipped to the re-trained model;
+    *     movers double-visible, dedup by (q_id, vec_id) exact);
+    *   S4 after the loss phase (final membership, ghosts deleted);
+    *   S5 after the next night lands under the NEW model.
+    * Every serve READS THE FILES BACK (n_rows/n_vecs from the store —
+    * a torn wave, lost append or ghost partition diverges the driver
+    * hash). The closed form the oracle rebuilds: memberships are
+    * calendar prefixes of the A0/A1 assignments (S3 = cur@A0 ∪
+    * movers@A1 — the overlap window), probes by the router live at each
+    * stage; both refinements mirrored (warm seed), all six searches
+    * recomputed relationally. ServeCalendarSpec pins the per-stage
+    * census closed form, that arrivals are served the batch they land,
+    * and that the mid-rebalance serve genuinely differs from both the
+    * pre- and post-rebalance serves on some row (non-vacuous). */
+  def knnServeCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), expr(rebalDriftSql("emb")).as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(!(col("vec_id") % CalMod).isin(1L, 2L, 3L))
+    def night(n: Int): DataFrame = corpus.filter(col("vec_id") % CalMod === n)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val a1 = night(1); val a2 = night(2); val a3 = night(3)
+    val cent0 = refinedCentroids(spark, base, Centroids)
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_servecal_${dirKey(dir)}").toString
+
+    def probesOf(cent: DataFrame): DataFrame = queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    def serve(stage: Int, probes: DataFrame): Unit = {
+      val back = spark.read.parquet(store)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val census = back
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_vecs"))
+      topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect().foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_vecs"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+    }
+    def append(batch: DataFrame, cent: DataFrame): Unit =
+      byCell(cellsOf(batch, cent).select(col("vec_id"), col("emb"), col("cell")))
+        .write.partitionBy("cell").mode("append").parquet(store)
+
+    // E0 + S0: the base store under the live model
+    landStore(store, cellsOf(base, cent0).select(col("vec_id"), col("emb"), col("cell")))
+    val probes0 = graft.CacheRegistry.track(probesOf(cent0).persist())
+    serve(0, probes0)
+    // E1/E2 + S1/S2: nightly appends, served the batch they land
+    append(a1, cent0); serve(1, probes0)
+    append(a2, cent0); serve(2, probes0)
+    // E3: warm re-train, then №177's add-then-remove waves (gain phase
+    // first — every mover gets its new copy before any old copy drops)
+    val cur = graft.CacheRegistry.track(base.unionByName(a1).unionByName(a2).persist())
+    val cent1 = refinedCentroidsWarm(spark, cur, cent0)
+    val j = graft.CacheRegistry.track(
+      cellsOf(cur, cent0).select(col("vec_id"), col("emb"), col("cell").as("cell0"))
+        .join(cellsOf(cur, cent1).select(col("vec_id"), col("cell").as("cell1")), "vec_id")
+        .persist())
+    val moverRows = j.filter(col("cell0") =!= col("cell1"))
+      .select(col("cell0"), col("cell1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m1Counts: Map[Long, Long] = j.groupBy(col("cell1")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gainCells = moverRows.map(_._2).distinct.sorted
+    val lossCells = moverRows.map(_._1).distinct.sorted
+    val probes1 = graft.CacheRegistry.track(probesOf(cent1).persist())
+    if (gainCells.nonEmpty) {
+      byCell(j.filter(col("cell0").isin(gainCells.map(Long.box): _*))
+          .select(col("vec_id"), col("emb"), col("cell0").as("cell"))
+          .unionAll(j.filter(col("cell1").isin(gainCells.map(Long.box): _*) && col("cell0") =!= col("cell1"))
+            .select(col("vec_id"), col("emb"), col("cell1").as("cell"))))
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+    }
+    serve(3, probes1) // MID-REBALANCE: movers double-visible, dedup exact
+    if (lossCells.nonEmpty) {
+      byCell(j.filter(col("cell1").isin(lossCells.map(Long.box): _*))
+          .select(col("vec_id"), col("emb"), col("cell1").as("cell")))
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+      lossCells.filter(c => !m1Counts.contains(c)).foreach(c =>
+        graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+    }
+    serve(4, probes1)
+    // E4 + S5: the next night under the NEW model
+    append(a3, cent1); serve(5, probes1)
+
+    import spark.implicits._
+    out.toSeq.toDF("stage", "n_rows", "n_vecs", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+  }
+
+  val knnServeCalendarSql: String = {
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def memCte(s: Int, body: String): String = s"sc_mem$s AS ($body)"
+    def probeCte(m: Int): String =
+      s"""sc_p$m AS (
+         |  SELECT q_id, q_emb, c_id AS cell FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+         |    FROM sc_q q, sc${m}cent c) x WHERE prank <= $Probe)""".stripMargin
+    def searchCte(s: Int): String = {
+      val m = if (s <= 2) 0 else 1
+      s"""sc_cand$s AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM sc_mem$s e JOIN sc_p$m p USING (cell)),
+         |sc_r$s AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sc_cand$s),
+         |sc_cnt$s AS (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs FROM sc_mem$s)""".stripMargin
+    }
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_vecs, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM sc_r$s r, sc_cnt$s c WHERE r.rank <= $K""".stripMargin
+    def assign(src: String, cent: String, as: String): String =
+      s"""SELECT vec_id, c_id AS $as FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src a, $cent c) x WHERE r = 1""".stripMargin
+    val mems = Seq(
+      // S0: base at A0 (nights 1-3 absent)
+      memCte(0, s"SELECT vec_id, emb, cell0 AS cell FROM sc_j WHERE vec_id % $CalMod NOT IN (1, 2, 3)"),
+      // S1: + night 1's append (assigned under the live model)
+      memCte(1, s"SELECT vec_id, emb, cell0 AS cell FROM sc_j WHERE vec_id % $CalMod NOT IN (2, 3)"),
+      // S2: + night 2 — the full pre-rebalance store
+      memCte(2, "SELECT vec_id, emb, cell0 AS cell FROM sc_j"),
+      // S3: the overlap window — everything at A0 plus movers' new copies
+      memCte(3, """SELECT vec_id, emb, cell0 AS cell FROM sc_j
+        |  UNION ALL SELECT vec_id, emb, cell1 FROM sc_j WHERE cell0 <> cell1""".stripMargin),
+      // S4: the rebalanced store
+      memCte(4, "SELECT vec_id, emb, cell1 AS cell FROM sc_j"),
+      // S5: + night 3 under the NEW model
+      memCte(5, """SELECT vec_id, emb, cell1 AS cell FROM sc_j
+        |  UNION ALL SELECT a.vec_id, a.emb, j3.cell3 AS cell FROM sc_a3 a JOIN sc_a3j j3 USING (vec_id)""".stripMargin))
+    s"""WITH sc_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sc_q AS (SELECT vec_id AS q_id, ${drift.format("emb")} AS q_emb
+       |  FROM sc_v WHERE vec_id < $NQueries),
+       |sc_c AS (SELECT vec_id, emb FROM sc_v WHERE vec_id >= $NQueries),
+       |sc_b AS (SELECT vec_id, emb FROM sc_c WHERE vec_id % $CalMod NOT IN (1, 2, 3)),
+       |sc_a1 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM sc_c WHERE vec_id % $CalMod = 1),
+       |sc_a2 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM sc_c WHERE vec_id % $CalMod = 2),
+       |sc_a3 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM sc_c WHERE vec_id % $CalMod = 3),
+       |sc_cur AS (SELECT * FROM sc_b UNION ALL SELECT * FROM sc_a1 UNION ALL SELECT * FROM sc_a2),
+       |${refinedCentSql("sc_b", "sc0")},
+       |${refinedCentSql("sc_cur", "sc1", Centroids, warmFrom = "sc0cent")},
+       |sc_j0 AS (${assign("sc_cur", "sc0cent", "cell0")}),
+       |sc_j1 AS (${assign("sc_cur", "sc1cent", "cell1")}),
+       |sc_j AS (
+       |  SELECT a.vec_id, a.emb, j0.cell0, j1.cell1
+       |  FROM sc_cur a JOIN sc_j0 j0 USING (vec_id) JOIN sc_j1 j1 USING (vec_id)),
+       |sc_a3j AS (${assign("sc_a3", "sc1cent", "cell3")}),
+       |${probeCte(0)},
+       |${probeCte(1)},
+       |${mems.mkString(",\n")},
+       |${(0 to 5).map(searchCte).mkString(",\n")}
+       |${(0 to 5).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
+  }
+
   val knnIvfCalendarSql: String = {
     val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
       s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
