@@ -35,7 +35,11 @@ import org.apache.spark.sql.SparkSession
   * both pipes drained on background threads, one-line JSON verdict). */
 object ClusterDrill {
 
-  val Flagships = Seq("export_records", "dedup_pipeline", "knn_graph_indexed")
+  /** The three flagship batch rows plus one STATEFUL STREAMING row —
+    * stream_dedup runs its replay (file source → dropDuplicates state →
+    * per-batch output) with executor-side state stores in the forked
+    * JVMs, the leg local[N] shares with no other evidence. */
+  val Flagships = Seq("export_records", "dedup_pipeline", "knn_graph_indexed", "stream_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
