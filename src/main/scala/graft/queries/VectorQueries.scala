@@ -3668,25 +3668,23 @@ object VectorQueries {
     * actually moving centroids. */
   val RepairTop = 4
 
-  def knnResRebalance(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared local-repair state of №179/№186: live model + full code
+    * store + the deterministic sample-M-step repair of the arrival-hot
+    * cells. `modelTag` keys the persisted model table. */
+  private case class ResRepair(cur: DataFrame, model0: DataFrame, codes0: DataFrame,
+                               hotSet: Set[Long], cent1df: DataFrame, model1: DataFrame, d: Int)
+
+  private def resRepairOf(spark: SparkSession, dir: String, modelTag: String): ResRepair = {
     import spark.implicits._
     val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
-    val queries = v.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = v.filter(col("vec_id") >= NQueries)
     val base = corpus.filter(col("vec_id") % RebalArrMod =!= 0)
     val arrivals = corpus.filter(col("vec_id") % RebalArrMod === 0)
       .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
     val cur = graft.CacheRegistry.track(base.unionByName(arrivals).persist())
-    val model0 = resModelOf(spark, s"graft_resreb_model_${dirKey(dir)}_m$PquM", base)
+    val model0 = resModelOf(spark, s"${modelTag}_${dirKey(dir)}_m$PquM", base)
     val d = model0.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
-    val codeCols = (0 until PquM).map(m => s"code_$m")
-
-    // the serving store: full residual codes under the live model
     val codes0 = graft.CacheRegistry.track(encodeCellsRes(cur, model0, PquM, d).persist())
-    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stores", s"graft_resreb_${dirKey(dir)}").toString
-    landStore(store, codes0)
 
     // LOCAL REPAIR: top-RepairTop arrival-hot cells re-centered with one
     // sample M-step; all other centroids and all codebooks untouched
@@ -3722,6 +3720,22 @@ object VectorQueries {
       cent1df.select(lit(-1).as("m"), col("c_id"), col("c_emb"))
         .unionByName(model0.filter(col("m") >= 0).select(col("m"), col("c_id"), col("c_emb")))
         .persist())
+    ResRepair(cur, model0, codes0, hotSet, cent1df, model1, d)
+  }
+
+  def knnResRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val st = resRepairOf(spark, dir, "graft_resreb_model")
+    val cur = st.cur; val model0 = st.model0; val codes0 = st.codes0
+    val hotSet = st.hotSet; val cent1df = st.cent1df; val model1 = st.model1; val d = st.d
+    val codeCols = (0 until PquM).map(m => s"code_$m")
+
+    // the serving store: full residual codes under the live model
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_resreb_${dirKey(dir)}").toString
+    landStore(store, codes0)
 
     // the stale set: new cell repaired, or assignment changed
     val cells1 = cellsOf(cur, cent1df).select(col("vec_id"), col("cell").as("cell1"))
@@ -3790,6 +3804,364 @@ object VectorQueries {
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_models", t)
     if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+  }
+
+  // ---------------------------------------------------------------- №186 knn_res_serve_repair
+  /** SERVING THE RESIDUAL STORE THROUGH ITS LOCAL REPAIR — the
+    * consistency corner raw stores don't have: №177's add-then-remove
+    * waves make a raw rewrite lossless because any copy of a vector is
+    * self-sufficient, but a RESIDUAL code is only decodable against the
+    * centroid it was encoded under — №179's repair moves [[RepairTop]]
+    * centroids AND re-encodes the stale rows, so mid-repair a cell can
+    * legitimately hold old-coded and new-coded rows at once, and a
+    * reader pairing codes with the wrong centroid version computes
+    * silently wrong ADC distances (the TORN read). The protocol that
+    * closes it: every stored row CARRIES the model version its codes
+    * were encoded under (`model_v` — one tiny column; codebooks are
+    * frozen by №179's argument, so only the centroid term is
+    * version-sensitive), both centroid versions stay live as
+    * constant-size broadcasts, and the reader decodes each row against
+    * ITS version: adc(row) = q·c(cell, v_row) + Σ LUT[code]. With rows
+    * self-describing, №177's add-then-remove carries over: the gain
+    * phase appends the re-encoded stale rows (v1) next to their old
+    * copies (v0) — a stale stayer exists twice IN THE SAME CELL at
+    * different versions, both decoding correctly — and the loss phase
+    * drops the old copies. Serves at S0 (pre-repair), S1 (mid-repair,
+    * the overlap) and S2 (post-repair) read the FILES back; duplicate
+    * copies collapse by max-adc per (q_id, vec_id) before the exact
+    * rerank, so the serve is exact at every stage. The row also
+    * MEASURES the torn read it prevents: S1 decoded with v0 centroids
+    * for every row (the reader that never reloaded the model) computes
+    * `torn_adc_diverged` wrong candidate distances and diverges the
+    * RerankR shortlist by `torn_shortlist_diff` entries (measured
+    * sf0.01 under №177's drifted traffic — which routes exactly into
+    * the repaired hot cells: 1654 wrong distances, 336 shortlist
+    * divergences) — the quantified reason the version column exists.
+    * Oracle rebuilds the
+    * repair chain, all three version-paired serves and the torn
+    * shortlist relationally; ResServeRepairSpec pins the census closed
+    * form (S1 = n_total + n_stale rows, n_vecs constant), version
+    * mixing genuinely present mid-repair, and the final store equal to
+    * №179's end state. */
+  def knnResServeRepair(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    // №177's convention: the traffic that matters mid-repair is the
+    // DRIFTED traffic — it routes into the arrival-hot (repaired) cells,
+    // which is exactly where the torn decode can bite
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), expr(rebalDriftSql("emb")).as("q_emb"))
+    val st = resRepairOf(spark, dir, "graft_ressrv_model")
+    val cur = st.cur; val model0 = st.model0; val codes0 = st.codes0
+    val cent1df = st.cent1df; val d = st.d
+    val codeCols = (0 until PquM).map(m => s"code_$m")
+    val cent0df = model0.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+
+    // the stale set and its re-encode under the repaired model (№179's
+    // definitions verbatim — same spec of staleness)
+    val cells1 = cellsOf(cur, cent1df).select(col("vec_id"), col("cell").as("cell1"))
+    val j = graft.CacheRegistry.track(
+      codes0.withColumnRenamed("cell", "cell0").join(cells1, "vec_id").persist())
+    val isStale = col("cell1").isin(st.hotSet.toSeq.map(Long.box): _*) ||
+      col("cell0") =!= col("cell1")
+    val fresh = graft.CacheRegistry.track(
+      encodeCellsRes(cur.join(j.filter(isStale).select(col("vec_id")), "vec_id"),
+        st.model1, PquM, d).persist())
+
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_ressrv_${dirKey(dir)}").toString
+    val vcols = col("vec_id") +: col("cell") +: codeCols.map(col) :+ col("model_v")
+    landStore(store, codes0.withColumn("model_v", lit(0)).select(vcols: _*))
+
+    // versioned centroids: the decode pairing table (2·C rows, broadcast)
+    val centV = graft.CacheRegistry.track(
+      cent0df.select(lit(0).as("model_v"), col("c_id").as("cell"), col("c_emb"))
+        .unionByName(cent1df.select(lit(1).as("model_v"), col("c_id").as("cell"), col("c_emb")))
+        .persist())
+    val luts = (0 until PquM).map { m =>
+      queries.crossJoin(broadcast(model0.filter(col("m") === m).select(col("c_id"), col("c_emb"))))
+        .select(col("q_id"), col("c_id").as(s"code_$m"),
+          round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, PquM, d), col("c_emb")) + lit(1e-9), 6)
+            .as(s"part_$m"))
+    }
+    def probesOf(cent: DataFrame): DataFrame = queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val probes0 = graft.CacheRegistry.track(probesOf(cent0df).persist())
+    val probes1 = graft.CacheRegistry.track(probesOf(cent1df).persist())
+
+    /** Version-paired per-(q, vec) max-ADC frame over the store's files;
+      * `torn` pairs every row with v0 instead (the stale-reader decode). */
+    def adcOf(back: DataFrame, probes: DataFrame, torn: Boolean): DataFrame = {
+      val qcV = probes.join(broadcast(centV), "cell")
+        .select(col("q_id"), col("cell"), col("model_v"),
+          round(graft.functions.VectorOps.dot(col("q_emb"), col("c_emb")) + lit(1e-9), 6).as("qc"))
+      val joined = (0 until PquM).foldLeft(
+        back.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+        df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+      }
+      val withQc =
+        if (torn) joined.drop("model_v")
+          .join(broadcast(qcV.filter(col("model_v") === 0).drop("model_v")), Seq("q_id", "cell"))
+        else joined.join(broadcast(qcV), Seq("q_id", "cell", "model_v"))
+      val adc = round(col("qc") + (0 until PquM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+      // overlap copies of one vector collapse by max adc — both decode
+      // correctly, the better approximation wins deterministically
+      withQc.select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("adc")).as("adc"))
+    }
+    def shortlistOf(adcFrame: DataFrame): DataFrame =
+      topKRanked(adcFrame, "q_id", "adc", "vec_id", RerankR).select(col("q_id"), col("vec_id"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    var tornDiff = -1L
+    var tornAdcDiverged = -1L
+    def serve(stage: Int, probes: DataFrame): Unit = {
+      val back = graft.CacheRegistry.track(spark.read.parquet(store)
+        .select((col("vec_id") +: col("cell").cast("long").as("cell") +:
+          codeCols.map(col) :+ col("model_v").cast("int").as("model_v")): _*).persist())
+      val paired = adcOf(back, probes, torn = false)
+      val shortlist = shortlistOf(paired)
+      if (stage == 1) {
+        val tornAdc = adcOf(back, probes, torn = true)
+        tornDiff = {
+          val t = shortlistOf(tornAdc)
+          shortlist.exceptAll(t).count() + t.exceptAll(shortlist).count()
+        }
+        // the rows whose DISTANCE is computed wrong under the torn decode
+        // — nonzero whenever a probed cell holds v1 rows, whether or not
+        // the error crosses the shortlist boundary at this scale
+        tornAdcDiverged = paired.join(tornAdc.withColumnRenamed("adc", "adc_t"), Seq("q_id", "vec_id"))
+          .filter(col("adc") =!= col("adc_t")).count()
+      }
+      val census = back.agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_vecs"))
+      val rescored = cur.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      topKRanked(rescored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect().foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_vecs"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+    }
+
+    serve(0, probes0)
+    // GAIN phase: append the re-encoded stale rows (v1) into their cells
+    // next to the old copies — per-cell-atomic dynamic overwrites of the
+    // gaining cells, old content carried so no reader ever loses a row
+    val gainCells = fresh.select(col("cell")).distinct()
+    byCell(spark.read.parquet(store)
+        .select((col("vec_id") +: col("cell").cast("long").as("cell") +:
+          codeCols.map(col) :+ col("model_v").cast("int").as("model_v")): _*)
+        .join(broadcast(gainCells), "cell")
+        .unionByName(fresh.withColumn("model_v", lit(1)).select(vcols: _*)))
+      .write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    serve(1, probes1)
+    // LOSS phase: touched cells to their final content (keep rows v0 ∪
+    // fresh rows v1); emptied cells' ghost partitions deleted
+    val touchedArr = j.filter(isStale).select(col("cell0").as("cell"))
+      .unionAll(fresh.select(col("cell"))).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val finalContent = graft.CacheRegistry.track(
+      j.filter(!isStale && col("cell0").isin(touchedArr.map(Long.box): _*))
+        .select((col("vec_id") +: col("cell0").as("cell") +: codeCols.map(col) :+ lit(0).as("model_v")): _*)
+        .unionByName(fresh.withColumn("model_v", lit(1)).select(vcols: _*))
+        .persist())
+    byCell(finalContent).write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    val presentCells = finalContent.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touchedArr.filterNot(presentCells).foreach(c =>
+      graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+    serve(2, probes1)
+
+    import spark.implicits._
+    val summary = j.agg(count(lit(1)).as("n_total"),
+        sum(when(isStale, 1L).otherwise(0L)).as("n_stale"))
+      .select(col("n_total"), lit(st.hotSet.size.toLong).as("n_repaired"),
+        col("n_stale"), lit(tornDiff).as("torn_shortlist_diff"),
+        lit(tornAdcDiverged).as("torn_adc_diverged"))
+    out.toSeq.toDF("stage", "n_rows", "n_vecs", "q_id", "rank", "vec_id", "cos")
+      .crossJoin(broadcast(summary))
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+  }
+
+  /** Bench hook: №186's persisted model (same discipline as №181's). */
+  def dropResServeRepairCaches(spark: SparkSession, dir: String): Unit = {
+    val t = s"graft_ressrv_model_${dirKey(dir)}_m$PquM"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", t)
+    if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+  }
+
+  val knnResServeRepairSql: String = {
+    val p = "rsv"
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $PquM)"
+      if (m < PquM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${PquM - 1} * $w + 1, len($src))"
+    }
+    def residCte(name: String, src: String, cells: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT s.vec_id, cl.cell,
+         |    list_transform(range(1, len(s.emb)+1), i ->
+         |      CAST(round(CAST(s.emb[i] AS DOUBLE) - CAST(ct.c_emb[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS remb
+         |  FROM $src s JOIN $cells cl ON cl.vec_id = s.vec_id JOIN $cent ct ON ct.c_id = cl.cell)""".stripMargin
+    def assignCte(name: String, src: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT s.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src s, $cent c) x WHERE r = 1)""".stripMargin
+    def codeCtes(tag: String, rc: String): String = (0 until PquM).map { m =>
+      s"""${p}$tag$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM (SELECT vec_id, ${subOf("remb", m)} AS emb FROM $rc) s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    def codesJoin(tag: String): String =
+      (1 until PquM).foldLeft(s"${p}$tag" + "0")((acc, m) => s"$acc JOIN ${p}$tag$m USING (vec_id)")
+    val bsubs = (0 until PquM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("remb", m)} AS emb FROM ${p}rc0b)").mkString(",\n")
+    val cents = (0 until PquM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val lutCtes = (0 until PquM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val lutJoin = (0 until PquM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until PquM).map(m => s"part_$m").mkString(" + ")
+    val codeSel = (0 until PquM).map(m => s"code_$m").mkString(", ")
+    def probeCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT q_id, c_id AS cell FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+         |    FROM q, $cent c) x WHERE prank <= $Probe)""".stripMargin
+    // version-paired shortlist over a stage's content; torn forces v = 0
+    def shortCte(s: Int, content: String, probes: String, torn: Boolean, name: String): String = {
+      val qcJoin = if (torn) s"JOIN ${p}qcv qc ON qc.q_id = pr.q_id AND qc.cell = ct.cell AND qc.v = 0"
+                   else s"JOIN ${p}qcv qc ON qc.q_id = pr.q_id AND qc.cell = ct.cell AND qc.v = ct.v"
+      s"""${name}c AS MATERIALIZED (
+         |  SELECT pr.q_id, ct.vec_id, max(round(qc.qc + $adcSum + 0.000000001, 6)) AS adc
+         |  FROM $content ct JOIN $probes pr ON pr.cell = ct.cell $lutJoin
+         |  $qcJoin
+         |  GROUP BY pr.q_id, ct.vec_id),
+         |$name AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+         |    FROM ${name}c) x WHERE rank <= $RerankR)""".stripMargin
+    }
+    def serveCte(s: Int, content: String): String =
+      s"""${p}rr$s AS MATERIALIZED (
+         |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
+         |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
+         |  FROM ${p}sl$s s JOIN cur cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id),
+         |${p}cnt$s AS MATERIALIZED (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs FROM $content)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_vecs, r.q_id, r.rank, r.vec_id, r.cos,
+         |  m.n_total, m.n_repaired, m.n_stale, m.torn_shortlist_diff, m.torn_adc_diverged
+         |FROM ${p}rr$s r, ${p}cnt$s c, ${p}sum m WHERE r.rank <= $K""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, ${drift.format("emb")} AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $RebalArrMod <> 0),
+       |r AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM c WHERE vec_id % $RebalArrMod = 0),
+       |cur AS MATERIALIZED (SELECT * FROM b UNION ALL SELECT * FROM r),
+       |${refinedCentSql("b", s"${p}0")},
+       |${assignCte(s"${p}cells0", "cur", s"${p}0cent")},
+       |${p}hot AS MATERIALIZED (SELECT cell FROM (
+       |  SELECT cell, count(*) AS n_a FROM ${p}cells0
+       |  WHERE vec_id % $RebalArrMod = 0 GROUP BY cell
+       |  ORDER BY n_a DESC, cell LIMIT $RepairTop)),
+       |${p}samp AS (
+       |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM cur QUALIFY rk <= $SampleM),
+       |${p}sa AS (
+       |  SELECT rk, emb, cid FROM (
+       |    SELECT s.rk, s.emb, c.c_id AS cid,
+       |      row_number() OVER (PARTITION BY s.rk ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS rr
+       |    FROM ${p}samp s, ${p}0cent c) x WHERE rr = 1),
+       |${p}sg AS (SELECT cid, list(emb ORDER BY rk) AS embs, count(*) AS n FROM ${p}sa GROUP BY cid),
+       |${p}su AS (
+       |  SELECT cid, list_transform(range(1, len(embs[1]) + 1), i ->
+       |    CAST(round(list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE))) / n + 0.000000001, 6) AS FLOAT)) AS cemb
+       |  FROM ${p}sg),
+       |cent AS MATERIALIZED (
+       |  SELECT c.c_id,
+       |    CASE WHEN c.c_id IN (SELECT cell FROM ${p}hot) AND u.cemb IS NOT NULL
+       |      THEN u.cemb ELSE c.c_emb END AS c_emb
+       |  FROM ${p}0cent c LEFT JOIN ${p}su u ON u.cid = c.c_id),
+       |${assignCte(s"${p}cells1", "cur", "cent")},
+       |${residCte(s"${p}rc0b", "b", s"${p}cells0", s"${p}0cent")},
+       |$bsubs,
+       |$cents,
+       |${residCte(s"${p}rc0", "cur", s"${p}cells0", s"${p}0cent")},
+       |${residCte(s"${p}rc1", "cur", s"${p}cells1", "cent")},
+       |${codeCtes("o", s"${p}rc0")},
+       |${codeCtes("n", s"${p}rc1")},
+       |${p}codes0 AS MATERIALIZED (SELECT * FROM ${codesJoin("o")}),
+       |${p}codes1 AS MATERIALIZED (SELECT * FROM ${codesJoin("n")}),
+       |${p}j AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell AS cell0, b.cell AS cell1,
+       |    (b.cell IN (SELECT cell FROM ${p}hot) OR a.cell <> b.cell) AS stale
+       |  FROM ${p}cells0 a JOIN ${p}cells1 b USING (vec_id)),
+       |${probeCte(s"${p}p0", s"${p}0cent")},
+       |${probeCte(s"${p}p1", "cent")},
+       |$lutCtes,
+       |${p}qcv AS MATERIALIZED (
+       |  SELECT q.q_id, cc.c_id AS cell, 0 AS v,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cc.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS qc
+       |  FROM q, ${p}0cent cc
+       |  UNION ALL
+       |  SELECT q.q_id, cc.c_id, 1,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cc.c_emb[i] AS DOUBLE))) + 0.000000001, 6)
+       |  FROM q, cent cc),
+       |${p}old AS MATERIALIZED (
+       |  SELECT j.vec_id, j.cell0 AS cell, 0 AS v, $codeSel, j.stale
+       |  FROM ${p}j j JOIN ${p}codes0 USING (vec_id)),
+       |${p}frsh AS MATERIALIZED (
+       |  SELECT j.vec_id, j.cell1 AS cell, 1 AS v, $codeSel
+       |  FROM ${p}j j JOIN ${p}codes1 USING (vec_id) WHERE j.stale),
+       |${p}ct0 AS (SELECT vec_id, cell, v, $codeSel FROM ${p}old),
+       |${p}ct1 AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, $codeSel FROM ${p}old
+       |  UNION ALL SELECT * FROM ${p}frsh),
+       |${p}ct2 AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, $codeSel FROM ${p}old WHERE NOT stale
+       |  UNION ALL SELECT * FROM ${p}frsh),
+       |${shortCte(0, s"${p}ct0", s"${p}p0", torn = false, s"${p}sl0")},
+       |${shortCte(1, s"${p}ct1", s"${p}p1", torn = false, s"${p}sl1")},
+       |${shortCte(1, s"${p}ct1", s"${p}p1", torn = true, s"${p}tl1")},
+       |${shortCte(2, s"${p}ct2", s"${p}p1", torn = false, s"${p}sl2")},
+       |${serveCte(0, s"${p}ct0")},
+       |${serveCte(1, s"${p}ct1")},
+       |${serveCte(2, s"${p}ct2")},
+       |${p}sum AS MATERIALIZED (
+       |  SELECT
+       |    (SELECT count(*) FROM ${p}j) AS n_total,
+       |    (SELECT count(*) FROM ${p}hot) AS n_repaired,
+       |    (SELECT count(*) FROM ${p}j WHERE stale) AS n_stale,
+       |    (SELECT count(*) FROM (
+       |       SELECT q_id, vec_id FROM ${p}sl1 EXCEPT SELECT q_id, vec_id FROM ${p}tl1)) +
+       |    (SELECT count(*) FROM (
+       |       SELECT q_id, vec_id FROM ${p}tl1 EXCEPT SELECT q_id, vec_id FROM ${p}sl1)) AS torn_shortlist_diff,
+       |    (SELECT count(*) FROM ${p}sl1c a JOIN ${p}tl1c b USING (q_id, vec_id)
+       |       WHERE a.adc <> b.adc) AS torn_adc_diverged)
+       |${(0 to 2).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
   }
 
   val knnResRebalanceSql: String = {
@@ -3913,7 +4285,7 @@ object VectorQueries {
        |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
        |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
        |  FROM ${p}short s JOIN cur cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id),
-       |${p}sum AS (
+       |${p}sum AS MATERIALIZED (
        |  SELECT
        |    (SELECT count(*) FROM ${p}j) AS n_total,
        |    (SELECT count(*) FROM ${p}hot) AS n_repaired,
