@@ -118,6 +118,10 @@ object ScaleAdversarial {
         CurationQueries.dedupPipelineWith(s, d, "ppjoin")),
       "dedup_pipeline_mp" -> ((s: SparkSession, d: String) =>
         CurationQueries.dedupPipelineWith(s, d, "minhash_mp")),
+      // №183: the DF-budgeted multiprobe mode — probe bill T·docs instead
+      // of bands·r·docs; the adversarial question is whether the DF join
+      // (shingle-frame sized) eats the saving under template-heavy data
+      "dedup_pipeline_mp_budget" -> (CurationQueries.dedupPipelineMpBudget _),
       // the LINE/WINDOW family: no candidate self-join — the mark-back is
       // row-LINEAR, a boilerplate line is a hot shuffle KEY (straggler
       // risk), not a quadratic pair generator. Measured at/below linear
@@ -242,6 +246,20 @@ object ScaleAdversarial {
       |  shuffle KEY (row-linear mark-back, AQE skew-split absorbs the fat
       |  partition), and the measured ×F/×1 ratios above stay at/below the
       |  linear band. Their capped columns are second timing samples only.
+      |- `dedup_pipeline_mp_budget` (№183): the HONEST NEGATIVE of this
+      |  table — on a SELF-JOIN batch dedup the budget dial is a net loss:
+      |  the DF score costs a shingle-frame join plus a second signature-
+      |  sized aggregation pass, while the probe lookups it saves are cheap
+      |  here (the probe join's base side is the corpus's own band rows,
+      |  co-shuffled anyway) — measured ~2× the unbudgeted mode's wall at
+      |  ×30 AND a small recall loss on boilerplate corpora (a handful of
+      |  extra surviving keepers vs the full-probe column; on the benign
+      |  gate corpora the modes are row-identical, spec-pinned). The budget
+      |  pays off where probe LOOKUPS dominate: incremental probing of new
+      |  documents against a PERSISTED banded index (№119's shape), where
+      |  the lookup bill is T·newdocs vs bands·r·newdocs and no DF join is
+      |  on the hot path (DF is signature-time state, amortized across
+      |  batches). Batch self-join dedup should run the unbudgeted mode.
       |""".stripMargin)
     // a restricted dev sweep must not overwrite the committed full table
     if (qsel.isEmpty) splice(sb.toString)

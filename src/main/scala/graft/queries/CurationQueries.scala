@@ -326,16 +326,21 @@ object CurationQueries {
   // ------------------------------------------------------------ №183 dedup_pipeline_mp_budget
   /** №183 `dedup_pipeline_mp_budget`: the banded-multiprobe pipeline mode
     * under a [[HashDedup.MpBudgetConfKey]] probe budget — №181's
-    * rare-first DF ranking put to PRODUCTION work. At 100 TB the probe
-    * join is the multiprobe mode's dominant lookup bill (bands·r extra
-    * keys per doc); the measured front-loading says T=[[PipelineMpBudget]]
-    * rare-first probes buy the same recall on the gate corpora, so the
-    * bill drops 6× (12 → 2 probe rows per doc) with row-identical output
-    * — the equality is MEASURED, not assumed: this row's oracle rebuilds
-    * the DF ranking, the budget filter, the exact verification and the
-    * recursive closure independently, and DedupPipelineModeSpec pins
-    * budget ≡ full-probe ≡ ppjoin rows plus the candidate-count ordering
-    * (budgeted ⊆ full) that makes the saving real rather than vacuous. */
+    * rare-first DF ranking put to PRODUCTION work, with the trade
+    * measured BOTH ways. The budget cuts the probe-lookup bill 6×
+    * (bands·r=12 → T=[[PipelineMpBudget]] keys per doc) at row-identical
+    * output on the gate corpora — equality MEASURED, not assumed: this
+    * row's oracle rebuilds DF ranking → budget filter → exact
+    * verification → recursive closure independently, and
+    * DedupPipelineModeSpec pins budget ≡ full-probe ≡ ppjoin rows plus
+    * candidates(budget) ⊆ candidates(full). The adversarial table then
+    * records the honest NEGATIVE: on a batch SELF-JOIN dedup the DF
+    * score's own cost (a shingle-frame join + a second signature-sized
+    * pass) exceeds the saved lookups (~2× wall at ×30, plus a
+    * few missed pairs on boilerplate corpora) — the budget's real home
+    * is incremental probing of new docs against a PERSISTED banded
+    * index, where lookups dominate and the DF state is amortized
+    * signature-time work (SCALING.md's per-family guidance). */
   val PipelineMpBudget = 2
 
   def dedupPipelineMpBudget(spark: SparkSession, dir: String): DataFrame = {

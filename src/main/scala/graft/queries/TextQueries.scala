@@ -3204,10 +3204,19 @@ object HashDedup {
   }
 
   /** Probe rows carrying BOTH ranking statistics (gap + df at the swapped
-    * position) — №181 numbers them three ways, №183 only rare-first. */
+    * position) — №181 numbers them three ways, №183 only rare-first.
+    * The shingle frame is persisted so the 12-hash md5 widening
+    * ([[mpHashWide]]) and the DF count read ONE materialization — without
+    * it the DF leg recomputes the full hash pass a second time (measured
+    * ~2× the signature cost at adversarial ×10). */
   private def mpProbeRowsDf(tok: org.apache.spark.sql.DataFrame,
                             sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sigd = sig.join(mpDfSigFrom(mpShingles(tok), sig), "doc_id")
+    val shingles = graft.CacheRegistry.track(mpShingles(tok).persist())
+    // persisted: the 12 per-position probe selects below each scan this
+    // frame — unpersisted, every one of them would recompute the whole
+    // DF chain (measured 12× ≈ +35s at adversarial ×10)
+    val sigd = graft.CacheRegistry.track(
+      sig.join(mpDfSigFrom(shingles, sig), "doc_id").persist())
     (0 until MpBands).flatMap { b =>
       (0 until MpR).map { j =>
         val pos = b * MpR + j
