@@ -140,7 +140,9 @@ object Bench {
       "knn_index_update" -> (graft.queries.VectorQueries.dropIndexUpdateCaches _),
       "knn_ivf_pq_update" -> (graft.queries.VectorQueries.dropIvfPqUpdateCaches _),
       "knn_ivf_pq_res_update" -> (graft.queries.VectorQueries.dropIvfPqResUpdateCaches _),
-      "knn_res_rebalance" -> (graft.queries.VectorQueries.dropResRebalanceCaches _))
+      "knn_res_rebalance" -> (graft.queries.VectorQueries.dropResRebalanceCaches _),
+      "knn_res_serve_repair" -> (graft.queries.VectorQueries.dropResServeRepairCaches _),
+      "dedup_incremental_minhash" -> (graft.queries.HashDedup.dropIncrementalMinhashCaches _))
     for ((name, fn) <- order; drop <- coldDrops.get(name)) {
       drop(spark, sfDir)
       runOnce(fn, s"$name(cold)").foreach { case (_, d) => coldBuilds(name) = d }
