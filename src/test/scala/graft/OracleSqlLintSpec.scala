@@ -96,7 +96,11 @@ class OracleSqlLintSpec extends AnyFunSuite {
     // simhash sign accumulator `s`: consumed only by `s > 0` comparisons
     // inside the fp CTE — boolean, never emitted (driver-green since r3)
     "dedup_simhash" -> "sum(CASE WHEN (CASE WHEN b.b < 48",
-    "dedup_recall" -> "sum(CASE WHEN (CASE WHEN b.b < 48")
+    "dedup_recall" -> "sum(CASE WHEN (CASE WHEN b.b < 48",
+    // №182 shares the same chain; `s` additionally orders the probe
+    // ranking via abs(s) inside a row_number — ordinal only, never
+    // emitted (driver-green at sf0.01 AND sf0.1, r13)
+    "dedup_simhash_multiprobe" -> "sum(CASE WHEN (CASE WHEN b.b < 48")
 
   test("every output-reachable sum( in every oracle is CAST- or round-wrapped") {
     val offenders = for {

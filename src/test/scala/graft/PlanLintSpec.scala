@@ -48,7 +48,9 @@ class PlanLintSpec extends SparkSpec {
     "corpus_overlap", // S-row totals pair frame (S = #sources, bounded)
     "knn_ivf_rebalance", // centroid broadcasts + single-row occupancy/tightness/hits/tv rollups
     "dedup_minhash_multiprobe", // dedup_recall's single-row count totals per mode
-    "dedup_multiprobe_ranked") // same single-row count totals, once per budget
+    "dedup_multiprobe_ranked", // same single-row count totals, once per budget
+    "dedup_multiprobe_dfrank", // same single-row count totals, per (ranking, budget)
+    "dedup_simhash_multiprobe") // same single-row count totals, per (ranking, flips)
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
@@ -73,7 +75,16 @@ class PlanLintSpec extends SparkSpec {
       "stream_vector_ingest", // streaming replay + persisted model/codes build
       "corpus_split", // runs the clusterLabels convergence loop on build
       "graph_centrality", // runs the N-count job + unrolled iterations on build
-      "text_cluster") // collects the constant-size centroids per Lloyd iteration on build
+      "text_cluster", // collects the constant-size centroids per Lloyd iteration on build
+      "knn_serve_rebalance", // lands + wave-rewrites the store, serves per stage on build
+      "knn_ivf_calendar", // runs the full store calendar (land/append/rebalance) on build
+      "knn_serve_calendar", // same calendar plus the six interleaved serves on build
+      "knn_res_rebalance", // lands + delta-rewrites the residual code store on build
+      "knn_res_serve_repair", // version-paired store phases + serves on build
+      "dedup_pipeline_mp", // runs the clusterLabels convergence loop on build
+      "dedup_pipeline_mp_budget", // same loop under the probe budget
+      "stream_serve_search_files", // file-backed ingest+serve replay runs on build
+      "dedup_incremental_minhash") // writes the bucketed signature index on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
