@@ -80,9 +80,12 @@ object ClusterDrill {
           taskHosts.add(e.taskInfo.host)
       })
 
+      val clusterSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val clusterRows = Flagships.map { name =>
+        val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(cluster, sfDir)
         val rows = canon(df)
+        clusterSecs(name) = (System.nanoTime() - t0) / 1e9
         // the executed plan AFTER the action: AQE has re-planned, so the
         // Exchange count is the real shuffle count the cluster paid
         if (name == "knn_graph_indexed") {
@@ -101,19 +104,26 @@ object ClusterDrill {
       val local = GraftSession.builder("local[8]", 8).getOrCreate()
       local.sparkContext.setLogLevel("WARN")
       val equal = Flagships.map { name =>
+        val t0 = System.nanoTime()
         val rows = canon(SparkEntry.queries(name)(local, sfDir))
+        val localSec = (System.nanoTime() - t0) / 1e9
         CacheRegistry.releaseAll(local)
         val same = rows == clusterRows(name)
         check(rows.nonEmpty, s"$name returned zero rows")
         check(same, s"$name: cluster result diverged from local[8] " +
           s"(${clusterRows(name).size} vs ${rows.size} rows; first cluster row: " +
           s"${clusterRows(name).headOption.getOrElse("-")})")
-        name -> (same, rows.size)
+        name -> (same, rows.size, localSec)
       }.toMap
       local.stop()
 
+      def f(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      // timing is EVIDENCE of the executed shuffle, not a benchmark: one
+      // run each, same JVM, cluster leg pays real network fetch + 2
+      // forked-executor startup; local leg reuses the warm driver JVM
       val perQuery = Flagships.map { n =>
-        s""""$n":{"rows":${equal(n)._2},"equal":${equal(n)._1}}""" }.mkString(",")
+        s""""$n":{"rows":${equal(n)._2},"equal":${equal(n)._1},""" +
+          s""""cluster_s":${f(clusterSecs(n))},"local_s":${f(equal(n)._3)}}""" }.mkString(",")
       println(s"""{"hosts":[${hosts.map("\"" + _ + "\"").mkString(",")}],$perQuery,"ok":$ok}""")
     } finally {
       org.apache.spark.deploy.graftbridge.ClusterBridge.stop(clusterEnvs)

@@ -341,7 +341,7 @@ object CurationQueries {
     * is incremental probing of new docs against a PERSISTED banded
     * index, where lookups dominate and the DF state is amortized
     * signature-time work (SCALING.md's per-family guidance). */
-  val PipelineMpBudget = 2
+  val PipelineMpBudget: Int = HashDedup.MpDefaultBudget
 
   def dedupPipelineMpBudget(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set(HashDedup.MpBudgetConfKey, PipelineMpBudget.toString)

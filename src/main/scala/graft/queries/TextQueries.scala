@@ -2334,6 +2334,14 @@ object HashDedup {
 
   val NumHashes = 12 // K minhash functions: md5 with salt k
   val Bands = 4      // LSH bands of R = K/Bands rows
+  /** The canonical DF-ranked probe budget (№183/№187). Lives HERE, not in
+    * CurationQueries: №187's oracle val reads it during HashDedup's own
+    * object init, and a reverse reference (HashDedup → CurationQueries →
+    * HashDedup) is an init CYCLE — when CurationQueries initializes
+    * first, the constant reads 0 mid-cycle and the oracle's budget
+    * filter silently degenerates (caught by the full-sweep driver
+    * compare: bill 200 vs 400). One-directional only. */
+  val MpDefaultBudget = 2
   val R: Int = NumHashes / Bands
   val HammingMax = 3 // simhash near-dup threshold
   val SimBits = 96   // 2×48-bit halves → 4×24-bit LSH bands (see SimHash96)
@@ -3354,7 +3362,7 @@ object HashDedup {
           round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
           round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
     }
-    val budget = CurationQueries.PipelineMpBudget
+    val budget = MpDefaultBudget
     val keyCols = Seq("doc_id", "bk").map(col)
     grade("base_only", baseKeys)
       .unionAll(grade("mp_budget",
@@ -3379,7 +3387,7 @@ object HashDedup {
       s"max(CASE WHEN k = $k THEN mdf END) AS df$k").mkString(",\n    ")
     val dfCase = "CASE p.band * " + MpR + " + p.j " +
       (0 until NumHashes).map(k => s"WHEN $k THEN s.df$k").mkString(" ") + " END"
-    val budget = CurationQueries.PipelineMpBudget
+    val budget = MpDefaultBudget
     def candCte(mode: String, keySrc: String): String =
       s"""ic_c_$mode AS MATERIALIZED (
          |  SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
