@@ -328,12 +328,14 @@ object CurationQueries {
     * under a [[HashDedup.MpBudgetConfKey]] probe budget — №181's
     * rare-first DF ranking put to PRODUCTION work, with the trade
     * measured BOTH ways. The budget cuts the probe-lookup bill 6×
-    * (bands·r=12 → T=[[PipelineMpBudget]] keys per doc) at row-identical
-    * output on the gate corpora — equality MEASURED, not assumed: this
-    * row's oracle rebuilds DF ranking → budget filter → exact
-    * verification → recursive closure independently, and
-    * DedupPipelineModeSpec pins budget ≡ full-probe ≡ ppjoin rows plus
-    * candidates(budget) ⊆ candidates(full). The adversarial table then
+    * (bands·r=12 → T=[[PipelineMpBudget]] keys per doc); output is a
+    * RECALL DIAL graded at every SF rather than assumed equal —
+    * row-identical at sf0.001/sf0.01, 2 keepers off at sf0.1 (2 missed
+    * pairs of ~1600): this row's oracle rebuilds DF ranking → budget
+    * filter → exact verification → recursive closure independently, and
+    * DedupPipelineModeSpec pins budget ≡ full-probe ≡ ppjoin rows at
+    * spec scale plus candidates(budget) ⊆ candidates(full) always. The
+    * adversarial table then
     * records the honest NEGATIVE: on a batch SELF-JOIN dedup the DF
     * score's own cost (a shingle-frame join + a second signature-sized
     * pass) exceeds the saved lookups (~2× wall at ×30, plus a
