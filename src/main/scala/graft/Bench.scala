@@ -217,31 +217,37 @@ object Bench {
     val coldJson = coldBuilds.map { case (k, d) => s"\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
     // FROZEN baseline comparison (r12 verdict item 8): bench_history
     // floors age with every run, so a slow multi-round drift can hide
-    // inside them. baseline_r12.json is the r12 clean-sweep medians
-    // (committed, never rewritten) — the stable anchor. Aggregate ratio
-    // is sum-of-medians over the intersection (r13+ queries have no
-    // frozen entry and are listed as unbaselined); per-query ratios > 2×
-    // ship in baseline_flagged so the artifact names its own drifters.
-    val baselineJson = {
-      val res = getClass.getResourceAsStream("/graft/baseline_r12.json")
-      if (res == null || sfDir != "/root/testdata/sf0.1") "null"
+    // inside them. baseline_r12.json is the r12 clean-sweep medians and
+    // baseline_r13.json extends it with the 11 r13 rows at their r13
+    // medians (both committed, never rewritten) — stable anchors.
+    // Aggregate ratio is sum-of-medians over the intersection (rows
+    // newer than the anchor are listed as unbaselined); per-query
+    // ratios > 2× ship in baseline_flagged so the artifact names its
+    // own drifters. The sf gate matches on the directory BASENAME (r13
+    // advice: the literal-path compare silently disabled the gate under
+    // a trailing slash or relocated data root) and skipping is loud.
+    def baselineJson(anchor: String): String = {
+      val res = getClass.getResourceAsStream(s"/graft/baseline_$anchor.json")
+      val sfBase = sfDir.replaceAll("/+$", "").split('/').last
+      if (res == null) """{"skipped":"baseline resource missing"}"""
+      else if (sfBase != "sf0.1") s"""{"skipped":"sf is $sfBase, anchor is sf0.1"}"""
       else {
         val txt = scala.io.Source.fromInputStream(res, "UTF-8").mkString
         val entry = """"(\w+)":\s*([0-9.]+)""".r
         val base = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
         val inter = trimmedMed.collect { case (k, m) if m >= 0 && base.contains(k) => (k, m, base(k)) }.toSeq
-        if (inter.isEmpty) "null"
+        if (inter.isEmpty) """{"skipped":"empty intersection"}"""
         else {
           val agg = inter.map(_._2).sum / inter.map(_._3).sum
           val flagged = inter.filter { case (_, m, b) => m > 2.0 * b }
             .sortBy { case (_, m, b) => -m / b }
-            .map { case (k, m, b) => s"""{"q":"$k","sec":${f(m)},"r12":${f(b)},"ratio":${f(m / b)}}""" }
-          val unbaselined = trimmedMed.keys.filterNot(base.contains).toSeq.sorted
+            .map { case (k, m, b) => s"""{"q":"$k","sec":${f(m)},"$anchor":${f(b)},"ratio":${f(m / b)}}""" }
+          val unbaselined = trimmedMed.collect { case (k, m) if m >= 0 && !base.contains(k) => k }.toSeq.sorted
           s"""{"agg_ratio":${f(agg)},"n_compared":${inter.size},"baseline_flagged":[${flagged.mkString(",")}],"unbaselined":[${unbaselined.map("\"" + _ + "\"").mkString(",")}]}"""
         }
       }
     }
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":$baselineJson,"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":${baselineJson("r12")},"vs_baseline_r13":${baselineJson("r13")},"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.

@@ -346,9 +346,16 @@ object CurationQueries {
   val PipelineMpBudget: Int = HashDedup.MpDefaultBudget
 
   def dedupPipelineMpBudget(spark: SparkSession, dir: String): DataFrame = {
+    // Snapshot-and-restore rather than unset (r13 advice): unset would
+    // clobber a caller-set budget, silently changing the candidates a
+    // concurrent dedup_pipeline_mp on the same session picks up.
+    val prior = spark.conf.getOption(HashDedup.MpBudgetConfKey)
     spark.conf.set(HashDedup.MpBudgetConfKey, PipelineMpBudget.toString)
     try dedupPipelineWith(spark, dir, "minhash_mp")
-    finally spark.conf.unset(HashDedup.MpBudgetConfKey)
+    finally prior match {
+      case Some(v) => spark.conf.set(HashDedup.MpBudgetConfKey, v)
+      case None    => spark.conf.unset(HashDedup.MpBudgetConfKey)
+    }
   }
 
   val dedupPipelineMpBudgetSql: String =

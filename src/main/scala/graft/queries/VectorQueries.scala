@@ -3950,10 +3950,14 @@ object VectorQueries {
     // GAIN phase: append the re-encoded stale rows (v1) into their cells
     // next to the old copies — per-cell-atomic dynamic overwrites of the
     // gaining cells, old content carried so no reader ever loses a row
+    // Gain-cell content is derived from the CACHED codes0 frame (the
+    // store's exact content at this point — landStore wrote codes0@v0),
+    // never by reading the store path and dynamically overwriting it in
+    // one job (r13 advice: that shape depends on every read task
+    // finishing before the overwrite commit deletes source files —
+    // fragile under task retry; knnServeCalendar set the precedent).
     val gainCells = fresh.select(col("cell")).distinct()
-    byCell(spark.read.parquet(store)
-        .select((col("vec_id") +: col("cell").cast("long").as("cell") +:
-          codeCols.map(col) :+ col("model_v").cast("int").as("model_v")): _*)
+    byCell(codes0.withColumn("model_v", lit(0)).select(vcols: _*)
         .join(broadcast(gainCells), "cell")
         .unionByName(fresh.withColumn("model_v", lit(1)).select(vcols: _*)))
       .write.partitionBy("cell").mode("overwrite")

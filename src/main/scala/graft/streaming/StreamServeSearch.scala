@@ -30,12 +30,22 @@ import org.apache.spark.sql.functions._
   * (arrivals reach the top-k — the interleaving is not vacuous). */
 object StreamServeSearch {
 
-  /** Data micro-batches of the last replay (spec pins ≥ 3). */
-  private[graft] var lastBatches: Int = -1
-  /** (batch_id, arrivals in that batch) of the last replay. */
-  private[graft] var lastBatchSizes: Seq[(Long, Long)] = Seq.empty
+  /** Per-run replay census, returned alongside the served frame instead
+    * of stashed in object-level vars (r13 advice: a global var holds
+    * stale data across invocations and races under concurrent queries
+    * in one JVM). `batches` = data micro-batches (spec pins ≥ 3);
+    * `batchSizes` = (batch_id, arrivals); `servedFiles` = (batch_id,
+    * store files visible at serve time) for the file-backed path. */
+  private[graft] final case class ServeCensus(
+      batches: Int,
+      batchSizes: Seq[(Long, Long)],
+      servedFiles: Seq[(Long, Int)])
 
-  def streamServeSearch(spark: SparkSession, dir: String): DataFrame = {
+  def streamServeSearch(spark: SparkSession, dir: String): DataFrame =
+    streamServeSearchWithCensus(spark, dir)._1
+
+  private[graft] def streamServeSearchWithCensus(
+      spark: SparkSession, dir: String): (DataFrame, ServeCensus) = {
     import graft.queries.VectorQueries
     import VectorQueries.{K, NQueries, Probe}
     val v = graft.Tables(spark, dir).embeddings
@@ -55,6 +65,7 @@ object StreamServeSearch {
     val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
     val seen = scala.collection.mutable.ArrayBuffer.empty[Row]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var batches = -1
     ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
       ReplayHarness.landBands(scratch, inDir, (0 until 3).map { i =>
         arrivals.filter(expr("(vec_id DIV 20) % 3") === i).coalesce(1) })
@@ -85,12 +96,12 @@ object StreamServeSearch {
         .start()
       register(q)
       q.awaitTermination()
-      lastBatches = q.recentProgress.count(_.numInputRows > 0)
+      batches = q.recentProgress.count(_.numInputRows > 0)
     }
-    lastBatchSizes = sizes.toSeq
     import spark.implicits._
-    results.toSeq.toDF("after_band", "q_id", "rank", "vec_id", "cos")
+    val served = results.toSeq.toDF("after_band", "q_id", "rank", "vec_id", "cos")
       .orderBy(col("after_band"), col("q_id"), col("rank"))
+    (served, ServeCensus(batches, sizes.toSeq, Seq.empty))
   }
 
   /** The frozen serving model — №119's refinement over the base. */
@@ -116,9 +127,11 @@ object StreamServeSearch {
     * only this path survives: the day's arrivals stream through
     * executor memory into the store partition-by-partition; the driver
     * holds K·queries served rows and nothing else. */
-  private[graft] var lastServedFiles: Seq[(Long, Int)] = Seq.empty
+  def streamServeSearchFiles(spark: SparkSession, dir: String): DataFrame =
+    streamServeSearchFilesWithCensus(spark, dir)._1
 
-  def streamServeSearchFiles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def streamServeSearchFilesWithCensus(
+      spark: SparkSession, dir: String): (DataFrame, ServeCensus) = {
     import graft.queries.VectorQueries
     import VectorQueries.{K, NQueries, Probe}
     val v = graft.Tables(spark, dir).embeddings
@@ -168,10 +181,10 @@ object StreamServeSearch {
       register(q)
       q.awaitTermination()
     }
-    lastServedFiles = fileCounts.toSeq
     import spark.implicits._
-    results.toSeq.toDF("after_band", "q_id", "rank", "vec_id", "cos")
+    val served = results.toSeq.toDF("after_band", "q_id", "rank", "vec_id", "cos")
       .orderBy(col("after_band"), col("q_id"), col("rank"))
+    (served, ServeCensus(-1, Seq.empty, fileCounts.toSeq))
   }
 
   val streamServeSearchSql: String = {

@@ -10,11 +10,12 @@ import graft.SparkSpec
 class StreamServeSearchSpec extends SparkSpec {
 
   test("search-per-batch: ≥3 real batches, arrivals reach the top-k, top-1 never regresses") {
-    val out = StreamServeSearch.streamServeSearch(spark, sf).collect()
+    val (df, census) = StreamServeSearch.streamServeSearchWithCensus(spark, sf)
+    val out = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(StreamServeSearch.lastBatches >= 3,
-      s"only ${StreamServeSearch.lastBatches} data micro-batches — the serving never interleaved")
-    val sizes = StreamServeSearch.lastBatchSizes.toMap
+    assert(census.batches >= 3,
+      s"only ${census.batches} data micro-batches — the serving never interleaved")
+    val sizes = census.batchSizes.toMap
     assert(sizes.keySet == Set(0L, 1L, 2L) && sizes.values.forall(_ > 0L),
       s"batch arrival sizes $sizes — a band landed empty")
     val bands = out.map(_._1).distinct.sorted.toSeq
@@ -39,7 +40,8 @@ class StreamServeSearchSpec extends SparkSpec {
   test("№184 file-backed serving path: row-identical to the buffered path, store grows per batch") {
     val buffered = StreamServeSearch.streamServeSearch(spark, sf).collect()
       .map(_.toString).sorted.toSeq
-    val fileBacked = StreamServeSearch.streamServeSearchFiles(spark, sf).collect()
+    val (fileDf, census) = StreamServeSearch.streamServeSearchFilesWithCensus(spark, sf)
+    val fileBacked = fileDf.collect()
       .map(_.toString).sorted.toSeq
     // the access path changes, the answer must not: prefix visibility is
     // access-path-independent (the two rows share one oracle)
@@ -48,7 +50,7 @@ class StreamServeSearchSpec extends SparkSpec {
         s"(${fileBacked.size} vs ${buffered.size} rows)")
     // the store is REAL: every batch appended files, counts monotone, and
     // the serve read them back (inputFiles counted at serve time)
-    val fc = StreamServeSearch.lastServedFiles
+    val fc = census.servedFiles
     assert(fc.map(_._1) == Seq(0L, 1L, 2L), s"served file counts $fc — batches missing")
     assert(fc.forall(_._2 > 0), s"a serve saw an empty store: $fc")
     fc.map(_._2).sliding(2).foreach { w =>
