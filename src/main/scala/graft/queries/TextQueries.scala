@@ -2978,10 +2978,19 @@ object HashDedup {
 
   /** The 48-bit (min, second-min) signature frame (doc_id, m0..s11) —
     * ONE definition for №173, №174 and №181 (callers persist). */
-  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mpSigFromHw(mpHashWide(mpShingles(tok)))
+
+  /** Signature aggregation over an ALREADY-WIDENED hash frame — split
+    * out so the DF-ranked paths (№181/№183) can persist ONE hash-wide
+    * frame and feed both the signature and the DF chain from it: the
+    * 12-way md5 widening is the dominant compute of the whole multiprobe
+    * family, and the tok-based entry point ran it twice in budget mode
+    * (once under mpSigFrom's own shingle scan, once in mpProbeRowsDf). */
+  private def mpSigFromHw(hwIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // min + second-min in ONE pass: top-2 by score = −h (48-bit ⇒ exact
     // in the double score), heap partials map-side
-    val hw = mpHashWide(mpShingles(tok)).drop("sh")
+    val hw = hwIn.drop("sh")
     // DISTINCT top-2: the oracle's mp_m2 is min(h) WHERE h > m — the
     // second DISTINCT hash — so a within-doc 48-bit collision must not
     // yield s = m (gap 0, probe key == base key, a latent cross-engine
@@ -3045,14 +3054,21 @@ object HashDedup {
 
   private[graft] def mpCandidatesFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val budget = tok.sparkSession.conf.get(MpBudgetConfKey, "0").toInt
-    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+    val (sig, probes) =
+      if (budget <= 0) {
+        val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
+        (sig, mpProbeRows(sig))
+      } else {
+        // ONE persisted signature+DF frame feeds the base keys AND the
+        // probe ranking (r13 verdict 6: the signature and DF chains each
+        // built their own shingle scan + widening before)
+        val sigd = graft.CacheRegistry.track(mpSigDfFrom(mpShingles(tok)).persist())
+        (sigd, mpProbeRowsDf(sigd)
+          .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
+          .filter(col("pr") <= budget))
+      }
     val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
-    val probes =
-      if (budget <= 0) mpProbeRows(sig)
-      else mpProbeRowsDf(tok, sig)
-        .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
-        .filter(col("pr") <= budget)
     bandPairsOf(baseRows).select(col("doc_a"), col("doc_b"))
       .unionAll(mpProbeCand(probes, baseRows))
       .distinct()
@@ -3200,15 +3216,32 @@ object HashDedup {
     * hash-wide frame, then min(df) over {sh : h_k = m_k} per doc — ties
     * resolved by min, identical semantics to the oracle's WHERE h = m
     * GROUP BY form. Shared by №181 and №183's budgeted pipeline mode. */
-  private def mpDfSigFrom(shingles: org.apache.spark.sql.DataFrame,
-                          sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Signature AND per-position argmin-DF in ONE widening + ONE groupBy
+    * (doc_id, m0..s11, df0..df11). df_k = min df among the rows
+    * achieving the per-doc min of h_k — min(struct(h_k, df)) per
+    * position: the struct's lexicographic ordering finds the argmin
+    * hash and breaks df ties by min inside the same partial-aggregating
+    * pass as the (min, second-min-distinct) heaps. This replaces the
+    * r13 shape (a SECOND widening, a shuffle of the 12-hash frame by
+    * sh, and a signature join by doc_id followed by min(when(h=m))) —
+    * the budget mode's extra bill over the plain multiprobe pipeline is
+    * now just the narrow (sh → df) count shuffle and its n:1 join back
+    * (r13 verdict item 6; semantics identical, oracle unchanged). */
+  private def mpSigDfFrom(shingles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dfBySh = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val hwDf = mpHashWide(shingles).join(dfBySh, "sh")
+    val annotated = shingles.join(dfBySh, "sh")
+    val hwDf = annotated.select(col("doc_id") +: col("df") +: (0 until NumHashes).map(k =>
+      expr(s"CAST(conv(substring(md5(concat('$k|', sh)), 1, 12), 16, 10) AS BIGINT)").as(s"h$k")): _*)
+    val heaps = (0 until NumHashes).map(k =>
+      graft.functions.TopKByScore.topKDistinct((-col(s"h$k")).cast("double"), col(s"h$k"), 2).as(s"t$k"))
     val dfAggs = (0 until NumHashes).map(k =>
-      min(when(col(s"h$k") === col(s"m$k"), col("df"))).as(s"df$k"))
-    hwDf
-      .join(sig.select(col("doc_id") +: (0 until NumHashes).map(k => col(s"m$k")): _*), "doc_id")
-      .groupBy(col("doc_id")).agg(dfAggs.head, dfAggs.tail: _*)
+      min(struct(col(s"h$k"), col("df"))).getField("df").as(s"d$k"))
+    val aggs = heaps ++ dfAggs
+    hwDf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (0 until NumHashes).flatMap(k => Seq(
+        col(s"t$k")(0)("id").as(s"m$k"),
+        when(size(col(s"t$k")) >= 2, col(s"t$k")(1)("id")).as(s"s$k"),
+        col(s"d$k").as(s"df$k"))): _*)
   }
 
   /** Probe rows carrying BOTH ranking statistics (gap + df at the swapped
@@ -3217,14 +3250,11 @@ object HashDedup {
     * ([[mpHashWide]]) and the DF count read ONE materialization — without
     * it the DF leg recomputes the full hash pass a second time (measured
     * ~2× the signature cost at adversarial ×10). */
-  private def mpProbeRowsDf(tok: org.apache.spark.sql.DataFrame,
-                            sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val shingles = graft.CacheRegistry.track(mpShingles(tok).persist())
-    // persisted: the 12 per-position probe selects below each scan this
-    // frame — unpersisted, every one of them would recompute the whole
-    // DF chain (measured 12× ≈ +35s at adversarial ×10)
-    val sigd = graft.CacheRegistry.track(
-      sig.join(mpDfSigFrom(shingles, sig), "doc_id").persist())
+  private def mpProbeRowsDf(sigd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // caller persists sigd ([[mpSigDfFrom]]): the 12 per-position probe
+    // selects below each scan this frame — unpersisted, every one of
+    // them would recompute the whole DF chain (measured 12× ≈ +35s at
+    // adversarial ×10)
     (0 until MpBands).flatMap { b =>
       (0 until MpR).map { j =>
         val pos = b * MpR + j
@@ -3243,13 +3273,13 @@ object HashDedup {
     val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
     val truth = graft.CacheRegistry.track(
       TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
-    val sig = graft.CacheRegistry.track(mpSigFrom(tok).persist())
-    val baseRows = graft.CacheRegistry.track(mpBaseRows(sig).persist())
+    val sigd = graft.CacheRegistry.track(mpSigDfFrom(mpShingles(tok)).persist())
+    val baseRows = graft.CacheRegistry.track(mpBaseRows(sigd).persist())
     val baseCand = graft.CacheRegistry.track(
       bandPairsOf(baseRows).select(col("doc_a"), col("doc_b")).persist())
     // one row_number per ranking over the same (band, j) tiebreak — the
     // bill column is ranking-independent
-    val probe = mpProbeRowsDf(tok, sig)
+    val probe = mpProbeRowsDf(sigd)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val ranked = graft.CacheRegistry.track(probe
       .withColumn("pr_gap", row_number().over(w.orderBy(col("gap"), col("band"), col("j"))))
@@ -3270,25 +3300,51 @@ object HashDedup {
         .agg(min(col("pr_gap")).as("t_gap"), min(col("pr_rare")).as("t_rare"),
           min(col("pr_common")).as("t_common"))
         .persist())
-    def grade(ranking: String, t: Int, pairs: DataFrame, bill: Column): DataFrame =
-      pairs.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(ranked.agg(bill.cast("long").as("n_probe_rows"))))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(pairs.join(broadcast(truth), Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))))
-        .select(lit(ranking).as("ranking"), lit(t.toLong).as("probes_t"),
-          col("n_probe_rows"), col("n_candidates"), col("n_true"), col("n_hit"),
-          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
-          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
     val budgets = MpProbeSweep :+ (MpBands * MpR)
     val rankings = Seq("gap" -> "t_gap", "df_rare" -> "t_rare", "df_common" -> "t_common")
-    val rows = grade("base", 0, baseCand, count(lit(1)) * 0) +:
-      (for { (name, tcol) <- rankings; t <- budgets } yield {
-        val cand = graft.CacheRegistry.track(baseCand
-          .unionAll(probeTier.filter(col(tcol) <= t).select(col("doc_a"), col("doc_b")))
-          .distinct().persist())
-        grade(name, t, cand, sum(when(col("pr_gap") <= t, 1L).otherwise(0L)))
-      })
-    rows.reduce(_ unionAll _).orderBy(col("ranking"), col("probes_t"))
+    // Grade the WHOLE (ranking × budget) grid in one conditional-
+    // aggregation pass (r13 verdict item 6: this row was the sweep's
+    // most expensive at 45.8s, and the bill was the eval grid — 12
+    // per-cell union+distinct frames, each with its own truth join and
+    // four scalar-agg readouts, re-counting the same pairs). probeTier
+    // and baseCand are already distinct-pair frames, so every cell is
+    // base ∪ {probe-found extras at tier ≤ T}: count the extras ONCE
+    // with a left-anti + truth flag, then every cell is two
+    // sum(when(...)) aggregates over that one frame. Output rows are
+    // value-identical to the per-cell form; the oracle is unchanged.
+    val extras = probeTier
+      .join(baseCand.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_anti")
+      .join(broadcast(truth.select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("is_true"))
+    val cellAggs = (for { (_, tcol) <- rankings; t <- budgets } yield Seq(
+      sum(when(col(tcol) <= t, 1L).otherwise(0L)).as(s"cand_${tcol}_$t"),
+      sum(when(col(tcol) <= t, col("is_true")).otherwise(0L)).as(s"hit_${tcol}_$t"))).flatten
+    val grid = extras.agg(cellAggs.head, cellAggs.tail: _*).collect()(0)
+    // probe bill per T: ranking-independent (each ranking permutes the
+    // same per-doc probe rows), so ONE agg over `ranked` covers all
+    val billAggs = budgets.map(t =>
+      sum(when(col("pr_gap") <= t, 1L).otherwise(0L)).as(s"bill_$t"))
+    val bill = ranked.agg(billAggs.head, billAggs.tail: _*).collect()(0)
+    val scalars = baseCand
+      .join(broadcast(truth.select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))),
+        Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("is_true"))
+      .agg(count(lit(1)).as("n_base"), sum(col("is_true")).as("n_base_hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true")))).collect()(0)
+    val (nBase, nBaseHit, nTrue) = (scalars.getAs[Long]("n_base"),
+      scalars.getAs[Long]("n_base_hit"), scalars.getAs[Long]("n_true"))
+    val rows = ("base", 0L, 0L, nBase, nTrue, nBaseHit) +:
+      (for { (name, tcol) <- rankings; t <- budgets } yield
+        (name, t.toLong, bill.getAs[Long](s"bill_$t"),
+          nBase + grid.getAs[Long](s"cand_${tcol}_$t"), nTrue,
+          nBaseHit + grid.getAs[Long](s"hit_${tcol}_$t")))
+    import spark.implicits._
+    rows.toDF("ranking", "probes_t", "n_probe_rows", "n_candidates", "n_true", "n_hit")
+      .select(col("ranking"), col("probes_t"), col("n_probe_rows"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
+      .orderBy(col("ranking"), col("probes_t"))
   }
 
   // ---------------------------------------------------------------- №187 dedup_incremental_minhash
@@ -3338,10 +3394,10 @@ object HashDedup {
       mpBaseRows(mpSigFrom(baseTok))
         .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
     }
-    val sigBatch = graft.CacheRegistry.track(mpSigFrom(batchTok).persist())
+    val sigBatch = graft.CacheRegistry.track(mpSigDfFrom(mpShingles(batchTok)).persist())
     val baseKeys = graft.CacheRegistry.track(mpBaseRows(sigBatch)
       .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk")).persist())
-    val probeAll = graft.CacheRegistry.track(mpProbeRowsDf(batchTok, sigBatch)
+    val probeAll = graft.CacheRegistry.track(mpProbeRowsDf(sigBatch)
       .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
       .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"), col("pr"))
