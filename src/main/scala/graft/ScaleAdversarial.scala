@@ -122,6 +122,12 @@ object ScaleAdversarial {
       // of bands·r·docs; the adversarial question is whether the DF join
       // (shingle-frame sized) eats the saving under template-heavy data
       "dedup_pipeline_mp_budget" -> (CurationQueries.dedupPipelineMpBudget _),
+      // №188: the simhash multiprobe mode — the template cluster shares
+      // ONE fingerprint, so all its band keys (and radius-1 probes) land
+      // in the same 2 buckets: the harshest bucket-cap exercise of the
+      // three modes (the capped leg bounds the self-join AND probe join)
+      "dedup_pipeline_smp" -> ((s: SparkSession, d: String) =>
+        CurationQueries.dedupPipelineWith(s, d, "simhash_mp")),
       // the LINE/WINDOW family: no candidate self-join — the mark-back is
       // row-LINEAR, a boilerplate line is a hot shuffle KEY (straggler
       // risk), not a quadratic pair generator. Measured at/below linear

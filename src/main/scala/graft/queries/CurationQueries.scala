@@ -248,8 +248,11 @@ object CurationQueries {
       case "minhash_mp" =>
         TextQueries.verifyPairsOf(TextQueries.shingleFrameOf(tok),
           HashDedup.mpCandidatesFrom(tok)).select($"doc_a", $"doc_b")
+      case "simhash_mp" =>
+        TextQueries.verifyPairsOf(TextQueries.shingleFrameOf(tok),
+          HashDedup.smpCandidatesFrom(tok)).select($"doc_a", $"doc_b")
       case other => throw new IllegalArgumentException(
-        s"$PairModeConfKey must be ppjoin | minhash_mp, got $other")
+        s"$PairModeConfKey must be ppjoin | minhash_mp | simhash_mp, got $other")
     }
     val labels = TextQueries.clusterLabelsFrom(spark, edges)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("n_members"))
@@ -313,6 +316,39 @@ object CurationQueries {
        |FROM pv_j JOIN pv_k ON pv_j.cluster = pv_k.cluster
        |WHERE pv_j.doc_id = pv_j.cluster
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ №188 dedup_pipeline_smp
+  /** №188 `dedup_pipeline_smp`: the pipeline under the SIMHASH
+    * margin-ranked multiprobe pair-finding mode ([[HashDedup
+    * .smpCandidatesFrom]]) — the second production-grade LSH family
+    * composed end-to-end (r13 verdict item 7). Same shared exact τ=3/5
+    * verification and closure as every other mode; the oracle rebuilds
+    * the 96-bit fingerprints, the 2×48 base band join, the margin-ASC
+    * Q=[[HashDedup.PipelineSimMpQ]] radius-1 probes, the verification
+    * and the recursive closure independently. UNLIKE the minhash_mp
+    * mode, this one is NOT row-identical to ppjoin on the gate corpora
+    * — published as measured (№174's discipline): simhash h≤3-of-96 is
+    * a STRICTER similarity than 5-gram Jaccard τ=3/5, so τ-true pairs
+    * whose token multisets diverge past 3 fingerprint bits never become
+    * candidates (sf0.01: 507 keepers vs ppjoin's 476 — 31 extra
+    * survivors from split clusters). What IS provable and spec-pinned
+    * (DedupPipelineModeSpec): every smp edge is τ-verified, so smp's
+    * edge set ⊆ ppjoin's complete τ-edge set, the cluster partition
+    * refines it, and the keeper set is a SUPERSET of ppjoin's (each
+    * split cluster keeps its min plus new minima). Scale shape:
+    * identical bucket-capped band joins as №23/№182 (candidates
+    * O(n²/2⁴⁸) per band + probeRows·cap),
+    * one narrow fingerprint pass via the native SimHash96Sums
+    * expression — at 100 TB this mode trades №180's 12-hash signature
+    * pass for a single token-frequency pass, the cheaper signature when
+    * token multisets (not 3-gram sets) drive similarity. */
+  def dedupPipelineSmp(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelineWith(spark, dir, "simhash_mp")
+
+  val dedupPipelineSmpSql: String =
+    s"""WITH RECURSIVE ${HashDedup.smpChainSql},
+       |mp_all AS (SELECT doc_a, doc_b FROM smp_bc UNION SELECT doc_a, doc_b FROM smp_pc),
+       |$pvPipelineSuffixSql""".stripMargin
 
   val dedupPipelineMpSql: String =
     s"""WITH RECURSIVE ${HashDedup.mpChainSql},

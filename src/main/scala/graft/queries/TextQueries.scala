@@ -2735,6 +2735,81 @@ object HashDedup {
   }
   private val SimHash96Half = graft.functions.SimHash96.Half
 
+  /** №188: №182's margin-ranked Hamming-ball probing as a PIPELINE
+    * pair-finding mode — the second production-grade LSH family at
+    * 100 TB (r13 verdict item 7). Candidates = the 2×48-bit base band
+    * self-join ∪ margin-ASC radius-1 probes at Q = [[PipelineSimMpQ]]
+    * flips/band (№182's measured full-recall point on the gate corpora:
+    * all 12 base-missed h≤3 pairs recovered at Q=2). Both joins honor
+    * the shared bucket cap; verification is the pipeline's exact τ=3/5
+    * test, NOT the hamming test — the mode changes candidate generation
+    * only, so where simhash+probe recall is 1.0 the pipeline is
+    * row-identical to ppjoin/minhash_mp (DedupPipelineModeSpec). */
+  val PipelineSimMpQ = 2
+
+  private[graft] def smpCandidatesFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fp = graft.CacheRegistry.track(tok
+      .select(col("doc_id"), graft.functions.SimHash96Sums.simhash96Sums(col("ws")).as("f"))
+      .select(col("doc_id"), col("f.hi").as("hi"), col("f.lo").as("lo"), col("f.sums").as("sums"))
+      .persist())
+    val baseRows = graft.CacheRegistry.track(
+      fp.select(col("doc_id"), lit(0).as("band"), col("lo").as("band_key"))
+        .unionAll(fp.select(col("doc_id"), lit(1).as("band"), col("hi").as("band_key")))
+        .persist())
+    val eligible = cappedBandRows(baseRows)
+    val baseCand = eligible.as("a").join(eligible.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"), col("band"))
+    val probes = fp
+      .select(col("doc_id"), col("hi"), col("lo"), posexplode(col("sums")).as(Seq("gb", "s")))
+      .select(col("doc_id"), col("gb"),
+        when(col("gb") < SimHash96Half, lit(0)).otherwise(lit(1)).as("band"),
+        abs(col("s")).as("margin"),
+        expr(s"(CASE WHEN gb < $SimHash96Half THEN lo ELSE hi END) " +
+          s"^ (CAST(1 AS BIGINT) << (gb % $SimHash96Half))").as("probe_key"))
+      .withColumn("rn", row_number().over(w.orderBy(col("margin"), col("gb"))))
+      .filter(col("rn") <= PipelineSimMpQ)
+    val probeCand = probes.as("a").join(cappedBandRows(baseRows).as("b"),
+        col("a.band") === col("b.band") && col("a.probe_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    baseCand.unionAll(probeCand).distinct()
+  }
+
+  /** Oracle CTE chain for the `simhash_mp` pipeline mode: the №23/№182
+    * fingerprint chain (`corpus`, `bits`, `fp`), the tokenized `mp_d`
+    * the shared pipeline-verification suffix consumes, and the base ∪
+    * margin-ASC-probed candidate sets (`smp_bc`, `smp_pc`). */
+  private[queries] def smpChainSql: String =
+    s"""$simhashFpChainSql,
+       |mp_d AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+       |smp_base AS MATERIALIZED (
+       |  SELECT doc_id, 0 AS band, lo AS band_key FROM fp
+       |  UNION ALL SELECT doc_id, 1, hi FROM fp),
+       |smp_bc AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM smp_base a JOIN smp_base b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |smp_probe AS (
+       |  SELECT t.doc_id, t.b AS gb,
+       |    CASE WHEN t.b < $SimHash96Half THEN 0 ELSE 1 END AS band,
+       |    abs(t.s) AS margin,
+       |    xor(CASE WHEN t.b < $SimHash96Half THEN f.lo ELSE f.hi END,
+       |        CAST(1 AS BIGINT) << (t.b % $SimHash96Half)) AS probe_key
+       |  FROM bits t JOIN fp f USING (doc_id)),
+       |smp_ranked AS MATERIALIZED (
+       |  SELECT doc_id, band, probe_key,
+       |    row_number() OVER (PARTITION BY doc_id, band ORDER BY margin ASC, gb) AS rn
+       |  FROM smp_probe),
+       |smp_pc AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM smp_ranked a JOIN smp_base b
+       |    ON a.band = b.band AND a.probe_key = b.band_key AND a.doc_id <> b.doc_id
+       |  WHERE a.rn <= $PipelineSimMpQ)""".stripMargin
+
   val dedupSimhashMultiprobeSql: String = {
     val rankings = Seq("margin_asc" -> "margin ASC", "margin_desc" -> "margin DESC")
     val candCtes = (for { (name, _) <- rankings; q <- SimMpSweep } yield {

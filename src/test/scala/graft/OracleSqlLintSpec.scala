@@ -100,7 +100,11 @@ class OracleSqlLintSpec extends AnyFunSuite {
     // №182 shares the same chain; `s` additionally orders the probe
     // ranking via abs(s) inside a row_number — ordinal only, never
     // emitted (driver-green at sf0.01 AND sf0.1, r13)
-    "dedup_simhash_multiprobe" -> "sum(CASE WHEN (CASE WHEN b.b < 48")
+    "dedup_simhash_multiprobe" -> "sum(CASE WHEN (CASE WHEN b.b < 48",
+    // №188's pipeline mode shares the №182 chain verbatim; `s` feeds the
+    // margin ordering and fp signs only (driver-green at sf0.01 AND
+    // sf0.1, r14)
+    "dedup_pipeline_smp" -> "sum(CASE WHEN (CASE WHEN b.b < 48")
 
   test("every output-reachable sum( in every oracle is CAST- or round-wrapped") {
     val offenders = for {

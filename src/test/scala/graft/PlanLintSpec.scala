@@ -83,6 +83,7 @@ class PlanLintSpec extends SparkSpec {
       "knn_res_serve_repair", // version-paired store phases + serves on build
       "dedup_pipeline_mp", // runs the clusterLabels convergence loop on build
       "dedup_pipeline_mp_budget", // same loop under the probe budget
+      "dedup_pipeline_smp", // same loop under the simhash multiprobe mode
       "stream_serve_search_files", // file-backed ingest+serve replay runs on build
       "dedup_incremental_minhash") // writes the bucketed signature index on build
 

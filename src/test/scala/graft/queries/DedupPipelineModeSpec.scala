@@ -49,5 +49,38 @@ class DedupPipelineModeSpec extends graft.SparkSpec {
     // the conf must not leak out of the budget row
     assert(spark.conf.getOption(HashDedup.MpBudgetConfKey).isEmpty,
       "mpBudget conf leaked after dedupPipelineMpBudget")
+    // ...and a caller-set budget must be RESTORED, not clobbered (r13 advice)
+    spark.conf.set(HashDedup.MpBudgetConfKey, "7")
+    try {
+      CurationQueries.dedupPipelineMpBudget(spark, sf).collect()
+      assert(spark.conf.get(HashDedup.MpBudgetConfKey) == "7",
+        "dedupPipelineMpBudget clobbered a caller-set mpBudget conf")
+    } finally spark.conf.unset(HashDedup.MpBudgetConfKey)
+  }
+
+  test("№188 simhash_mp mode: edges τ-verified ⊆ ppjoin's, keepers a superset — the measured strictness, not equality") {
+    import org.apache.spark.sql.functions.col
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, sf).persist())
+    // ppjoin's edge set is COMPLETE for τ=3/5 (prefix filter is exact);
+    // every smp edge passes the same exact verification, so smp edges
+    // must be a subset — the honest relation (smp is stricter upstream:
+    // h≤3-of-96 fingerprint candidates, not all τ-true pairs)
+    val ppEdges = TextQueries.dedupNgramJaccardFrom(tok)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val smpEdges = TextQueries.verifyPairsOf(TextQueries.shingleFrameOf(tok),
+        HashDedup.smpCandidatesFrom(tok))
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smpEdges.nonEmpty, "simhash_mp found no verified edges on the gate corpus")
+    assert(smpEdges.subsetOf(ppEdges),
+      s"smp produced a non-τ-verified edge: ${(smpEdges -- ppEdges).take(3)}")
+    graft.CacheRegistry.releaseAll(spark)
+    // fewer edges ⇒ the partition refines ⇒ keeper DOC_IDs are a superset
+    val pp = CurationQueries.dedupPipelineWith(spark, sf, "ppjoin").collect()
+    val smp = CurationQueries.dedupPipelineWith(spark, sf, "simhash_mp").collect()
+    val ppKeep = pp.map(_.getLong(0)).toSet
+    val smpKeep = smp.map(_.getLong(0)).toSet
+    assert(ppKeep.subsetOf(smpKeep),
+      s"a ppjoin keeper vanished under simhash_mp: ${(ppKeep -- smpKeep).take(3)}")
+    assert(smpKeep.size >= ppKeep.size)
   }
 }
