@@ -3431,30 +3431,47 @@ object HashDedup {
     * — the №119 discipline for text): every nightly batch then joins
     * its lookup keys against the co-located index with NO base-side
     * exchange, and the lookup bill — the term that dominates when the
-    * index is 100 TB-sized — is exactly what the row meters. Three
-    * modes graded on one row: `base_only` (2 keys/doc — the plain
-    * banded lookup), `mp_budget` (+T=2 rare-first DF-ranked probes/doc
-    * — DF computed over the BATCH's own shingles, batch-sized work) and
-    * `mp_full` (+bands·r=12 probes/doc). Probing is QUERY-side only —
-    * the index is frozen, which is the real deployment constraint — and
-    * the measured result maps that constraint's limits honestly
-    * (sf0.01: lookups 200/400/1400, rec 0.9737/0.9737/0.9825):
-    * (a) one-directional probing WEAKENS the DF front-loading — every
-    * batch-unique shingle ties at DF=1, so rare-first cannot tell WHICH
-    * rare position the base twin diverges at (№181's bidirectional
-    * probing gave each pair bands·r chances from both ends; here T=2
-    * picks 2 of ~12 tied positions and recovers nothing on this
-    * corpus), and (b) radius-1 probing itself has a ceiling — a pair
-    * whose min AND second-min at every differing position are both
-    * batch-only shingles needs radius 2 or index-side probes (2 of the
-    * 3 base-missed pairs here). The lookup-bill column is still the
-    * deployment decision: full probing pays 7× the lookups of the
-    * banded base for +0.88pp recall on this corpus. Candidates verify
-    * with the exact τ=3/5 test against the №24 truth restricted to
-    * (base × batch) pairs. The oracle rebuilds the index keys, batch-DF
-    * ranking, per-mode lookups and verification; IncrementalMinhashSpec
-    * pins lookup-bill ordering, recall monotonicity, and budget-mode
-    * candidates ⊆ full-mode candidates. */
+    * index is 100 TB-sized — is exactly what the row meters. SEVEN
+    * modes graded on one row (r13's three + the r14 verdict's tie-break
+    * and radius/index-side asks): `base_only` (2 keys/doc), `mp_budget`
+    * (+T=2 rare-first DF-ranked probes/doc — DF over the BATCH's own
+    * shingles), `mp_budget_gap` (DF ties broken by the second-min gap),
+    * `mp_budget_ix` (DF ties broken by INDEX bucket density: the 12
+    * radius-1 keys are pre-checked against the index's bucket-count
+    * table — a bounded co-located aggregation, broadcastable as a
+    * CMS/Bloom at 100 TB — and existing buckets rank first; the
+    * pre-pass is metered in its own n_count_lookups column, never
+    * free), `mp_full` (+12/doc), `mp_radius2` (+12+2·C(6,2)=42/doc,
+    * both positions of a band swapped), and `index_side` (the index
+    * materializes its OWN radius-1 probe rows at build time: batch pays
+    * the plain 2 keys/doc, the index grows (2+12)/2 = 7×).
+    *
+    * Measured at both gate SFs, published whichever way it lands
+    * (№174's discipline): (a) the DENSITY tie-break is the POSITIVE —
+    * `mp_budget_ix` reaches `mp_full`'s recall at T=2 at BOTH SFs
+    * (sf0.01: 112/114 at 400 main lookups vs full's 1400; sf0.1:
+    * 1106/1109 at 4k vs 14k) — index-side knowledge is exactly what
+    * one-directional probing lacked, r13's measured gap closed; (b) the
+    * GAP tie-break is the NEGATIVE — ≤ plain DF at both SFs (sf0.1:
+    * 1100 vs 1103 — it actively re-orders working DF picks), №174's
+    * original verdict on the gap statistic confirmed one-directional;
+    * (c) radius-2 pays 3.1× full's bill for ≤1 extra pair (sf0.1:
+    * 1107 at 44k lookups; sf0.01: +0 — the 2 stubborn pairs there are
+    * beyond ANY query-side radius, their band keys share no batch-side
+    * second-min); (d) `index_side` is the only mode that catches those
+    * (sf0.01: 113/114 at the BASE bill — it probes from the index end,
+    * where the needed second-mins live), at a 7× index and the weakest
+    * sf0.1 tail (1092: base-side probes can't see batch-side losses).
+    * The deployment reading: density-tie-broken budget probing is the
+    * nightly dial; index-side rows are the lever when the index can
+    * afford 7× storage and the batch bill is the constraint. Candidates
+    * verify with the exact τ=3/5 test against the №24 truth restricted
+    * to (base × batch) pairs. The oracle rebuilds the index keys (both
+    * indexes), bucket counts, all three rankings, radius-2 keys,
+    * per-mode lookups and verification; IncrementalMinhashSpec pins all
+    * seven bills exactly, the count-table pre-pass metering, recall/
+    * candidate monotonicity, and the probe-augmented index's exact row
+    * count. */
   def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
     val baseTok = tok.filter(col("doc_id") < IncBatchMin)
@@ -3469,36 +3486,82 @@ object HashDedup {
       mpBaseRows(mpSigFrom(baseTok))
         .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
     }
+    // r14 mode `index_side`: the probe-AUGMENTED index — base band rows
+    // ∪ the BASE docs' own radius-1 probe rows, materialized at
+    // index-build time. The nightly bill stays one-sided (batch pays
+    // its 2 base keys only); the 7× index growth is the mode's cost and
+    // its n_index_rows column says so.
+    val tableP = s"graft_mh_indexp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val indexP = graft.sources.Bucketing.bucketedCached(spark, tableP, "bk") {
+      val sigBase = mpSigFrom(baseTok)
+      mpBaseRows(sigBase)
+        .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
+        .unionAll(mpProbeRows(sigBase)
+          .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk")))
+    }
     val sigBatch = graft.CacheRegistry.track(mpSigDfFrom(mpShingles(batchTok)).persist())
     val baseKeys = graft.CacheRegistry.track(mpBaseRows(sigBatch)
       .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk")).persist())
+    // bucket-density table for the `mp_budget_ix` tie-break: one bounded
+    // aggregation over the bucketed index (co-located groupBy — no
+    // exchange); at 100 TB this is the broadcastable CMS/Bloom summary
+    // a serving tier would hold in memory
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ctab = index.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
     val probeAll = graft.CacheRegistry.track(mpProbeRowsDf(sigBatch)
-      .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
-      .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"), col("pr"))
+      .withColumn("bk", concat_ws(":", col("band"), col("band_key")))
+      .join(ctab, Seq("bk"), "left").na.fill(0L, Seq("bn"))
+      .withColumn("pr", row_number().over(wdoc.orderBy(col("df"), col("band"), col("j"))))
+      .withColumn("pr_gap", row_number().over(wdoc.orderBy(col("df"), col("gap"), col("band"), col("j"))))
+      .withColumn("pr_ix", row_number().over(wdoc.orderBy(
+        when(col("bn") > 0, 0).otherwise(1), col("df"), col("band"), col("j"))))
+      .select(col("doc_id"), col("bk"), col("pr"), col("pr_gap"), col("pr_ix"))
       .persist())
+    // radius-2 probe keys: BOTH of two positions in a band swapped to
+    // their second-mins — C(r,2)=15 keys per band, 30 per doc
+    val r2Keys = graft.CacheRegistry.track((0 until MpBands).flatMap { b =>
+      val pos = b * MpR until (b + 1) * MpR
+      for { p1 <- pos; p2 <- pos if p1 < p2 } yield {
+        val perturbed = pos.map(k => if (k == p1 || k == p2) col(s"s$k") else col(s"m$k"))
+        sigBatch.filter(col(s"s$p1").isNotNull && col(s"s$p2").isNotNull)
+          .select(col("doc_id"), concat_ws(":", lit(b), mpKeyOf(perturbed)).as("bk"))
+      }
+    }.reduce(_ unionAll _).persist())
     val sh5 = graft.CacheRegistry.track(TextQueries.shingleFrameOf(tok).persist())
-    def grade(mode: String, keys: DataFrame): DataFrame = {
-      val cand = keys.as("a").join(index.as("b"), col("a.bk") === col("b.bk"))
+    def grade(mode: String, keys: DataFrame, idx: DataFrame,
+              ctabKeys: Option[DataFrame]): DataFrame = {
+      val cand = keys.as("a").join(idx.as("b"), col("a.bk") === col("b.bk"))
         .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b")).distinct()
       val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val ctabBill = ctabKeys
+        .map(f => f.agg(count(lit(1)).as("n_count_lookups")))
+        .getOrElse(spark.range(1).select(lit(0L).as("n_count_lookups")))
       cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(index.agg(count(lit(1)).as("n_index_rows"))))
+        .crossJoin(broadcast(idx.agg(count(lit(1)).as("n_index_rows"))))
         .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(ctabBill))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
         .crossJoin(broadcast(verified.join(broadcast(truth), Seq("doc_a", "doc_b"))
           .agg(count(lit(1)).as("n_hit"))))
         .select(lit(mode).as("mode"), col("n_index_rows"), col("n_lookups"),
-          col("n_candidates"), col("n_true"), col("n_hit"),
+          col("n_count_lookups"), col("n_candidates"), col("n_true"), col("n_hit"),
           round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
           round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
     }
     val budget = MpDefaultBudget
     val keyCols = Seq("doc_id", "bk").map(col)
-    grade("base_only", baseKeys)
+    grade("base_only", baseKeys, index, None)
+      .unionAll(grade("index_side", baseKeys, indexP, None))
       .unionAll(grade("mp_budget",
-        baseKeys.unionAll(probeAll.filter(col("pr") <= budget).select(keyCols: _*))))
-      .unionAll(grade("mp_full", baseKeys.unionAll(probeAll.select(keyCols: _*))))
+        baseKeys.unionAll(probeAll.filter(col("pr") <= budget).select(keyCols: _*)), index, None))
+      .unionAll(grade("mp_budget_gap",
+        baseKeys.unionAll(probeAll.filter(col("pr_gap") <= budget).select(keyCols: _*)), index, None))
+      .unionAll(grade("mp_budget_ix",
+        baseKeys.unionAll(probeAll.filter(col("pr_ix") <= budget).select(keyCols: _*)), index,
+        Some(probeAll)))
+      .unionAll(grade("mp_full", baseKeys.unionAll(probeAll.select(keyCols: _*)), index, None))
+      .unionAll(grade("mp_radius2",
+        baseKeys.unionAll(probeAll.select(keyCols: _*)).unionAll(r2Keys), index, None))
       .orderBy(col("mode"))
   }
   val IncBatchMin = 1000000L
@@ -3506,11 +3569,13 @@ object HashDedup {
   /** Bench hook: drop №187's persisted banded index (№162 cold-build
     * discipline). */
   def dropIncrementalMinhashCaches(spark: SparkSession, dir: String): Unit = {
-    val t = s"graft_mh_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_bucketed", t)
-    if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+    Seq(s"graft_mh_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        s"graft_mh_indexp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed", t)
+      if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+    }
   }
 
   val dedupIncrementalMinhashSql: String = {
@@ -3519,19 +3584,28 @@ object HashDedup {
     val dfCase = "CASE p.band * " + MpR + " + p.j " +
       (0 until NumHashes).map(k => s"WHEN $k THEN s.df$k").mkString(" ") + " END"
     val budget = MpDefaultBudget
-    def candCte(mode: String, keySrc: String): String =
+    def keySql(cols: Seq[String]): String =
+      "md5(" + cols.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ") + ")"
+    val r2Rows = (0 until MpBands).flatMap { b =>
+      val pos = b * MpR until (b + 1) * MpR
+      for { p1 <- pos; p2 <- pos if p1 < p2 } yield
+        s"SELECT doc_id, $b AS band, ${keySql(pos.map(k => if (k == p1 || k == p2) s"s$k" else s"m$k"))} AS band_key " +
+          s"FROM mp_sig WHERE s$p1 IS NOT NULL AND s$p2 IS NOT NULL AND doc_id >= $IncBatchMin"
+    }.mkString("\n  UNION ALL ")
+    def candCte(mode: String, keySrc: String, idxSrc: String): String =
       s"""ic_c_$mode AS MATERIALIZED (
          |  SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
-         |  FROM $keySrc a JOIN ic_idx b ON a.band = b.band AND a.band_key = b.band_key),
+         |  FROM $keySrc a JOIN $idxSrc b ON a.band = b.band AND a.band_key = b.band_key),
          |ic_v_$mode AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM ic_c_$mode c JOIN ic_s5 sa ON sa.doc_id = c.doc_a JOIN ic_s5 sb ON sb.doc_id = c.doc_b
          |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
          |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3)""".stripMargin
-    def gradeRow(mode: String, billSql: String): String =
+    def gradeRow(mode: String, idxSrc: String, billSql: String, ctabSql: String): String =
       s"""  SELECT '$mode' AS mode,
-         |    (SELECT count(*) FROM ic_idx) AS n_index_rows,
+         |    (SELECT count(*) FROM $idxSrc) AS n_index_rows,
          |    ($billSql) AS n_lookups,
+         |    ($ctabSql) AS n_count_lookups,
          |    (SELECT count(*) FROM ic_c_$mode) AS n_candidates,
          |    (SELECT count(*) FROM ic_truth) AS n_true,
          |    (SELECT count(*) FROM ic_v_$mode JOIN ic_truth USING (doc_a, doc_b)) AS n_hit""".stripMargin
@@ -3540,6 +3614,11 @@ object HashDedup {
        |  SELECT doc_a, doc_b FROM truth WHERE doc_a < $IncBatchMin AND doc_b >= $IncBatchMin),
        |ic_idx AS MATERIALIZED (
        |  SELECT doc_id, band, band_key FROM mp_base WHERE doc_id < $IncBatchMin),
+       |ic_idxp AS MATERIALIZED (
+       |  SELECT doc_id, band, band_key FROM ic_idx
+       |  UNION ALL SELECT doc_id, band, band_key FROM mp_probe WHERE doc_id < $IncBatchMin),
+       |ic_cnt AS MATERIALIZED (
+       |  SELECT band, band_key, count(*) AS bn FROM ic_idx GROUP BY 1, 2),
        |ic_bk AS MATERIALIZED (
        |  SELECT doc_id, band, band_key FROM mp_base WHERE doc_id >= $IncBatchMin),
        |ic_df AS MATERIALIZED (
@@ -3552,31 +3631,53 @@ object HashDedup {
        |  SELECT doc_id,
        |    $dfPivot
        |  FROM ic_mdf GROUP BY doc_id),
-       |ic_pr AS MATERIALIZED (
-       |  SELECT doc_id, band, band_key,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, band, j) AS pr
-       |  FROM (SELECT p.doc_id, p.band, p.j, p.band_key, $dfCase AS df
+       |ic_pall AS MATERIALIZED (
+       |  SELECT t.doc_id, t.band, t.band_key,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.df, t.band, t.j) AS pr,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.df, t.gap, t.band, t.j) AS pr_gap,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY
+       |      CASE WHEN coalesce(c.bn, 0) > 0 THEN 0 ELSE 1 END, t.df, t.band, t.j) AS pr_ix
+       |  FROM (SELECT p.doc_id, p.band, p.j, p.band_key, p.gap, $dfCase AS df
        |        FROM mp_probe p JOIN ic_sigdf s USING (doc_id)
-       |        WHERE p.doc_id >= $IncBatchMin) t),
-       |ic_pb AS (SELECT doc_id, band, band_key FROM ic_pr WHERE pr <= $budget),
+       |        WHERE p.doc_id >= $IncBatchMin) t
+       |  LEFT JOIN ic_cnt c ON c.band = t.band AND c.band_key = t.band_key),
+       |ic_pb AS (SELECT doc_id, band, band_key FROM ic_pall WHERE pr <= $budget),
+       |ic_pg AS (SELECT doc_id, band, band_key FROM ic_pall WHERE pr_gap <= $budget),
+       |ic_px AS (SELECT doc_id, band, band_key FROM ic_pall WHERE pr_ix <= $budget),
+       |ic_r2 AS MATERIALIZED (
+       |  $r2Rows),
        |ic_kb AS (SELECT doc_id, band, band_key FROM ic_bk
        |  UNION ALL SELECT doc_id, band, band_key FROM ic_pb),
+       |ic_kg AS (SELECT doc_id, band, band_key FROM ic_bk
+       |  UNION ALL SELECT doc_id, band, band_key FROM ic_pg),
+       |ic_kx AS (SELECT doc_id, band, band_key FROM ic_bk
+       |  UNION ALL SELECT doc_id, band, band_key FROM ic_px),
        |ic_kf AS (SELECT doc_id, band, band_key FROM ic_bk
-       |  UNION ALL SELECT doc_id, band, band_key FROM ic_pr),
+       |  UNION ALL SELECT doc_id, band, band_key FROM ic_pall),
+       |ic_kr2 AS (SELECT doc_id, band, band_key FROM ic_kf
+       |  UNION ALL SELECT doc_id, band, band_key FROM ic_r2),
        |ic_s5 AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(ws)-3), i ->
        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
        |  FROM mp_d),
-       |${candCte("base_only", "ic_bk")},
-       |${candCte("mp_budget", "ic_kb")},
-       |${candCte("mp_full", "ic_kf")},
+       |${candCte("base_only", "ic_bk", "ic_idx")},
+       |${candCte("index_side", "ic_bk", "ic_idxp")},
+       |${candCte("mp_budget", "ic_kb", "ic_idx")},
+       |${candCte("mp_budget_gap", "ic_kg", "ic_idx")},
+       |${candCte("mp_budget_ix", "ic_kx", "ic_idx")},
+       |${candCte("mp_full", "ic_kf", "ic_idx")},
+       |${candCte("mp_radius2", "ic_kr2", "ic_idx")},
        |ic_g AS (
        |${Seq(
-          gradeRow("base_only", "SELECT count(*) FROM ic_bk"),
-          gradeRow("mp_budget", "SELECT count(*) FROM ic_kb"),
-          gradeRow("mp_full", "SELECT count(*) FROM ic_kf")).mkString("\n  UNION ALL\n")})
-       |SELECT mode, n_index_rows, n_lookups, n_candidates, n_true, n_hit,
+          gradeRow("base_only", "ic_idx", "SELECT count(*) FROM ic_bk", "SELECT CAST(0 AS BIGINT)"),
+          gradeRow("index_side", "ic_idxp", "SELECT count(*) FROM ic_bk", "SELECT CAST(0 AS BIGINT)"),
+          gradeRow("mp_budget", "ic_idx", "SELECT count(*) FROM ic_kb", "SELECT CAST(0 AS BIGINT)"),
+          gradeRow("mp_budget_gap", "ic_idx", "SELECT count(*) FROM ic_kg", "SELECT CAST(0 AS BIGINT)"),
+          gradeRow("mp_budget_ix", "ic_idx", "SELECT count(*) FROM ic_kx", "SELECT count(*) FROM ic_pall"),
+          gradeRow("mp_full", "ic_idx", "SELECT count(*) FROM ic_kf", "SELECT CAST(0 AS BIGINT)"),
+          gradeRow("mp_radius2", "ic_idx", "SELECT count(*) FROM ic_kr2", "SELECT CAST(0 AS BIGINT)")).mkString("\n  UNION ALL\n")})
+       |SELECT mode, n_index_rows, n_lookups, n_count_lookups, n_candidates, n_true, n_hit,
        |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
        |  round(CAST(n_hit AS DOUBLE) / n_true + 0.000000001, 6) AS rec
        |FROM ic_g ORDER BY mode""".stripMargin
