@@ -142,6 +142,7 @@ object Bench {
       "knn_ivf_pq_res_update" -> (graft.queries.VectorQueries.dropIvfPqResUpdateCaches _),
       "knn_res_rebalance" -> (graft.queries.VectorQueries.dropResRebalanceCaches _),
       "knn_res_serve_repair" -> (graft.queries.VectorQueries.dropResServeRepairCaches _),
+      "knn_res_calendar" -> (graft.queries.VectorQueries.dropResCalendarCaches _),
       "dedup_incremental_minhash" -> (graft.queries.HashDedup.dropIncrementalMinhashCaches _))
     for ((name, fn) <- order; drop <- coldDrops.get(name)) {
       drop(spark, sfDir)

@@ -4485,4 +4485,414 @@ object VectorQueries {
              phaseSelect(1, p, "t1_rebalanced"))).mkString("\nUNION ALL\n")}
        |ORDER BY phase, probe""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №189 knn_res_calendar
+  /** THE RESIDUAL STORE SERVED THROUGH THE FULL MAINTENANCE CALENDAR —
+    * the last unserved lifecycle (r13 verdict item 1): №185 serves the
+    * RAW store through arrivals+rebalance, №186 version-pairs the
+    * residual store through its LOCAL repair; this row composes them
+    * against ONE persisted cell-partitioned code store. Calendar
+    * (№185's event sequence, №179's repair as the model change):
+    *   E0+S0  base residual-encoded under the live model (v0), landed;
+    *   E1+S1, E2+S2  nightly arrivals ENCODED UNDER THE LIVE MODEL and
+    *     appended as v0 the batch they land — a nightly batch never
+    *     waits for a retrain;
+    *   E3+S3  LOCAL REPAIR of the [[RepairTop]] arrival-hottest cells
+    *     (sample M-step over the current corpus, codebooks FROZEN),
+    *     then the GAIN phase: every stale row's v1 re-encode lands in
+    *     its new cell NEXT TO the old v0 copies. S3 is the serve №186
+    *     cannot see: a gain cell now holds v1 repair copies AND the
+    *     same-night v0 arrivals — rows carry `model_v` and the reader
+    *     pairs EVERY row with its own encoding centroid, so both
+    *     decode exactly; movers double-visible, collapsed by max-ADC;
+    *   E4+S4  LOSS phase: touched cells to final content (v0 keepers ∪
+    *     v1 re-encodes), ghost partitions deleted;
+    *   E5+S5  the next night encoded under the REPAIRED model, v1.
+    * Every serve READS THE FILES BACK; the per-stage census
+    * (n_rows/n_vecs + n_v1, the store's version composition) rides the
+    * driver hash, so a torn wave, a lost append, a ghost partition or
+    * a wrong-version row diverges it. Serving is №186's version-paired
+    * residual ADC (frozen-codebook LUTs, 2·C versioned centroid-dot
+    * table) → RerankR shortlist → exact rescore. The router flips to
+    * the repaired centroids when the repair starts (S3..S5 probe under
+    * v1 — №185's convention). The oracle rebuilds the whole calendar
+    * relationally (both models, both code sets, the night-3 encode,
+    * six version-paired serves — serve-level CTEs MATERIALIZED, the
+    * №186 100-GiB lesson); ResCalendarSpec pins the per-stage census
+    * closed form, the v0-arrivals-next-to-v1-copies interaction being
+    * non-vacuous, version pairing at every stage (a v0-forced decode
+    * diverges mid-repair), and the no-lost-candidate overlap theorem
+    * top-1(S3) ≥ top-1(S4). 100 TB shape: constant-size model/LUT
+    * broadcasts, the corpus never reshuffled, maintenance writes
+    * bounded by the touched cells, serving consistent through every
+    * event — this is the full production lifecycle of №169's store. */
+  private[graft] final case class ResCalCensus(
+      gainCells: Seq[Long], v0ArrivalRowsInGainCells: Long,
+      nStale: Long, nArr3: Long,
+      midRepairShortlist: Seq[(Long, Long)], midRepairShortlistV0Forced: Seq[(Long, Long)])
+
+  def knnResCalendar(spark: SparkSession, dir: String): DataFrame =
+    knnResCalendarWithCensus(spark, dir)._1
+
+  private[graft] def knnResCalendarWithCensus(
+      spark: SparkSession, dir: String): (DataFrame, ResCalCensus) = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), expr(rebalDriftSql("emb")).as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(!(col("vec_id") % CalMod).isin(1L, 2L, 3L))
+    def night(n: Int): DataFrame = corpus.filter(col("vec_id") % CalMod === n)
+      .select(col("vec_id"), expr(rebalDriftSql("emb")).as("emb"))
+    val a1 = night(1); val a2 = night(2); val a3 = night(3)
+    val cur = graft.CacheRegistry.track(base.unionByName(a1).unionByName(a2).persist())
+    val allVecs = graft.CacheRegistry.track(cur.unionByName(a3).persist())
+
+    val model0 = resModelOf(spark, s"graft_rescal_model_${dirKey(dir)}_m$PquM", base)
+    val d = model0.filter(col("m") === -1).selectExpr("size(c_emb)").head().getInt(0)
+    val cent0df = model0.filter(col("m") === -1).select(col("c_id"), col("c_emb"))
+    val codes0 = graft.CacheRegistry.track(encodeCellsRes(cur, model0, PquM, d).persist())
+
+    // LOCAL REPAIR mid-calendar: top-RepairTop cells by (a1 ∪ a2)
+    // arrival occupancy, re-centered with one sample M-step over the
+    // current corpus; codebooks frozen (№179's repair on №185's
+    // calendar — same deterministic sample discipline as resRepairOf)
+    val hotSet = codes0.filter((col("vec_id") % CalMod).isin(1L, 2L))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_a"))
+      .orderBy(col("n_a").desc, col("cell")).limit(RepairTop)
+      .collect().map(_.getLong(0)).toSet
+    val cent0Arr = cent0df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val samp = hashSample(cur, SampleM)
+    val assigned = samp.map { e =>
+      var bestCid = 0L; var bestCos = Double.NegativeInfinity
+      cent0Arr.foreach { case (cid, ce) =>
+        val cv = cos6Local(e, ce)
+        if (cv > bestCos) { bestCos = cv; bestCid = cid }
+      }
+      (bestCid, e)
+    }
+    val means = assigned.groupBy(_._1).map { case (cid, members) =>
+      val n = members.length
+      cid -> Array.tabulate(members(0)._2.length) { i =>
+        var s = 0.0
+        members.foreach(m => s += m._2(i).toDouble)
+        round6(s / n + 1e-9).toFloat
+      }
+    }
+    val cent1df = cent0Arr.map { case (cid, ce) =>
+      if (hotSet(cid) && means.contains(cid)) (cid, means(cid)) else (cid, ce)
+    }.toSeq.toDF("c_id", "c_emb")
+    val model1 = graft.CacheRegistry.track(
+      cent1df.select(lit(-1).as("m"), col("c_id"), col("c_emb"))
+        .unionByName(model0.filter(col("m") >= 0).select(col("m"), col("c_id"), col("c_emb")))
+        .persist())
+
+    val cells1 = cellsOf(cur, cent1df).select(col("vec_id"), col("cell").as("cell1"))
+    val j = graft.CacheRegistry.track(
+      codes0.withColumnRenamed("cell", "cell0").join(cells1, "vec_id").persist())
+    val isStale = col("cell1").isin(hotSet.toSeq.map(Long.box): _*) ||
+      col("cell0") =!= col("cell1")
+    val fresh = graft.CacheRegistry.track(
+      encodeCellsRes(cur.join(j.filter(isStale).select(col("vec_id")), "vec_id"),
+        model1, PquM, d).persist())
+
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_rescal_${dirKey(dir)}").toString
+    val codeCols = (0 until PquM).map(m => s"code_$m")
+    val vcols = col("vec_id") +: col("cell") +: codeCols.map(col) :+ col("model_v")
+    def v0rows(pred: Column): DataFrame =
+      codes0.filter(pred).withColumn("model_v", lit(0)).select(vcols: _*)
+
+    val centV = graft.CacheRegistry.track(
+      cent0df.select(lit(0).as("model_v"), col("c_id").as("cell"), col("c_emb"))
+        .unionByName(cent1df.select(lit(1).as("model_v"), col("c_id").as("cell"), col("c_emb")))
+        .persist())
+    val luts = (0 until PquM).map { m =>
+      queries.crossJoin(broadcast(model0.filter(col("m") === m).select(col("c_id"), col("c_emb"))))
+        .select(col("q_id"), col("c_id").as(s"code_$m"),
+          round(graft.functions.VectorOps.dot(subCol(col("q_emb"), m, PquM, d), col("c_emb")) + lit(1e-9), 6)
+            .as(s"part_$m"))
+    }
+    def probesOf(cent: DataFrame): DataFrame = queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+    val probes0 = graft.CacheRegistry.track(probesOf(cent0df).persist())
+    val probes1 = graft.CacheRegistry.track(probesOf(cent1df).persist())
+
+    /** Version-paired per-(q, vec) max-ADC over the store's files;
+      * `torn = true` forces every row through the v0 decode — the
+      * stale-reader failure the spec proves diverges mid-repair. */
+    def adcOf(back: DataFrame, probes: DataFrame, torn: Boolean): DataFrame = {
+      val qcV = probes.join(broadcast(centV), "cell")
+        .select(col("q_id"), col("cell"), col("model_v"),
+          round(graft.functions.VectorOps.dot(col("q_emb"), col("c_emb")) + lit(1e-9), 6).as("qc"))
+      val joined = (0 until PquM).foldLeft(
+        back.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")) { (df, m) =>
+        df.join(broadcast(luts(m)), Seq("q_id", s"code_$m"))
+      }
+      val withQc =
+        if (torn) joined.drop("model_v")
+          .join(broadcast(qcV.filter(col("model_v") === 0).drop("model_v")), Seq("q_id", "cell"))
+        else joined.join(broadcast(qcV), Seq("q_id", "cell", "model_v"))
+      val adc = round(col("qc") + (0 until PquM).map(m => col(s"part_$m")).reduce(_ + _) + lit(1e-9), 6)
+      withQc.select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("adc")).as("adc"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long, Double)]
+    def serve(stage: Int, probes: DataFrame): Unit = {
+      val back = graft.CacheRegistry.track(spark.read.parquet(store)
+        .select((col("vec_id") +: col("cell").cast("long").as("cell") +:
+          codeCols.map(col) :+ col("model_v").cast("int").as("model_v")): _*).persist())
+      val shortlist = topKRanked(adcOf(back, probes, torn = false), "q_id", "adc", "vec_id", RerankR)
+        .select(col("q_id"), col("vec_id"))
+      val census = back.agg(count(lit(1)).as("n_rows"), countDistinct(col("vec_id")).as("n_vecs"),
+        sum(when(col("model_v") === 1, 1L).otherwise(0L)).as("n_v1"))
+      val rescored = allVecs.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+      topKRanked(rescored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect().foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_vecs"),
+            r.getAs[Long]("n_v1"), r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+    }
+    /** S3's version-pairing proof hook for the spec: the shortlist the
+      * MID-REPAIR store yields under paired vs v0-forced decode. */
+    def midRepairShortlists(probes: DataFrame): (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+      val back = spark.read.parquet(store)
+        .select((col("vec_id") +: col("cell").cast("long").as("cell") +:
+          codeCols.map(col) :+ col("model_v").cast("int").as("model_v")): _*)
+      def sl(torn: Boolean) = topKRanked(adcOf(back, probes, torn), "q_id", "adc", "vec_id", RerankR)
+        .select(col("q_id"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (sl(false), sl(true))
+    }
+
+    // E0+S0: base codes landed under the live model
+    landStore(store, v0rows(!(col("vec_id") % CalMod).isin(1L, 2L, 3L)))
+    serve(0, probes0)
+    // E1/E2+S1/S2: nightly arrivals encoded under the LIVE model, v0
+    def append(rows: DataFrame): Unit =
+      byCell(rows).write.partitionBy("cell").mode("append").parquet(store)
+    append(v0rows(col("vec_id") % CalMod === 1)); serve(1, probes0)
+    append(v0rows(col("vec_id") % CalMod === 2)); serve(2, probes0)
+    // E3+S3: GAIN phase — v1 re-encodes land NEXT TO v0 copies (incl.
+    // the same-night v0 arrivals: the interaction №186 cannot see);
+    // gain-cell v0 content derived from the cached codes0 frame
+    val gainCells = fresh.select(col("cell")).distinct()
+    val gainArr = gainCells.collect().map(_.getLong(0)).sorted
+    byCell(v0rows(lit(true)).join(broadcast(gainCells), "cell")
+        .unionByName(fresh.withColumn("model_v", lit(1)).select(vcols: _*)))
+      .write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    serve(3, probes1)
+    val (slPaired, slV0) = midRepairShortlists(probes1)
+    // E4+S4: LOSS phase — touched cells to final content, ghosts deleted
+    val touchedArr = j.filter(isStale).select(col("cell0").as("cell"))
+      .unionAll(fresh.select(col("cell"))).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val finalContent = graft.CacheRegistry.track(
+      j.filter(!isStale && col("cell0").isin(touchedArr.map(Long.box): _*))
+        .select((col("vec_id") +: col("cell0").as("cell") +: codeCols.map(col) :+ lit(0).as("model_v")): _*)
+        .unionByName(fresh.withColumn("model_v", lit(1)).select(vcols: _*))
+        .persist())
+    byCell(finalContent).write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    val presentCells = finalContent.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touchedArr.filterNot(presentCells).foreach(c =>
+      graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
+    serve(4, probes1)
+    // E5+S5: the next night encoded under the REPAIRED model, v1
+    append(encodeCellsRes(a3, model1, PquM, d)
+      .withColumn("model_v", lit(1)).select(vcols: _*))
+    serve(5, probes1)
+
+    val v0ArrGain = codes0.filter((col("vec_id") % CalMod).isin(1L, 2L) &&
+      col("cell").isin(gainArr.map(Long.box): _*)).count()
+    val served = out.toSeq
+      .toDF("stage", "n_rows", "n_vecs", "n_v1", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+    (served, ResCalCensus(gainArr.toSeq, v0ArrGain,
+      j.filter(isStale).count(), a3.count(), slPaired, slV0))
+  }
+
+  val knnResCalendarSql: String = {
+    val p = "rcl"
+    val drift = "list_transform(%s, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"$RebalScale + $RebalShift + 0.000000001, 6) AS FLOAT))"
+    def subOf(src: String, m: Int): String = {
+      val w = s"(len($src) // $PquM)"
+      if (m < PquM - 1) s"list_slice($src, $m * $w + 1, ${m + 1} * $w)"
+      else s"list_slice($src, ${PquM - 1} * $w + 1, len($src))"
+    }
+    def residCte(name: String, src: String, cells: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT s.vec_id, cl.cell,
+         |    list_transform(range(1, len(s.emb)+1), i ->
+         |      CAST(round(CAST(s.emb[i] AS DOUBLE) - CAST(ct.c_emb[i] AS DOUBLE) + 0.000000001, 6) AS FLOAT)) AS remb
+         |  FROM $src s JOIN $cells cl ON cl.vec_id = s.vec_id JOIN $cent ct ON ct.c_id = cl.cell)""".stripMargin
+    def assignCte(name: String, src: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT s.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src s, $cent c) x WHERE r = 1)""".stripMargin
+    def codeCtes(tag: String, rc: String): String = (0 until PquM).map { m =>
+      s"""${p}$tag$m AS (
+         |  SELECT vec_id, c_id AS code_$m FROM (
+         |    SELECT s.vec_id, a.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${cos6Sql("s.emb", "a.c_emb")} DESC, a.c_id) AS rk
+         |    FROM (SELECT vec_id, ${subOf("remb", m)} AS emb FROM $rc) s, ${p}k${m}_cent a) x WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    def codesJoin(tag: String): String =
+      (1 until PquM).foldLeft(s"${p}$tag" + "0")((acc, m) => s"$acc JOIN ${p}$tag$m USING (vec_id)")
+    val bsubs = (0 until PquM).map(m =>
+      s"${p}s$m AS (SELECT vec_id, ${subOf("remb", m)} AS emb FROM ${p}rc0b)").mkString(",\n")
+    val cents = (0 until PquM).map(m =>
+      refinedCentSql(s"${p}s$m", s"${p}k${m}_", PqCodebook)).mkString(",\n")
+    val lutCtes = (0 until PquM).map { m =>
+      s"""${p}l$m AS (
+         |  SELECT q.q_id, a.c_id AS code_$m,
+         |    round(list_sum(list_transform(range(1, len(${subOf("q.q_emb", m)})+1),
+         |      i -> CAST((${subOf("q.q_emb", m)})[i] AS DOUBLE) * CAST(a.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS part_$m
+         |  FROM q, ${p}k${m}_cent a)""".stripMargin
+    }.mkString(",\n")
+    val lutJoin = (0 until PquM).map(m => s"JOIN ${p}l$m USING (q_id, code_$m)").mkString(" ")
+    val adcSum = (0 until PquM).map(m => s"part_$m").mkString(" + ")
+    val codeSel = (0 until PquM).map(m => s"code_$m").mkString(", ")
+    def probeCte(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT q_id, c_id AS cell FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+         |    FROM q, $cent c) x WHERE prank <= $Probe)""".stripMargin
+    def shortCte(content: String, probes: String, name: String): String =
+      s"""${name}c AS MATERIALIZED (
+         |  SELECT pr.q_id, ct.vec_id, max(round(qc.qc + $adcSum + 0.000000001, 6)) AS adc
+         |  FROM $content ct JOIN $probes pr ON pr.cell = ct.cell $lutJoin
+         |  JOIN ${p}qcv qc ON qc.q_id = pr.q_id AND qc.cell = ct.cell AND qc.v = ct.v
+         |  GROUP BY pr.q_id, ct.vec_id),
+         |$name AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+         |    FROM ${name}c) x WHERE rank <= $RerankR)""".stripMargin
+    def serveCte(s: Int, content: String): String =
+      s"""${p}rr$s AS MATERIALIZED (
+         |  SELECT s.q_id, s.vec_id, ${cos6Sql("cc.emb", "qq.q_emb")} AS cos,
+         |    row_number() OVER (PARTITION BY s.q_id ORDER BY ${cos6Sql("cc.emb", "qq.q_emb")} DESC, s.vec_id) AS rank
+         |  FROM ${p}sl$s s JOIN allv cc ON cc.vec_id = s.vec_id JOIN q qq ON qq.q_id = s.q_id),
+         |${p}cnt$s AS MATERIALIZED (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+         |    CAST(coalesce(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_v1
+         |  FROM $content)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_vecs, c.n_v1, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM ${p}rr$s r, ${p}cnt$s c WHERE r.rank <= $K""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, ${drift.format("emb")} AS q_emb FROM v WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= $NQueries),
+       |b AS (SELECT vec_id, emb FROM c WHERE vec_id % $CalMod NOT IN (1, 2, 3)),
+       |na1 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM c WHERE vec_id % $CalMod = 1),
+       |na2 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM c WHERE vec_id % $CalMod = 2),
+       |na3 AS (SELECT vec_id, ${drift.format("emb")} AS emb FROM c WHERE vec_id % $CalMod = 3),
+       |cur AS MATERIALIZED (SELECT * FROM b UNION ALL SELECT * FROM na1 UNION ALL SELECT * FROM na2),
+       |allv AS MATERIALIZED (SELECT * FROM cur UNION ALL SELECT * FROM na3),
+       |${refinedCentSql("b", s"${p}0")},
+       |${assignCte(s"${p}cells0", "cur", s"${p}0cent")},
+       |${p}hot AS MATERIALIZED (SELECT cell FROM (
+       |  SELECT cell, count(*) AS n_a FROM ${p}cells0
+       |  WHERE vec_id % $CalMod IN (1, 2) GROUP BY cell
+       |  ORDER BY n_a DESC, cell LIMIT $RepairTop)),
+       |${p}samp AS (
+       |  SELECT emb, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM cur QUALIFY rk <= $SampleM),
+       |${p}sa AS (
+       |  SELECT rk, emb, cid FROM (
+       |    SELECT s.rk, s.emb, c.c_id AS cid,
+       |      row_number() OVER (PARTITION BY s.rk ORDER BY ${cos6Sql("s.emb", "c.c_emb")} DESC, c.c_id) AS rr
+       |    FROM ${p}samp s, ${p}0cent c) x WHERE rr = 1),
+       |${p}sg AS (SELECT cid, list(emb ORDER BY rk) AS embs, count(*) AS n FROM ${p}sa GROUP BY cid),
+       |${p}su AS (
+       |  SELECT cid, list_transform(range(1, len(embs[1]) + 1), i ->
+       |    CAST(round(list_sum(list_transform(embs, e -> CAST(e[i] AS DOUBLE))) / n + 0.000000001, 6) AS FLOAT)) AS cemb
+       |  FROM ${p}sg),
+       |cent AS MATERIALIZED (
+       |  SELECT c.c_id,
+       |    CASE WHEN c.c_id IN (SELECT cell FROM ${p}hot) AND u.cemb IS NOT NULL
+       |      THEN u.cemb ELSE c.c_emb END AS c_emb
+       |  FROM ${p}0cent c LEFT JOIN ${p}su u ON u.cid = c.c_id),
+       |${assignCte(s"${p}cells1", "cur", "cent")},
+       |${assignCte(s"${p}cells3", "na3", "cent")},
+       |${residCte(s"${p}rc0b", "b", s"${p}cells0", s"${p}0cent")},
+       |$bsubs,
+       |$cents,
+       |${residCte(s"${p}rc0", "cur", s"${p}cells0", s"${p}0cent")},
+       |${residCte(s"${p}rc1", "cur", s"${p}cells1", "cent")},
+       |${residCte(s"${p}rc3", "na3", s"${p}cells3", "cent")},
+       |${codeCtes("o", s"${p}rc0")},
+       |${codeCtes("n", s"${p}rc1")},
+       |${codeCtes("t", s"${p}rc3")},
+       |${p}codes0 AS MATERIALIZED (SELECT * FROM ${codesJoin("o")}),
+       |${p}codes1 AS MATERIALIZED (SELECT * FROM ${codesJoin("n")}),
+       |${p}codes3 AS MATERIALIZED (SELECT * FROM ${codesJoin("t")}),
+       |${p}j AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell AS cell0, b.cell AS cell1,
+       |    (b.cell IN (SELECT cell FROM ${p}hot) OR a.cell <> b.cell) AS stale
+       |  FROM ${p}cells0 a JOIN ${p}cells1 b USING (vec_id)),
+       |${probeCte(s"${p}p0", s"${p}0cent")},
+       |${probeCte(s"${p}p1", "cent")},
+       |$lutCtes,
+       |${p}qcv AS MATERIALIZED (
+       |  SELECT q.q_id, cc.c_id AS cell, 0 AS v,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cc.c_emb[i] AS DOUBLE))) + 0.000000001, 6) AS qc
+       |  FROM q, ${p}0cent cc
+       |  UNION ALL
+       |  SELECT q.q_id, cc.c_id, 1,
+       |    round(list_sum(list_transform(range(1, len(q.q_emb)+1),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(cc.c_emb[i] AS DOUBLE))) + 0.000000001, 6)
+       |  FROM q, cent cc),
+       |${p}old AS MATERIALIZED (
+       |  SELECT j.vec_id, j.cell0 AS cell, 0 AS v, $codeSel, j.stale
+       |  FROM ${p}j j JOIN ${p}codes0 USING (vec_id)),
+       |${p}frsh AS MATERIALIZED (
+       |  SELECT j.vec_id, j.cell1 AS cell, 1 AS v, $codeSel
+       |  FROM ${p}j j JOIN ${p}codes1 USING (vec_id) WHERE j.stale),
+       |${p}a3r AS MATERIALIZED (
+       |  SELECT cl.vec_id, cl.cell, 1 AS v, $codeSel
+       |  FROM ${p}cells3 cl JOIN ${p}codes3 USING (vec_id)),
+       |${p}ct0 AS (SELECT vec_id, cell, v, $codeSel FROM ${p}old WHERE vec_id % $CalMod NOT IN (1, 2, 3)),
+       |${p}ct1 AS (SELECT vec_id, cell, v, $codeSel FROM ${p}old WHERE vec_id % $CalMod NOT IN (2, 3)),
+       |${p}ct2 AS (SELECT vec_id, cell, v, $codeSel FROM ${p}old),
+       |${p}ct3 AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, $codeSel FROM ${p}old
+       |  UNION ALL SELECT * FROM ${p}frsh),
+       |${p}ct4 AS MATERIALIZED (
+       |  SELECT vec_id, cell, v, $codeSel FROM ${p}old WHERE NOT stale
+       |  UNION ALL SELECT * FROM ${p}frsh),
+       |${p}ct5 AS MATERIALIZED (
+       |  SELECT * FROM ${p}ct4 UNION ALL SELECT * FROM ${p}a3r),
+       |${shortCte(s"${p}ct0", s"${p}p0", s"${p}sl0")},
+       |${shortCte(s"${p}ct1", s"${p}p0", s"${p}sl1")},
+       |${shortCte(s"${p}ct2", s"${p}p0", s"${p}sl2")},
+       |${shortCte(s"${p}ct3", s"${p}p1", s"${p}sl3")},
+       |${shortCte(s"${p}ct4", s"${p}p1", s"${p}sl4")},
+       |${shortCte(s"${p}ct5", s"${p}p1", s"${p}sl5")},
+       |${(0 to 5).map(s => serveCte(s, s"${p}ct$s")).mkString(",\n")}
+       |${(0 to 5).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
+  }
+
+  /** Bench hook: №189's persisted residual model (№186's discipline). */
+  def dropResCalendarCaches(spark: SparkSession, dir: String): Unit = {
+    val t = s"graft_rescal_model_${dirKey(dir)}_m$PquM"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_models", t)
+    if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
+  }
 }

@@ -81,6 +81,7 @@ class PlanLintSpec extends SparkSpec {
       "knn_serve_calendar", // same calendar plus the six interleaved serves on build
       "knn_res_rebalance", // lands + delta-rewrites the residual code store on build
       "knn_res_serve_repair", // version-paired store phases + serves on build
+      "knn_res_calendar", // full residual calendar (land/append/repair/serve ×6) on build
       "dedup_pipeline_mp", // runs the clusterLabels convergence loop on build
       "dedup_pipeline_mp_budget", // same loop under the probe budget
       "dedup_pipeline_smp", // same loop under the simhash multiprobe mode
