@@ -373,12 +373,14 @@ object CurationQueries {
     * spec scale plus candidates(budget) ⊆ candidates(full) always. The
     * adversarial table then
     * records the honest NEGATIVE: on a batch SELF-JOIN dedup the DF
-    * score's own cost (a shingle-frame join + a second signature-sized
-    * pass) exceeds the saved lookups (~2× wall at ×30, plus a
-    * few missed pairs on boilerplate corpora) — the budget's real home
-    * is incremental probing of new docs against a PERSISTED banded
-    * index, where lookups dominate and the DF state is amortized
-    * signature-time work (SCALING.md's per-family guidance). */
+    * score's own cost exceeds the saved lookups — r14's fused
+    * signature/DF aggregation (mpSigDfFrom) shrank it from ~2× to
+    * ~1.3× wall at ×30, still a loss, plus a few missed pairs on
+    * boilerplate corpora — the budget's real home is incremental
+    * probing of new docs against a PERSISTED banded index, where
+    * lookups dominate and the DF state is amortized signature-time
+    * work (SCALING.md's per-family guidance; №187's density tie-break
+    * is the ranking that wins there). */
   val PipelineMpBudget: Int = HashDedup.MpDefaultBudget
 
   def dedupPipelineMpBudget(spark: SparkSession, dir: String): DataFrame = {
