@@ -3053,7 +3053,7 @@ object HashDedup {
 
   /** The 48-bit (min, second-min) signature frame (doc_id, m0..s11) —
     * ONE definition for №173, №174 and №181 (callers persist). */
-  private def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def mpSigFrom(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     mpSigFromHw(mpHashWide(mpShingles(tok)))
 
   /** Signature aggregation over an ALREADY-WIDENED hash frame — split
@@ -3082,7 +3082,7 @@ object HashDedup {
     md5(concat_ws("|", cols.map(_.cast("string")): _*))
 
   /** Base band keys over the (m, s) signature frame. */
-  private def mpBaseRows(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def mpBaseRows(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     (0 until MpBands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         mpKeyOf((b * MpR until (b + 1) * MpR).map(k => col(s"m$k"))).as("band_key"))
@@ -3905,4 +3905,196 @@ object HashDedup {
        |  round(CAST(n_hit AS DOUBLE)/n_pairs + 0.000000001, 6) AS prec,
        |  round(CAST(n_hit AS DOUBLE)/n_true + 0.000000001, 6) AS rec
        |FROM g ORDER BY method""".stripMargin
+
+  // ---------------------------------------------------------------- №190 dedup_index_calendar
+  /** Per-stage diagnostics behind [[dedupIndexCalendar]], returned to the
+    * spec instead of stashed in object vars (the r13 StreamServeSearch
+    * lesson): verified-hit pairs per stage, candidate pairs for the two
+    * compaction-straddling serves, and the final store's generation
+    * directories. Pair lists are stage-hit-sized (hundreds at gate SF),
+    * never corpus-sized. */
+  private[graft] final case class IndexCalendarDetail(
+      hitPairs: Map[Int, Set[(Long, Long)]],
+      candPairs: Map[Int, Set[(Long, Long)]],
+      finalGens: Seq[String])
+
+  /** THE PERSISTED BANDED INDEX SERVED THROUGH ITS MAINTENANCE CALENDAR —
+    * №187 probes nightly batches against a STATIC index; the deployment a
+    * 100 TB crawl actually runs both probes AND GROWS the index (tonight's
+    * batch must near-dup against yesterday's, not just against the base
+    * corpus), and the store needs compaction once enough nightly appends
+    * accumulate — the text-side twin of №178/№185's vector maintenance
+    * calendar (reference semantics: the nightly time-range increment of
+    * app/batch/HBaseReader.kt:131-160, whose store-side maintenance is
+    * HBase's own compaction). Calendar against ONE gen-partitioned parquet
+    * store of band rows, every serve reading the FILES back (№175's
+    * discipline — the census columns are in the driver hash):
+    *
+    *   E0  land base band rows (gen=0)
+    *   S1  probe night-1 keys → verify τ=3/5 → append B1 (gen=1)
+    *   S2  probe night-2 — now also catches B1×B2 pairs (the append is
+    *       load-bearing: spec pins that a static base-only index misses
+    *       exactly the night-1-partner pairs)
+    *   E3  compaction ADD wave: gens 0-2 rewritten as one compacted
+    *       generation (gen=9, content derived from the CACHED row frames,
+    *       never read-then-overwrite of the same path — r13 advice)
+    *   S3  probe night-3 MID-COMPACTION: every row double-visible
+    *       (n_index_rows = 2×), candidates dedup exactly — the serve is
+    *       lossless through the rewrite
+    *   E3' compaction REMOVE wave: gen=0/1/2 directories dropped
+    *   S4  probe night-3 post-compaction — pair-identical to S3 at half
+    *       the rows; append B3 (gen=3)
+    *   S5  audit probe: ALL batch keys vs the final index — finds every
+    *       pair the nightly serves found plus exactly the same-night
+    *       pairs no nightly probe could see (both ends land together;
+    *       probe-then-append means a night never probes itself), the
+    *       coverage theorem DedupIndexCalendarSpec pins.
+    *
+    * Night split: doc_id mod [[IncCalMod]] (base = classes {0,4,5,6},
+    * nights 1-3 = classes 1-3). The dup corpus's +1M/+2M near-dup offsets
+    * shift the class by 1/2, so cross-night dup pairs exist in every
+    * direction (a night-1 original's copy lands night-2; a night-3
+    * original's copy lands in BASE — caught when night 3 probes). Stage
+    * truth = the №24 τ-pairs with one end in the probing night and the
+    * other end INDEXED at that stage; hits verify with the shared exact
+    * τ=3/5 test ([[TextQueries.verifyPairsOf]] — the mode contract).
+    * At 100 TB: the store is №187's bucketed layout (generations within
+    * buckets); probes stay co-located band-key equi-joins, appends are
+    * per-bucket file adds, compaction is the per-bucket small-file
+    * rewrite, and the add-then-remove waves make every serve lossless —
+    * the same no-torn-read argument as №177, now on the text side. */
+  def dedupIndexCalendar(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexCalendarDetail(spark, dir)._1
+
+  private[graft] def dedupIndexCalendarDetail(
+      spark: SparkSession, dir: String): (DataFrame, IndexCalendarDetail) = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val sh5 = TextQueries.shingleFrameOf(tok)
+    val truthAll = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    // one signature pass over the WHOLE corpus; stage membership is a
+    // filter on doc class (signatures are per-doc — no cross-doc state)
+    val rows = graft.CacheRegistry.track(mpBaseRows(mpSigFrom(tok))
+      .withColumn("cls", pmod(col("doc_id"), lit(IncCalMod.toLong))).persist())
+    def ofCls(p: Column => Column): DataFrame =
+      rows.filter(p(col("cls"))).select(col("doc_id"), col("band"), col("band_key"))
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_dedupcal_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    graft.Fs.rmTree(store) // idempotent re-runs: appends must not double
+    def land(r: DataFrame, gen: Int, nFiles: Int): Unit =
+      r.withColumn("gen", lit(gen)).repartition(nFiles)
+        .write.partitionBy("gen").mode("append").parquet(store.toString)
+    def clsOf(c: Column): Column = pmod(c, lit(IncCalMod.toLong))
+    // classes indexed when night n probes: everything landed before n
+    def indexedAt(n: Int)(c: Column): Column =
+      !clsOf(c).isin((n to 3).map(i => Long.box(i.toLong)): _*)
+    def truthNight(n: Int): DataFrame = truthAll.filter(
+      (clsOf(col("doc_a")) === n && indexedAt(n)(col("doc_b"))) ||
+        (clsOf(col("doc_b")) === n && indexedAt(n)(col("doc_a"))))
+    val batchCls = Seq(1L, 2L, 3L).map(Long.box)
+    val truthAudit = truthAll.filter(
+      clsOf(col("doc_a")).isin(batchCls: _*) || clsOf(col("doc_b")).isin(batchCls: _*))
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long)]
+    val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val candPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    def serve(stage: Int, keys: DataFrame, truthStage: DataFrame): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("doc_id"), col("band"), col("band_key"))
+      val cand = keys.as("a").join(back.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val hits = verified.join(broadcast(truthStage), Seq("doc_a", "doc_b"))
+      val r = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
+        .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(truthStage.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
+      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
+      if (stage == 3 || stage == 4)
+        candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+    }
+    land(ofCls(c => !c.isin(batchCls: _*)), 0, 4)
+    serve(1, ofCls(_ === 1L), truthNight(1)); land(ofCls(_ === 1L), 1, 2)
+    serve(2, ofCls(_ === 2L), truthNight(2)); land(ofCls(_ === 2L), 2, 2)
+    // E3 add wave: the compacted generation, derived from the cached rows
+    land(ofCls(c => !(c === 3L)), 9, 2)
+    serve(3, ofCls(_ === 3L), truthNight(3))
+    Seq(0, 1, 2).foreach(g => graft.Fs.rmTree(store.resolve(s"gen=$g")))
+    serve(4, ofCls(_ === 3L), truthNight(3)); land(ofCls(_ === 3L), 3, 2)
+    serve(5, ofCls(c => c.isin(batchCls: _*)), truthAudit)
+    val gens = java.nio.file.Files.list(store)
+    val genNames = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(gens.iterator()).asScala
+        .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    } finally gens.close()
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_index_rows", "n_lookups", "n_candidates", "n_true", "n_hit")
+      .select(col("stage"), col("n_index_rows"), col("n_lookups"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / greatest(col("n_true"), lit(1L)) + 1e-9, 6).as("rec"))
+      .orderBy(col("stage"))
+    (df, IndexCalendarDetail(hitPairs.toMap, candPairs.toMap, genNames.toSeq.sorted))
+  }
+  val IncCalMod = 7
+
+  val dedupIndexCalendarSql: String = {
+    val m = IncCalMod
+    def idxCls(n: Int): String = s"doc_id % $m NOT IN (${(n to 3).mkString(", ")})"
+    def candCte(s: Int, keyPred: String, idxPred: String): String =
+      s"""dcal_c$s AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM (SELECT * FROM mp_base WHERE $keyPred) a
+         |  JOIN (SELECT * FROM mp_base WHERE $idxPred) b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+         |dcal_v$s AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM dcal_c$s c JOIN dcal_s5 sa ON sa.doc_id = c.doc_a JOIN dcal_s5 sb ON sb.doc_id = c.doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
+         |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3)""".stripMargin
+    def truthNight(n: Int): String =
+      s"(doc_a % $m = $n AND doc_b % $m NOT IN (${(n to 3).mkString(", ")})) OR " +
+        s"(doc_b % $m = $n AND doc_a % $m NOT IN (${(n to 3).mkString(", ")}))"
+    def gradeRow(stage: Int, candS: Int, idxSql: String, keyPred: String, truthPred: String): String =
+      s"""  SELECT CAST($stage AS BIGINT) AS stage,
+         |    ($idxSql) AS n_index_rows,
+         |    (SELECT count(*) FROM mp_base WHERE $keyPred) AS n_lookups,
+         |    (SELECT count(*) FROM dcal_c$candS) AS n_candidates,
+         |    (SELECT count(*) FROM truth WHERE $truthPred) AS n_true,
+         |    (SELECT count(*) FROM dcal_v$candS v JOIN truth t USING (doc_a, doc_b) WHERE $truthPred) AS n_hit""".stripMargin
+    def idxCount(pred: String): String = s"SELECT count(*) FROM mp_base WHERE $pred"
+    val batchPred = s"doc_id % $m IN (1, 2, 3)"
+    val auditTruth = s"doc_a % $m IN (1, 2, 3) OR doc_b % $m IN (1, 2, 3)"
+    s"""WITH $mpChainSql,
+       |dcal_s5 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-3), i ->
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |${candCte(1, s"doc_id % $m = 1", idxCls(1))},
+       |${candCte(2, s"doc_id % $m = 2", idxCls(2))},
+       |${candCte(3, s"doc_id % $m = 3", idxCls(3))},
+       |${candCte(5, batchPred, "TRUE")},
+       |dcal_g AS (
+       |${Seq(
+          gradeRow(1, 1, idxCount(idxCls(1)), s"doc_id % $m = 1", truthNight(1)),
+          gradeRow(2, 2, idxCount(idxCls(2)), s"doc_id % $m = 2", truthNight(2)),
+          gradeRow(3, 3, s"SELECT 2 * count(*) FROM mp_base WHERE ${idxCls(3)}",
+            s"doc_id % $m = 3", truthNight(3)),
+          gradeRow(4, 3, idxCount(idxCls(3)), s"doc_id % $m = 3", truthNight(3)),
+          gradeRow(5, 5, "SELECT count(*) FROM mp_base", batchPred, auditTruth))
+         .mkString("\n  UNION ALL\n")})
+       |SELECT stage, n_index_rows, n_lookups, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true, 1) + 0.000000001, 6) AS rec
+       |FROM dcal_g ORDER BY stage""".stripMargin
+  }
 }
