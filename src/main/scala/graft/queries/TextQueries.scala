@@ -335,7 +335,7 @@ object TextQueries {
   /** Body over a PERSISTED (doc_id, ws) frame — shared with
     * [[HashDedup.dedupRecall]], which tokenizes once for all three
     * finders. */
-  private[queries] def dedupNgramJaccardFrom(tok: DataFrame): DataFrame = {
+  private[graft] def dedupNgramJaccardFrom(tok: DataFrame): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
     // Persisted: this frame is consumed three times (prefix explode + two
@@ -3687,7 +3687,7 @@ object HashDedup {
     * → 48-bit hashes → (min, second-min) → signature pivot → base keys →
     * probe keys (with the gap + (band, j) ranking columns №174 orders
     * on; №173 ignores them) → base candidate pairs `mp_bc`. */
-  private[queries] def mpChainSql: String = {
+  private[graft] def mpChainSql: String = {
     def hex12(src: String): String =
       s"CAST(list_sum(list_transform(range(1, 13), i -> " +
         s"CAST(strpos('0123456789abcdef', substr($src, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (12 - i)))) AS BIGINT)"
