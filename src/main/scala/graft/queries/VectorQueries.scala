@@ -4895,4 +4895,183 @@ object VectorQueries {
       System.getProperty("java.io.tmpdir"), "graft_models", t)
     if (java.nio.file.Files.exists(path)) graft.Fs.rmTree(path)
   }
+
+  // ---------------------------------------------------------------- №192 knn_store_delete
+  /** Per-stage store diagnostics behind [[knnStoreDelete]]: deleted-row
+    * counts by cell at each serve (the torn-cell proof: at the mid-delete
+    * serve every even touched cell must read 0 and every odd one its full
+    * pre-delete count), plus the rewrite bills. */
+  private[graft] final case class StoreDeleteDetail(
+      delByCell: Map[Int, Map[Long, Long]],
+      touchedCells: Seq[Long],
+      emptiedCells: Seq[Long],
+      rewrittenRows: Long)
+
+  val DelMod = 9L  // delete manifest: base vec_id % DelMod == DelRes (~11%)
+  val DelRes = 4L
+
+  /** DELETE FROM THE SERVING STORE — the CRUD leg the maintenance family
+    * (№177 arrivals, №175/№179 model rewrites, №178 composition) doesn't
+    * cover, and the one a real corpus store cannot refuse: a
+    * right-to-be-forgotten manifest (an id list, never a predicate over
+    * payloads) must leave the store while it serves. Reference analogue:
+    * the deletes the export carries as HBase tombstones —
+    * app/batch/HBaseResultProcessor.kt processes only live cells, so a
+    * deleted row must vanish from every later export; here the store IS
+    * the served artifact, so deletion is a physical rewrite, not a
+    * filter.
+    *
+    * Shape: the delete bill is DELTA-sized — only the touched cells
+    * (cells holding ≥1 manifest row) rewrite, in two waves (even cells,
+    * then odd), each wave a dynamic partition overwrite whose content
+    * derives from the CACHED assignment frame (never read-then-overwrite
+    * of the live path — the r13 advice discipline); a cell whose every
+    * row is deleted writes nothing under dynamic overwrite, so its stale
+    * directory is dropped explicitly (№175's emptied-cell handling).
+    * Serves read the FILES back at four checkpoints: S0 pre-delete (the
+    * manifest rows genuinely serve — the drill is not vacuous), S1
+    * MID-delete (each touched cell is atomically old or new, never torn;
+    * surviving rows in rewritten cells still serve), S2 post-delete
+    * (n_del_visible = 0 — and it STAYS 0), S3 after a later arrival
+    * append under the frozen model (maintenance cannot resurrect a
+    * deleted row). The oracle rebuilds all four store states closed-form
+    * (membership is a pure function of vec_id and the frozen
+    * assignment); n_rows / n_del_visible censuses ride the driver hash.
+    * At 100 TB: the manifest is a broadcast id set, touched cells are
+    * delta-sized, each wave rewrites only its cells' files, and serving
+    * never pauses — the same add-then-remove losslessness argument as
+    * №177, inverted for removal. */
+  def knnStoreDelete(spark: SparkSession, dir: String): DataFrame =
+    knnStoreDeleteDetail(spark, dir)._1
+
+  private[graft] def knnStoreDeleteDetail(
+      spark: SparkSession, dir: String): (DataFrame, StoreDeleteDetail) = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val arrivals = corpus.filter(col("vec_id") % CalMod === 1L)
+    val base = corpus.filter(col("vec_id") % CalMod =!= 1L)
+    val cent = refinedCentroids(spark, base, Centroids)
+    // the manifest is an id list over the STORE's rows — an arrival whose
+    // id happens to share the residue is a new row, not a deleted one
+    val delPred = col("vec_id") % DelMod === DelRes && col("vec_id") % CalMod =!= 1L
+    val assigned = graft.CacheRegistry.track(
+      cellsOf(base, cent).select(col("vec_id"), col("emb"), col("cell")).persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_storedel_${dirKey(dir)}").toString
+    landStore(store, assigned)
+    val probes = graft.CacheRegistry.track(queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+      .persist())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    val delByCell = scala.collection.mutable.Map.empty[Int, Map[Long, Long]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val census = back.agg(count(lit(1)).as("n_rows"),
+        sum(when(delPred, 1L).otherwise(0L)).as("n_del_visible"))
+      topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect().foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_del_visible"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+      delByCell(stage) = back.filter(delPred).groupBy(col("cell")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    serve(0)
+    // the manifest's touched cells, split into the two rewrite waves
+    val touched = assigned.filter(delPred).select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val emptied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rewritten = 0L
+    def wave(cells: Seq[Long]): Unit = if (cells.nonEmpty) {
+      val inWave = col("cell").isin(cells.map(Long.box): _*)
+      val content = assigned.filter(inWave && !delPred)
+      rewritten += content.count()
+      byCell(content.select(col("vec_id"), col("emb"), col("cell")))
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+      // fully-deleted cells write no partition under dynamic overwrite —
+      // their stale directories are dropped here
+      val surviving = content.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      cells.filterNot(surviving).foreach { c =>
+        graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c"))
+        emptied += c
+      }
+    }
+    wave(touched.filter(_ % 2 == 0)); serve(1)
+    wave(touched.filter(_ % 2 == 1)); serve(2)
+    // a later night lands under the frozen model: deletion must hold
+    byCell(cellsOf(arrivals, cent).select(col("vec_id"), col("emb"), col("cell")))
+      .write.partitionBy("cell").mode("append").parquet(store)
+    serve(3)
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_rows", "n_del_visible", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+    (df, StoreDeleteDetail(delByCell.toMap, touched.toSeq, emptied.toSeq, rewritten))
+  }
+
+  val knnStoreDeleteSql: String = {
+    def memCte(s: Int, body: String): String = s"sdl_mem$s AS ($body)"
+    def searchCte(s: Int): String =
+      s"""sdl_cand$s AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM sdl_mem$s e JOIN sdl_p p USING (cell)),
+         |sdl_r$s AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sdl_cand$s),
+         |sdl_cnt$s AS (
+         |  SELECT count(*) AS n_rows,
+         |    coalesce(CAST(sum(CASE WHEN vec_id % $DelMod = $DelRes AND vec_id % $CalMod <> 1 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_del_visible
+         |  FROM sdl_mem$s)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_del_visible, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM sdl_r$s r, sdl_cnt$s c WHERE r.rank <= $K""".stripMargin
+    val mems = Seq(
+      // S0: the full base store
+      memCte(0, "SELECT vec_id, emb, cell FROM sdl_j"),
+      // S1: wave A applied — manifest rows gone from EVEN cells only
+      memCte(1, s"""SELECT vec_id, emb, cell FROM sdl_j
+        |  WHERE NOT (vec_id % $DelMod = $DelRes AND cell % 2 = 0)""".stripMargin),
+      // S2: the manifest fully applied
+      memCte(2, s"SELECT vec_id, emb, cell FROM sdl_j WHERE vec_id % $DelMod <> $DelRes"),
+      // S3: + arrivals under the frozen model (no resurrection)
+      memCte(3, s"""SELECT vec_id, emb, cell FROM sdl_j WHERE vec_id % $DelMod <> $DelRes
+        |  UNION ALL SELECT a.vec_id, a.emb, ja.cell FROM sdl_a a JOIN sdl_aj ja USING (vec_id)""".stripMargin))
+    def assign(src: String, cent: String): String =
+      s"""SELECT vec_id, c_id AS cell FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src a, $cent c) x WHERE r = 1""".stripMargin
+    s"""WITH sdl_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sdl_q AS (SELECT vec_id AS q_id, emb AS q_emb FROM sdl_v WHERE vec_id < $NQueries),
+       |sdl_c AS (SELECT vec_id, emb FROM sdl_v WHERE vec_id >= $NQueries),
+       |sdl_b AS (SELECT vec_id, emb FROM sdl_c WHERE vec_id % $CalMod <> 1),
+       |sdl_a AS (SELECT vec_id, emb FROM sdl_c WHERE vec_id % $CalMod = 1),
+       |${refinedCentSql("sdl_b", "sdl0")},
+       |sdl_ja AS (${assign("sdl_b", "sdl0cent")}),
+       |sdl_j AS (
+       |  SELECT b.vec_id, b.emb, ja.cell FROM sdl_b b JOIN sdl_ja ja USING (vec_id)),
+       |sdl_aj AS (${assign("sdl_a", "sdl0cent")}),
+       |sdl_p AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+       |    FROM sdl_q q, sdl0cent c) x WHERE prank <= $Probe),
+       |${mems.mkString(",\n")},
+       |${(0 to 3).map(searchCte).mkString(",\n")}
+       |${(0 to 3).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
+  }
 }
