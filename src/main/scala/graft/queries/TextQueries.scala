@@ -4046,6 +4046,165 @@ object HashDedup {
   }
   val IncCalMod = 7
 
+  // ---------------------------------------------------------------- №193 dedup_index_retention
+  /** Per-window diagnostics behind [[dedupIndexRetention]]: verified-hit
+    * pairs per retention window and the generation directories on disk
+    * after each age-out. */
+  private[graft] final case class IndexRetentionDetail(
+      hitPairs: Map[Int, Set[(Long, Long)]],
+      gensAfter: Map[Int, Seq[String]])
+
+  /** RETENTION ON THE PERSISTED BANDED INDEX — the aging decision №190's
+    * calendar defers: a 100 TB crawl index cannot keep every generation
+    * forever, and the TTL dial trades storage against the near-dup pairs
+    * whose PARTNER aged out (reference analogue: the HBase column-family
+    * TTL the export's tables carry — an aged cell simply stops appearing
+    * in scans). One store, generations landed base/night-1/night-2, then
+    * night 3 probes THREE times while generations age out underneath
+    * (the remove is a generation-directory drop — the same file-level
+    * wave discipline as №190's compaction, now pointed at retention):
+    * window=3 (full index), window=2 (base aged out), window=1 (night 1
+    * aged out too). Every serve reads the FILES back; the lookup bill is
+    * identical in all three (the batch's 2 base keys — retention saves
+    * storage and candidate work, never probe keys). Columns meter the
+    * decision exactly: `rec` (hits / pairs still FINDABLE in the window —
+    * the index does its job on what it retains) vs `coverage` (hits /
+    * ALL older-partner pairs — what aging actually costs: misses at
+    * window w are exactly the pairs whose partner lives in an aged-out
+    * generation, which the spec classifies pair by pair). The oracle
+    * rebuilds all three windows closed-form; at 100 TB the window is the
+    * production dial a crawl-dedup deployment sets per storage budget,
+    * and this row is the measured curve it reads first. */
+  def dedupIndexRetention(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexRetentionDetail(spark, dir)._1
+
+  private[graft] def dedupIndexRetentionDetail(
+      spark: SparkSession, dir: String): (DataFrame, IndexRetentionDetail) = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val sh5 = TextQueries.shingleFrameOf(tok)
+    val truthAll = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val rows = graft.CacheRegistry.track(mpBaseRows(mpSigFrom(tok))
+      .withColumn("cls", pmod(col("doc_id"), lit(IncCalMod.toLong))).persist())
+    def ofCls(p: Column => Column): DataFrame =
+      rows.filter(p(col("cls"))).select(col("doc_id"), col("band"), col("band_key"))
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_dedupret_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    graft.Fs.rmTree(store)
+    def land(r: DataFrame, gen: Int, nFiles: Int): Unit =
+      r.withColumn("gen", lit(gen)).repartition(nFiles)
+        .write.partitionBy("gen").mode("append").parquet(store.toString)
+    land(ofCls(c => !c.isin(1L, 2L, 3L)), 0, 4)
+    land(ofCls(_ === 1L), 1, 2)
+    land(ofCls(_ === 2L), 2, 2)
+    def clsOf(c: Column): Column = pmod(c, lit(IncCalMod.toLong))
+    val night3Keys = ofCls(_ === 3L)
+    // night-3 pairs with the partner anywhere older — what a full index
+    // could find; per-window truth restricts the partner to the window
+    def truthWith(partner: Column => Column): DataFrame = truthAll.filter(
+      (clsOf(col("doc_a")) === 3L && partner(col("doc_b"))) ||
+        (clsOf(col("doc_b")) === 3L && partner(col("doc_a"))))
+    val truthFull = truthWith(c => clsOf(c) =!= 3L)
+    val windowPartners: Map[Int, Column => Column] = Map(
+      3 -> (c => clsOf(c) =!= 3L),
+      2 -> (c => clsOf(c).isin(1L, 2L)),
+      1 -> (c => clsOf(c) === 2L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val gensAfter = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    def gensOnDisk(): Seq[String] = {
+      val s = java.nio.file.Files.list(store)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+    def serve(window: Int): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("doc_id"), col("band"), col("band_key"))
+      val cand = night3Keys.as("a").join(back.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val tw = truthWith(windowPartners(window))
+      val hits = verified.join(broadcast(tw), Seq("doc_a", "doc_b"))
+      val r = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
+        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(tw.agg(count(lit(1)).as("n_true_window"))))
+        .crossJoin(broadcast(truthFull.agg(count(lit(1)).as("n_true_all"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      out += ((window.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true_window"),
+        r.getAs[Long]("n_true_all"), r.getAs[Long]("n_hit")))
+      hitPairs(window) = hits.select(col("doc_a"), col("doc_b")).collect()
+        .map(h => (h.getLong(0), h.getLong(1))).toSet
+      gensAfter(window) = gensOnDisk()
+    }
+    serve(3)
+    graft.Fs.rmTree(store.resolve("gen=0")); serve(2)
+    graft.Fs.rmTree(store.resolve("gen=1")); serve(1)
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("win", "n_index_rows", "n_lookups", "n_candidates",
+        "n_true_window", "n_true_all", "n_hit")
+      .select(col("win"), col("n_index_rows"), col("n_lookups"),
+        col("n_candidates"), col("n_true_window"), col("n_true_all"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_true_window"), lit(1L)) + 1e-9, 6).as("rec"),
+        round(col("n_hit").cast("double") / greatest(col("n_true_all"), lit(1L)) + 1e-9, 6).as("coverage"))
+      .orderBy(col("win"))
+    (df, IndexRetentionDetail(hitPairs.toMap, gensAfter.toMap))
+  }
+
+  val dedupIndexRetentionSql: String = {
+    val m = IncCalMod
+    val windows: Seq[(Int, String)] = Seq(
+      3 -> s"doc_id % $m NOT IN (3)",
+      2 -> s"doc_id % $m IN (1, 2)",
+      1 -> s"doc_id % $m = 2")
+    def partnerPred(w: Int, c: String): String = w match {
+      case 3 => s"$c % $m <> 3"
+      case 2 => s"$c % $m IN (1, 2)"
+      case 1 => s"$c % $m = 2"
+    }
+    def truthPred(w: Int): String =
+      s"(doc_a % $m = 3 AND ${partnerPred(w, "doc_b")}) OR (doc_b % $m = 3 AND ${partnerPred(w, "doc_a")})"
+    def candCte(w: Int, idxPred: String): String =
+      s"""dret_c$w AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM (SELECT * FROM mp_base WHERE doc_id % $m = 3) a
+         |  JOIN (SELECT * FROM mp_base WHERE $idxPred) b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+         |dret_v$w AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM dret_c$w c JOIN dret_s5 sa ON sa.doc_id = c.doc_a JOIN dret_s5 sb ON sb.doc_id = c.doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
+         |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3)""".stripMargin
+    def gradeRow(w: Int, idxPred: String): String =
+      s"""  SELECT CAST($w AS BIGINT) AS win,
+         |    (SELECT count(*) FROM mp_base WHERE $idxPred) AS n_index_rows,
+         |    (SELECT count(*) FROM mp_base WHERE doc_id % $m = 3) AS n_lookups,
+         |    (SELECT count(*) FROM dret_c$w) AS n_candidates,
+         |    (SELECT count(*) FROM truth WHERE ${truthPred(w)}) AS n_true_window,
+         |    (SELECT count(*) FROM truth WHERE ${truthPred(3)}) AS n_true_all,
+         |    (SELECT count(*) FROM dret_v$w v JOIN truth t USING (doc_a, doc_b) WHERE ${truthPred(w)}) AS n_hit""".stripMargin
+    s"""WITH $mpChainSql,
+       |dret_s5 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-3), i ->
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |${windows.map { case (w, p) => candCte(w, p) }.mkString(",\n")},
+       |dret_g AS (
+       |${windows.map { case (w, p) => gradeRow(w, p) }.mkString("\n  UNION ALL\n")})
+       |SELECT win, n_index_rows, n_lookups, n_candidates, n_true_window, n_true_all, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true_window, 1) + 0.000000001, 6) AS rec,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true_all, 1) + 0.000000001, 6) AS coverage
+       |FROM dret_g ORDER BY win""".stripMargin
+  }
+
   val dedupIndexCalendarSql: String = {
     val m = IncCalMod
     def idxCls(n: Int): String = s"doc_id % $m NOT IN (${(n to 3).mkString(", ")})"
