@@ -4205,6 +4205,153 @@ object HashDedup {
        |FROM dret_g ORDER BY win""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №194 dedup_index_backfill
+  /** Diagnostics behind [[dedupIndexBackfill]]: candidate pairs per stage
+    * (the idempotent-serve proof) and the generation directories after the
+    * repair. */
+  private[graft] final case class IndexBackfillDetail(
+      candPairs: Map[Int, Set[(Long, Long)]],
+      gensAfter: Seq[String],
+      repairRowsRead: Long)
+
+  /** AT-LEAST-ONCE DELIVERY INTO THE INDEX, AND THE BOUNDED REPAIR — the
+    * retry-storm scenario every nightly pipeline eventually hits: night
+    * 2's append job re-runs after a partial failure and lands its band
+    * rows A SECOND TIME INTO THE SAME GENERATION (new files, same
+    * partition directory — the case a directory drop can't undo, unlike
+    * №190's add-then-remove waves where the duplicate is a whole
+    * generation). Three serves against the FILES pin the contract:
+    * S0 the clean store; S1 post-storm — the serve is IDEMPOTENT
+    * (candidate pairs identical: the band join dedups through `distinct`,
+    * exactly why the probe path tolerates at-least-once ingest) while the
+    * censuses tell the truth (n_rows inflated by the doubled night,
+    * n_distinct unchanged — the drift a store monitor alarms on); S2
+    * post-repair — a DISTINCT-rewrite of ONLY the affected generation
+    * (read gen=2, distinct, land as gen=12, drop gen=2 — repair cost is
+    * one night's rows, never the store), censuses restored, candidates
+    * still identical. Reference analogue: the reconciliation copy the
+    * export re-sends on retry and the consumer dedups by id
+    * (app/batch/JobCompletionNotificationListener.kt's rerun semantics).
+    * At 100 TB: ingest is at-least-once the moment jobs retry; this row
+    * is the proof the serving path never needed exactly-once, plus the
+    * bounded repair that keeps storage honest. */
+  def dedupIndexBackfill(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexBackfillDetail(spark, dir)._1
+
+  private[graft] def dedupIndexBackfillDetail(
+      spark: SparkSession, dir: String): (DataFrame, IndexBackfillDetail) = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val sh5 = TextQueries.shingleFrameOf(tok)
+    val truthAll = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val rows = graft.CacheRegistry.track(mpBaseRows(mpSigFrom(tok))
+      .withColumn("cls", pmod(col("doc_id"), lit(IncCalMod.toLong))).persist())
+    def ofCls(p: Column => Column): DataFrame =
+      rows.filter(p(col("cls"))).select(col("doc_id"), col("band"), col("band_key"))
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_dedupbf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    graft.Fs.rmTree(store)
+    def land(r: DataFrame, gen: Int, nFiles: Int): Unit =
+      r.withColumn("gen", lit(gen)).repartition(nFiles)
+        .write.partitionBy("gen").mode("append").parquet(store.toString)
+    land(ofCls(c => !c.isin(1L, 2L, 3L)), 0, 4)
+    land(ofCls(_ === 1L), 1, 2)
+    land(ofCls(_ === 2L), 2, 2)
+    def clsOf(c: Column): Column = pmod(c, lit(IncCalMod.toLong))
+    val night3Keys = ofCls(_ === 3L)
+    val truth3 = truthAll.filter(
+      (clsOf(col("doc_a")) === 3L && clsOf(col("doc_b")) =!= 3L) ||
+        (clsOf(col("doc_b")) === 3L && clsOf(col("doc_a")) =!= 3L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    val candPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("doc_id"), col("band"), col("band_key"))
+      val cand = night3Keys.as("a").join(back.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val hits = verified.join(broadcast(truth3), Seq("doc_a", "doc_b"))
+      val r = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
+        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(truth3.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
+      candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+    }
+    serve(0)
+    // the retry storm: night 2 lands AGAIN into the same generation
+    land(ofCls(_ === 2L), 2, 2)
+    serve(1)
+    // bounded repair: distinct-rewrite of the affected generation only
+    val gen2 = spark.read.parquet(store.resolve("gen=2").toString)
+      .select(col("doc_id"), col("band"), col("band_key")).persist()
+    val repairRead = gen2.count()
+    land(gen2.distinct(), 12, 2)
+    gen2.unpersist()
+    graft.Fs.rmTree(store.resolve("gen=2"))
+    serve(2)
+    val gensList = java.nio.file.Files.list(store)
+    val gens = try scala.jdk.CollectionConverters.IteratorHasAsScala(gensList.iterator()).asScala
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    finally gensList.close()
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_rows", "n_distinct", "n_lookups", "n_candidates", "n_true", "n_hit")
+      .select(col("stage"), col("n_rows"), col("n_distinct"), col("n_lookups"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / greatest(col("n_true"), lit(1L)) + 1e-9, 6).as("rec"))
+      .orderBy(col("stage"))
+    (df, IndexBackfillDetail(candPairs.toMap, gens, repairRead))
+  }
+
+  val dedupIndexBackfillSql: String = {
+    val m = IncCalMod
+    val idxPred = s"doc_id % $m NOT IN (3)"
+    val truth3 = s"(doc_a % $m = 3 AND doc_b % $m <> 3) OR (doc_b % $m = 3 AND doc_a % $m <> 3)"
+    def gradeRow(s: Int, rowsSql: String): String =
+      s"""  SELECT CAST($s AS BIGINT) AS stage,
+         |    ($rowsSql) AS n_rows,
+         |    (SELECT count(*) FROM mp_base WHERE $idxPred) AS n_distinct,
+         |    (SELECT count(*) FROM mp_base WHERE doc_id % $m = 3) AS n_lookups,
+         |    (SELECT count(*) FROM dbf_c) AS n_candidates,
+         |    (SELECT count(*) FROM truth WHERE $truth3) AS n_true,
+         |    (SELECT count(*) FROM dbf_v v JOIN truth t USING (doc_a, doc_b) WHERE $truth3) AS n_hit""".stripMargin
+    s"""WITH $mpChainSql,
+       |dbf_s5 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-3), i ->
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |dbf_c AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM (SELECT * FROM mp_base WHERE doc_id % $m = 3) a
+       |  JOIN (SELECT * FROM mp_base WHERE $idxPred) b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+       |dbf_v AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM dbf_c c JOIN dbf_s5 sa ON sa.doc_id = c.doc_a JOIN dbf_s5 sb ON sb.doc_id = c.doc_b
+       |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
+       |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3),
+       |dbf_g AS (
+       |${Seq(
+          gradeRow(0, s"SELECT count(*) FROM mp_base WHERE $idxPred"),
+          gradeRow(1, s"SELECT count(*) + (SELECT count(*) FROM mp_base WHERE doc_id % $m = 2) FROM mp_base WHERE $idxPred"),
+          gradeRow(2, s"SELECT count(*) FROM mp_base WHERE $idxPred")).mkString("\n  UNION ALL\n")})
+       |SELECT stage, n_rows, n_distinct, n_lookups, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true, 1) + 0.000000001, 6) AS rec
+       |FROM dbf_g ORDER BY stage""".stripMargin
+  }
+
   val dedupIndexCalendarSql: String = {
     val m = IncCalMod
     def idxCls(n: Int): String = s"doc_id % $m NOT IN (${(n to 3).mkString(", ")})"
