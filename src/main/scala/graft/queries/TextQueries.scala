@@ -3480,10 +3480,15 @@ object HashDedup {
       .filter(col("doc_a") < IncBatchMin && col("doc_b") >= IncBatchMin)
       .select(col("doc_a"), col("doc_b")).persist())
     // the PERSISTED index: base band rows bucketed+sorted on the band key
-    // — built once per corpus version, then every batch reads co-located
+    // — built once per corpus version, then every batch reads co-located.
+    // ONE persisted base signature pass feeds BOTH index builds (the
+    // plain and the probe-augmented table previously each ran the full
+    // 12-hash widening over the base corpus — the dominant build cost,
+    // paid twice).
+    val sigBase = graft.CacheRegistry.track(mpSigFrom(baseTok).persist())
     val table = s"graft_mh_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val index = graft.sources.Bucketing.bucketedCached(spark, table, "bk") {
-      mpBaseRows(mpSigFrom(baseTok))
+      mpBaseRows(sigBase)
         .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
     }
     // r14 mode `index_side`: the probe-AUGMENTED index — base band rows
@@ -3493,7 +3498,6 @@ object HashDedup {
     // its n_index_rows column says so.
     val tableP = s"graft_mh_indexp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val indexP = graft.sources.Bucketing.bucketedCached(spark, tableP, "bk") {
-      val sigBase = mpSigFrom(baseTok)
       mpBaseRows(sigBase)
         .select(col("doc_id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
         .unionAll(mpProbeRows(sigBase)
@@ -3528,40 +3532,84 @@ object HashDedup {
       }
     }.reduce(_ unionAll _).persist())
     val sh5 = graft.CacheRegistry.track(TextQueries.shingleFrameOf(tok).persist())
-    def grade(mode: String, keys: DataFrame, idx: DataFrame,
-              ctabKeys: Option[DataFrame]): DataFrame = {
-      val cand = keys.as("a").join(idx.as("b"), col("a.bk") === col("b.bk"))
-        .select(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val ctabBill = ctabKeys
-        .map(f => f.agg(count(lit(1)).as("n_count_lookups")))
-        .getOrElse(spark.range(1).select(lit(0L).as("n_count_lookups")))
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(idx.agg(count(lit(1)).as("n_index_rows"))))
-        .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(ctabBill))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(verified.join(broadcast(truth), Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit"))))
-        .select(lit(mode).as("mode"), col("n_index_rows"), col("n_lookups"),
-          col("n_count_lookups"), col("n_candidates"), col("n_true"), col("n_hit"),
-          round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
-          round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
-    }
+    // FUSED GRADING (r14 follow-through on the r13 verdict-6 discipline):
+    // the per-mode `grade()` form ran ~50 driver-compiled jobs (7 modes ×
+    // {candidate join, verify, 5 scalar-agg readouts}) over heavily
+    // overlapping key sets — at sf0.1 the wall was plan compilation, not
+    // data. Here every key row carries its MODE MEMBERSHIP as flags, ONE
+    // join against each index produces per-pair flag maxima, ONE verify
+    // pass covers the superset (radius-2 ⊇ every other index-target
+    // mode), and every per-mode count is a conditional aggregation over
+    // the two small pair frames. Output rows are value-identical to the
+    // per-mode form; the oracle is unchanged.
     val budget = MpDefaultBudget
-    val keyCols = Seq("doc_id", "bk").map(col)
-    grade("base_only", baseKeys, index, None)
-      .unionAll(grade("index_side", baseKeys, indexP, None))
-      .unionAll(grade("mp_budget",
-        baseKeys.unionAll(probeAll.filter(col("pr") <= budget).select(keyCols: _*)), index, None))
-      .unionAll(grade("mp_budget_gap",
-        baseKeys.unionAll(probeAll.filter(col("pr_gap") <= budget).select(keyCols: _*)), index, None))
-      .unionAll(grade("mp_budget_ix",
-        baseKeys.unionAll(probeAll.filter(col("pr_ix") <= budget).select(keyCols: _*)), index,
-        Some(probeAll)))
-      .unionAll(grade("mp_full", baseKeys.unionAll(probeAll.select(keyCols: _*)), index, None))
-      .unionAll(grade("mp_radius2",
-        baseKeys.unionAll(probeAll.select(keyCols: _*)).unionAll(r2Keys), index, None))
+    val f = (c: Column) => c.cast("long")
+    val keysTagged =
+      baseKeys.select(col("doc_id"), col("bk"), lit(1L).as("m_base"), lit(1L).as("m_bud"),
+          lit(1L).as("m_gap"), lit(1L).as("m_ix"), lit(1L).as("m_full"), lit(1L).as("m_r2"))
+        .unionAll(probeAll.select(col("doc_id"), col("bk"), lit(0L).as("m_base"),
+          f(col("pr") <= budget).as("m_bud"), f(col("pr_gap") <= budget).as("m_gap"),
+          f(col("pr_ix") <= budget).as("m_ix"), lit(1L).as("m_full"), lit(1L).as("m_r2")))
+        .unionAll(r2Keys.select(col("doc_id"), col("bk"), lit(0L).as("m_base"), lit(0L).as("m_bud"),
+          lit(0L).as("m_gap"), lit(0L).as("m_ix"), lit(0L).as("m_full"), lit(1L).as("m_r2")))
+    val flags = Seq("m_base", "m_bud", "m_gap", "m_ix", "m_full", "m_r2")
+    def pairFlags(keys: DataFrame, idx: DataFrame): DataFrame =
+      keys.as("a").join(idx.as("b"), col("a.bk") === col("b.bk"))
+        .groupBy(col("b.doc_id").as("doc_a"), col("a.doc_id").as("doc_b"))
+        .agg(max(col(flags.head)).as(flags.head),
+          flags.tail.map(m => max(col(m)).as(m)): _*)
+    // index-target modes: one join; index_side: one more (base keys only)
+    val pairs = graft.CacheRegistry.track(pairFlags(keysTagged, index).persist())
+    val pairsP = graft.CacheRegistry.track(
+      pairFlags(baseKeys.select(col("doc_id") +: col("bk") +: flags.map(m => lit(1L).as(m)): _*),
+        indexP).persist())
+    // ONE verify pass per pair frame; truth membership as a flag
+    def hitFlagged(p: DataFrame): DataFrame = p
+      .join(TextQueries.verifyPairsOf(sh5, p.select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("ver")), Seq("doc_a", "doc_b"), "left")
+      .join(broadcast(truth.select(col("doc_a"), col("doc_b"), lit(1L).as("tr"))),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("ver", "tr"))
+    val gAggs = flags.flatMap(m => Seq(
+      sum(col(m)).as(s"cand_$m"),
+      sum(col(m) * col("ver") * col("tr")).as(s"hit_$m")))
+    val g = hitFlagged(pairs).agg(gAggs.head, gAggs.tail: _*).collect()(0)
+    val gP = hitFlagged(pairsP).agg(
+      count(lit(1)).as("cand"), sum(col("ver") * col("tr")).as("hit")).collect()(0)
+    // bills: every mode's key count in ONE conditional agg; the density
+    // tie-break's count-table pre-pass (12 probe keys/doc against ctab)
+    // is probeAll's row count — metered, never free
+    val billAggs = flags.map(m => sum(col(m)).as(s"lk_$m")) :+
+      sum(col("m_full") - col("m_base")).as("n_probe_rows")
+    val bills = keysTagged.agg(billAggs.head, billAggs.tail: _*).collect()(0)
+    val scalars = index.agg(count(lit(1)).as("ni"))
+      .crossJoin(broadcast(indexP.agg(count(lit(1)).as("nip"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("nt")))).collect()(0)
+    val (nIdx, nIdxP, nTrue) = (scalars.getAs[Long]("ni"), scalars.getAs[Long]("nip"),
+      scalars.getAs[Long]("nt"))
+    val modeRows = Seq(
+      ("base_only", nIdx, bills.getAs[Long]("lk_m_base"), 0L,
+        g.getAs[Long]("cand_m_base"), g.getAs[Long]("hit_m_base")),
+      ("index_side", nIdxP, bills.getAs[Long]("lk_m_base"), 0L,
+        gP.getAs[Long]("cand"), gP.getAs[Long]("hit")),
+      ("mp_budget", nIdx, bills.getAs[Long]("lk_m_bud"), 0L,
+        g.getAs[Long]("cand_m_bud"), g.getAs[Long]("hit_m_bud")),
+      ("mp_budget_gap", nIdx, bills.getAs[Long]("lk_m_gap"), 0L,
+        g.getAs[Long]("cand_m_gap"), g.getAs[Long]("hit_m_gap")),
+      ("mp_budget_ix", nIdx, bills.getAs[Long]("lk_m_ix"), bills.getAs[Long]("n_probe_rows"),
+        g.getAs[Long]("cand_m_ix"), g.getAs[Long]("hit_m_ix")),
+      ("mp_full", nIdx, bills.getAs[Long]("lk_m_full"), 0L,
+        g.getAs[Long]("cand_m_full"), g.getAs[Long]("hit_m_full")),
+      ("mp_radius2", nIdx, bills.getAs[Long]("lk_m_r2"), 0L,
+        g.getAs[Long]("cand_m_r2"), g.getAs[Long]("hit_m_r2")))
+    import spark.implicits._
+    modeRows.toDF("mode", "n_index_rows", "n_lookups", "n_count_lookups", "n_candidates", "n_hit_raw")
+      .select(col("mode"), col("n_index_rows"), col("n_lookups"), col("n_count_lookups"),
+        col("n_candidates"), lit(nTrue).as("n_true"), col("n_hit_raw").as("n_hit"))
+      .select(col("mode"), col("n_index_rows"), col("n_lookups"), col("n_count_lookups"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / col("n_true") + 1e-9, 6).as("rec"))
       .orderBy(col("mode"))
   }
   val IncBatchMin = 1000000L
