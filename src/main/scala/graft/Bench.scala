@@ -248,7 +248,7 @@ object Bench {
         }
       }
     }
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":${baselineJson("r12")},"vs_baseline_r13":${baselineJson("r13")},"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":${baselineJson("r12")},"vs_baseline_r13":${baselineJson("r13")},"vs_baseline_r14":${baselineJson("r14")},"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.
