@@ -1165,7 +1165,14 @@ object PipelineQueries {
     * for every dim). Shared by [[docEmbedVectors]] and
     * [[VectorQueries.textCluster]] so clustering runs over the identical
     * vectors doc_embed publishes. Covers only docs with ≥1 token. */
-  private[queries] def docEmbedDims(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docEmbedDims(spark: SparkSession, dir: String): DataFrame =
+    docEmbedDimsFrom(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+
+  /** [[docEmbedDims]] over an arbitrary (doc_id, text) frame — №195's
+    * cross-family night embeds the DUP corpus with the same vectors
+    * doc_embed publishes for the plain one. */
+  private[graft] def docEmbedDimsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     // tf-first: collapse occurrences to (doc, tok, tf) before anything
     // touches md5, then hash each DISTINCT token exactly once into its
@@ -1174,7 +1181,7 @@ object PipelineQueries {
     // back equi-keyed (AQE-decided side; the vocab grows with the corpus,
     // so it is never force-broadcast). Σ tf·v per (doc, dim) is the same
     // exact integer as the per-occurrence sum — addition commutes.
-    val tf = Tables(spark, dir).documents
+    val tf = docs
       .select($"doc_id", explode(words($"text")).as("tok"))
       .filter($"tok" =!= "")
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -1190,9 +1197,13 @@ object PipelineQueries {
 
   /** The same long form as DuckDB CTEs ending in `e(doc_id, j, e)` —
     * shared verbatim by the embed_knn and text_cluster oracles. */
-  private[queries] val embDimsCtesSql: String =
+  private[queries] val embDimsCtesSql: String = embDimsCtesSqlFrom("documents")
+
+  /** [[embDimsCtesSql]] over an arbitrary source relation (must expose
+    * doc_id, text) — №195 points it at the dup corpus. */
+  private[graft] def embDimsCtesSqlFrom(src: String): String =
     s"""t AS (
-       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM documents),
+       |  SELECT doc_id, unnest(${TextQueries.wordsSql("text")}) AS tok FROM $src),
        |tk AS (SELECT doc_id, tok, md5(tok) AS h FROM t WHERE tok <> ''),
        |x AS (
        |  SELECT doc_id, dims.j,
@@ -1203,9 +1214,14 @@ object PipelineQueries {
   /** Vector form behind [[docEmbed]] (and [[VectorQueries.embedKnn]]'s
     * input): (doc_id, n_tok, emb_arr array<long> in dimension order,
     * norm_sq). Covers only docs with ≥1 token. */
-  private[queries] def docEmbedVectors(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docEmbedVectors(spark: SparkSession, dir: String): DataFrame =
+    docEmbedVectorsFrom(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+
+  /** [[docEmbedVectors]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def docEmbedVectorsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    docEmbedDims(spark, dir)
+    docEmbedDimsFrom(docs)
       .groupBy($"doc_id")
       .agg(max($"cnt").as("n_tok"), // every occurrence feeds every dim
         transform(array_sort(collect_list(struct($"dim", $"e"))),

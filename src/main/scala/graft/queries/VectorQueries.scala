@@ -260,7 +260,7 @@ object VectorQueries {
     * to the TopKByScore aggregate + posexplode chain. Row-identical either
     * way (GroupedTopKSpec), same scale shape (≤k rows per partition into
     * one hash exchange on the group). */
-  private def topKRanked(df: DataFrame, group: String, score: String, id: String, k: Int): DataFrame = {
+  private[queries] def topKRanked(df: DataFrame, group: String, score: String, id: String, k: Int): DataFrame = {
     if (df.sparkSession.conf.get("spark.graft.nativeTopK", "true").toBoolean)
       graft.plans.GroupedTopK.rankedTopK(df, group, score, id, k)
     else
