@@ -4400,6 +4400,203 @@ object HashDedup {
        |FROM dbf_g ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №196 dedup_index_delete
+  /** Per-stage diagnostics behind [[dedupIndexDelete]]: verified-hit pairs
+    * per stage, the manifest rows still VISIBLE per generation at each
+    * serve (the torn-generation proof), the final generation directories,
+    * and the rewrite bill. */
+  private[graft] final case class IndexDeleteDetail(
+      hitPairs: Map[Int, Set[(Long, Long)]],
+      delByGen: Map[Int, Map[Int, Long]],
+      gensAfter: Seq[String],
+      rewrittenRows: Long)
+
+  val TxtDelMod = 9L // forget manifest: indexed doc_id % TxtDelMod == TxtDelRes (~11%)
+  val TxtDelRes = 4L
+
+  /** DELETE FROM THE BANDED DEDUP INDEX — №192's right-to-be-forgotten
+    * leg, mirrored onto the text store (the r14 frontier's unmirrored
+    * twin): a forget manifest (an id list over INDEXED docs, never a
+    * predicate over payloads) must leave the gen-partitioned band-row
+    * store while night probes keep serving. Reference analogue: HBase
+    * tombstones — app/batch/HBaseResultProcessor.kt exports only live
+    * cells, so a deleted row must vanish from every later scan; here the
+    * index IS the served artifact, so deletion is a physical rewrite of
+    * the touched generations, not a filter.
+    *
+    * Store: base (gen=0) + night-1 (gen=1) + night-2 (gen=2) band rows,
+    * the №190/№193 layout. The delete runs in two waves of per-generation
+    * dynamic-overwrite rewrites — even generations {0,2} first, then the
+    * odd {1} — each wave's content derived from the CACHED row frame
+    * (never read-then-overwrite of the live path, the r13 advice
+    * discipline); the bill is the touched generations' surviving rows,
+    * never the store. Night-3 keys probe the FILES at four checkpoints:
+    *   S0  pre-delete — manifest partners genuinely pair (not vacuous)
+    *   S1  MID-delete — each generation is atomically old or new, never
+    *       torn: gens 0/2 read back zero manifest rows, gen 1 its full
+    *       pre-delete count; truth restricted to still-visible partners
+    *       and the serve still hits them
+    *   S2  post-delete — n_del_visible = 0; the lost hits are EXACTLY
+    *       the pairs whose partner was forgotten (spec, pair by pair)
+    *   S3  after appending night-3 rows (gen=3) — same-night pairs
+    *       appear, n_del_visible STAYS 0: maintenance cannot resurrect
+    * The lookup bill is stage-independent (deletion saves index rows and
+    * candidate work, never probe keys — №193's argument). The oracle
+    * rebuilds all four index states closed-form (visibility is a pure
+    * function of doc_id class and the manifest residue). At 100 TB: the
+    * manifest is a broadcast id set, generations live inside №187's
+    * bucketed layout so each wave rewrites only its generations' files
+    * per bucket, and serving never pauses — №177's add-then-remove
+    * losslessness, inverted for removal, now on the text side. */
+  def dedupIndexDelete(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexDeleteDetail(spark, dir)._1
+
+  private[graft] def dedupIndexDeleteDetail(
+      spark: SparkSession, dir: String): (DataFrame, IndexDeleteDetail) = {
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val sh5 = TextQueries.shingleFrameOf(tok)
+    val truthAll = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val rows = graft.CacheRegistry.track(mpBaseRows(mpSigFrom(tok))
+      .withColumn("cls", pmod(col("doc_id"), lit(IncCalMod.toLong))).persist())
+    def clsOf(c: Column): Column = pmod(c, lit(IncCalMod.toLong))
+    // the manifest covers INDEXED docs only — a night-3 doc sharing the
+    // residue is a probe key, not a deleted row
+    def delOf(c: Column): Column =
+      c % TxtDelMod === TxtDelRes && clsOf(c) =!= 3L
+    val genOf: Column = when(col("cls") === 1L, 1).when(col("cls") === 2L, 2).otherwise(0)
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_dedupdel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    graft.Fs.rmTree(store)
+    def land(r: DataFrame, gen: Int, nFiles: Int): Unit =
+      r.withColumn("gen", lit(gen)).repartition(nFiles)
+        .write.partitionBy("gen").mode("append").parquet(store.toString)
+    def ofCls(p: Column => Column): DataFrame =
+      rows.filter(p(col("cls"))).select(col("doc_id"), col("band"), col("band_key"))
+    land(ofCls(c => !c.isin(1L, 2L, 3L)), 0, 4)
+    land(ofCls(_ === 1L), 1, 2)
+    land(ofCls(_ === 2L), 2, 2)
+    val night3Keys = ofCls(_ === 3L)
+    // partner-visibility per stage, a pure function of doc_id — the same
+    // predicate gates the truth frame here and the index states in the oracle
+    def visAt(stage: Int)(c: Column): Column = stage match {
+      case 0 => clsOf(c) =!= 3L
+      case 1 => clsOf(c) =!= 3L && !(delOf(c) && clsOf(c) =!= 1L)
+      case 2 => clsOf(c) =!= 3L && !delOf(c)
+      case 3 => !delOf(c)
+    }
+    def truthAt(stage: Int): DataFrame = truthAll.filter(
+      (clsOf(col("doc_a")) === 3L && visAt(stage)(col("doc_b"))) ||
+        (clsOf(col("doc_b")) === 3L && visAt(stage)(col("doc_a"))))
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long, Long)]
+    val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val delByGen = scala.collection.mutable.Map.empty[Int, Map[Int, Long]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("doc_id"), col("band"), col("band_key"), col("gen").cast("int").as("gen"))
+      val cand = night3Keys.as("a").join(back.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val ts = truthAt(stage)
+      val hits = verified.join(broadcast(ts), Seq("doc_a", "doc_b"))
+      val r = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"),
+          sum(when(delOf(col("doc_id")), 1L).otherwise(0L)).as("n_del_visible"))))
+        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_del_visible"),
+        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
+      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
+      delByGen(stage) = back.filter(delOf(col("doc_id"))).groupBy(col("gen")).count()
+        .collect().map(g => g.getInt(0) -> g.getLong(1)).toMap
+    }
+    serve(0)
+    var rewritten = 0L
+    def wave(gens: Seq[Int]): Unit = {
+      val content = rows
+        .filter(col("cls") =!= 3L && !delOf(col("doc_id")))
+        .withColumn("gen", genOf).filter(col("gen").isin(gens.map(Int.box): _*))
+        .select(col("doc_id"), col("band"), col("band_key"), col("gen"))
+      rewritten += content.count()
+      content.repartition(2)
+        .write.partitionBy("gen").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(store.toString)
+    }
+    wave(Seq(0, 2)); serve(1)
+    wave(Seq(1)); serve(2)
+    land(ofCls(_ === 3L), 3, 2)
+    serve(3)
+    val gensList = java.nio.file.Files.list(store)
+    val gens = try scala.jdk.CollectionConverters.IteratorHasAsScala(gensList.iterator()).asScala
+      .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    finally gensList.close()
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_index_rows", "n_del_visible", "n_lookups",
+        "n_candidates", "n_true", "n_hit")
+      .select(col("stage"), col("n_index_rows"), col("n_del_visible"), col("n_lookups"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / greatest(col("n_true"), lit(1L)) + 1e-9, 6).as("rec"))
+      .orderBy(col("stage"))
+    (df, IndexDeleteDetail(hitPairs.toMap, delByGen.toMap, gens, rewritten))
+  }
+
+  val dedupIndexDeleteSql: String = {
+    val m = IncCalMod
+    val dm = TxtDelMod; val dr = TxtDelRes
+    def del(c: String): String = s"($c % $dm = $dr AND $c % $m <> 3)"
+    // visibility per stage — the same pure function of doc_id the Spark
+    // side's truth gate uses (gen 0/2 purged first, then gen 1)
+    def vis(s: Int, c: String): String = s match {
+      case 0 => s"$c % $m <> 3"
+      case 1 => s"$c % $m <> 3 AND NOT (${del(c)} AND $c % $m <> 1)"
+      case 2 => s"$c % $m <> 3 AND NOT ${del(c)}"
+      case 3 => s"NOT ${del(c)}"
+    }
+    def truthPred(s: Int): String =
+      s"(doc_a % $m = 3 AND (${vis(s, "doc_b")})) OR (doc_b % $m = 3 AND (${vis(s, "doc_a")}))"
+    def candCte(s: Int): String =
+      s"""ddl_c$s AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM (SELECT * FROM mp_base WHERE doc_id % $m = 3) a
+         |  JOIN (SELECT * FROM mp_base WHERE ${vis(s, "doc_id")}) b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+         |ddl_v$s AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM ddl_c$s c JOIN ddl_s5 sa ON sa.doc_id = c.doc_a JOIN ddl_s5 sb ON sb.doc_id = c.doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
+         |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3)""".stripMargin
+    def gradeRow(s: Int): String =
+      s"""  SELECT CAST($s AS BIGINT) AS stage,
+         |    (SELECT count(*) FROM mp_base WHERE ${vis(s, "doc_id")}) AS n_index_rows,
+         |    (SELECT count(*) FROM mp_base WHERE (${vis(s, "doc_id")}) AND ${del("doc_id")}) AS n_del_visible,
+         |    (SELECT count(*) FROM mp_base WHERE doc_id % $m = 3) AS n_lookups,
+         |    (SELECT count(*) FROM ddl_c$s) AS n_candidates,
+         |    (SELECT count(*) FROM truth WHERE ${truthPred(s)}) AS n_true,
+         |    (SELECT count(*) FROM ddl_v$s v JOIN truth t USING (doc_a, doc_b) WHERE ${truthPred(s)}) AS n_hit""".stripMargin
+    s"""WITH $mpChainSql,
+       |ddl_s5 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-3), i ->
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |${(0 to 3).map(candCte).mkString(",\n")},
+       |ddl_g AS (
+       |${(0 to 3).map(gradeRow).mkString("\n  UNION ALL\n")})
+       |SELECT stage, n_index_rows, n_del_visible, n_lookups, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true, 1) + 0.000000001, 6) AS rec
+       |FROM ddl_g ORDER BY stage""".stripMargin
+  }
+
   val dedupIndexCalendarSql: String = {
     val m = IncCalMod
     def idxCls(n: Int): String = s"doc_id % $m NOT IN (${(n to 3).mkString(", ")})"
