@@ -5074,4 +5074,153 @@ object VectorQueries {
        |${(0 to 3).map(stageSelect).mkString("\nUNION ALL\n")}
        |ORDER BY stage, q_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- №197 knn_store_retention
+  /** Per-window diagnostics behind [[knnStoreRetention]]: the served
+    * top-k pair set per window, generation directories after each
+    * age-out, and the (constant) probe bill. */
+  private[graft] final case class StoreRetentionDetail(
+      topk: Map[Int, Set[(Long, Long)]],
+      gensAfter: Map[Int, Seq[String]],
+      probeBill: Map[Int, Long])
+
+  /** RETENTION ON THE SERVING VECTOR STORE — №193's TTL dial, mirrored
+    * onto the vector side (the r14 frontier's other unmirrored twin): a
+    * freshness-windowed retrieval deployment ages whole arrival
+    * generations out of the cell store while queries keep serving
+    * (reference analogue: the HBase column-family TTL — an aged cell
+    * simply stops appearing in scans; here the store is the served
+    * artifact, so aging is a generation-directory drop, the same
+    * file-level wave discipline as №190/№193 pointed at the vector
+    * store). Store layout: gen-THEN-cell partitioning, so an age-out
+    * is one directory drop and the probe path is untouched — the probed
+    * cells' directories just hold fewer generations.
+    *
+    * One store (base gen=0 + night-1 gen=1 + night-2 gen=2, all encoded
+    * and probed under the FROZEN base model), three serves reading the
+    * FILES back: window=3 (full store), window=2 (base aged out),
+    * window=1 (night 1 aged out too). The probe bill is window-INDEPENDENT
+    * (the query-to-cell routing is the frozen model's — retention saves
+    * store rows and scan work, never probes). The aging cost is metered
+    * exactly: `n_kept` = served top-k rows that are ALSO full-store top-k
+    * — a full-store top-k member visible in the window always re-ranks
+    * within k (the docs beating it in the window beat it in the full
+    * store too), so n_kept counts precisely the full-quality results the
+    * window still returns, and every loss is a member whose generation
+    * aged out (StoreRetentionSpec pins that, member by member). The
+    * oracle rebuilds all three windows closed-form (membership is a pure
+    * function of vec_id). At 100 TB: the window is the storage-budget
+    * dial a freshness deployment sets; serves stay broadcast-probe
+    * equi-joins over the retained generations' files, and the drop is
+    * metadata-only — no rewrite, no pause. */
+  def knnStoreRetention(spark: SparkSession, dir: String): DataFrame =
+    knnStoreRetentionDetail(spark, dir)._1
+
+  private[graft] def knnStoreRetentionDetail(
+      spark: SparkSession, dir: String): (DataFrame, StoreRetentionDetail) = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val base = corpus.filter(!(col("vec_id") % CalMod).isin(1L, 2L))
+    val cent = refinedCentroids(spark, base, Centroids)
+    val genOf: Column = when(col("vec_id") % CalMod === 1L, 1)
+      .when(col("vec_id") % CalMod === 2L, 2).otherwise(0)
+    val assigned = graft.CacheRegistry.track(
+      cellsOf(corpus, cent).select(col("vec_id"), col("emb"), col("cell"))
+        .withColumn("gen", genOf).persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_storeret_${dirKey(dir)}")
+    graft.Fs.rmTree(store)
+    // gen-then-cell layout: the age-out is rmTree(gen=g), nothing else
+    assigned.repartition(col("gen"), col("cell"))
+      .write.partitionBy("gen", "cell").mode("overwrite").parquet(store.toString)
+    val probes = graft.CacheRegistry.track(queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+      .persist())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val gensAfter = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    val probeBill = scala.collection.mutable.Map.empty[Int, Long]
+    var full: Set[(Long, Long)] = Set.empty
+    def gensOnDisk(): Seq[String] = {
+      val s = java.nio.file.Files.list(store)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+    def serve(win: Int): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows")))).collect()
+      val pairs = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      if (win == 3) full = pairs
+      val nKept = pairs.count(full.contains).toLong
+      served.foreach(r =>
+        out += ((win.toLong, r.getAs[Long]("n_rows"), nKept,
+          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+      topk(win) = pairs
+      gensAfter(win) = gensOnDisk()
+      probeBill(win) = probes.count()
+    }
+    serve(3)
+    graft.Fs.rmTree(store.resolve("gen=0")); serve(2)
+    graft.Fs.rmTree(store.resolve("gen=1")); serve(1)
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("win", "n_rows", "n_kept", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("win"), col("q_id"), col("rank"))
+    (df, StoreRetentionDetail(topk.toMap, gensAfter.toMap, probeBill.toMap))
+  }
+
+  val knnStoreRetentionSql: String = {
+    def member(w: Int): String = w match {
+      case 3 => "TRUE"
+      case 2 => s"vec_id % $CalMod IN (1, 2)"
+      case 1 => s"vec_id % $CalMod = 2"
+    }
+    def winCtes(w: Int): String =
+      s"""srt_cand$w AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM srt_j e JOIN srt_p p USING (cell) WHERE ${member(w)}),
+         |srt_r$w AS MATERIALIZED (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM srt_cand$w),
+         |srt_cnt$w AS (
+         |  SELECT (SELECT count(*) FROM srt_j WHERE ${member(w)}) AS n_rows,
+         |    (SELECT count(*) FROM srt_r$w w JOIN srt_r3 f
+         |       ON f.q_id = w.q_id AND f.vec_id = w.vec_id
+         |     WHERE w.rank <= $K AND f.rank <= $K) AS n_kept)""".stripMargin
+    def winSelect(w: Int): String =
+      s"""SELECT CAST($w AS BIGINT) AS win, c.n_rows, c.n_kept, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM srt_r$w r, srt_cnt$w c WHERE r.rank <= $K""".stripMargin
+    s"""WITH srt_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |srt_q AS (SELECT vec_id AS q_id, emb AS q_emb FROM srt_v WHERE vec_id < $NQueries),
+       |srt_c AS (SELECT vec_id, emb FROM srt_v WHERE vec_id >= $NQueries),
+       |srt_b AS (SELECT vec_id, emb FROM srt_c WHERE vec_id % $CalMod NOT IN (1, 2)),
+       |${refinedCentSql("srt_b", "srt0")},
+       |srt_j AS MATERIALIZED (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT a.vec_id, a.emb, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+       |    FROM srt_c a, srt0cent c) x WHERE r = 1),
+       |srt_p AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+       |    FROM srt_q q, srt0cent c) x WHERE prank <= $Probe),
+       |${Seq(3, 2, 1).map(winCtes).mkString(",\n")}
+       |${Seq(3, 2, 1).map(winSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY win, q_id, rank""".stripMargin
+  }
 }
