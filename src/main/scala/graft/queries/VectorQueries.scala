@@ -5182,6 +5182,178 @@ object VectorQueries {
     (df, StoreRetentionDetail(topk.toMap, gensAfter.toMap, probeBill.toMap))
   }
 
+  // ---------------------------------------------------------------- №199 knn_store_backfill
+  /** Diagnostics behind [[knnStoreBackfill]]: served top-k pairs per
+    * stage (the idempotence proof), the touched cells, the repair's
+    * rewrite bill, and the per-cell file counts of UNTOUCHED cells
+    * before/after the repair (the delta-bill proof at the file level). */
+  private[graft] final case class StoreBackfillDetail(
+      topk: Map[Int, Set[(Long, Long)]],
+      touchedCells: Set[Long],
+      rewrittenRows: Long,
+      untouchedFilesBefore: Map[Long, Int],
+      untouchedFilesAfter: Map[Long, Int])
+
+  /** AT-LEAST-ONCE INGEST INTO THE SERVING VECTOR STORE — №194's
+    * retry-storm leg mirrored onto the vector side, completing the
+    * lifecycle matrix (calendar / retention / delete / backfill, each on
+    * both stores): the nightly arrival append re-runs after a partial
+    * failure and lands its rows A SECOND TIME into the same cell
+    * partitions (new files, same directories — the duplicate a directory
+    * drop cannot undo). Three serves against the FILES pin the contract:
+    * S0 the clean store (base + arrivals); S1 post-storm — the served
+    * top-k is IDENTICAL (the candidate frame dedups on (q_id, vec_id,
+    * cos) before ranking, and the score is a pure function of the row —
+    * exactly why the serving path tolerates at-least-once ingest) while
+    * the censuses tell the truth (n_rows inflated by exactly the doubled
+    * night, n_distinct unchanged — the drift a store monitor alarms on);
+    * S2 post-repair — the TOUCHED cells (cells holding ≥1 arrival row, a
+    * delta of the store) rewrite once from the CACHED assignment frames
+    * (never read-then-overwrite of the live path — the r13 advice
+    * discipline №194 solved with a generation swap; the cell store has
+    * no generation axis, so the cache-derived rewrite IS the safe form),
+    * censuses restored, top-k still identical, and the UNTOUCHED cells'
+    * files are bit-for-bit untouched (the spec counts them). Reference
+    * analogue: the reconciliation copy the export re-sends on retry and
+    * the consumer dedups by id
+    * (app/batch/JobCompletionNotificationListener.kt's rerun semantics).
+    * At 100 TB: ingest is at-least-once the moment jobs retry; the serve
+    * never needed exactly-once, the monitor sees the drift, and the
+    * repair bill is the touched cells' rows — never the store. */
+  def knnStoreBackfill(spark: SparkSession, dir: String): DataFrame =
+    knnStoreBackfillDetail(spark, dir)._1
+
+  private[graft] def knnStoreBackfillDetail(
+      spark: SparkSession, dir: String): (DataFrame, StoreBackfillDetail) = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val arrivals = corpus.filter(col("vec_id") % CalMod === 1L)
+    val base = corpus.filter(col("vec_id") % CalMod =!= 1L)
+    val cent = refinedCentroids(spark, base, Centroids)
+    val baseA = graft.CacheRegistry.track(
+      cellsOf(base, cent).select(col("vec_id"), col("emb"), col("cell")).persist())
+    val arrA = graft.CacheRegistry.track(
+      cellsOf(arrivals, cent).select(col("vec_id"), col("emb"), col("cell")).persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_storebf_${dirKey(dir)}").toString
+    landStore(store, baseA)
+    def append(a: DataFrame): Unit =
+      byCell(a).write.partitionBy("cell").mode("append").parquet(store)
+    append(arrA)
+    val probes = graft.CacheRegistry.track(queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+      .persist())
+    val touched = arrA.select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    def filesByCell(): Map[Long, Int] = {
+      val root = java.nio.file.Paths.get(store)
+      val s = java.nio.file.Files.list(root)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+        .map { p =>
+          val c = p.getFileName.toString.stripPrefix("cell=").toLong
+          val l = java.nio.file.Files.list(p)
+          val n = try l.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+          finally l.close()
+          c -> n
+        }.toMap
+      finally s.close()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val census = back.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_distinct"))
+      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect()
+      served.foreach(r =>
+        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+      topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    }
+    serve(0)
+    // the retry storm: the night lands AGAIN into the same cell dirs
+    append(arrA)
+    serve(1)
+    val untouchedBefore = filesByCell().filter { case (c, _) => !touched(c) }
+    // bounded repair: one dynamic overwrite of ONLY the touched cells,
+    // content derived from the cached frames (single copy of the night)
+    val repairContent = baseA.filter(col("cell").isin(touched.toSeq.map(Long.box): _*))
+      .unionAll(arrA)
+    val rewritten = repairContent.count()
+    byCell(repairContent.select(col("vec_id"), col("emb"), col("cell")))
+      .write.partitionBy("cell").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    serve(2)
+    val untouchedAfter = filesByCell().filter { case (c, _) => !touched(c) }
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_rows", "n_distinct", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+    (df, StoreBackfillDetail(topk.toMap, touched, rewritten, untouchedBefore, untouchedAfter))
+  }
+
+  val knnStoreBackfillSql: String = {
+    def memCte(s: Int, body: String): String = s"sbf_mem$s AS ($body)"
+    def searchCte(s: Int): String =
+      s"""sbf_cand$s AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM sbf_mem$s e JOIN sbf_p p USING (cell)),
+         |sbf_r$s AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sbf_cand$s),
+         |sbf_cnt$s AS (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_distinct
+         |  FROM sbf_mem$s)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_distinct, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM sbf_r$s r, sbf_cnt$s c WHERE r.rank <= $K""".stripMargin
+    val clean = """SELECT vec_id, emb, cell FROM sbf_j
+      |  UNION ALL SELECT a.vec_id, a.emb, ja.cell FROM sbf_a a JOIN sbf_aj ja USING (vec_id)""".stripMargin
+    val mems = Seq(
+      memCte(0, clean),
+      // S1: the storm — the night's rows twice (multiset membership)
+      memCte(1, clean + "\n  UNION ALL SELECT a.vec_id, a.emb, ja.cell FROM sbf_a a JOIN sbf_aj ja USING (vec_id)"),
+      memCte(2, clean))
+    def assign(src: String, cent: String): String =
+      s"""SELECT vec_id, c_id AS cell FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src a, $cent c) x WHERE r = 1""".stripMargin
+    s"""WITH sbf_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |sbf_q AS (SELECT vec_id AS q_id, emb AS q_emb FROM sbf_v WHERE vec_id < $NQueries),
+       |sbf_c AS (SELECT vec_id, emb FROM sbf_v WHERE vec_id >= $NQueries),
+       |sbf_b AS (SELECT vec_id, emb FROM sbf_c WHERE vec_id % $CalMod <> 1),
+       |sbf_a AS (SELECT vec_id, emb FROM sbf_c WHERE vec_id % $CalMod = 1),
+       |${refinedCentSql("sbf_b", "sbf0")},
+       |sbf_jb AS (${assign("sbf_b", "sbf0cent")}),
+       |sbf_j AS (
+       |  SELECT b.vec_id, b.emb, jb.cell FROM sbf_b b JOIN sbf_jb jb USING (vec_id)),
+       |sbf_aj AS (${assign("sbf_a", "sbf0cent")}),
+       |sbf_p AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+       |    FROM sbf_q q, sbf0cent c) x WHERE prank <= $Probe),
+       |${mems.mkString(",\n")},
+       |${(0 to 2).map(searchCte).mkString(",\n")}
+       |${(0 to 2).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
+  }
+
   val knnStoreRetentionSql: String = {
     def member(w: Int): String = w match {
       case 3 => "TRUE"
