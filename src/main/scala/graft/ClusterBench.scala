@@ -24,7 +24,15 @@ import org.apache.spark.sql.SparkSession
   * from it). Usage: graft.ClusterBench [sfDir] [iters]. */
 object ClusterBench {
 
-  val Queries = Seq("dedup_pipeline", "knn_graph_indexed")
+  /** Default legs: the two shuffle-bound flagships. Override with
+    * SPARK_GRAFT_CLUSTER_QUERIES (comma-separated SparkEntry names) to
+    * time other rows — e.g. the store-lifecycle drills, whose
+    * serve-over-files path (land / wave-rewrite / read-back) runs on the
+    * shared filesystem and so exercises executor-side store I/O under
+    * real multi-host scheduling. */
+  val Queries: Seq[String] = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Seq("dedup_pipeline", "knn_graph_indexed"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -39,7 +39,9 @@ object ClusterDrill {
     * stream_dedup runs its replay (file source → dropDuplicates state →
     * per-batch output) with executor-side state stores in the forked
     * JVMs, the leg local[N] shares with no other evidence. */
-  val Flagships = Seq("export_records", "dedup_pipeline", "knn_graph_indexed", "stream_dedup")
+  val Flagships: Seq[String] = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .getOrElse(Seq("export_records", "dedup_pipeline", "knn_graph_indexed", "stream_dedup"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
