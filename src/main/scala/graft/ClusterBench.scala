@@ -32,6 +32,7 @@ object ClusterBench {
     * real multi-host scheduling. */
   val Queries: Seq[String] = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
     .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .filter(_.nonEmpty) // blank/commas-only override → defaults, not a zero-query run
     .getOrElse(Seq("dedup_pipeline", "knn_graph_indexed"))
 
   def main(args: Array[String]): Unit = {

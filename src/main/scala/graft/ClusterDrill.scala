@@ -41,6 +41,7 @@ object ClusterDrill {
     * JVMs, the leg local[N] shares with no other evidence. */
   val Flagships: Seq[String] = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
     .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .filter(_.nonEmpty) // blank/commas-only override → defaults, not a zero-query run
     .getOrElse(Seq("export_records", "dedup_pipeline", "knn_graph_indexed", "stream_dedup"))
 
   def main(args: Array[String]): Unit = {

@@ -414,8 +414,14 @@ object ExportQueries {
     * (Exporting / Export_Failed, set by the job runner, not the data) are
     * injected by callers; see [[exportCompletionFailed]] and
     * CompletionSpec for the failure verdicts. */
+  /** Statuses that COUNT AS successful completion for the job verdict
+    * (reference: DynamoDBExportStatusService.kt:162-165 — note
+    * Table_Unavailable and Blocked_Topic are in the set). */
+  val SuccessStatuses: Seq[String] =
+    Seq("Exported", "Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic")
+
   def completionWith(spark: SparkSession, dir: String, statusFor: Column): DataFrame = {
-    val successSet = Seq("Exported", "Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic")
+    val successSet = SuccessStatuses
     import spark.implicits._
     val chunks = ExportOps.withChunkIds(
         records(spark, dir, !col("topic").isin(KvModel.BlockedTopics: _*)))
@@ -516,6 +522,264 @@ object ExportQueries {
 
   val exportCompletionFailedSql: String = completionSqlWith(
     s"CASE WHEN t.topic = '$FailedTopic' THEN 'Export_Failed' ELSE $defaultStatusCase END")
+
+  // -------------------------------------------------------------- №212 completion_message
+  /** EXPORT-COMPLETION MESSAGING, data-level (r14 verdict item 6 — the
+    * last reference behavior a real operator observes that graft modeled
+    * only as a decision): the full set of messages the reference emits
+    * around a run, as ONE deterministic frame — the transport (SQS/SNS
+    * clients, retries, ARNs) is §6 environment plumbing, but WHICH
+    * messages go to WHICH channel with WHAT payload fields is data:
+    *   - one FIFO snapshot-sender message PER EXPORTED OBJECT, group id =
+    *     topic with '.'→'_' (reference: S3StreamingWriter.kt:132 calls
+    *     SQSMessagingService.notifySnapshotSender(objectKey) after every
+    *     object; fifoQueueMessageRequest sets messageGroupId,
+    *     SQSMessagingService.kt:20-29,52-57);
+    *   - a "no files exported" FIFO message for a topic that COMPLETED
+    *     with zero files (JobCompletionNotificationListener.kt:94-96 —
+    *     exit COMPLETED && exportedFilesCount()==0; provably EMPTY on
+    *     this corpus: every completed topic exports ≥1 file, and blocked/
+    *     absent topics abort before the check — the oracle proves the
+    *     empty set rather than the row narrating it);
+    *   - one NON-fifo data-egress (RIS) message per topic that completed
+    *     with files, key prefix "exports/<topic>-"
+    *     (JobCompletionNotificationListener.kt:114-117,
+    *     SQSMessagingService.kt:42-48 dataEgressRisMessage);
+    *   - one SNS topic-failed monitoring message per topic whose run did
+    *     NOT complete — blocked and table-unavailable abort the job
+    *     (JobCompletionNotificationListener.kt:119-123,
+    *     SnsServiceImpl.kt failedTopicMonitoringPayload);
+    *   - one job-level SNS completion-monitoring message when the verdict
+    *     is terminal, payload status = the verdict's description
+    *     (JobCompletionNotificationListener.kt:139-143,
+    *     ExportCompletionStatus.kt descriptions);
+    *   - one job-level ADG-trigger message iff COMPLETED_SUCCESSFULLY
+    *     (JobCompletionNotificationListener.kt:100-104). The PDM
+    *     common-model leg is config-off by default
+    *     (pdm.common.model.site.prefix blank) and stays a non-goal.
+    * At 100 TB the only record-scale leg is the per-object one — it rides
+    * the chunk frame (distributed, one row per exported object, exactly
+    * the real message volume); everything else is topic-bounded. */
+  def completionMessage(spark: SparkSession, dir: String): DataFrame = {
+    val comp = completionWith(spark, dir, defaultTopicStatus)
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("bigint")
+    val groupId = regexp_replace(col("topic"), "\\.", "_")
+    val fileMsgs = ExportOps.withChunkIds(
+        records(spark, dir, !col("topic").isin(KvModel.BlockedTopics: _*)))
+      .withColumn("object_key",
+        snapshotName("exports", col("topic"), col("pstart"), col("pstop"), col("batch")))
+      .select(col("topic"), col("object_key")).distinct()
+      .select(lit("snapshot_sender").as("kind"), lit("sqs:snapshot-sender").as("channel"),
+        lit(true).as("fifo"), groupId.as("group_id"), col("topic"), col("object_key"),
+        nullL.as("files_exported"), nullS.as("payload_status"))
+    // exit COMPLETED ⇔ status Exported (blocked/unavailable topics abort)
+    val completed = comp.filter(col("status") === "Exported")
+    val noFiles = completed.filter(col("files_exported") === 0)
+      .select(lit("no_files_exported").as("kind"), lit("sqs:snapshot-sender").as("channel"),
+        lit(true).as("fifo"), groupId.as("group_id"), col("topic"),
+        nullS.as("object_key"), col("files_exported"), nullS.as("payload_status"))
+    val ris = completed.filter(col("files_exported") > 0)
+      .select(lit("data_egress_ris").as("kind"), lit("sqs:data-egress").as("channel"),
+        lit(false).as("fifo"), nullS.as("group_id"), col("topic"),
+        concat(lit("exports/"), col("topic"), lit("-")).as("object_key"),
+        col("files_exported"), nullS.as("payload_status"))
+    val failedMon = comp.filter(col("status").isin("Blocked_Topic", "Table_Unavailable"))
+      .select(lit("topic_failed_monitoring").as("kind"), lit("sns:monitoring").as("channel"),
+        lit(false).as("fifo"), nullS.as("group_id"), col("topic"),
+        nullS.as("object_key"), nullL.as("files_exported"),
+        lit("failed").as("payload_status"))
+    val jobRow = comp.agg(max(col("job_completion")).as("jc"),
+      sum(col("files_exported")).as("nf"))
+    def desc = when(col("jc") === "COMPLETED_SUCCESSFULLY", "success")
+      .when(col("jc") === "COMPLETED_UNSUCCESSFULLY", "failed")
+      .when(col("jc") === "IN_PROGRESS", "in progress").otherwise("not completed")
+    val monitoring = jobRow
+      .filter(col("jc").isin("COMPLETED_SUCCESSFULLY", "COMPLETED_UNSUCCESSFULLY"))
+      .select(lit("completion_monitoring").as("kind"), lit("sns:monitoring").as("channel"),
+        lit(false).as("fifo"), nullS.as("group_id"), nullS.as("topic"),
+        nullS.as("object_key"), col("nf").as("files_exported"), desc.as("payload_status"))
+    val adg = jobRow.filter(col("jc") === "COMPLETED_SUCCESSFULLY")
+      .select(lit("adg_trigger").as("kind"), lit("sns:adg").as("channel"),
+        lit(false).as("fifo"), nullS.as("group_id"), nullS.as("topic"),
+        nullS.as("object_key"), col("nf").as("files_exported"), desc.as("payload_status"))
+    fileMsgs.unionByName(noFiles).unionByName(ris).unionByName(failedMon)
+      .unionByName(monitoring).unionByName(adg)
+      .orderBy(col("kind"), col("topic"), col("object_key"))
+  }
+
+  val completionMessageSql: String = {
+    val blockedIn = KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")
+    val successIn = SuccessStatuses.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${KvSql.cte},
+       |records AS (
+       |  SELECT kv.*, ${KvSql.expectedRecordSql} AS record
+       |  FROM kv WHERE valid AND topic NOT IN ($blockedIn)),
+       |sized AS (
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    ${KvSql.pstartSql("key_byte")} AS pstart,
+       |    ${KvSql.pstopSql("key_byte")} AS pstop,
+       |    key_hash, eid, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT topic, pstart, pstop,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized),
+       |filekeys AS (
+       |  SELECT DISTINCT topic,
+       |    printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1) AS object_key
+       |  FROM batched),
+       |chunks AS (
+       |  SELECT topic, count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1)) AS files_exported
+       |  FROM batched GROUP BY topic),
+       |topics AS (SELECT topic FROM (VALUES $declaredTopicsValues) v(topic)),
+       |present AS (SELECT DISTINCT topic AS ptopic FROM kv),
+       |pt AS (
+       |  SELECT t.topic, coalesce(c.files_exported, 0) AS files_exported,
+       |    $defaultStatusCase AS status
+       |  FROM topics t LEFT JOIN chunks c USING (topic)
+       |    LEFT JOIN present p ON p.ptopic = t.topic),
+       |jc AS (
+       |  SELECT CASE WHEN min(CASE WHEN status IN ($successIn) THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED_SUCCESSFULLY'
+       |              WHEN max(CASE WHEN status = 'Exporting' THEN 1 ELSE 0 END) = 1 THEN 'IN_PROGRESS'
+       |              WHEN max(CASE WHEN status = 'Export_Failed' THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED_UNSUCCESSFULLY'
+       |              ELSE 'NOT_COMPLETED' END AS jc,
+       |    CAST(sum(files_exported) AS BIGINT) AS nf
+       |  FROM pt),
+       |msgs AS (
+       |  SELECT 'snapshot_sender' AS kind, 'sqs:snapshot-sender' AS channel, TRUE AS fifo,
+       |    replace(topic, '.', '_') AS group_id, topic, object_key,
+       |    CAST(NULL AS BIGINT) AS files_exported, CAST(NULL AS VARCHAR) AS payload_status
+       |  FROM filekeys
+       |  UNION ALL
+       |  SELECT 'no_files_exported', 'sqs:snapshot-sender', TRUE, replace(topic, '.', '_'),
+       |    topic, NULL, files_exported, NULL
+       |  FROM pt WHERE status = 'Exported' AND files_exported = 0
+       |  UNION ALL
+       |  SELECT 'data_egress_ris', 'sqs:data-egress', FALSE, NULL, topic,
+       |    'exports/' || topic || '-', files_exported, NULL
+       |  FROM pt WHERE status = 'Exported' AND files_exported > 0
+       |  UNION ALL
+       |  SELECT 'topic_failed_monitoring', 'sns:monitoring', FALSE, NULL, topic,
+       |    NULL, NULL, 'failed'
+       |  FROM pt WHERE status IN ('Blocked_Topic', 'Table_Unavailable')
+       |  UNION ALL
+       |  SELECT 'completion_monitoring', 'sns:monitoring', FALSE, NULL, NULL, NULL, nf,
+       |    CASE jc WHEN 'COMPLETED_SUCCESSFULLY' THEN 'success'
+       |            WHEN 'COMPLETED_UNSUCCESSFULLY' THEN 'failed'
+       |            WHEN 'IN_PROGRESS' THEN 'in progress' ELSE 'not completed' END
+       |  FROM jc WHERE jc IN ('COMPLETED_SUCCESSFULLY', 'COMPLETED_UNSUCCESSFULLY')
+       |  UNION ALL
+       |  SELECT 'adg_trigger', 'sns:adg', FALSE, NULL, NULL, NULL, nf,
+       |    CASE jc WHEN 'COMPLETED_SUCCESSFULLY' THEN 'success'
+       |            WHEN 'COMPLETED_UNSUCCESSFULLY' THEN 'failed'
+       |            WHEN 'IN_PROGRESS' THEN 'in progress' ELSE 'not completed' END
+       |  FROM jc WHERE jc = 'COMPLETED_SUCCESSFULLY')
+       |SELECT * FROM msgs ORDER BY kind, topic, object_key""".stripMargin
+  }
+
+  // -------------------------------------------------------------- №213 product_status
+  /** PRODUCT-LEVEL STATUS TRACKING, data-level (r14 verdict item 6's
+    * second leg): the reference maintains a SECOND status row — product
+    * level, keyed (Correlation_Id, DataProduct='HTME') — distinct from
+    * the per-topic export status
+    * (DynamoDBProductStatusService.kt:22-46 setStatus via UpdateItem;
+    * JobCompletionNotificationListener.kt:129-137 setProductStatus). The
+    * state machine is data: COMPLETED iff the job verdict is
+    * COMPLETED_SUCCESSFULLY, FAILED iff COMPLETED_UNSUCCESSFULLY, and NO
+    * update for IN_PROGRESS / NOT_COMPLETED (the `when` has no else —
+    * the row keeps its prior IN_PROGRESS). All four verdicts are driven
+    * as scenarios over ONE chunk-frame pass (the per-topic statuses are
+    * injected on the ≤18-row topic frame — the record-scale work never
+    * re-runs per scenario). */
+  def productStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = ExportOps.withChunkIds(
+        records(spark, dir, !col("topic").isin(KvModel.BlockedTopics: _*)))
+      .withColumn("object_key",
+        snapshotName("exports", col("topic"), col("pstart"), col("pstop"), col("batch")))
+      .groupBy(col("topic"))
+      .agg(countDistinct(col("object_key")).as("files_exported"))
+    val present = KvSource.kv(spark, dir).select(col("topic")).distinct()
+      .withColumn("present", lit(true))
+    val base = KvModel.DeclaredTopics.toDF("topic")
+      .join(chunks, Seq("topic"), "left").join(present, Seq("topic"), "left")
+    // four verdict scenarios on the topic-bounded frame: clean run, one
+    // failed topic, one still exporting, one in a status outside every set
+    val scen = Seq("clean", "one_failed", "one_exporting", "one_cancelled").toDF("scenario")
+    val status = when(col("scenario") === "one_failed" && col("topic") === FailedTopic, "Export_Failed")
+      .when(col("scenario") === "one_exporting" && col("topic") === FailedTopic, "Exporting")
+      .when(col("scenario") === "one_cancelled" && col("topic") === FailedTopic, "Cancelled")
+      .otherwise(defaultTopicStatus)
+    val verdict = when(col("all_ok") === 1, "COMPLETED_SUCCESSFULLY")
+      .when(col("any_prog") === 1, "IN_PROGRESS")
+      .when(col("any_fail") === 1, "COMPLETED_UNSUCCESSFULLY")
+      .otherwise("NOT_COMPLETED")
+    val update = when(col("job_completion") === "COMPLETED_SUCCESSFULLY", "COMPLETED")
+      .when(col("job_completion") === "COMPLETED_UNSUCCESSFULLY", "FAILED")
+    base.crossJoin(broadcast(scen))
+      .withColumn("status", status)
+      .groupBy(col("scenario"))
+      .agg(
+        min(when(col("status").isin(SuccessStatuses: _*), 1).otherwise(0)).as("all_ok"),
+        max(when(col("status") === "Exporting", 1).otherwise(0)).as("any_prog"),
+        max(when(col("status") === "Export_Failed", 1).otherwise(0)).as("any_fail"))
+      .withColumn("job_completion", verdict)
+      .select(col("scenario"), lit("HTME").as("data_product"), col("job_completion"),
+        update.as("update_applied"),
+        coalesce(update, lit("IN_PROGRESS")).as("product_status"))
+      .orderBy(col("scenario"))
+  }
+
+  val productStatusSql: String = {
+    val blockedIn = KvModel.BlockedTopics.map(t => s"'$t'").mkString(", ")
+    val successIn = SuccessStatuses.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${KvSql.cte},
+       |records AS (
+       |  SELECT kv.*, ${KvSql.expectedRecordSql} AS record
+       |  FROM kv WHERE valid AND topic NOT IN ($blockedIn)),
+       |sized AS (
+       |  SELECT topic, ${KvSql.partitionLabelSql("key_byte")} AS plabel,
+       |    ${KvSql.pstartSql("key_byte")} AS pstart,
+       |    ${KvSql.pstopSql("key_byte")} AS pstop,
+       |    key_hash, eid, length(record) + 1 AS bytes
+       |  FROM records),
+       |batched AS (
+       |  SELECT topic, pstart, pstop,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY plabel, topic ORDER BY key_hash, eid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${KvModel.ChunkMaxBytes} AS BIGINT) AS batch
+       |  FROM sized),
+       |chunks AS (
+       |  SELECT topic, count(DISTINCT printf('exports/%s-%03d-%03d-%06d.txt.gz.enc', topic, pstart, pstop, batch + 1)) AS files_exported
+       |  FROM batched GROUP BY topic),
+       |topics AS (SELECT topic FROM (VALUES $declaredTopicsValues) v(topic)),
+       |present AS (SELECT DISTINCT topic AS ptopic FROM kv),
+       |scen AS (SELECT scenario FROM (VALUES ('clean'), ('one_failed'), ('one_exporting'), ('one_cancelled')) s(scenario)),
+       |pt AS (
+       |  SELECT s.scenario, t.topic,
+       |    CASE WHEN s.scenario = 'one_failed' AND t.topic = '$FailedTopic' THEN 'Export_Failed'
+       |         WHEN s.scenario = 'one_exporting' AND t.topic = '$FailedTopic' THEN 'Exporting'
+       |         WHEN s.scenario = 'one_cancelled' AND t.topic = '$FailedTopic' THEN 'Cancelled'
+       |         ELSE $defaultStatusCase END AS status
+       |  FROM topics t LEFT JOIN chunks c USING (topic)
+       |    LEFT JOIN present p ON p.ptopic = t.topic
+       |    CROSS JOIN scen s),
+       |v AS (
+       |  SELECT scenario,
+       |    CASE WHEN min(CASE WHEN status IN ($successIn) THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED_SUCCESSFULLY'
+       |         WHEN max(CASE WHEN status = 'Exporting' THEN 1 ELSE 0 END) = 1 THEN 'IN_PROGRESS'
+       |         WHEN max(CASE WHEN status = 'Export_Failed' THEN 1 ELSE 0 END) = 1 THEN 'COMPLETED_UNSUCCESSFULLY'
+       |         ELSE 'NOT_COMPLETED' END AS job_completion
+       |  FROM pt GROUP BY scenario)
+       |SELECT scenario, 'HTME' AS data_product, job_completion,
+       |  CASE job_completion WHEN 'COMPLETED_SUCCESSFULLY' THEN 'COMPLETED'
+       |                      WHEN 'COMPLETED_UNSUCCESSFULLY' THEN 'FAILED' END AS update_applied,
+       |  coalesce(CASE job_completion WHEN 'COMPLETED_SUCCESSFULLY' THEN 'COMPLETED'
+       |                               WHEN 'COMPLETED_UNSUCCESSFULLY' THEN 'FAILED' END,
+       |           'IN_PROGRESS') AS product_status
+       |FROM v ORDER BY scenario""".stripMargin
+  }
 
 
   // -------------------------------------------------------------- №39 skip_audit

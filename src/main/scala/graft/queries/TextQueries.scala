@@ -4528,6 +4528,14 @@ object HashDedup {
       content.repartition(2)
         .write.partitionBy("gen").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(store.toString)
+      // A generation whose rows are ALL manifest-named writes no content
+      // under dynamic overwrite, so its stale directory would survive and
+      // resurrect every deleted row on the next read-back — drop emptied
+      // gen dirs explicitly (CorpusForget's surviving-bucket cleanup).
+      val surviving = content.select(col("gen")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      gens.filterNot(surviving).foreach(g =>
+        graft.Fs.rmTree(store.resolve(s"gen=$g")))
     }
     wave(Seq(0, 2)); serve(1)
     wave(Seq(1)); serve(2)

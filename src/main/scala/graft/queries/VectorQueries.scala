@@ -5078,11 +5078,19 @@ object VectorQueries {
   // ---------------------------------------------------------------- №197 knn_store_retention
   /** Per-window diagnostics behind [[knnStoreRetention]]: the served
     * top-k pair set per window, generation directories after each
-    * age-out, and the (constant) probe bill. */
+    * age-out, the probe bill ISSUED (lookup keys shipped into the serve
+    * join — frozen routing, window-independent by construction), and the
+    * probe keys actually MATCHED per window (distinct (q_id, cell)
+    * lookups with ≥1 store row in the window — derived from the serve's
+    * own join, r14 advice: the old probes.count() re-read the pre-serve
+    * frame and could never fail). Retention saves scan work
+    * (probeMatched falls with the window), never probes (probeIssued
+    * constant). */
   private[graft] final case class StoreRetentionDetail(
       topk: Map[Int, Set[(Long, Long)]],
       gensAfter: Map[Int, Seq[String]],
-      probeBill: Map[Int, Long])
+      probeIssued: Long,
+      probeMatched: Map[Int, Long])
 
   /** RETENTION ON THE SERVING VECTOR STORE — №193's TTL dial, mirrored
     * onto the vector side (the r14 frontier's other unmirrored twin): a
@@ -5145,7 +5153,7 @@ object VectorQueries {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
     val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     val gensAfter = scala.collection.mutable.Map.empty[Int, Seq[String]]
-    val probeBill = scala.collection.mutable.Map.empty[Int, Long]
+    val probeMatched = scala.collection.mutable.Map.empty[Int, Long]
     var full: Set[(Long, Long)] = Set.empty
     def gensOnDisk(): Seq[String] = {
       val s = java.nio.file.Files.list(store)
@@ -5170,7 +5178,11 @@ object VectorQueries {
           r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
       topk(win) = pairs
       gensAfter(win) = gensOnDisk()
-      probeBill(win) = probes.count()
+      // the serve's OWN join, not the pre-serve probe frame: distinct
+      // lookup keys that found ≥1 row in this window's store — the
+      // scan-side work retention actually saves (r14 advice)
+      probeMatched(win) = back.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+        .select(col("q_id"), col("cell")).distinct().count()
     }
     serve(3)
     graft.Fs.rmTree(store.resolve("gen=0")); serve(2)
@@ -5179,7 +5191,8 @@ object VectorQueries {
     val df = out.toSeq
       .toDF("win", "n_rows", "n_kept", "q_id", "rank", "vec_id", "cos")
       .orderBy(col("win"), col("q_id"), col("rank"))
-    (df, StoreRetentionDetail(topk.toMap, gensAfter.toMap, probeBill.toMap))
+    (df, StoreRetentionDetail(topk.toMap, gensAfter.toMap,
+      probes.select(col("q_id"), col("cell")).distinct().count(), probeMatched.toMap))
   }
 
   // ---------------------------------------------------------------- №199 knn_store_backfill

@@ -35,12 +35,22 @@ import org.apache.spark.sql.functions._
   * for ingest. */
 object StreamForget {
 
-  /** Per-run diagnostics: served top-k pairs and store ids after each
-    * batch, manifest sizes, and the data-batch count. */
+  /** Per-run diagnostics: served top-k pairs per batch, manifest sizes,
+    * the data-batch count, and three DISTRIBUTED per-batch counts over
+    * the read-back store (r14 verdict item 1 — the spec's invariants
+    * re-pinned as executor-side aggregates, never an O(store) driver
+    * collect):
+    *  - `appliedVisible`: store rows named by any ALREADY-APPLIED
+    *    manifest (left-semi count — must be 0 from the wave on);
+    *  - `delBaseVisible` / `delA1Visible`: store rows named by the FULL
+    *    manifest set, split base-leg vs arrived-via-A1 leg (pure
+    *    predicates of vec_id — the nonEmpty-before / empty-after bill). */
   private[graft] final case class ForgetCensus(
       batches: Int,
       topk: Map[Long, Set[(Long, Long)]],
-      storeIds: Map[Long, Set[Long]],
+      appliedVisible: Map[Long, Long],
+      delBaseVisible: Map[Long, Long],
+      delA1Visible: Map[Long, Long],
       manifestSizes: Map[Long, Long])
 
   def streamForget(spark: SparkSession, dir: String): DataFrame =
@@ -86,7 +96,9 @@ object StreamForget {
     val results = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Long, Long, Long, Long, Double)]
     val topk = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
-    val storeIds = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val appliedVisible = scala.collection.mutable.Map.empty[Long, Long]
+    val delBaseVisible = scala.collection.mutable.Map.empty[Long, Long]
+    val delA1Visible = scala.collection.mutable.Map.empty[Long, Long]
     val manifestSizes = scala.collection.mutable.Map.empty[Long, Long]
     // cached content frames (base + completed arrival batches) and the
     // manifests applied so far — the rewrite's safe derivation source
@@ -116,9 +128,9 @@ object StreamForget {
             // from the cached frames minus every manifest so far
             val ids = graft.CacheRegistry.track(
               bdf.select(col("vec_id")).persist())
-            ids.count()
+            val n = ids.count() // materialize once; reuse for the census
             forgotten += ids
-            manifestSizes(id) = ids.count()
+            manifestSizes(id) = n
             val all = landed.reduce(_ unionAll _)
             val touched = all.join(ids, Seq("vec_id"), "left_semi")
               .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
@@ -146,7 +158,19 @@ object StreamForget {
               r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
               r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
           topk(id) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
-          storeIds(id) = back.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+          // Census for the spec, DISTRIBUTIVELY (r14 verdict 1): never
+          // the full id set to the driver — three executor-side counts.
+          // appliedVisible: a store row named by an applied manifest is
+          // a resurrection (count must be 0 from the wave on);
+          // delBase/delA1Visible split the full-manifest meter by leg so
+          // the spec can pin nonEmpty-before and gone-after per wave.
+          appliedVisible(id) =
+            if (forgotten.isEmpty) 0L
+            else back.join(forgotten.reduce(_ unionAll _), Seq("vec_id"), "left_semi").count()
+          val legs = back.agg(
+            sum(when(delFull && col("vec_id") % 20 =!= 0, 1L).otherwise(0L)),
+            sum(when(delFull && col("vec_id") % 20 === 0, 1L).otherwise(0L))).collect()(0)
+          delBaseVisible(id) = legs.getLong(0); delA1Visible(id) = legs.getLong(1)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -160,7 +184,8 @@ object StreamForget {
     val df = results.toSeq
       .toDF("after_batch", "n_rows", "n_del_visible", "q_id", "rank", "vec_id", "cos")
       .orderBy(col("after_batch"), col("q_id"), col("rank"))
-    (df, ForgetCensus(batches, topk.toMap, storeIds.toMap, manifestSizes.toMap))
+    (df, ForgetCensus(batches, topk.toMap, appliedVisible.toMap,
+      delBaseVisible.toMap, delA1Visible.toMap, manifestSizes.toMap))
   }
 
   val streamForgetSql: String = {

@@ -40,13 +40,22 @@ import org.apache.spark.sql.functions._
   * n_dropped cumulative. */
 object StreamNight {
 
-  /** Per-run diagnostics: data-batch count, per-batch dup ids, vector
-    * store ids after each batch, and the night docs that have a
-    * τ-partner in BASE (the spec's sequential-corner classifier). */
+  /** Per-run diagnostics: data-batch count, per-batch dup ids
+    * (batch-bounded manifests — the one collect that stays), the night
+    * docs that have a τ-partner in BASE (the spec's sequential-corner
+    * classifier), and two DISTRIBUTED per-batch counts over the
+    * read-back vector store (r14 verdict item 1 — the spec's invariants
+    * as executor-side aggregates, never an O(store) id collect):
+    *  - `dupsVisible`: store rows in the cumulative dup-manifest set
+    *    after batch b (left-semi count — must be 0 always);
+    *  - `unlanded`: docs present in the PREVIOUS batch's store files
+    *    but missing now (anti-join count over the snapshotted file list
+    *    — must be 0: a completed batch never un-lands). */
   private[graft] final case class NightStreamCensus(
       batches: Int,
       dups: Map[Long, Set[Long]],
-      storeDocs: Map[Long, Set[Long]],
+      dupsVisible: Map[Long, Long],
+      unlanded: Map[Long, Long],
       baseTruthDocs: Set[Long])
 
   def streamNight(spark: SparkSession, dir: String): DataFrame =
@@ -99,7 +108,19 @@ object StreamNight {
     val results = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Long, Long, Long, Long, Long, Double)]
     val dups = scala.collection.mutable.Map.empty[Long, Set[Long]]
-    val storeDocs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val dupsVisible = scala.collection.mutable.Map.empty[Long, Long]
+    val unlanded = scala.collection.mutable.Map.empty[Long, Long]
+    val dupFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the previous serve's store FILES — the monotone-growth check reads
+    // exactly this snapshot back and anti-joins the current store
+    var prevVecFiles: Seq[String] = Nil
+    def vecFiles(): Seq[String] = {
+      val s = java.nio.file.Files.walk(vStore)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+      finally s.close()
+    }
     var dropped = 0L
     var batches = -1
     ReplayHarness.replay(spark, 8, name, andThen = () => graft.Fs.rmTree(scratch)) { register =>
@@ -157,8 +178,18 @@ object StreamNight {
               results += ((id, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_vecs"),
                 dropped, r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
                 r.getAs[Long]("doc_id"), r.getAs[Double]("cos"))))
-          dups(id) = dupFiles.collect().map(_.getLong(0)).toSet
-          storeDocs(id) = vBack.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+          dups(id) = dupFiles.collect().map(_.getLong(0)).toSet // batch-bounded
+          // Census DISTRIBUTIVELY (r14 verdict 1): cumulative dup set
+          // never reaches the store (left-semi count), and no doc from
+          // the previous serve's file snapshot un-lands (anti-join count)
+          dupFrames += dupFiles
+          dupsVisible(id) =
+            vBack.join(dupFrames.reduce(_ unionAll _), Seq("doc_id"), "left_semi").count()
+          unlanded(id) =
+            if (prevVecFiles.isEmpty) 0L
+            else spark.read.parquet(prevVecFiles: _*).select(col("doc_id"))
+              .join(vBack, Seq("doc_id"), "left_anti").count()
+          prevVecFiles = vecFiles()
           keys.unpersist(); batchIds.unpersist()
           ()
         }
@@ -173,7 +204,7 @@ object StreamNight {
     val df = results.toSeq
       .toDF("after_batch", "n_index_rows", "n_vecs", "n_dropped", "q_id", "rank", "doc_id", "cos")
       .orderBy(col("after_batch"), col("q_id"), col("rank"))
-    (df, NightStreamCensus(batches, dups.toMap, storeDocs.toMap, baseTruthDocs))
+    (df, NightStreamCensus(batches, dups.toMap, dupsVisible.toMap, unlanded.toMap, baseTruthDocs))
   }
 
   val streamNightSql: String = {

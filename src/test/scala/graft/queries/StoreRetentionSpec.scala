@@ -17,8 +17,18 @@ class StoreRetentionSpec extends SparkSpec {
     case 1L => 1L; case 2L => 2L; case _ => 0L
   }
 
-  test("probe bill window-independent; store shrinks; gens leave the disk") {
-    assert(detail.probeBill.values.toSet.size === 1, "probes must not depend on the window")
+  test("probe bill honest; store shrinks; gens leave the disk") {
+    // r14 advice: the old assertion re-counted the one pre-serve probe
+    // frame and could never fail. probeMatched is derived from each
+    // window's OWN serve join: retention saves scan work (matched keys
+    // never grow as generations age), never probes (matched ≤ issued,
+    // and the full window matches every issued lookup on this corpus —
+    // routing sends each probe to a cell that holds at least one row).
+    assert(detail.probeMatched(3) === detail.probeIssued,
+      "at the full window every issued lookup must find its cell populated")
+    assert(detail.probeMatched(2) <= detail.probeMatched(3))
+    assert(detail.probeMatched(1) <= detail.probeMatched(2))
+    assert(detail.probeMatched.values.forall(_ <= detail.probeIssued))
     assert(byWin(1).getLong(1) < byWin(2).getLong(1) && byWin(2).getLong(1) < byWin(3).getLong(1))
     assert(detail.gensAfter(3).toSet === Set("gen=0", "gen=1", "gen=2"))
     assert(detail.gensAfter(2).toSet === Set("gen=1", "gen=2"))

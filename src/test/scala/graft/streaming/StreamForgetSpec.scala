@@ -33,14 +33,20 @@ class StreamForgetSpec extends SparkSpec {
   }
 
   test("each forget leaves the store from the next serve on, and never resurfaces") {
-    val f1 = detail.storeIds(0L).filter(id => del(id) && id % 20 != 0)
-    assert(f1.nonEmpty)
+    // Distributed census (r14 verdict 1): the operator bills these as
+    // executor-side counts over the read-back files, never an O(store)
+    // id collect. F1 names base-leg rows: visible before the wave, zero
+    // from the next serve on.
+    assert(detail.delBaseVisible(0L) > 0, "F1's base rows must serve before F1 lands")
     Seq(1L, 2L, 3L).foreach(b =>
-      assert(f1.forall(id => !detail.storeIds(b).contains(id)), s"F1 rows visible after batch $b"))
-    // F2 removes rows that ARRIVED via this same stream
-    val f2 = detail.storeIds(2L).filter(id => del(id) && id % 20 == 0)
-    assert(f2.nonEmpty, "A1 must have contributed manifest-named rows")
-    assert(f2.forall(id => !detail.storeIds(3L).contains(id)))
+      assert(detail.delBaseVisible(b) === 0L, s"F1 rows visible after batch $b"))
+    // F2 removes rows that ARRIVED via this same stream (the A1 leg)
+    assert(detail.delA1Visible(2L) > 0, "A1 must have contributed manifest-named rows")
+    assert(detail.delA1Visible(3L) === 0L)
+    // and NO row named by an already-applied manifest is ever read back
+    // (left-semi of the store against every applied manifest id frame)
+    Seq(0L, 1L, 2L, 3L).foreach(b =>
+      assert(detail.appliedVisible(b) === 0L, s"resurrected manifest row after batch $b"))
     // and a forgotten row never serves again
     detail.topk(1L).foreach { case (_, v) => assert(!(del(v) && v % 20 != 0)) }
     detail.topk(3L).foreach { case (_, v) => assert(!del(v)) }

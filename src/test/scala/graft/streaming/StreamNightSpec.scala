@@ -26,13 +26,15 @@ class StreamNightSpec extends SparkSpec {
 
   test("survivors serve, dups never, prefix visibility holds") {
     val allDups = detail.dups.values.flatten.toSet
+    // Distributed census (r14 verdict 1): the operator bills these as
+    // executor-side counts, never an O(store) id collect — the
+    // cumulative dup set never reaches the store, and no doc from the
+    // previous serve's file snapshot un-lands.
     Seq(0L, 1L, 2L).foreach { b =>
-      assert(detail.dups(b).forall(d => !detail.storeDocs(b).contains(d)),
-        s"a dup reached the vector store at batch $b")
-      if (b > 0) assert(detail.storeDocs(b - 1).subsetOf(detail.storeDocs(b)),
-        "the store grows monotonically — a completed batch never un-lands")
+      assert(detail.dupsVisible(b) === 0L, s"a dup reached the vector store at batch $b")
+      assert(detail.unlanded(b) === 0L,
+        s"the store grows monotonically — a completed batch un-landed at batch $b")
     }
-    assert(allDups.forall(d => !detail.storeDocs(2L).contains(d)))
     // the dropped census is cumulative and matches the manifests
     val dropped = byBatch.map { case (b, rows) => b -> rows.head.getLong(3) }
     assert(dropped(0L) === detail.dups(0L).size.toLong)
