@@ -3136,8 +3136,14 @@ object HashDedup {
       } else {
         // ONE persisted signature+DF frame feeds the base keys AND the
         // probe ranking (r13 verdict 6: the signature and DF chains each
-        // built their own shingle scan + widening before)
-        val sigd = graft.CacheRegistry.track(mpSigDfFrom(mpShingles(tok)).persist())
+        // built their own shingle scan + widening before). The shingle
+        // frame itself is persisted too — mpSigDfFrom consumes it TWICE
+        // (the per-shingle DF count and the annotate join), and
+        // unpersisted the explode ran twice (r15: the comment on
+        // mpProbeRowsDf promised this persist; the budget entry point
+        // never did it)
+        val shingles = graft.CacheRegistry.track(mpShingles(tok).persist())
+        val sigd = graft.CacheRegistry.track(mpSigDfFrom(shingles).persist())
         (sigd, mpProbeRowsDf(sigd)
           .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id")).orderBy(col("df"), col("band"), col("j"))))
