@@ -49,6 +49,37 @@ class CompletionMessageSpec extends SparkSpec {
     assert(ofKind("adg_trigger").length === 1, "ADG triggers only on full success")
   }
 
+  test("metrics push: the final registry is the per-topic outcome table") {
+    val rows = ExportQueries.metricsPush(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getLong(3)))
+    def of(metric: String) = rows.filter(_._2 == metric)
+    // split-labeled series exist ONLY for written (topic, split) pairs —
+    // a labeled Prometheus counter has no series until first inc
+    assert(of("htme_records_written").forall(r => r._3.isDefined && r._4 > 0))
+    assert(of("htme_records_written").nonEmpty)
+    // bytes and records agree with the export status rollup
+    val nRec = of("htme_records_written").map(_._4).sum
+    val statusTotal = ExportQueries.exportStatus(spark, sf)
+      .filter(!col("topic").isin(graft.kv.KvModel.BlockedTopics: _*))
+      .agg(sum(col("n_records"))).head.getLong(0)
+    assert(nRec === statusTotal,
+      "records_written must equal the export-status record total over non-blocked topics")
+    // every declared topic starts and completes exactly once; the gauge
+    // is back to 0 at the final push
+    val nTopics = graft.kv.KvModel.DeclaredTopics.size
+    assert(of("htme_topics_started").length === nTopics)
+    assert(of("htme_topics_started").forall(_._4 == 1L))
+    assert(of("htme_running_applications").forall(_._4 == 0L))
+    // collection-outcome counters follow the status machine: Exported →
+    // successful + non_empty here; blocked/unavailable → none
+    val completed = ExportQueries.exportCompletion(spark, sf)
+      .filter(col("status") === "Exported").count()
+    assert(of("htme_successful_collections").map(_._4).sum === completed)
+    assert(of("htme_successful_non_empty_collections").map(_._4).sum === completed)
+    assert(of("htme_successful_empty_collections").map(_._4).sum === 0L)
+    assert(of("htme_failed_collections").map(_._4).sum === 0L)
+  }
+
   test("product status: COMPLETED/FAILED updates, no update otherwise") {
     val ps = ExportQueries.productStatus(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getString(2), Option(r.getString(3)), r.getString(4))).toMap
