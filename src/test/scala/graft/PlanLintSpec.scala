@@ -50,7 +50,9 @@ class PlanLintSpec extends SparkSpec {
     "dedup_minhash_multiprobe", // dedup_recall's single-row count totals per mode
     "dedup_multiprobe_ranked", // same single-row count totals, once per budget
     "dedup_multiprobe_dfrank", // same single-row count totals, per (ranking, budget)
-    "dedup_simhash_multiprobe") // same single-row count totals, per (ranking, flips)
+    "dedup_simhash_multiprobe", // same single-row count totals, per (ranking, flips)
+    "completion_message", // single-row job-verdict/total broadcasts (the jsonl_snapshot summary class)
+    "product_status") // ≤18-row topic frame × 4-row scenario frame, both bounded broadcasts
 
   // sinks/streams/iterative queries execute on build — linting would run the job
   private val executesOnBuild =
