@@ -247,9 +247,11 @@ object Bench {
     val coldJson = coldBuilds.map { case (k, d) => s"\"" + k + "\":" + f(d) }.mkString("{", ",", "}")
     // FROZEN baseline comparison (r12 verdict item 8): bench_history
     // floors age with every run, so a slow multi-round drift can hide
-    // inside them. baseline_r12.json is the r12 clean-sweep medians and
-    // baseline_r13.json extends it with the 11 r13 rows at their r13
-    // medians (both committed, never rewritten) — stable anchors.
+    // inside them. baseline_r12.json is the r12 clean-sweep medians; each
+    // later baseline_rN.json extends the chain with only the rows NEW in
+    // round N at their round-N clean-sweep medians (r13: 11 rows, r14: 8,
+    // r15: the 3 export side-channel rows). All committed, never
+    // rewritten — stable anchors.
     // Aggregate ratio is sum-of-medians over the intersection (rows
     // newer than the anchor are listed as unbaselined); per-query
     // ratios > 2× ship in baseline_flagged so the artifact names its
@@ -277,7 +279,7 @@ object Bench {
         }
       }
     }
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":${baselineJson("r12")},"vs_baseline_r13":${baselineJson("r13")},"vs_baseline_r14":${baselineJson("r14")},"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; median-guard re-run while trimmed median > ${MEDIAN_GUARD}x min (+${MEDIAN_GUARD_ABS_S}s slack); band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cold_build_s":$coldJson,"vs_baseline_r12":${baselineJson("r12")},"vs_baseline_r13":${baselineJson("r13")},"vs_baseline_r14":${baselineJson("r14")},"vs_baseline_r15":${baselineJson("r15")},"stats":$spread,"iters":$iters,"max_iters":$maxIters,"trim":"median over iterations <= ${OUTLIER_X}x query min; adaptive re-run past max/min > ${SPREAD_TRIGGER}x; median-guard re-run while trimmed median > ${MEDIAN_GUARD}x min (+${MEDIAN_GUARD_ABS_S}s slack); band re-run past min > ${BAND_TRIGGER}x historical floor","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"band_exceeded":[${bandExceeded.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver's log capture truncates long stdout
     // tails mid-record — the file is the parseable artifact of record.
