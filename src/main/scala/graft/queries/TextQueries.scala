@@ -4611,6 +4611,215 @@ object HashDedup {
        |FROM ddl_g ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №215 dedup_index_compact
+  /** Per-stage diagnostics behind [[dedupIndexCompact]]: verified-hit
+    * pairs per stage, parquet file counts per generation at each
+    * checkpoint, gen-0's (name, size) file evidence before/after, and
+    * the consolidation's rewrite bill. */
+  private[graft] final case class IndexCompactDetail(
+      hitPairs: Map[Int, Set[(Long, Long)]],
+      filesByGen: Map[Int, Map[String, Int]],
+      gen0Before: Set[(String, Long)],
+      gen0After: Set[(String, Long)],
+      rewrittenRows: Long)
+
+  /** COMPACT THE BANDED DEDUP INDEX — the fifth file-lifecycle leg
+    * (calendar / retention / delete / backfill / COMPACTION), text side:
+    * nightly appends leave each generation as a spray of small files
+    * (every micro-batch append is its own parquet footer — №184/№190's
+    * access path produces exactly this), and at 100 TB the store's read
+    * bill becomes footer-bound long before it is byte-bound. Compaction
+    * consolidates the small generations into ONE new generation with the
+    * OBJECT-STORE-SAFE commit order — write the consolidated gen=10
+    * FIRST (content from the CACHED row frame, never read-then-overwrite
+    * of the live path), serve through the overlap, THEN drop the source
+    * generation directories:
+    *   S0  pre-compaction — gens 1/2 landed as 3 small appends each;
+    *       night-3 probes serve the baseline
+    *   S1  MID-compaction — consolidated AND source gens both visible:
+    *       `n_rows` inflates by exactly |gen1|+|gen2| while `n_distinct`,
+    *       candidates and hits DO NOT MOVE (the probe join's DISTINCT
+    *       collapses duplicate band rows — the same candidate-dedup that
+    *       makes №199's serve retry-safe makes write-then-drop
+    *       compaction safe; a reader never needs a lock)
+    *   S2  post-drop — censuses restored, the two source gens' 6 files
+    *       are now gen=10's 2, gen 0's files BIT-IDENTICAL (the spec
+    *       holds (name, size) evidence), hits unchanged
+    *   S3  the next night appends as gen=3 NEXT TO the compacted layout
+    *       — same-night pairs appear, nothing regressed: compaction must
+    *       not break the append path
+    * The lookup bill is stage-independent (compaction saves footers and
+    * scan setup, never probe keys). Oracle: closed-form — S0-S2 share
+    * one candidate set (visible DISTINCT membership never changes), S3
+    * extends visibility to everything. Reference analogue: HBase minor
+    * compaction — HFiles merge underneath a scan-consistent view
+    * (app/batch/HBaseReader.kt's scans never see a half-compacted row).
+    * At 100 TB: the consolidated write is one job over the touched
+    * generations' rows (never the store), the drop is metadata, and the
+    * mid state is not an anomaly but the steady state of a store that
+    * compacts continuously. */
+  def dedupIndexCompact(spark: SparkSession, dir: String): DataFrame =
+    dedupIndexCompactDetail(spark, dir)._1
+
+  private[graft] def dedupIndexCompactDetail(
+      spark: SparkSession, dir: String): (DataFrame, IndexCompactDetail) = {
+    val m = IncCalMod.toLong
+    val tok = graft.CacheRegistry.track(TextQueries.dupCorpusTok(spark, dir).persist())
+    val sh5 = TextQueries.shingleFrameOf(tok)
+    val truthAll = graft.CacheRegistry.track(
+      TextQueries.dedupNgramJaccardFrom(tok).select(col("doc_a"), col("doc_b")).persist())
+    val rows = graft.CacheRegistry.track(mpBaseRows(mpSigFrom(tok))
+      .withColumn("cls", pmod(col("doc_id"), lit(m))).persist())
+    def clsOf(c: Column): Column = pmod(c, lit(m))
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_idxcmp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    graft.Fs.rmTree(store)
+    def land(r: DataFrame, gen: Int, nFiles: Int): Unit =
+      r.withColumn("gen", lit(gen)).repartition(nFiles)
+        .write.partitionBy("gen").mode("append").parquet(store.toString)
+    def ofCls(p: Column => Column): DataFrame =
+      rows.filter(p(col("cls"))).select(col("doc_id"), col("band"), col("band_key"))
+    land(ofCls(c => !c.isin(1L, 2L, 3L)), 0, 4)
+    // the small-files storm: each night landed as 3 separate appends
+    // (micro-batch-shaped), 2 files each → 6 footers per generation
+    (0L to 2L).foreach { slice =>
+      land(ofCls(_ === 1L).filter(expr(s"(doc_id DIV $m) % 3") === slice), 1, 2)
+      land(ofCls(_ === 2L).filter(expr(s"(doc_id DIV $m) % 3") === slice), 2, 2)
+    }
+    val night3Keys = ofCls(_ === 3L)
+    def filesByGen(): Map[String, Int] = {
+      val s = java.nio.file.Files.list(store)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("gen="))
+        .map { p =>
+          val l = java.nio.file.Files.list(p)
+          val n = try l.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+          finally l.close()
+          p.getFileName.toString -> n
+        }.toMap
+      finally s.close()
+    }
+    def gen0Evidence(): Set[(String, Long)] = {
+      val l = java.nio.file.Files.list(store.resolve("gen=0"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, java.nio.file.Files.size(p))).toSet
+      finally l.close()
+    }
+    // truth gate: pairs with a night-3 member whose partner is visible —
+    // constant through S0-S2 (compaction moves files, never visibility)
+    def truthAt(stage: Int): DataFrame =
+      if (stage < 3) truthAll.filter(
+        (clsOf(col("doc_a")) === 3L && clsOf(col("doc_b")) =!= 3L) ||
+          (clsOf(col("doc_b")) === 3L && clsOf(col("doc_a")) =!= 3L))
+      else truthAll.filter(clsOf(col("doc_a")) === 3L || clsOf(col("doc_b")) === 3L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long, Long)]
+    val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val filesAt = scala.collection.mutable.Map.empty[Int, Map[String, Int]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store.toString)
+        .select(col("doc_id"), col("band"), col("band_key"))
+      val cand = night3Keys.as("a").join(back.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+      val ts = truthAt(stage)
+      val hits = verified.join(broadcast(ts), Seq("doc_a", "doc_b"))
+      val r = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
+        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+        .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .collect()(0)
+      out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
+      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
+      filesAt(stage) = filesByGen()
+    }
+    serve(0)
+    val gen0Before = gen0Evidence()
+    // WRITE-then-drop: the consolidated generation lands while its
+    // sources still serve — content from the CACHED frame
+    val consolidated = ofCls(c => c.isin(1L, 2L))
+    val rewritten = consolidated.count()
+    land(consolidated, 10, 2)
+    serve(1)
+    graft.Fs.rmTree(store.resolve("gen=1"))
+    graft.Fs.rmTree(store.resolve("gen=2"))
+    serve(2)
+    val gen0After = gen0Evidence()
+    land(ofCls(_ === 3L), 3, 2)
+    serve(3)
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_rows", "n_distinct", "n_lookups",
+        "n_candidates", "n_true", "n_hit")
+      .select(col("stage"), col("n_rows"), col("n_distinct"), col("n_lookups"),
+        col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / greatest(col("n_candidates"), lit(1L)) + 1e-9, 6).as("prec"),
+        round(col("n_hit").cast("double") / greatest(col("n_true"), lit(1L)) + 1e-9, 6).as("rec"))
+      .orderBy(col("stage"))
+    (df, IndexCompactDetail(hitPairs.toMap, filesAt.toMap, gen0Before, gen0After, rewritten))
+  }
+
+  val dedupIndexCompactSql: String = {
+    val m = IncCalMod
+    // visible DISTINCT membership: cls ≠ 3 through S0-S2, everything at S3
+    def vis(s: Int, c: String): String =
+      if (s < 3) s"$c % $m <> 3" else "TRUE"
+    def truthPred(s: Int): String =
+      if (s < 3) s"(doc_a % $m = 3 AND doc_b % $m <> 3) OR (doc_b % $m = 3 AND doc_a % $m <> 3)"
+      else s"doc_a % $m = 3 OR doc_b % $m = 3"
+    // S0-S2 share one candidate set (distinct membership constant);
+    // S3 gets its own
+    def candCte(tag: String, s: Int): String =
+      s"""dcm_c$tag AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM (SELECT * FROM mp_base WHERE doc_id % $m = 3) a
+         |  JOIN (SELECT * FROM mp_base WHERE ${vis(s, "doc_id")}) b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+         |dcm_v$tag AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM dcm_c$tag c JOIN dcm_s5 sa ON sa.doc_id = c.doc_a JOIN dcm_s5 sb ON sb.doc_id = c.doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 5
+         |    >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 3)""".stripMargin
+    // n_rows per stage: S1 carries gens 1/2 twice; S3 adds gen 3
+    def nRows(s: Int): String = s match {
+      case 0 | 2 => s"SELECT count(*) FROM mp_base WHERE doc_id % $m <> 3"
+      case 1 => s"SELECT count(*) + (SELECT count(*) FROM mp_base WHERE doc_id % $m IN (1, 2)) FROM mp_base WHERE doc_id % $m <> 3"
+      case 3 => "SELECT count(*) FROM mp_base"
+    }
+    def gradeRow(s: Int, tag: String): String =
+      s"""  SELECT CAST($s AS BIGINT) AS stage,
+         |    (${nRows(s)}) AS n_rows,
+         |    (SELECT count(*) FROM mp_base WHERE ${vis(s, "doc_id")}) AS n_distinct,
+         |    (SELECT count(*) FROM mp_base WHERE doc_id % $m = 3) AS n_lookups,
+         |    (SELECT count(*) FROM dcm_c$tag) AS n_candidates,
+         |    (SELECT count(*) FROM truth WHERE ${truthPred(s)}) AS n_true,
+         |    (SELECT count(*) FROM dcm_v$tag v JOIN truth t USING (doc_a, doc_b) WHERE ${truthPred(s)}) AS n_hit""".stripMargin
+    s"""WITH $mpChainSql,
+       |dcm_s5 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-3), i ->
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+       |  FROM mp_d),
+       |${candCte("a", 0)},
+       |${candCte("b", 3)},
+       |dcm_g AS (
+       |${Seq(gradeRow(0, "a"), gradeRow(1, "a"), gradeRow(2, "a"), gradeRow(3, "b"))
+           .mkString("\n  UNION ALL\n")})
+       |SELECT stage, n_rows, n_distinct, n_lookups, n_candidates, n_true, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_candidates, 1) + 0.000000001, 6) AS prec,
+       |  round(CAST(n_hit AS DOUBLE) / greatest(n_true, 1) + 0.000000001, 6) AS rec
+       |FROM dcm_g ORDER BY stage""".stripMargin
+  }
+
   val dedupIndexCalendarSql: String = {
     val m = IncCalMod
     def idxCls(n: Int): String = s"doc_id % $m NOT IN (${(n to 3).mkString(", ")})"

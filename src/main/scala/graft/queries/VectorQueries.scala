@@ -5380,6 +5380,193 @@ object VectorQueries {
        |ORDER BY stage, q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- №216 knn_store_compact
+  /** Diagnostics behind [[knnStoreCompact]]: served top-k pairs per
+    * stage, the touched cells, the consolidation bill, per-cell parquet
+    * file counts at each checkpoint, and the untouched cells' (name,
+    * size) file evidence before/after. */
+  private[graft] final case class StoreCompactDetail(
+      topk: Map[Int, Set[(Long, Long)]],
+      touchedCells: Set[Long],
+      rewrittenRows: Long,
+      filesByCell: Map[Int, Map[Long, Int]],
+      untouchedBefore: Set[(String, Long)],
+      untouchedAfter: Set[(String, Long)])
+
+  /** COMPACT THE SERVING VECTOR STORE — the fifth file-lifecycle leg
+    * (calendar / retention / delete / backfill / COMPACTION) mirrored
+    * onto the vector side, closing the matrix on both stores: nightly
+    * appends leave each touched CELL as a spray of small parquet files
+    * (№184's streaming ingest writes one file per micro-batch per cell),
+    * and at 100 TB a serve's cost goes footer-bound before it goes
+    * byte-bound. Compaction consolidates each touched cell's files into
+    * one, in the OBJECT-STORE-SAFE commit order — append the
+    * consolidated file FIRST (content derived from the CACHED assignment
+    * frames, never read-then-overwrite of the live path), serve through
+    * the overlap, THEN delete the snapshotted old files:
+    *   S0  pre-compaction — the arrival night landed as 3 small appends;
+    *       baseline serve
+    *   S1  MID-compaction — old and consolidated files both visible:
+    *       `n_rows` inflates by exactly the touched cells' content while
+    *       `n_distinct` and the served top-k DO NOT MOVE (the candidate
+    *       frame dedups on (q_id, vec_id, cos) before ranking — №199's
+    *       at-least-once tolerance is precisely what makes lock-free
+    *       write-then-delete compaction safe for readers)
+    *   S2  post-delete — censuses restored, each touched cell is ONE
+    *       file, untouched cells' files BIT-IDENTICAL ((name, size)
+    *       evidence in the spec), top-k still identical
+    * Reference analogue: HBase minor compaction under scan-consistent
+    * reads (app/batch/HBaseReader.kt never sees a half-compacted row).
+    * Oracle: closed-form multiset memberships (S1 = store ∪ touched
+    * cells' content again). At 100 TB: the consolidation job reads
+    * exactly the touched cells' rows, the delete is metadata, probes
+    * never change, and the serve never pauses. */
+  def knnStoreCompact(spark: SparkSession, dir: String): DataFrame =
+    knnStoreCompactDetail(spark, dir)._1
+
+  private[graft] def knnStoreCompactDetail(
+      spark: SparkSession, dir: String): (DataFrame, StoreCompactDetail) = {
+    val v = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = v.filter(col("vec_id") >= NQueries)
+    val arrivals = corpus.filter(col("vec_id") % CalMod === 1L)
+    val base = corpus.filter(col("vec_id") % CalMod =!= 1L)
+    val cent = refinedCentroids(spark, base, Centroids)
+    val baseA = graft.CacheRegistry.track(
+      cellsOf(base, cent).select(col("vec_id"), col("emb"), col("cell")).persist())
+    val arrA = graft.CacheRegistry.track(
+      cellsOf(arrivals, cent).select(col("vec_id"), col("emb"), col("cell")).persist())
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stores", s"graft_storecmp_${dirKey(dir)}").toString
+    landStore(store, baseA)
+    // the small-files storm: the night lands as 3 micro-batch-shaped
+    // appends — each touched cell accumulates one file per append
+    (0L to 2L).foreach { slice =>
+      byCell(arrA.filter(expr(s"(vec_id DIV $CalMod) % 3") === slice))
+        .write.partitionBy("cell").mode("append").parquet(store)
+    }
+    val probes = graft.CacheRegistry.track(queries.join(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("c_id"), cosine6(col("q_emb"), col("c_emb")).as("qcos"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.TopKByScore.topK(col("qcos"), col("c_id"), Probe).as("top"))
+      .select(col("q_id"), col("q_emb"), explode(col("top.id")).as("cell"))
+      .persist())
+    val touched = arrA.select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    def cellFiles(c: Long): Seq[java.nio.file.Path] = {
+      val d = java.nio.file.Paths.get(store, s"cell=$c")
+      if (!java.nio.file.Files.isDirectory(d)) return Seq.empty
+      val l = java.nio.file.Files.list(d)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+      finally l.close()
+    }
+    def allCells(): Seq[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("cell="))
+        .map(_.getFileName.toString.stripPrefix("cell=").toLong).toVector
+      finally s.close()
+    }
+    def filesByCell(): Map[Long, Int] = allCells().map(c => c -> cellFiles(c).size).toMap
+    def untouchedEvidence(): Set[(String, Long)] =
+      allCells().filterNot(touched).flatMap(c => cellFiles(c).map(p =>
+        (s"cell=$c/${p.getFileName}", java.nio.file.Files.size(p)))).toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
+    val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
+    val filesAt = scala.collection.mutable.Map.empty[Int, Map[Long, Int]]
+    def serve(stage: Int): Unit = {
+      val back = spark.read.parquet(store)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+      val scored = back.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+        .distinct()
+      val census = back.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_distinct"))
+      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+        .crossJoin(broadcast(census)).collect()
+      served.foreach(r =>
+        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+      topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      filesAt(stage) = filesByCell()
+    }
+    serve(0)
+    val untouchedBefore = untouchedEvidence()
+    // snapshot the doomed files BEFORE the consolidated append lands
+    val oldFiles = touched.toSeq.flatMap(cellFiles)
+    // WRITE-then-delete: the consolidated per-cell files land while the
+    // old ones still serve — content from the CACHED frames
+    val consolidated = baseA.filter(col("cell").isin(touched.toSeq.map(Long.box): _*))
+      .unionAll(arrA)
+    val rewritten = consolidated.count()
+    byCell(consolidated).write.partitionBy("cell").mode("append").parquet(store)
+    serve(1)
+    oldFiles.foreach(java.nio.file.Files.delete)
+    serve(2)
+    val untouchedAfter = untouchedEvidence()
+    import spark.implicits._
+    val df = out.toSeq
+      .toDF("stage", "n_rows", "n_distinct", "q_id", "rank", "vec_id", "cos")
+      .orderBy(col("stage"), col("q_id"), col("rank"))
+    (df, StoreCompactDetail(topk.toMap, touched, rewritten, filesAt.toMap,
+      untouchedBefore, untouchedAfter))
+  }
+
+  val knnStoreCompactSql: String = {
+    def assign(src: String, cent: String): String =
+      s"""SELECT vec_id, c_id AS cell FROM (
+         |    SELECT a.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${cos6Sql("a.emb", "c.c_emb")} DESC, c.c_id) AS r
+         |    FROM $src a, $cent c) x WHERE r = 1""".stripMargin
+    def searchCte(s: Int): String =
+      s"""scp_cand$s AS (
+         |  SELECT DISTINCT p.q_id, e.vec_id, ${cos6Sql("e.emb", "p.q_emb")} AS cos
+         |  FROM scp_mem$s e JOIN scp_p p USING (cell)),
+         |scp_r$s AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scp_cand$s),
+         |scp_cnt$s AS (
+         |  SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_distinct
+         |  FROM scp_mem$s)""".stripMargin
+    def stageSelect(s: Int): String =
+      s"""SELECT CAST($s AS BIGINT) AS stage, c.n_rows, c.n_distinct, r.q_id, r.rank, r.vec_id, r.cos
+         |FROM scp_r$s r, scp_cnt$s c WHERE r.rank <= $K""".stripMargin
+    val clean = """SELECT vec_id, emb, cell FROM scp_j
+      |  UNION ALL SELECT a.vec_id, a.emb, ja.cell FROM scp_a a JOIN scp_aj ja USING (vec_id)""".stripMargin
+    // S1: the consolidated files next to the old ones — the touched
+    // cells' FULL content appears twice (multiset membership)
+    val mems = Seq(
+      s"scp_mem0 AS ($clean)",
+      s"""scp_mem1 AS ($clean
+         |  UNION ALL SELECT m.* FROM ($clean) m
+         |  WHERE m.cell IN (SELECT DISTINCT cell FROM scp_aj))""".stripMargin,
+      s"scp_mem2 AS ($clean)")
+    s"""WITH scp_v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+       |scp_q AS (SELECT vec_id AS q_id, emb AS q_emb FROM scp_v WHERE vec_id < $NQueries),
+       |scp_c AS (SELECT vec_id, emb FROM scp_v WHERE vec_id >= $NQueries),
+       |scp_b AS (SELECT vec_id, emb FROM scp_c WHERE vec_id % $CalMod <> 1),
+       |scp_a AS (SELECT vec_id, emb FROM scp_c WHERE vec_id % $CalMod = 1),
+       |${refinedCentSql("scp_b", "scp0")},
+       |scp_jb AS (${assign("scp_b", "scp0cent")}),
+       |scp_j AS (
+       |  SELECT b.vec_id, b.emb, jb.cell FROM scp_b b JOIN scp_jb jb USING (vec_id)),
+       |scp_aj AS (${assign("scp_a", "scp0cent")}),
+       |scp_p AS (
+       |  SELECT q_id, q_emb, c_id AS cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cos6Sql("q.q_emb", "c.c_emb")} DESC, c.c_id) AS prank
+       |    FROM scp_q q, scp0cent c) x WHERE prank <= $Probe),
+       |${mems.mkString(",\n")},
+       |${(0 to 2).map(searchCte).mkString(",\n")}
+       |${(0 to 2).map(stageSelect).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, q_id, rank""".stripMargin
+  }
+
   val knnStoreRetentionSql: String = {
     def member(w: Int): String = w match {
       case 3 => "TRUE"
