@@ -47,7 +47,9 @@ object StreamNight {
     * read-back vector store (r14 verdict item 1 — the spec's invariants
     * as executor-side aggregates, never an O(store) id collect):
     *  - `dupsVisible`: store rows in the cumulative dup-manifest set
-    *    after batch b (left-semi count — must be 0 always);
+    *    after batch b (must be 0 always) — billed on the SAME store scan
+    *    as the serve census via a broadcast dup-flag join, not a second
+    *    pass over the store;
     *  - `unlanded`: previous-serve store files missing from the current
     *    file set (path-set containment over the snapshotted listing —
     *    must be 0: a completed batch never un-lands). The vector store
@@ -175,24 +177,33 @@ object StreamNight {
                 aggregate(zip_with(col("emb_arr"), col("q_emb"), (x, y) => x * y), lit(0L), (acc, p) => acc + p)
                   .cast("double") /
                   (sqrt(col("norm_sq").cast("double")) * sqrt(col("q_norm").cast("double"))), 6).as("cos"))
-          val census = ixBack2.agg(count(lit(1)).as("n_index_rows"))
-            .crossJoin(broadcast(vBack.agg(count(lit(1)).as("n_vecs"))))
-          graft.plans.GroupedTopK.rankedTopK(scored, "q_id", "cos", "doc_id", K)
-            .crossJoin(broadcast(census)).collect().foreach(r =>
-              results += ((id, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_vecs"),
-                dropped, r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
-                r.getAs[Long]("doc_id"), r.getAs[Double]("cos"))))
-          dups(id) = dupFiles.collect().map(_.getLong(0)).toSet // batch-bounded
-          // Census DISTRIBUTIVELY (r14 verdict 1): cumulative dup set
-          // never reaches the store (left-semi count over the read-back —
-          // the dup side is batch-bounded, so this is a broadcast probe),
-          // and no file from the previous serve's snapshot left the
+          // Census DISTRIBUTIVELY (r14 verdict 1), and in ONE store scan
+          // (r15 frontier 3): the cumulative dup-manifest set is
+          // batch-bounded, so it rides the census aggregation as a
+          // broadcast left join — sum(dup flag) over the same vBack pass
+          // that counts n_vecs replaces the former separate left-semi
+          // pass over the store. The other invariant stays at metadata
+          // price: no file from the previous serve's snapshot left the
           // store (path containment — the store is append-only and
           // parquet files immutable, so file containment IS doc
-          // containment, at directory-listing price)
+          // containment, at directory-listing price).
           dupFrames += dupFiles
-          dupsVisible(id) =
-            vBack.join(dupFrames.reduce(_ unionAll _), Seq("doc_id"), "left_semi").count()
+          val dupAll = dupFrames.reduce(_ unionAll _)
+            .select(col("doc_id")).distinct().withColumn("is_dup", lit(1L))
+          val census = ixBack2.agg(count(lit(1)).as("n_index_rows"))
+            .crossJoin(broadcast(
+              vBack.join(broadcast(dupAll), Seq("doc_id"), "left")
+                .agg(count(lit(1)).as("n_vecs"),
+                  sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_visible"))))
+          val servedRows = graft.plans.GroupedTopK.rankedTopK(scored, "q_id", "cos", "doc_id", K)
+            .crossJoin(broadcast(census)).collect()
+          servedRows.foreach(r =>
+            results += ((id, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_vecs"),
+              dropped, r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+              r.getAs[Long]("doc_id"), r.getAs[Double]("cos"))))
+          dups(id) = dupFiles.collect().map(_.getLong(0)).toSet // batch-bounded
+          dupsVisible(id) = servedRows.headOption
+            .map(_.getAs[Long]("n_dup_visible")).getOrElse(0L)
           val curFiles = vecFiles().toSet
           unlanded(id) = prevVecFiles.count(!curFiles.contains(_)).toLong
           prevVecFiles = curFiles.toVector
