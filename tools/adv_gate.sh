@@ -13,7 +13,16 @@ OUT="${2:-/tmp/graft_adv_gate}"
 FAMILIES=(dedup_ngram_jaccard dedup_minhash dedup_minhash_capped
   dedup_minhash_multiprobe dedup_multiprobe_ranked dedup_multiprobe_dfrank
   dedup_simhash_multiprobe dedup_pipeline_mp dedup_pipeline_mp_budget
-  dedup_pipeline_smp dedup_recall knn_ivf knn_ivf_pq knn_recall)
+  dedup_pipeline_smp dedup_recall knn_ivf knn_ivf_pq knn_recall
+  # text-analysis / sketch / BPE / packing / curation rows (r15 frontier
+  # 1 residual): heavy-tail token bodies and the template cluster stress
+  # token counting, quality ratios, sketch accuracy and bin packing too
+  token_count lang_id quality_score doc_fingerprint token_histogram
+  heavy_hitters length_quantiles source_quantiles distinct_sketch
+  vocab_growth freq_estimate quantile_sketch bpe_pairs bpe_train
+  bpe_encode bpe_fertility sequence_pack tokenize_pack sequence_manifest
+  sequence_shuffle gopher_filter doc_repetition doc_chunk line_dedup
+  corpus_stats text_normalize)
 DIR=$(SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" tools/run.sh graft.AdversarialCorpus "$N" 2>/dev/null | tail -1)
 echo "corpus: $DIR"
 rm -rf "$OUT"
