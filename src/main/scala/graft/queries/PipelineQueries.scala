@@ -1370,6 +1370,138 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- №219 pack_increment
+  /** Arrival-batch residue: docs with doc_id % 5 = 2 arrive AFTER the base
+    * pack (hits every bin — the residue is coprime-spread across the
+    * doc_id % [[PackBins]] bins). */
+  val IncArrMod = 5L
+  val IncArrRes = 2L
+
+  /** INCREMENTAL SEQUENCE PACKING (№219) — the packing-side increment the
+    * batch pack (№55) stops short of: when an arrival batch lands, a full
+    * repack re-orders the union by md5(doc_id) and RE-CUTS nearly every
+    * sequence (the hash order interleaves arrivals everywhere) — at 100 TB
+    * that dirties every already-written training shard (№68/№218's files)
+    * for a nightly trickle. The incremental discipline instead appends
+    * arrivals at each bin's TAIL: per bin, arrivals take the №55 hash
+    * order AMONG THEMSELVES with offsets continuing from the bin's base
+    * token total, so every base sequence's accounting is IMMOBILE except
+    * the one boundary sequence per bin the first arrival tokens top up
+    * (≤ [[PackBins]] extended sequences, however big the corpus or the
+    * batch — PackIncrementSpec pins ≤1 per bin and byte-equality of the
+    * immobile rows against the pure-base pack).
+    *
+    * The alternative is BILLED, not taken: `n_repack_moved` counts the
+    * (bin, seq_id) keys whose (n_docs, n_tokens) accounting differs
+    * between the incremental result and the canonical full repack —
+    * measured 98 vs 8 extended at sf0.01 and 1054 vs 8 at sf0.1, the
+    * 12-130× write amplification the tail-append avoids. The cost of the
+    * discipline is packing-order drift from the canonical hash order
+    * (arrivals cluster at bin tails instead of interleaving) — visible in
+    * the same dial, reversible by a scheduled full repack (№117's
+    * compaction slot).
+    *
+    * Scale shape: base offsets = №55's per-bin windows over the base;
+    * arrival offsets = the same window over the batch plus a
+    * bins-sized (broadcast) base-total join; one union, one (bin, seq)
+    * hash agg; the repack dial is a second №55 pass + a key-wise
+    * full-outer compare — no global sort anywhere.
+    *
+    * Output: per-sequence accounting (bin, seq_id, n_docs, n_tokens,
+    * n_spanning, phase ∈ immobile|extended|new) + the bill
+    * (n_immobile, n_extended, n_new, n_repack_moved) on every row. */
+  def packIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        size(words($"text")).cast("long").as("n_tok"),
+        (pmod($"doc_id", lit(IncArrMod)) === IncArrRes).as("arr"))
+      .persist())
+    val baseOff = d.filter(!$"arr")
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .select($"bin", $"n_tok", $"arr", $"start_off")
+    // bins-sized totals — a bin with no base docs still packs its arrivals
+    val binTot = d.filter(!$"arr").groupBy($"bin")
+      .agg(sum($"n_tok").as("base_tot"))
+    val arrOff = d.filter($"arr")
+      .withColumn("boff", sum($"n_tok").over(w) - $"n_tok")
+      .join(broadcast(binTot), Seq("bin"), "left")
+      .select($"bin", $"n_tok", $"arr",
+        (coalesce($"base_tot", lit(0L)) + $"boff").as("start_off"))
+    val inc = graft.CacheRegistry.track(baseOff.unionAll(arrOff)
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .withColumn("spans", expr(s"start_off DIV $SeqLen <> (start_off + n_tok - 1) DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum(when($"spans", 1L).otherwise(0L)).as("n_spanning"),
+        min($"arr").as("all_arr"), max($"arr").as("any_arr"))
+      .withColumn("phase", when($"all_arr", "new")
+        .when($"any_arr", "extended").otherwise("immobile"))
+      .select($"bin", $"seq_id", $"n_docs", $"n_tokens", $"n_spanning", $"phase")
+      .persist())
+    val repack = packedSeqs(spark, dir)
+      .select($"bin", $"seq_id", $"n_docs".as("f_docs"), $"n_tokens".as("f_tokens"))
+    val moved = inc.join(repack, Seq("bin", "seq_id"), "full_outer")
+      .filter(!($"n_docs" <=> $"f_docs") || !($"n_tokens" <=> $"f_tokens"))
+      .agg(count(lit(1)).as("n_repack_moved"))
+    val bill = inc.agg(
+        sum(when($"phase" === "immobile", 1L).otherwise(0L)).as("n_immobile"),
+        sum(when($"phase" === "extended", 1L).otherwise(0L)).as("n_extended"),
+        sum(when($"phase" === "new", 1L).otherwise(0L)).as("n_new"))
+      .crossJoin(broadcast(moved))
+    inc.crossJoin(broadcast(bill)).orderBy($"bin", $"seq_id")
+  }
+
+  val packIncrementSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok,
+       |    doc_id % $IncArrMod = $IncArrRes AS arr
+       |  FROM documents),
+       |bo AS (
+       |  SELECT bin, n_tok, arr,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d WHERE NOT arr),
+       |bt AS (SELECT bin, CAST(sum(n_tok) AS BIGINT) AS base_tot FROM d WHERE NOT arr GROUP BY bin),
+       |ao AS (
+       |  SELECT d.bin, d.n_tok, d.arr,
+       |    coalesce(bt.base_tot, 0) +
+       |      CAST(sum(d.n_tok) OVER (PARTITION BY d.bin ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+       |                              ROWS UNBOUNDED PRECEDING) - d.n_tok AS BIGINT) AS start_off
+       |  FROM d LEFT JOIN bt USING (bin) WHERE d.arr),
+       |u AS (SELECT * FROM bo UNION ALL SELECT * FROM ao),
+       |inc AS (
+       |  SELECT bin, start_off // $SeqLen AS seq_id, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) FILTER (WHERE start_off // $SeqLen <> (start_off + n_tok - 1) // $SeqLen) AS BIGINT) AS n_spanning,
+       |    CASE WHEN bool_and(arr) THEN 'new' WHEN bool_or(arr) THEN 'extended' ELSE 'immobile' END AS phase
+       |  FROM u GROUP BY bin, start_off // $SeqLen),
+       |fo AS (
+       |  SELECT bin, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d),
+       |fseq AS (
+       |  SELECT bin, start_off // $SeqLen AS seq_id, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM fo GROUP BY bin, start_off // $SeqLen),
+       |bill AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM inc WHERE phase = 'immobile') AS BIGINT) AS n_immobile,
+       |    CAST((SELECT count(*) FROM inc WHERE phase = 'extended') AS BIGINT) AS n_extended,
+       |    CAST((SELECT count(*) FROM inc WHERE phase = 'new') AS BIGINT) AS n_new,
+       |    CAST((SELECT count(*) FROM inc FULL JOIN fseq USING (bin, seq_id)
+       |          WHERE inc.n_docs IS DISTINCT FROM fseq.n_docs
+       |             OR inc.n_tokens IS DISTINCT FROM fseq.n_tokens) AS BIGINT) AS n_repack_moved)
+       |SELECT inc.bin, inc.seq_id, inc.n_docs, inc.n_tokens, inc.n_spanning, inc.phase,
+       |  bill.n_immobile, bill.n_extended, bill.n_new, bill.n_repack_moved
+       |FROM inc CROSS JOIN bill
+       |ORDER BY bin, seq_id""".stripMargin
+
   val sourceDriftSql: String =
     """WITH sb AS (
       |  SELECT source, least(9, n_chars // 60) AS bin, count(*) AS c
