@@ -72,7 +72,8 @@ object TrainShardSink {
   private[graft] def writePartitionBody(
       rows: Iterator[(Int, String)], root: String, nShards: Int,
       codec: SnapshotCodec,
-      confEntries: Array[(String, String)]): Iterator[(String, Long, Long)] = {
+      confEntries: Array[(String, String)],
+      nameOf: (Int, Int) => String = shardFile): Iterator[(String, Long, Long)] = {
         if (rows.isEmpty) Iterator.empty
         else {
           val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -100,7 +101,7 @@ object TrainShardSink {
           var n = 0L; var bytes = 0L
           def closeCurrent(): Unit = if (cur >= 0) {
             gz.close()
-            val name = shardFile(cur, nShards)
+            val name = nameOf(cur, nShards)
             val t = new Path(tmpOf(name)); val f = new Path(finalOf(name))
             if (!fs.rename(t, f)) {
               // duplicate attempt won with identical bytes — drop ours
@@ -114,7 +115,7 @@ object TrainShardSink {
               if (shard != cur) {
                 closeCurrent()
                 gz = codec.compress(new java.io.BufferedOutputStream(
-                  fs.create(new Path(tmpOf(shardFile(shard, nShards))), true), 65536))
+                  fs.create(new Path(tmpOf(nameOf(shard, nShards))), true), 65536))
                 cur = shard; n = 0L; bytes = 0L
               }
               val b = (line + "\n").getBytes("UTF-8")

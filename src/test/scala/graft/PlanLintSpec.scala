@@ -90,7 +90,8 @@ class PlanLintSpec extends SparkSpec {
       "dedup_pipeline_smp", // same loop under the simhash multiprobe mode
       "stream_serve_search_files", // file-backed ingest+serve replay runs on build
       "dedup_incremental_minhash", // writes the bucketed signature index on build
-      "shard_forget") // writes + rewrites the gzip shard files on build
+      "shard_forget", // writes + rewrites the gzip shard files on build
+      "shard_increment") // writes both shard generations on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
