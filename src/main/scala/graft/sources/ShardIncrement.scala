@@ -147,7 +147,8 @@ object ShardIncrement {
     * streaming tmp+rename task body — finals are NEW names, so the commit
     * is a plain first-writer rename. */
   private[graft] def writeGen1(lines: DataFrame, root: String,
-                               nShards: Int = Shards): Unit = {
+                               nShards: Int = Shards,
+                               nameOf: (Int, Int) => String = gen1File): Unit = {
     val spark = lines.sparkSession
     import spark.implicits._
     val hc = spark.sparkContext.hadoopConfiguration
@@ -163,7 +164,7 @@ object ShardIncrement {
       .select(col("shard"), col("line"))
       .as[(Int, String)]
       .mapPartitions(rows => TrainShardSink.writePartitionBody(
-        rows, root, nShards, GzipSnapshotCodec, confEntries, gen1File))
+        rows, root, nShards, GzipSnapshotCodec, confEntries, nameOf))
       .collect() // eager: the side-effecting write must run exactly once
     ()
   }

@@ -91,7 +91,8 @@ class PlanLintSpec extends SparkSpec {
       "stream_serve_search_files", // file-backed ingest+serve replay runs on build
       "dedup_incremental_minhash", // writes the bucketed signature index on build
       "shard_forget", // writes + rewrites the gzip shard files on build
-      "shard_increment") // writes both shard generations on build
+      "shard_increment", // writes both shard generations on build
+      "stream_shard") // streaming replay over the shard generations runs on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>
