@@ -92,7 +92,8 @@ class PlanLintSpec extends SparkSpec {
       "dedup_incremental_minhash", // writes the bucketed signature index on build
       "shard_forget", // writes + rewrites the gzip shard files on build
       "shard_increment", // writes both shard generations on build
-      "stream_shard") // streaming replay over the shard generations runs on build
+      "stream_shard", // streaming replay over the shard generations runs on build
+      "shard_compact") // writes, consolidates and deletes the generations on build
 
   test("no accidental cartesians / nested-loop joins across all queries") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -22,7 +22,8 @@ FAMILIES=(dedup_ngram_jaccard dedup_minhash dedup_minhash_capped
   vocab_growth freq_estimate quantile_sketch bpe_pairs bpe_train
   bpe_encode bpe_fertility sequence_pack tokenize_pack sequence_manifest
   sequence_shuffle gopher_filter doc_repetition doc_chunk line_dedup
-  corpus_stats text_normalize shard_forget pack_increment shard_increment)
+  corpus_stats text_normalize shard_forget pack_increment shard_increment
+  shard_compact stream_shard)
 DIR=$(SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" tools/run.sh graft.AdversarialCorpus "$N" 2>/dev/null | tail -1)
 echo "corpus: $DIR"
 rm -rf "$OUT"
