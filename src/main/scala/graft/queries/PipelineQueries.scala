@@ -1502,6 +1502,129 @@ object PipelineQueries {
        |FROM inc CROSS JOIN bill
        |ORDER BY bin, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------- №223 epoch_resume
+  /** CRASH RESUME + NEXT-EPOCH RESHUFFLE (№223) — the loader-side
+    * contract that makes №68's shard layout operable: a training run dies
+    * mid-epoch leaving one checkpoint per data-parallel shard (the last
+    * consumed pos — positions are consumption order by construction), and
+    * resume must produce EXACTLY the unconsumed remainder: no repeats (a
+    * repeated sequence double-trains), no skips (a skipped one never
+    * trains). Because positions are per-shard monotone, resume is ONE
+    * predicate per shard (pos > ckpt) — metadata-priced, no global state,
+    * no re-read of consumed bytes. The checkpoint vector here is
+    * deterministic mixed progress (shard s consumed ⌊max_pos·(s%4)/4⌋ —
+    * shards at 0/25/50/75%), so the drill covers untouched, part-read and
+    * nearly-done shards at once.
+    *
+    * The second leg is the NEXT epoch: re-consuming in the same order
+    * correlates gradient noise across epochs, so epoch e+1 re-deals every
+    * sequence by the EPOCH-SEEDED hash (md5(bin:seq:e)) — same multiset,
+    * decorrelated order, still run-reproducible (№67's discipline with
+    * the epoch in the key). Decorrelation is MEASURED, not asserted:
+    * `n_moved_shards` counts sequences whose shard changed between epochs
+    * (≈ (Shards−1)/Shards of the corpus — 109/113 at sf0.001).
+    *
+    * At 100 TB: the remainder filter is per-shard and pushes to the scan;
+    * the reshuffle is one hash projection + per-shard windows (№67's
+    * no-global-sort shape); the checkpoint vector is shard-count-sized.
+    *
+    * Output: (epoch, shard, pos, bin, seq_id, n_tokens) — epoch 0 = the
+    * remainder at ORIGINAL positions, epoch 1 = the full multiset at the
+    * re-dealt positions — plus (n_consumed, n_remaining, n_moved_shards). */
+  val ResumeShards = 16
+
+  def epochResume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val SH = ResumeShards
+    val w = Window.partitionBy($"bin")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqs = graft.CacheRegistry.track(Tables(spark, dir).documents
+      .select($"doc_id", pmod($"doc_id", lit(PackBins)).as("bin"),
+        size(words($"text")).cast("long").as("n_tok"))
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .withColumn("seq_id", expr(s"start_off DIV $SeqLen"))
+      .groupBy($"bin", $"seq_id").agg(sum($"n_tok").as("n_tokens"))
+      .persist())
+    def dealt(epochSuffix: String): DataFrame = seqs
+      .withColumn("hk", md5(concat($"bin".cast("string"), lit(":"),
+        $"seq_id".cast("string"), lit(epochSuffix))))
+      .withColumn("shard",
+        pmod(conv(substring($"hk", 1, 8), 16, 10).cast("long"), lit(SH)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"hk", $"bin", $"seq_id")).cast("long"))
+      .select($"shard", $"pos", $"bin", $"seq_id", $"n_tokens")
+    val l0 = graft.CacheRegistry.track(dealt("").persist())
+    val l1 = dealt(":e1")
+    // one checkpoint per shard — the loader's whole recovery state
+    val ck = l0.groupBy($"shard")
+      .agg((max($"pos") * pmod($"shard", lit(4)).cast("long") / lit(4L))
+        .cast("long").as("ckpt"))
+    val rem = l0.join(broadcast(ck), Seq("shard")).filter($"pos" > $"ckpt")
+      .select($"shard", $"pos", $"bin", $"seq_id", $"n_tokens")
+    val bill = rem.agg(count(lit(1)).as("n_remaining"))
+      .crossJoin(broadcast(l0.agg(count(lit(1)).as("n_lines"))))
+      .crossJoin(broadcast(
+        l0.as("a").join(l1.as("b"), Seq("bin", "seq_id"))
+          .filter($"a.shard" =!= $"b.shard")
+          .agg(count(lit(1)).as("n_moved_shards"))))
+      .select(($"n_lines" - $"n_remaining").as("n_consumed"),
+        $"n_remaining", $"n_moved_shards")
+    rem.withColumn("epoch", lit(0L))
+      .unionAll(l1.withColumn("epoch", lit(1L)))
+      .crossJoin(broadcast(bill))
+      .select($"epoch", $"shard", $"pos", $"bin", $"seq_id", $"n_tokens",
+        $"n_consumed", $"n_remaining", $"n_moved_shards")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  val epochResumeSql: String = {
+    val SH = ResumeShards
+    val hex8 = "CAST(list_sum(list_transform(range(1, 9), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(hk, CAST(i AS INT), 1)) - 1 AS BIGINT) << (4 * (8 - CAST(i AS INT))))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % $PackBins AS bin,
+       |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, bin, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+       |  FROM d),
+       |s AS (
+       |  SELECT bin, start_off // $SeqLen AS seq_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM o GROUP BY 1, 2),
+       |h0 AS (SELECT *, md5(CAST(bin AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)) AS hk FROM s),
+       |l0 AS (
+       |  SELECT CAST($hex8 % $SH AS INT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY $hex8 % $SH ORDER BY hk, bin, seq_id) AS BIGINT) AS pos,
+       |    bin, seq_id, n_tokens
+       |  FROM h0),
+       |h1 AS (SELECT bin, seq_id, n_tokens,
+       |  md5(CAST(bin AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':e1') AS hk FROM s),
+       |l1 AS (
+       |  SELECT CAST($hex8 % $SH AS INT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY $hex8 % $SH ORDER BY hk, bin, seq_id) AS BIGINT) AS pos,
+       |    bin, seq_id, n_tokens
+       |  FROM h1),
+       |ck AS (SELECT shard, max(pos) * (shard % 4) // 4 AS ckpt FROM l0 GROUP BY shard),
+       |rem AS (SELECT l0.* FROM l0 JOIN ck USING (shard) WHERE pos > ckpt),
+       |bill AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM l0) - (SELECT count(*) FROM rem) AS BIGINT) AS n_consumed,
+       |    CAST((SELECT count(*) FROM rem) AS BIGINT) AS n_remaining,
+       |    CAST((SELECT count(*) FROM l0 JOIN l1 USING (bin, seq_id)
+       |          WHERE l0.shard <> l1.shard) AS BIGINT) AS n_moved_shards)
+       |SELECT x.epoch, x.shard, x.pos, x.bin, x.seq_id, x.n_tokens,
+       |  bill.n_consumed, bill.n_remaining, bill.n_moved_shards
+       |FROM (
+       |  SELECT CAST(0 AS BIGINT) AS epoch, * FROM rem
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT) AS epoch, * FROM l1) x
+       |CROSS JOIN bill
+       |ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val sourceDriftSql: String =
     """WITH sb AS (
       |  SELECT source, least(9, n_chars // 60) AS bin, count(*) AS c

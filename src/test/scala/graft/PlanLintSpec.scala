@@ -52,6 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "dedup_multiprobe_dfrank", // same single-row count totals, per (ranking, budget)
     "dedup_simhash_multiprobe", // same single-row count totals, per (ranking, flips)
     "pack_increment", // single-row bill broadcast (the jsonl_snapshot summary class)
+    "epoch_resume", // single-row bill + shard-count checkpoint broadcasts (same class)
     "completion_message", // single-row job-verdict/total broadcasts (the jsonl_snapshot summary class)
     "product_status") // ≤18-row topic frame × 4-row scenario frame, both bounded broadcasts
 

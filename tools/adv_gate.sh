@@ -23,7 +23,7 @@ FAMILIES=(dedup_ngram_jaccard dedup_minhash dedup_minhash_capped
   bpe_encode bpe_fertility sequence_pack tokenize_pack sequence_manifest
   sequence_shuffle gopher_filter doc_repetition doc_chunk line_dedup
   corpus_stats text_normalize shard_forget pack_increment shard_increment
-  shard_compact stream_shard)
+  shard_compact stream_shard epoch_resume)
 DIR=$(SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" tools/run.sh graft.AdversarialCorpus "$N" 2>/dev/null | tail -1)
 echo "corpus: $DIR"
 rm -rf "$OUT"
