@@ -99,13 +99,21 @@ object ClusterBench {
 
     try {
       val hosts = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      // SPARK_GRAFT_CLUSTER_CONF="k=v;k=v" applies to BOTH cluster legs —
+      // the knob that let the r15 shard-family drill prove its
+      // reducer-locality finding (spark.locality.wait=0 collapses the
+      // micro-stage stalls; see CLUSTER_DRILL.md)
+      val envConf: Map[String, String] = sys.env.get("SPARK_GRAFT_CLUSTER_CONF")
+        .map(_.split(";").toSeq.map(_.trim).filter(_.contains("="))
+          .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }.toMap)
+        .getOrElse(Map.empty)
       def clusterSession(extra: Map[String, String]): SparkSession = {
         val b = GraftSession.builder(masterUrl, 8)
           .config("spark.driver.host", "127.0.0.1")
           .config("spark.executor.memory", "5g")
           .config("spark.executor.extraClassPath", sys.props("java.class.path"))
           .config("spark.executor.extraJavaOptions", opens)
-        extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+        (envConf ++ extra).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
       }
       val cluster = clusterSession(Map.empty)
       cluster.sparkContext.setLogLevel("ERROR")
