@@ -45,6 +45,9 @@ object JobProf {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
+          .replace('\n', ' ')
+        if (st.name.isEmpty)
+          st.name = js.stageInfos.lastOption.map(_.name.replace('\n', ' ')).getOrElse("")
         jobs.synchronized { jobs(js.jobId) = st }
         js.stageIds.foreach(sid => stageToJob.synchronized { stageToJob(sid) = js.jobId })
       }

@@ -274,7 +274,13 @@ object TextQueries {
     * re-runs the split chain once per lambda element). */
   private[graft] def dupCorpusTok(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    dupCorpus(spark, dir).select($"doc_id", words($"text").as("ws"))
+    // Spread BEFORE the regex word-split (guide §2.5): the single-file
+    // corpus scan yields 3 partitions (one per union branch), and every
+    // downstream shingle/minhash/simhash derivation — the dedup family's
+    // dominant compute — would inherit that width. The shuffle moves the
+    // narrow (doc_id, text) rows once; the split and everything after run
+    // cluster-wide.
+    graft.Spread.spread(dupCorpus(spark, dir)).select($"doc_id", words($"text").as("ws"))
   }
 
   // ---------------------------------------------------------------- №21 dedup_exact
