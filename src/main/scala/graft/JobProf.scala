@@ -78,12 +78,15 @@ object JobProf {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       lastWall = (System.nanoTime() - t0) / 1000000L
+      // drain the async listener bus BEFORE dropping the collecting flag:
+      // onJobEnd/onStageCompleted events for the final jobs may still be
+      // queued, and the if(collecting) guard would discard them — tail
+      // jobs would under-report wall/task metrics.
+      org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
       collecting = false
       System.err.println(s"[jobprof] rep $rep: ${lastWall / 1000.0}s")
     }
     CacheRegistry.releaseAll(spark)
-    // drain listener bus before reading
-    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
 
     def mb(b: Long): String = f"${b / 1048576.0}%9.1f"
     println(f"%nquery=$qname sf=$sfDir wall=${lastWall / 1000.0}%.2fs jobs=${jobs.size}")

@@ -23,10 +23,23 @@ import org.apache.spark.sql.DataFrame
   * a spread frame is partition-layout-independent — the two-host cluster
   * drill pins row equality for the drill families under a completely
   * different split layout.
+  *
+  * The split count is ESTIMATED from the leaf relations' file stats
+  * (bytes / filesMaxPartitionBytes) rather than probed with
+  * `df.rdd.getNumPartitions`: the RDD probe runs analysis + physical
+  * planning eagerly at query-construction time (AQE is on), and with ~30
+  * call sites through the dedup tokenizer every builder paid that cost.
+  * Leaves, not the projected plan: Project stats rescale by estimated row
+  * width and would overstate a narrow scan several-fold.
   */
 object Spread {
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch parallelism is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val maxSplit = BigInt(org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits < target) df.repartition(target) else df
   }
 }

@@ -65,20 +65,7 @@ object KvModel {
     * only when the scan is narrower than the session parallelism — on a
     * production multi-split table this is a no-op (no extra shuffle).
     */
-  private def spread(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // micro-batch parallelism is the source's
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // estimate the scan split count from the LEAF relations' stats (file
-    // bytes / maxPartitionBytes) — no RDD lineage materialization (the
-    // previous df.rdd probe ran physical planning eagerly inside a lazy
-    // builder). Leaves, not the projected plan: Project stats rescale by
-    // estimated row width and would overstate a narrow scan several-fold.
-    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
-    val maxSplit = BigInt(org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
-    val estSplits = (bytes + maxSplit - 1) / maxSplit
-    if (estSplits < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.Spread.spread(df)
 
   def kv(spark: SparkSession, dir: String): DataFrame =
     kvFromEvents(Tables(spark, dir).events)

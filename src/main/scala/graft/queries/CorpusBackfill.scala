@@ -143,10 +143,16 @@ object CorpusBackfill {
           greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
       val vBack = spark.read.parquet(vStore.toString)
         .select(col("doc_id"), col("emb_arr"), col("norm_sq"))
+      // candidate pairs: ONE execution per stage (guide §1.2 "don't
+      // compute things twice") — the census's n_cand previously re-ran
+      // the whole probe join under a count aggregate while candPairs
+      // collected the identical distinct-pair frame a second time. The
+      // collected set IS the count (cand is distinct by construction).
+      val candSet = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+      candPairs(stage) = candSet
       val census = ixBack.agg(count(lit(1)).as("n_ix_rows"),
           sum(when(clsOf(col("doc_id")) === 1L, 1L).otherwise(0L)).as("n_ix_night"),
           countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_ix_distinct"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
         .crossJoin(broadcast(vBack.agg(count(lit(1)).as("n_vec_rows"),
           sum(when(clsOf(col("doc_id")) === 1L, 1L).otherwise(0L)).as("n_vec_night"),
           countDistinct(col("doc_id")).as("n_vec_distinct"))))
@@ -177,11 +183,10 @@ object CorpusBackfill {
       }
       served.foreach { case (q, rank, d, cos) =>
         out += ((stage.toLong, census.getAs[Long]("n_ix_rows"), census.getAs[Long]("n_ix_night"),
-          census.getAs[Long]("n_ix_distinct"), census.getAs[Long]("n_cand"),
+          census.getAs[Long]("n_ix_distinct"), candSet.size.toLong,
           census.getAs[Long]("n_vec_rows"), census.getAs[Long]("n_vec_night"),
           census.getAs[Long]("n_vec_distinct"), q, rank, d, cos))
       }
-      candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
       topk(stage) = served.map(t => (t._1, t._3)).toSet
     }
     serve(0)

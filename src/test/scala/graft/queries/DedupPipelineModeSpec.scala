@@ -9,6 +9,7 @@ package graft.queries
   * Equality here is measured, not assumed: the driver oracle for the
   * mp row independently rebuilds the multiprobe chain, so a recall
   * regression surfaces in BOTH places. */
+@graft.tags.Slow
 class DedupPipelineModeSpec extends graft.SparkSpec {
 
   test("ppjoin and minhash_mp pipelines are row-identical on the gate corpus; default mode is ppjoin") {

@@ -24,6 +24,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * retries (fresh checkpoint) until the stop landed while input remained
   * — the assertion `killed before consuming all bands` is structural,
   * never assumed. */
+@graft.tags.Slow
 class CheckpointRecoverySpec extends SparkSpec {
   import spark.implicits._
 
