@@ -4059,26 +4059,43 @@ object HashDedup {
     val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     val candPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     def serve(stage: Int, keys: DataFrame, truthStage: DataFrame): Unit = {
+      // ONE materialization per serve (r16, guide §1.2/§6): the probe join
+      // (cand) used to execute 3-4× per stage and the τ=3/5 verify 2×
+      // (once under the census crossJoin's n_hit aggregate, once for the
+      // hitPairs collect) — persist the per-serve frames, collect hits
+      // ONCE, and read every census count off the one materialization.
+      // The store read-back stays per-serve (the drill's contract: the
+      // FILES are the store), but it feeds the census and the probe join
+      // from one cached scan. Values are unchanged — n_hit is the same
+      // count, now taken from the collected hit rows.
+      //
+      // UNPERSIST BEFORE RETURNING, not at query end: the store's files
+      // MUTATE between serves, and a live cache entry for this serve's
+      // read-back would be plan-matched by CacheManager into the NEXT
+      // serve's identical read — a stale file listing (measured at
+      // sf0.01: FILE_NOT_EXIST after a generation drop, and frozen
+      // n_rows censuses).
       val back = spark.read.parquet(store.toString)
-        .select(col("doc_id"), col("band"), col("band_key"))
+        .select(col("doc_id"), col("band"), col("band_key")).persist()
       val cand = keys.as("a").join(back.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val hits = verified.join(broadcast(truthStage), Seq("doc_a", "doc_b"))
-      val r = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
-        .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(truthStage.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-        .collect()(0)
-      out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
-        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
-      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
-      if (stage == 3 || stage == 4)
-        candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct().persist()
+      try {
+        val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+        val hitArr = verified.join(broadcast(truthStage), Seq("doc_a", "doc_b")).collect()
+        val r = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
+          .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_lookups"))))
+          .crossJoin(broadcast(truthStage.agg(count(lit(1)).as("n_true"))))
+          .collect()(0)
+        out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
+          r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"), hitArr.length.toLong))
+        hitPairs(stage) = hitArr.map(h => (h.getLong(0), h.getLong(1))).toSet
+        if (stage == 3 || stage == 4)
+          candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+      } finally { cand.unpersist(); back.unpersist() }
     }
     land(ofCls(c => !c.isin(batchCls: _*)), 0, 4)
     serve(1, ofCls(_ === 1L), truthNight(1)); land(ofCls(_ === 1L), 1, 2)
@@ -4179,29 +4196,33 @@ object HashDedup {
       finally s.close()
     }
     def serve(window: Int): Unit = {
+      // ONE materialization per serve, unpersisted before returning (r16,
+      // guide §1.2/§6) — see dedupIndexCalendar's serve for the rationale
+      // and the stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store.toString)
-        .select(col("doc_id"), col("band"), col("band_key"))
+        .select(col("doc_id"), col("band"), col("band_key")).persist()
       val cand = night3Keys.as("a").join(back.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val tw = truthWith(windowPartners(window))
-      val hits = verified.join(broadcast(tw), Seq("doc_a", "doc_b"))
-      val r = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
-        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(tw.agg(count(lit(1)).as("n_true_window"))))
-        .crossJoin(broadcast(truthFull.agg(count(lit(1)).as("n_true_all"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-        .collect()(0)
-      out += ((window.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
-        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true_window"),
-        r.getAs[Long]("n_true_all"), r.getAs[Long]("n_hit")))
-      hitPairs(window) = hits.select(col("doc_a"), col("doc_b")).collect()
-        .map(h => (h.getLong(0), h.getLong(1))).toSet
-      gensAfter(window) = gensOnDisk()
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct().persist()
+      try {
+        val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+        val tw = truthWith(windowPartners(window))
+        val hitArr = verified.join(broadcast(tw), Seq("doc_a", "doc_b"))
+          .select(col("doc_a"), col("doc_b")).collect()
+        val r = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"))))
+          .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+          .crossJoin(broadcast(tw.agg(count(lit(1)).as("n_true_window"))))
+          .crossJoin(broadcast(truthFull.agg(count(lit(1)).as("n_true_all"))))
+          .collect()(0)
+        out += ((window.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_lookups"),
+          r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true_window"),
+          r.getAs[Long]("n_true_all"), hitArr.length.toLong))
+        hitPairs(window) = hitArr.map(h => (h.getLong(0), h.getLong(1))).toSet
+        gensAfter(window) = gensOnDisk()
+      } finally { cand.unpersist(); back.unpersist() }
     }
     serve(3)
     graft.Fs.rmTree(store.resolve("gen=0")); serve(2)
@@ -4325,26 +4346,30 @@ object HashDedup {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
     val candPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     def serve(stage: Int): Unit = {
+      // ONE materialization per serve, unpersisted before returning (r16,
+      // guide §1.2/§6) — see dedupIndexCalendar's serve for the rationale
+      // and the stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store.toString)
-        .select(col("doc_id"), col("band"), col("band_key"))
+        .select(col("doc_id"), col("band"), col("band_key")).persist()
       val cand = night3Keys.as("a").join(back.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val hits = verified.join(broadcast(truth3), Seq("doc_a", "doc_b"))
-      val r = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
-        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(truth3.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-        .collect()(0)
-      out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
-        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
-        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
-      candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct().persist()
+      try {
+        val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+        val nHit = verified.join(broadcast(truth3), Seq("doc_a", "doc_b")).count()
+        val r = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
+          .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+          .crossJoin(broadcast(truth3.agg(count(lit(1)).as("n_true"))))
+          .collect()(0)
+        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_true"), nHit))
+        candPairs(stage) = cand.collect().map(c => (c.getLong(0), c.getLong(1))).toSet
+      } finally { cand.unpersist(); back.unpersist() }
     }
     serve(0)
     // the retry storm: night 2 lands AGAIN into the same generation
@@ -4505,29 +4530,34 @@ object HashDedup {
     val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     val delByGen = scala.collection.mutable.Map.empty[Int, Map[Int, Long]]
     def serve(stage: Int): Unit = {
+      // ONE materialization per serve, unpersisted before returning (r16,
+      // guide §1.2/§6) — see dedupIndexCalendar's serve for the rationale
+      // and the stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store.toString)
         .select(col("doc_id"), col("band"), col("band_key"), col("gen").cast("int").as("gen"))
+        .persist()
       val cand = night3Keys.as("a").join(back.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val ts = truthAt(stage)
-      val hits = verified.join(broadcast(ts), Seq("doc_a", "doc_b"))
-      val r = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"),
-          sum(when(delOf(col("doc_id")), 1L).otherwise(0L)).as("n_del_visible"))))
-        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-        .collect()(0)
-      out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_del_visible"),
-        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
-        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
-      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
-      delByGen(stage) = back.filter(delOf(col("doc_id"))).groupBy(col("gen")).count()
-        .collect().map(g => g.getInt(0) -> g.getLong(1)).toMap
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct().persist()
+      try {
+        val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+        val ts = truthAt(stage)
+        val hitArr = verified.join(broadcast(ts), Seq("doc_a", "doc_b")).collect()
+        val r = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_index_rows"),
+            sum(when(delOf(col("doc_id")), 1L).otherwise(0L)).as("n_del_visible"))))
+          .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+          .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
+          .collect()(0)
+        out += ((stage.toLong, r.getAs[Long]("n_index_rows"), r.getAs[Long]("n_del_visible"),
+          r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_true"), hitArr.length.toLong))
+        hitPairs(stage) = hitArr.map(h => (h.getLong(0), h.getLong(1))).toSet
+        delByGen(stage) = back.filter(delOf(col("doc_id"))).groupBy(col("gen")).count()
+          .collect().map(g => g.getInt(0) -> g.getLong(1)).toMap
+      } finally { cand.unpersist(); back.unpersist() }
     }
     serve(0)
     var rewritten = 0L
@@ -4725,28 +4755,32 @@ object HashDedup {
     val hitPairs = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     val filesAt = scala.collection.mutable.Map.empty[Int, Map[String, Int]]
     def serve(stage: Int): Unit = {
+      // ONE materialization per serve, unpersisted before returning (r16,
+      // guide §1.2/§6) — see dedupIndexCalendar's serve for the rationale
+      // and the stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store.toString)
-        .select(col("doc_id"), col("band"), col("band_key"))
+        .select(col("doc_id"), col("band"), col("band_key")).persist()
       val cand = night3Keys.as("a").join(back.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
-      val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
-      val ts = truthAt(stage)
-      val hits = verified.join(broadcast(ts), Seq("doc_a", "doc_b"))
-      val r = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
-        .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
-        .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
-        .collect()(0)
-      out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
-        r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
-        r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
-      hitPairs(stage) = hits.collect().map(h => (h.getLong(0), h.getLong(1))).toSet
-      filesAt(stage) = filesByGen()
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct().persist()
+      try {
+        val verified = TextQueries.verifyPairsOf(sh5, cand).select(col("doc_a"), col("doc_b"))
+        val ts = truthAt(stage)
+        val hitArr = verified.join(broadcast(ts), Seq("doc_a", "doc_b")).collect()
+        val r = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id"), col("band"), col("band_key")).as("n_distinct"))))
+          .crossJoin(broadcast(night3Keys.agg(count(lit(1)).as("n_lookups"))))
+          .crossJoin(broadcast(ts.agg(count(lit(1)).as("n_true"))))
+          .collect()(0)
+        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_lookups"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_true"), hitArr.length.toLong))
+        hitPairs(stage) = hitArr.map(h => (h.getLong(0), h.getLong(1))).toSet
+        filesAt(stage) = filesByGen()
+      } finally { cand.unpersist(); back.unpersist() }
     }
     serve(0)
     val gen0Before = gen0Evidence()

@@ -4984,20 +4984,29 @@ object VectorQueries {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
     val delByCell = scala.collection.mutable.Map.empty[Int, Map[Long, Long]]
     def serve(stage: Int): Unit = {
+      // ONE store scan per serve (r16, guide §6): the serve's probe join,
+      // the census aggregate and the per-cell deletion meter each
+      // re-scanned the store's partitioned small files — persist the
+      // read-back so the files are listed and read once per serve, and
+      // UNPERSIST before returning: the store mutates between serves, and
+      // a live cache entry would be plan-matched into the next serve's
+      // identical read as a stale file listing. Values unchanged.
       val back = spark.read.parquet(store)
-        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
-      val scored = back.join(broadcast(probes), "cell")
-        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-        .distinct()
-      val census = back.agg(count(lit(1)).as("n_rows"),
-        sum(when(delPred, 1L).otherwise(0L)).as("n_del_visible"))
-      topKRanked(scored, "q_id", "cos", "vec_id", K)
-        .crossJoin(broadcast(census)).collect().foreach(r =>
-          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_del_visible"),
-            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
-            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
-      delByCell(stage) = back.filter(delPred).groupBy(col("cell")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell")).persist()
+      try {
+        val scored = back.join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+          .distinct()
+        val census = back.agg(count(lit(1)).as("n_rows"),
+          sum(when(delPred, 1L).otherwise(0L)).as("n_del_visible"))
+        topKRanked(scored, "q_id", "cos", "vec_id", K)
+          .crossJoin(broadcast(census)).collect().foreach(r =>
+            out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_del_visible"),
+              r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+              r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        delByCell(stage) = back.filter(delPred).groupBy(col("cell")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally back.unpersist()
     }
     serve(0)
     // the manifest's touched cells, split into the two rewrite waves
@@ -5175,27 +5184,32 @@ object VectorQueries {
       finally s.close()
     }
     def serve(win: Int): Unit = {
+      // ONE store scan per serve, unpersisted before returning (r16,
+      // guide §6) — see knnStoreDelete's serve for the rationale and the
+      // stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store.toString)
-        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
-      val scored = back.join(broadcast(probes), "cell")
-        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-        .distinct()
-      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
-        .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows")))).collect()
-      val pairs = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
-      if (win == 3) full = pairs
-      val nKept = pairs.count(full.contains).toLong
-      served.foreach(r =>
-        out += ((win.toLong, r.getAs[Long]("n_rows"), nKept,
-          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
-          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
-      topk(win) = pairs
-      gensAfter(win) = gensOnDisk()
-      // the serve's OWN join, not the pre-serve probe frame: distinct
-      // lookup keys that found ≥1 row in this window's store — the
-      // scan-side work retention actually saves (r14 advice)
-      probeMatched(win) = back.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
-        .select(col("q_id"), col("cell")).distinct().count()
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell")).persist()
+      try {
+        val scored = back.join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+          .distinct()
+        val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+          .crossJoin(broadcast(back.agg(count(lit(1)).as("n_rows")))).collect()
+        val pairs = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+        if (win == 3) full = pairs
+        val nKept = pairs.count(full.contains).toLong
+        served.foreach(r =>
+          out += ((win.toLong, r.getAs[Long]("n_rows"), nKept,
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        topk(win) = pairs
+        gensAfter(win) = gensOnDisk()
+        // the serve's OWN join, not the pre-serve probe frame: distinct
+        // lookup keys that found ≥1 row in this window's store — the
+        // scan-side work retention actually saves (r14 advice)
+        probeMatched(win) = back.join(broadcast(probes.select(col("q_id"), col("cell"))), "cell")
+          .select(col("q_id"), col("cell")).distinct().count()
+      } finally back.unpersist()
     }
     serve(3)
     graft.Fs.rmTree(store.resolve("gen=0")); serve(2)
@@ -5294,20 +5308,25 @@ object VectorQueries {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Double)]
     val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     def serve(stage: Int): Unit = {
+      // ONE store scan per serve, unpersisted before returning (r16,
+      // guide §6) — see knnStoreDelete's serve for the rationale and the
+      // stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store)
-        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
-      val scored = back.join(broadcast(probes), "cell")
-        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-        .distinct()
-      val census = back.agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("vec_id")).as("n_distinct"))
-      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
-        .crossJoin(broadcast(census)).collect()
-      served.foreach(r =>
-        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
-          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
-          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
-      topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell")).persist()
+      try {
+        val scored = back.join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+          .distinct()
+        val census = back.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("vec_id")).as("n_distinct"))
+        val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+          .crossJoin(broadcast(census)).collect()
+        served.foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      } finally back.unpersist()
     }
     serve(0)
     // the retry storm: the night lands AGAIN into the same cell dirs
@@ -5478,21 +5497,26 @@ object VectorQueries {
     val topk = scala.collection.mutable.Map.empty[Int, Set[(Long, Long)]]
     val filesAt = scala.collection.mutable.Map.empty[Int, Map[Long, Int]]
     def serve(stage: Int): Unit = {
+      // ONE store scan per serve, unpersisted before returning (r16,
+      // guide §6) — see knnStoreDelete's serve for the rationale and the
+      // stale-cache hazard; values unchanged.
       val back = spark.read.parquet(store)
-        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
-      val scored = back.join(broadcast(probes), "cell")
-        .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
-        .distinct()
-      val census = back.agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("vec_id")).as("n_distinct"))
-      val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
-        .crossJoin(broadcast(census)).collect()
-      served.foreach(r =>
-        out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
-          r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
-          r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
-      topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
-      filesAt(stage) = filesByCell()
+        .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell")).persist()
+      try {
+        val scored = back.join(broadcast(probes), "cell")
+          .select(col("q_id"), col("vec_id"), cosine6(col("emb"), col("q_emb")).as("cos"))
+          .distinct()
+        val census = back.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("vec_id")).as("n_distinct"))
+        val served = topKRanked(scored, "q_id", "cos", "vec_id", K)
+          .crossJoin(broadcast(census)).collect()
+        served.foreach(r =>
+          out += ((stage.toLong, r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+            r.getAs[Long]("q_id"), r.getAs[Number]("rank").longValue,
+            r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))))
+        topk(stage) = served.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+        filesAt(stage) = filesByCell()
+      } finally back.unpersist()
     }
     serve(0)
     val untouchedBefore = untouchedEvidence()

@@ -146,9 +146,16 @@ object StreamForget {
             touched.filterNot(surviving).foreach(c =>
               graft.Fs.rmTree(java.nio.file.Paths.get(store, s"cell=$c")))
           }
-          // SERVE: the files are the store — №184's discipline
+          // SERVE: the files are the store — №184's discipline.
+          // ONE store scan per serve (r16, guide §6): the fused census
+          // below and the serve's probe join still each scanned the
+          // store's partitioned files — persist the read-back so both
+          // ride one scan, and UNPERSIST before the batch returns (the
+          // store mutates between batches; a live cache entry would be
+          // plan-matched into the next batch's identical read as a stale
+          // file listing).
           val back = spark.read.parquet(store)
-            .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+            .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell")).persist()
           // Census in ONE store scan (r15 verdict item 7 — stream_night's
           // 58cb504 single-scan serve pattern, guide §6 "do fewer passes"):
           // the serve's n_rows/n_del_visible aggregate, the per-leg
@@ -183,6 +190,7 @@ object StreamForget {
           appliedVisible(id) = census.getAs[Long]("applied_vis")
           delBaseVisible(id) = census.getAs[Long]("del_base")
           delA1Visible(id) = census.getAs[Long]("del_a1")
+          back.unpersist()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -167,10 +167,17 @@ object StreamNight {
             .join(batchIds, Seq("doc_id"), "left_semi")
             .join(dupFiles, Seq("doc_id"), "left_anti")
             .coalesce(1).write.mode("append").parquet(vStore.toString)
-          // SERVE both stores from the files
+          // SERVE both stores from the files.
+          // ONE vector-store scan per serve (r16, guide §6): the scored
+          // probe pass and the census-with-dup-flag pass below each
+          // re-scanned vStore's accumulated files — persist the read-back
+          // so both ride one scan, and UNPERSIST before the batch returns
+          // (the store grows between batches; a live cache entry would be
+          // plan-matched into the next batch's identical read as a stale
+          // file listing).
           val ixBack2 = spark.read.parquet(ixStore.toString)
           val vBack = spark.read.parquet(vStore.toString)
-            .select(col("doc_id"), col("emb_arr"), col("norm_sq"))
+            .select(col("doc_id"), col("emb_arr"), col("norm_sq")).persist()
           val scored = vBack.join(broadcast(queries))
             .select(col("q_id"), col("doc_id"),
               round(
@@ -207,7 +214,7 @@ object StreamNight {
           val curFiles = vecFiles().toSet
           unlanded(id) = prevVecFiles.count(!curFiles.contains(_)).toLong
           prevVecFiles = curFiles.toVector
-          keys.unpersist(); batchIds.unpersist()
+          keys.unpersist(); batchIds.unpersist(); vBack.unpersist()
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
